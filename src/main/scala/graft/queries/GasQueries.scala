@@ -1,0 +1,47 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Flux-equivalent query surface over the long gas store (SURVEY.md §2.11).
+  * These are the library-facing forms; the oracle-checked twins over the
+  * driver's `events` table live in [[TimeSeries]].
+  */
+object GasQueries {
+
+  /** Q1/Q2: `filter(fn: (r) => r["_field"] == <field>)` — `field` is the
+    * runtime parameter the Grafana dashboard variable interpolates
+    * (reference README.md:226, README.md:243). Pushed into the parquet scan. */
+  def fieldFilter(long: DataFrame, field: String): DataFrame =
+    long.filter(col("_field") === field)
+
+  /** Q3: `range(start, stop)` — on the date-partitioned store this prunes
+    * partitions (reference README.md:222-224). */
+  def timeRange(long: DataFrame, startIso: String, stopIso: String): DataFrame =
+    long.filter(col("_time") >= lit(startIso).cast("timestamp") &&
+      col("_time") < lit(stopIso).cast("timestamp"))
+
+  /** Q4: `aggregateWindow(every: interval, fn: mean)` (implied by the
+    * Grafana dashboards, reference README.md:249-251). */
+  def aggregateWindow(long: DataFrame, every: String): DataFrame =
+    long.groupBy(window(col("_time"), every).as("w"), col("_field"))
+      .agg(avg(col("_value")).as("mean_value"),
+        min(col("_value")).as("min_value"),
+        max(col("_value")).as("max_value"),
+        count(lit(1)).as("n_points"))
+      .select(col("w.start").as("_bucket"), col("_field"),
+        col("mean_value"), col("min_value"), col("max_value"), col("n_points"))
+
+  /** The flagship end-to-end slice (SURVEY.md §7.2 step 1):
+    * mean of one field per bucket for one day. */
+  def fieldDayMean(long: DataFrame, field: String, dayIso: String,
+      every: String = "1 minute"): DataFrame = {
+    val dayStart = s"$dayIso 00:00:00"
+    val nextDay = date_add(lit(dayIso).cast("date"), 1).cast("timestamp")
+    aggregateWindow(
+      fieldFilter(long, field)
+        .filter(col("_time") >= lit(dayStart).cast("timestamp") &&
+          col("_time") < nextDay),
+      every)
+  }
+}

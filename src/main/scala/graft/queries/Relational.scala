@@ -1,0 +1,374 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.sources.Tables
+
+/** Core relational operator surface over the driver's TPC-H-ish testdata
+  * (SURVEY.md §2.3–§2.8 engine scope). Every query here is paired with an
+  * ANSI-SQL oracle in [[oracle]] that DuckDB evaluates over the same parquet.
+  *
+  * Scale notes apply to every query: scans are parquet with pushed filters
+  * and pruned columns; small dimensions are broadcast explicitly; large
+  * fact-fact joins shuffle on their join key once; aggregations use Spark's
+  * partial/final hash aggregate. Results impose a total ORDER BY only for
+  * oracle determinism — at 100 TB the ORDER BY would be dropped or replaced
+  * by a top-k.
+  */
+object Relational {
+
+  private def t(s: SparkSession, dir: String, n: String) = Tables.table(s, dir, n)
+
+  val queries: Map[String, Q] = Map(
+    // -- aggregation (TPC-H Q1 shape): partial+final hash agg, 6-group output
+    "q01_pricing_summary" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      li.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sumExact(col("l_quantity")).as("sum_qty"),
+          sumExact(col("l_extendedprice")).as("sum_base_price"),
+          sumExact(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+          sumExact(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))).as("sum_charge"),
+          avgExact(col("l_quantity")).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // -- filter + projection: both pushed into the parquet scan
+    "q02_filter_project" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      li.filter(col("l_quantity") >= 30 && col("l_quantity") <= 40 && col("l_discount") > 0.05)
+        .select(
+          col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast(DecimalType(18, 6)).cast("double").as("revenue"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // -- multiway join: fact(orders) ⋈ customer ⋈ nation ⋈ region; the three
+    // dimension sides are broadcast (no shuffle of the fact table at all)
+    "q03_join_multiway" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      val r = t(s, dir, "region")
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(
+          sumExact(col("o_totalprice")).as("revenue"),
+          count(lit(1)).as("n_orders"))
+        .orderBy(col("r_name"), col("n_name"))
+    }),
+
+    // -- large fact-fact join (lineitem ⋈ orders shuffles once on orderkey;
+    // customer is broadcast) + derived grouping column
+    "q04_segment_month_revenue" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .withColumn("order_month", date_format(col("o_orderdate"), "yyyy-MM"))
+        .groupBy(col("c_mktsegment"), col("order_month"))
+        .agg(
+          sumExact(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("c_mktsegment"), col("order_month"))
+    }),
+
+    // -- top-k: Catalyst plans TakeOrderedAndProject (no full sort/shuffle)
+    "q05_topk_orders" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)
+    }),
+
+    // -- window ranking: top-3 orders per customer (one shuffle on custkey)
+    "q06_top3_per_customer" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders")
+        .withColumn("rn", row_number().over(w).cast("long")) // DuckDB ROW_NUMBER() is BIGINT
+        .filter(col("rn") <= 3)
+        .select(col("o_custkey"), col("rn"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_custkey"), col("rn"))
+    }),
+
+    // -- analytic window: lag + running sum per user over event time
+    "q07_user_running_total" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .withColumn("prev_value", lag(col("value"), 1).over(w))
+        .withColumn("running_value",
+          sum(sumExactCol(col("value")))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("double"))
+        .select(
+          col("user_id"), unix_micros(col("ts")).as("ts_us"), col("event_id"),
+          col("value"), col("prev_value"), col("running_value"))
+        .orderBy(col("user_id"), col("ts_us"), col("event_id"))
+    }),
+
+    // -- grouping sets via rollup
+    "q08_rollup_flags" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sumExact(col("l_quantity")).as("sum_qty"),
+          count(lit(1)).as("n_rows"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+          col("sum_qty"), col("n_rows"))
+        .orderBy(col("returnflag"), col("linestatus"))
+    }),
+
+    // -- exact distinct aggregation (Spark expands to a two-phase agg)
+    "q09_distinct_stats" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          count(lit(1)).as("n_rows"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // -- set operations: INTERSECT / EXCEPT / UNION DISTINCT
+    "q10_setops" -> ((s, dir) => {
+      val building = t(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+      val buyers = t(s, dir, "orders").select(col("o_custkey").as("c_custkey")).distinct()
+      val i = building.intersect(buyers)
+        .agg(count(lit(1)).as("n")).select(lit("intersect").as("op"), col("n"))
+      val e = building.except(buyers)
+        .agg(count(lit(1)).as("n")).select(lit("except").as("op"), col("n"))
+      val u = building.union(buyers).distinct()
+        .agg(count(lit(1)).as("n")).select(lit("union").as("op"), col("n"))
+      i.unionByName(e).unionByName(u).orderBy(col("op"))
+    }),
+
+    // -- semi / anti joins (EXISTS / NOT EXISTS shapes)
+    "q11_semi_anti" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders").select(col("o_custkey"))
+      val withOrders = c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+        .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
+        .withColumn("side", lit("with_orders"))
+      val withoutOrders = c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
+        .withColumn("side", lit("without_orders"))
+      withOrders.unionByName(withoutOrders)
+        .orderBy(col("side"), col("c_mktsegment"))
+    }),
+
+    // -- pivot (long→wide, SURVEY.md U2): explicit value list keeps the
+    // column set static so no extra collect-distinct job runs
+    "q13_pivot_daily" -> ((s, dir) => {
+      t(s, dir, "events")
+        .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+        .groupBy(col("day"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(sumExact(col("value")))
+        .orderBy(col("day"))
+    }),
+
+    // -- unpivot (wide→long, SURVEY.md U1)
+    "q14_unpivot_lineitem" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_orderkey") <= 100)
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax")),
+          "metric", "val")
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("metric"))
+    }),
+
+    // -- scalar function gallery (string/date/math builtins, SURVEY.md §2.8)
+    "q15_scalar_gallery" -> ((s, dir) => {
+      t(s, dir, "part").select(
+        col("p_partkey"),
+        upper(col("p_brand")).as("brand_upper"),
+        length(col("p_name")).cast("long").as("name_len"), // DuckDB LENGTH is BIGINT
+        substring(col("p_name"), 1, 8).as("name_prefix"),
+        regexp_extract(col("p_type"), "^(\\w+)", 1).as("type_first"),
+        concat_ws("-", col("p_brand"), col("p_size").cast("string")).as("brand_size"),
+        (col("p_retailprice") * lit(1.1)).cast(DecimalType(18, 4)).cast("double").as("inflated"),
+        pmod(col("p_partkey"), lit(7)).as("key_mod"),
+        greatest(col("p_size"), lit(25)).as("size_floor")
+      ).orderBy(col("p_partkey"))
+    }),
+
+    // -- CASE WHEN bucketing + aggregation
+    "q16_case_bucket" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .withColumn("bucket",
+          when(col("o_totalprice") < 50000, "small")
+            .when(col("o_totalprice") < 150000, "medium")
+            .otherwise("large"))
+        .groupBy(col("o_orderstatus"), col("bucket"))
+        .agg(count(lit(1)).as("n"), sumExact(col("o_totalprice")).as("revenue"))
+        .orderBy(col("o_orderstatus"), col("bucket"))
+    }),
+
+    // -- JSON extraction from events.props (SURVEY.md §2.12)
+    "q17_json_extract" -> ((s, dir) => {
+      t(s, dir, "events")
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .withColumn("k_bucket", pmod(col("k"), lit(10)))
+        .groupBy(col("k_bucket"))
+        .agg(count(lit(1)).as("n"), sumExact(col("value")).as("total_value"))
+        .orderBy(col("k_bucket"))
+    })
+  )
+
+  private val sumQty = "CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)"
+
+  val oracle: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  $sumQty AS sum_qty,
+         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
+         |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+         |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+         |  $sumQty / COUNT(*) AS avg_qty,
+         |  COUNT(*) AS count_order
+         |FROM lineitem GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q02_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity,
+        |  CAST(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6)) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_quantity >= 30 AND l_quantity <= 40 AND l_discount > 0.05
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q03_join_multiway" ->
+      """SELECT r_name, n_name,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_orders
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+
+    "q04_segment_month_revenue" ->
+      """SELECT c_mktsegment, strftime(o_orderdate, '%Y-%m') AS order_month,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment, order_month
+        |ORDER BY c_mktsegment, order_month""".stripMargin,
+
+    "q05_topk_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "q06_top3_per_customer" ->
+      """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) WHERE rn <= 3
+        |ORDER BY o_custkey, rn""".stripMargin,
+
+    "q07_user_running_total" ->
+      """SELECT user_id, epoch_us(ts) AS ts_us, event_id, value,
+        |  LAG(value, 1) OVER w AS prev_value,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, ts_us, event_id""".stripMargin,
+
+    "q08_rollup_flags" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+        |  COALESCE(l_linestatus, 'ALL') AS linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY returnflag, linestatus""".stripMargin,
+
+    "q09_distinct_stats" ->
+      """SELECT l_returnflag,
+        |  COUNT(DISTINCT l_partkey) AS n_parts,
+        |  COUNT(DISTINCT l_suppkey) AS n_supps,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q10_setops" ->
+      """WITH building AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+        |     buyers AS (SELECT DISTINCT o_custkey AS c_custkey FROM orders)
+        |SELECT op, n FROM (
+        |  SELECT 'intersect' AS op, COUNT(*) AS n FROM (SELECT * FROM building INTERSECT SELECT * FROM buyers)
+        |  UNION ALL
+        |  SELECT 'except' AS op, COUNT(*) AS n FROM (SELECT * FROM building EXCEPT SELECT * FROM buyers)
+        |  UNION ALL
+        |  SELECT 'union' AS op, COUNT(*) AS n FROM (SELECT * FROM building UNION SELECT * FROM buyers)
+        |) ORDER BY op""".stripMargin,
+
+    "q11_semi_anti" ->
+      """SELECT c_mktsegment, n, side FROM (
+        |  SELECT c_mktsegment, COUNT(*) AS n, 'with_orders' AS side FROM customer
+        |  WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |  GROUP BY c_mktsegment
+        |  UNION ALL
+        |  SELECT c_mktsegment, COUNT(*) AS n, 'without_orders' AS side FROM customer
+        |  WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |  GROUP BY c_mktsegment
+        |) ORDER BY side, c_mktsegment""".stripMargin,
+
+    "q13_pivot_daily" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS day,
+        |  CAST(SUM(CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE) AS click,
+        |  CAST(SUM(CASE WHEN event_type = 'error' THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE) AS error,
+        |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE) AS purchase,
+        |  CAST(SUM(CASE WHEN event_type = 'signup' THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE) AS signup,
+        |  CAST(SUM(CASE WHEN event_type = 'view' THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE) AS view
+        |FROM events GROUP BY day ORDER BY day""".stripMargin,
+
+    "q14_unpivot_lineitem" ->
+      """SELECT l_orderkey, l_linenumber, metric, val FROM (
+        |  SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS val FROM lineitem WHERE l_orderkey <= 100
+        |  UNION ALL SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem WHERE l_orderkey <= 100
+        |  UNION ALL SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem WHERE l_orderkey <= 100
+        |  UNION ALL SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem WHERE l_orderkey <= 100
+        |) ORDER BY l_orderkey, l_linenumber, metric""".stripMargin,
+
+    "q15_scalar_gallery" ->
+      """SELECT p_partkey,
+        |  UPPER(p_brand) AS brand_upper,
+        |  LENGTH(p_name) AS name_len,
+        |  SUBSTR(p_name, 1, 8) AS name_prefix,
+        |  REGEXP_EXTRACT(p_type, '^(\w+)', 1) AS type_first,
+        |  CONCAT_WS('-', p_brand, CAST(p_size AS VARCHAR)) AS brand_size,
+        |  CAST(CAST(p_retailprice * 1.1 AS DECIMAL(18,4)) AS DOUBLE) AS inflated,
+        |  p_partkey % 7 AS key_mod,
+        |  GREATEST(p_size, 25) AS size_floor
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q16_case_bucket" ->
+      """SELECT o_orderstatus,
+        |  CASE WHEN o_totalprice < 50000 THEN 'small'
+        |       WHEN o_totalprice < 150000 THEN 'medium'
+        |       ELSE 'large' END AS bucket,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |FROM orders GROUP BY o_orderstatus, bucket
+        |ORDER BY o_orderstatus, bucket""".stripMargin,
+
+    "q17_json_extract" ->
+      """SELECT CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT) % 10 AS k_bucket,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY k_bucket ORDER BY k_bucket""".stripMargin
+  )
+}

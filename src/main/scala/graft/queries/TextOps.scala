@@ -1,0 +1,221 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** LLM-training-data text operators over `documents` (north-star scope,
+  * SURVEY.md §2.12): exact dedup, MinHash-LSH fuzzy dedup, n-gram Jaccard
+  * verification, token/quality/language analysis, document fingerprinting.
+  *
+  * Scale design: every operator is a pure dataflow of narrow per-row
+  * expressions plus hash shuffles on bounded keys.
+  *  - exact dedup shuffles on a 128-bit content hash (uniform, no skew);
+  *  - MinHash-LSH is the linear-time near-dup path: per-doc signature
+  *    (map-side only) → shuffle on (band, band_signature) → within-bucket
+  *    pairing. Bucket sizes are bounded by the band width, never O(n²) in
+  *    the corpus — this is the 100 TB answer to fuzzy dedup;
+  *  - exact Jaccard runs only on LSH-survivor-scale pair samples.
+  * All hashing is MD5 of explicit strings so the DuckDB oracle can replay it
+  * bit-for-bit.
+  */
+object TextOps {
+
+  private def docs(s: SparkSession, dir: String) = Tables.table(s, dir, "documents")
+
+  /** tokens of lower-cased, whitespace-split text */
+  private val tokExpr = "split(trim(lower(text)), '\\\\s+')"
+  private val stopList = "('the', 'a', 'of', 'and', 'to', 'in', 'is')"
+
+  /** Per-doc MinHash band signatures: 16 hashes, 4 bands of 4 rows.
+    * Hash family j = md5(j || ':' || shingle); signature = min per j. */
+  private def bandSignatures(d: DataFrame, shingleWords: Int): DataFrame = {
+    val parts = (0 until shingleWords)
+      .map(o => if (o == 0) "element_at(tk, i)" else s"element_at(tk, i + $o)")
+      .mkString(", ")
+    d.selectExpr("doc_id", s"$tokExpr AS tk")
+      .where(expr(s"size(tk) >= $shingleWords"))
+      .selectExpr("doc_id",
+        s"explode(array_distinct(transform(sequence(1, size(tk) - ${shingleWords - 1}), i -> concat_ws(' ', $parts)))) AS shingle")
+      .select(col("doc_id"), col("shingle"), explode(sequence(lit(0), lit(15))).as("j"))
+      .select(col("doc_id"), col("j"),
+        md5(concat(col("j").cast("string"), lit(":"), col("shingle")).cast("binary")).as("h"))
+      .groupBy(col("doc_id"), col("j")).agg(min(col("h")).as("sig"))
+      .groupBy(col("doc_id"), expr("j div 4").as("b"))
+      .agg(expr(
+        "md5(cast(array_join(sort_array(collect_list(concat(lpad(cast(j as string), 2, '0'), ':', sig))), '|') as binary))")
+        .as("band_sig"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    // exact dedup by content hash: keep lowest doc_id per identical text
+    "tx01_exact_dedup" -> ((s, dir) =>
+      docs(s, dir)
+        .groupBy(md5(col("text").cast("binary")).as("text_hash"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+        .orderBy(col("keep_id"))),
+
+    // token counting + corpus stats per (lang, source)
+    "tx02_token_stats" -> ((s, dir) =>
+      docs(s, dir)
+        .withColumn("n_tokens", expr(s"size($tokExpr)").cast("long"))
+        .groupBy(col("lang"), col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          (sum(col("n_tokens")).cast("double") / count(lit(1))).as("avg_tokens"),
+          (sum(col("n_chars")).cast("double") / count(lit(1))).as("avg_chars"),
+          max(col("n_tokens")).as("max_tokens"))
+        .orderBy(col("lang"), col("source"))),
+
+    // per-document quality scoring (length / punctuation / stopword ratios)
+    "tx03_quality_score" -> ((s, dir) =>
+      docs(s, dir)
+        .withColumn("n_tokens", expr(s"size($tokExpr)").cast("long"))
+        .withColumn("n_stop",
+          expr(s"size(filter($tokExpr, t -> t IN $stopList))").cast("long"))
+        .withColumn("n_punct",
+          (length(col("text")) - length(regexp_replace(col("text"), "[^\\w\\s]", ""))).cast("long"))
+        .withColumn("stop_ratio", col("n_stop").cast("double") / col("n_tokens"))
+        .withColumn("char_per_token", length(col("text")).cast("double") / col("n_tokens"))
+        .withColumn("quality_score",
+          round(lit(0.4) * col("stop_ratio") +
+            lit(0.6) * least(lit(1.0), col("n_tokens").cast("double") / lit(100.0)), 6))
+        .select(col("doc_id"), col("n_tokens"), col("n_stop"), col("n_punct"),
+          col("stop_ratio"), col("char_per_token"), col("quality_score"))
+        .orderBy(col("doc_id"))),
+
+    // heuristic language ID (stopword-profile scoring) vs. the labeled lang
+    "tx04_langid_confusion" -> ((s, dir) =>
+      docs(s, dir)
+        .withColumn("stop_ratio",
+          expr(s"size(filter($tokExpr, t -> t IN $stopList))").cast("double") /
+            expr(s"size($tokExpr)"))
+        .withColumn("predicted", when(col("stop_ratio") >= 0.08, "en").otherwise("other"))
+        .groupBy(col("predicted"), col("lang"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("predicted"), col("lang"))),
+
+    // MinHash + LSH banding: near-duplicate candidate pairs
+    "tx05_minhash_pairs" -> ((s, dir) => {
+      val bd = bandSignatures(docs(s, dir), shingleWords = 3)
+      val a = bd.select(col("b"), col("band_sig"), col("doc_id").as("doc_a"))
+      val c = bd.select(col("b"), col("band_sig"), col("doc_id").as("doc_b"))
+      a.join(c, Seq("b", "band_sig"))
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(count(lit(1)).as("n_shared_bands"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // exact n-gram Jaccard similarity on a deterministic pair sample
+    "tx06_ngram_jaccard" -> ((s, dir) => {
+      val sh = docs(s, dir)
+        .selectExpr("doc_id", s"$tokExpr AS tk")
+        .where(expr("size(tk) >= 3"))
+        .selectExpr("doc_id",
+          "array_distinct(transform(sequence(1, size(tk) - 2), i -> concat_ws(' ', element_at(tk, i), element_at(tk, i + 1), element_at(tk, i + 2)))) AS sh")
+      val a = sh.filter(expr("doc_id % 37 = 0"))
+        .select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+      val b = sh.filter(expr("doc_id % 41 = 0"))
+        .select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+      a.crossJoin(broadcast(b))
+        .filter(col("doc_a") < col("doc_b"))
+        .withColumn("n_inter", expr("size(array_intersect(sh_a, sh_b))").cast("long"))
+        .withColumn("n_union",
+          (expr("size(sh_a)") + expr("size(sh_b)")).cast("long") - col("n_inter"))
+        .withColumn("jaccard", round(col("n_inter").cast("double") / col("n_union"), 6))
+        .select(col("doc_a"), col("doc_b"), col("n_inter"), col("n_union"), col("jaccard"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // document fingerprint: 64-char polynomial rolling hash mod 1e9+7
+    "tx07_fingerprint" -> ((s, dir) =>
+      docs(s, dir)
+        .withColumn("fp", expr(
+          "aggregate(sequence(1, least(length(text), 64)), 0L, (acc, i) -> pmod(acc * 31 + ascii(substring(text, i, 1)), 1000000007))"))
+        .select(col("doc_id"), col("fp"))
+        .orderBy(col("doc_id")))
+  )
+
+  private val dTok = raw"regexp_split_to_array(trim(lower(text)), '\s+')"
+  private val dStop = "('the', 'a', 'of', 'and', 'to', 'in', 'is')"
+
+  val oracle: Map[String, String] = Map(
+    "tx01_exact_dedup" ->
+      """SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+        |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
+
+    "tx02_token_stats" ->
+      s"""WITH d AS (SELECT lang, source, n_chars, len($dTok) AS n_tokens FROM documents)
+         |SELECT lang, source, COUNT(*) AS n_docs,
+         |  CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*) AS avg_tokens,
+         |  CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
+         |  MAX(n_tokens) AS max_tokens
+         |FROM d GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+
+    "tx03_quality_score" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, text,
+         |    len($dTok) AS n_tokens,
+         |    len(list_filter($dTok, t -> t IN $dStop)) AS n_stop,
+         |    length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS n_punct
+         |  FROM documents)
+         |SELECT doc_id, n_tokens, n_stop, n_punct,
+         |  CAST(n_stop AS DOUBLE) / n_tokens AS stop_ratio,
+         |  CAST(length(text) AS DOUBLE) / n_tokens AS char_per_token,
+         |  ROUND(0.4 * (CAST(n_stop AS DOUBLE) / n_tokens)
+         |      + 0.6 * LEAST(1.0, CAST(n_tokens AS DOUBLE) / 100.0), 6) AS quality_score
+         |FROM d ORDER BY doc_id""".stripMargin,
+
+    "tx04_langid_confusion" ->
+      s"""WITH d AS (
+         |  SELECT lang,
+         |    CAST(len(list_filter($dTok, t -> t IN $dStop)) AS DOUBLE) / len($dTok) AS stop_ratio
+         |  FROM documents)
+         |SELECT CASE WHEN stop_ratio >= 0.08 THEN 'en' ELSE 'other' END AS predicted,
+         |  lang, COUNT(*) AS n
+         |FROM d GROUP BY predicted, lang ORDER BY predicted, lang""".stripMargin,
+
+    "tx05_minhash_pairs" ->
+      s"""WITH toks AS (SELECT doc_id, $dTok AS tk FROM documents),
+         |sh AS (
+         |  SELECT DISTINCT doc_id,
+         |    unnest(list_transform(range(1, len(tk) - 1), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS shingle
+         |  FROM toks WHERE len(tk) >= 3),
+         |hs AS (
+         |  SELECT doc_id, j, MIN(md5(j::VARCHAR || ':' || shingle)) AS sig
+         |  FROM sh, range(0, 16) t(j) GROUP BY doc_id, j),
+         |bd AS (
+         |  SELECT doc_id, j // 4 AS b,
+         |    md5(string_agg(lpad(j::VARCHAR, 2, '0') || ':' || sig, '|'
+         |        ORDER BY lpad(j::VARCHAR, 2, '0') || ':' || sig)) AS band_sig
+         |  FROM hs GROUP BY doc_id, j // 4)
+         |SELECT a.doc_id AS doc_a, c.doc_id AS doc_b, COUNT(*) AS n_shared_bands
+         |FROM bd a JOIN bd c ON a.b = c.b AND a.band_sig = c.band_sig AND a.doc_id < c.doc_id
+         |GROUP BY doc_a, doc_b ORDER BY doc_a, doc_b""".stripMargin,
+
+    "tx06_ngram_jaccard" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id,
+         |    list_distinct(list_transform(range(1, len(tk) - 1), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
+         |  FROM (SELECT doc_id, $dTok AS tk FROM documents) WHERE len(tk) >= 3),
+         |p AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS n_inter,
+         |    len(a.sh) + len(b.sh) - len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS n_union
+         |  FROM sh a, sh b
+         |  WHERE a.doc_id % 37 = 0 AND b.doc_id % 41 = 0 AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, n_inter, n_union,
+         |  ROUND(CAST(n_inter AS DOUBLE) / n_union, 6) AS jaccard
+         |FROM p ORDER BY doc_a, doc_b""".stripMargin,
+
+    "tx07_fingerprint" ->
+      """SELECT doc_id,
+        |  list_reduce(
+        |    list_prepend(0::BIGINT,
+        |      list_transform(range(1, least(length(text), 64) + 1), i -> ascii(substr(text, i, 1)))),
+        |    (acc, c) -> (acc * 31 + c) % 1000000007) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}

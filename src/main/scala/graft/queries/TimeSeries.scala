@@ -1,0 +1,165 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.AsOfJoin
+import graft.sources.Tables
+
+/** The reference's query surface, re-expressed natively (SURVEY.md §2.11).
+  *
+  * The reference delegates all queries to InfluxDB/Flux + Grafana over the
+  * long point model `(time, _measurement, _field, _value, tags…)`. The
+  * driver's `events` table `(ts, event_type, value)` is structurally that
+  * model (FIXTURES.md §B), so the Flux shapes — field filter (README.md:226),
+  * dashboard-variable field filter (README.md:243), time-range scan
+  * (README.md:222-224) and `aggregateWindow` downsampling (README.md:249-251,
+  * implied) — are registered here over `events`, each with a DuckDB oracle.
+  *
+  * Scale notes: field/time filters are pushed into the parquet scan (at
+  * 100 TB the store is date-partitioned parquet, so the time-range filter
+  * becomes partition pruning — see graft.store). Downsampling is a single
+  * partial+final hash aggregate keyed on (bucket, field): no shuffle wider
+  * than the output. The as-of join and sessionization each cost exactly one
+  * shuffle on the entity key.
+  */
+object TimeSeries {
+
+  private def ev(s: SparkSession, dir: String) = Tables.table(s, dir, "events")
+
+  /** Q1/Q2: Flux `filter(fn: (r) => r["_field"] == <field>)` — the field is a
+    * runtime parameter exactly like the Grafana dashboard variable. */
+  def fieldFilter(events: DataFrame, field: String): DataFrame =
+    events.filter(col("event_type") === field)
+      .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        col("user_id"), col("value"))
+      .orderBy(col("event_id"))
+
+  /** Q3: Flux `range(start, stop)` — inclusive start, exclusive stop. */
+  def timeRange(events: DataFrame, startIso: String, stopIso: String): DataFrame =
+    events.filter(col("ts") >= lit(startIso).cast("timestamp") &&
+      col("ts") < lit(stopIso).cast("timestamp"))
+
+  /** Q4: Flux/Grafana `aggregateWindow(every: interval, fn: mean)` over each
+    * field — tumbling windows aligned to the epoch, like date_trunc. */
+  def aggregateWindow(events: DataFrame, every: String): DataFrame =
+    events
+      .groupBy(window(col("ts"), every).as("w"), col("event_type"))
+      .agg(
+        avgExact(col("value")).as("avg_value"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"),
+        count(lit(1)).as("n"))
+      .select(
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("bucket"),
+        col("event_type"), col("avg_value"), col("min_value"), col("max_value"), col("n"))
+      .orderBy(col("bucket"), col("event_type"))
+
+  val queries: Map[String, Q] = Map(
+    "ts01_field_filter" -> ((s, dir) => fieldFilter(ev(s, dir), "purchase")),
+
+    "ts02_time_range" -> ((s, dir) =>
+      timeRange(ev(s, dir), "2024-01-10 00:00:00", "2024-01-20 00:00:00")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sumExact(col("value")).as("total_value"))
+        .orderBy(col("event_type"))),
+
+    "ts03_downsample_1h" -> ((s, dir) => aggregateWindow(ev(s, dir), "1 hour")),
+
+    // as-of join: each purchase picks up the most recent preceding error of
+    // the same user (inclusive), the canonical sensor-enrichment shape
+    "ts04_asof_join" -> ((s, dir) => {
+      val e = ev(s, dir)
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      val errors = e.filter(col("event_type") === "error")
+        .select(col("user_id"), col("ts"), col("event_id").as("err_event_id"))
+      AsOfJoin.joinAsOf(purchases, errors, "user_id", "ts", "ts",
+          Seq("err_event_id"), prefix = "")
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          col("value"), col("err_event_id").as("last_error_id"))
+        .orderBy(col("event_id"))
+    }),
+
+    // sessionization with a 30-minute inactivity gap per user
+    "ts05_sessionize" -> ((s, dir) => {
+      val sessions = ev(s, dir)
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+      sessions.groupBy(col("user_id"))
+        .agg(
+          count(lit(1)).as("n_sessions"),
+          sum(col("n_events")).as("n_events"),
+          max(col("n_events")).as("max_session_events"))
+        .orderBy(col("user_id"))
+    }),
+
+    // inter-arrival gap statistics per user (lag over event time)
+    "ts06_gap_stats" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      ev(s, dir)
+        .withColumn("ts_us", unix_micros(col("ts")))
+        .withColumn("gap_us", col("ts_us") - lag(col("ts_us"), 1).over(w))
+        .filter(col("gap_us").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(
+          count(lit(1)).as("n_gaps"),
+          max(col("gap_us")).as("max_gap_us"),
+          (sum(col("gap_us")).cast("double") / (count(lit(1)) * lit(1000000.0))).as("avg_gap_s"))
+        .orderBy(col("user_id"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "ts01_field_filter" ->
+      """SELECT event_id, epoch_us(ts) AS ts_us, user_id, value
+        |FROM events WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
+
+    "ts02_time_range" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts < TIMESTAMP '2024-01-20 00:00:00'
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "ts03_downsample_1h" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket, event_type,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_value,
+        |  MIN(value) AS min_value, MAX(value) AS max_value, COUNT(*) AS n
+        |FROM events GROUP BY bucket, event_type ORDER BY bucket, event_type""".stripMargin,
+
+    "ts04_asof_join" ->
+      """SELECT a.event_id, a.user_id, epoch_us(a.ts) AS ts_us, a.value,
+        |  b.event_id AS last_error_id
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') a
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') b
+        |  ON a.user_id = b.user_id AND a.ts >= b.ts
+        |ORDER BY a.event_id""".stripMargin,
+
+    "ts05_sessionize" ->
+      """WITH d AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |         OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id,
+        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM d),
+        |g AS (SELECT user_id, sid, COUNT(*) AS n FROM s GROUP BY user_id, sid)
+        |SELECT user_id, COUNT(*) AS n_sessions, CAST(SUM(n) AS BIGINT) AS n_events,
+        |  MAX(n) AS max_session_events
+        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "ts06_gap_stats" ->
+      """WITH d AS (
+        |  SELECT user_id,
+        |    epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+        |  FROM events)
+        |SELECT user_id, COUNT(*) AS n_gaps, MAX(gap_us) AS max_gap_us,
+        |  CAST(SUM(gap_us) AS DOUBLE) / (COUNT(*) * 1000000.0) AS avg_gap_s
+        |FROM d WHERE gap_us IS NOT NULL
+        |GROUP BY user_id ORDER BY user_id""".stripMargin
+  )
+}

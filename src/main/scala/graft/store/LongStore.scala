@@ -1,0 +1,63 @@
+package graft.store
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.schema.GasSchema
+
+/** Store stage: the InfluxDB load (transform.py:59-81) replaced by a
+  * date-partitioned long-format parquet store (SURVEY.md §1.5, §2.11 U1/U2).
+  *
+  * The wide frame unpivots to the point model
+  * `(_time, _measurement, _field, _value)` — exactly what the InfluxDB
+  * client serializes per point (transform.py:72-73) and what the Flux
+  * queries filter on (`r["_field"] == "CO (ppm)"`, README.md:226). Matching
+  * observed reference behavior, there are no tags: the configured tag column
+  * doesn't exist and is silently dropped (transform.py:64, SURVEY.md §1.4).
+  *
+  * Partitioning by `_date` (+ `_field` available for sub-bucketing) makes
+  * the Grafana time-range query a partition-pruned scan at 100 TB, and
+  * parquet row-group min/max on `_time` prunes within a day.
+  */
+object LongStore {
+
+  /** U1: wide→long unpivot. 19× row amplification — always filter fields
+    * BEFORE unpivoting when the field set is known (SURVEY.md §7.4).
+    * `_date` (source-day partition key, see GasTransform) rides along when
+    * present. */
+  def unpivot(wide: DataFrame, measurement: String = "gas",
+      fields: Seq[String] = GasSchema.sensorCols): DataFrame = {
+    val ids = Seq("_time") ++ (if (wide.columns.contains("_date")) Seq("_date") else Nil)
+    wide.unpivot(
+        ids.map(col).toArray,
+        fields.map(f => col(s"`$f`")).toArray,
+        "_field", "_value")
+      .withColumn("_measurement", lit(measurement))
+      .select((Seq("_time", "_measurement", "_field", "_value") ++ ids.drop(1)).map(col): _*)
+  }
+
+  /** U2: long→wide pivot (Grafana table view / inverse of U1). The field
+    * list is explicit so no distinct-collect job runs. */
+  def pivot(long: DataFrame, fields: Seq[String] = GasSchema.sensorCols): DataFrame =
+    long.groupBy(col("_time"))
+      .pivot("_field", fields)
+      .agg(first(col("_value")))
+
+  /** S5 replacement: the engine's native "bucket" — parquet partitioned by
+    * source day. Overwrite is per-partition (dynamic), so re-processing a
+    * day-file is idempotent — that plus the ledger gives exactly-once
+    * (SURVEY.md §7.4). Falls back to event-day partitioning for frames
+    * without a source `_date` (e.g. non-file ingest). */
+  def write(long: DataFrame, path: String): Unit = {
+    val withDate =
+      if (long.columns.contains("_date")) long
+      else long.withColumn("_date", to_date(col("_time")))
+    withDate
+      .repartition(col("_date"))
+      .write
+      .mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("_date")
+      .parquet(path)
+  }
+}

@@ -1,0 +1,56 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.Row
+
+import graft.schema.GasSchema
+import graft.store.LongStore
+import graft.transform.GasTransform
+
+/** Structured-Streaming variant of the pipeline (SURVEY.md §2.9) — where the
+  * engine is *more* native than the reference: the file source's checkpoint
+  * subsumes the whole Airflow discover→ledger→branch machinery (ETL.py
+  * 13-55), `Trigger.AvailableNow` is "one manual DAG run", and
+  * `maxFilesPerTrigger` is the per-file fan-out.
+  */
+object GasStream {
+
+  /** Streaming read of the day-file directory with the pinned schema. */
+  def readStream(spark: SparkSession, dir: String, maxFilesPerTrigger: Int = 13): DataFrame =
+    spark.readStream
+      .schema(GasSchema.gasSchema)
+      .option("header", "true")
+      .option("pathGlobFilter", "*.csv")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .csv(dir)
+      .withColumn("file_name", element_at(split(input_file_name(), "/"), -1))
+
+  /** Full streaming pipeline: transform → unpivot → date-partitioned store
+    * via foreachBatch (the load stage, SURVEY.md §2.9). The checkpoint IS
+    * the ledger: a re-run with the same checkpoint skips seen files. */
+  def pipeline(spark: SparkSession, inputDir: String, storePath: String,
+      checkpoint: String): StreamingQuery = {
+    val transformed = GasTransform(readStream(spark, inputDir))
+    LongStore.unpivot(transformed.drop("file_name"))
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        LongStore.write(batch, storePath)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  /** Watermarked tumbling-window downsampling over a live long stream —
+    * the continuous form of Q4 `aggregateWindow` with late-data handling
+    * the reference never had. */
+  def downsampleStream(long: DataFrame, every: String, watermark: String): DataFrame =
+    long.withWatermark("_time", watermark)
+      .groupBy(window(col("_time"), every), col("_field"))
+      .agg(avg(col("_value")).as("mean_value"), count(lit(1)).as("n_points"))
+      .select(col("window.start").as("_bucket"), col("_field"),
+        col("mean_value"), col("n_points"))
+}

@@ -1,0 +1,75 @@
+#!/usr/bin/env python3
+"""Local emulation of the driver's DuckDB-oracle correctness gate.
+
+Usage: python3 tools/check.py [sfdir] [outdir]
+Assumes `sbt "runMain graft.Verify <sfdir> <outdir>"` already ran.
+For each query dir under outdir: load the Spark parquet result, run the
+matching oracle SQL from oracle_sql.json in DuckDB over the sfdir tables,
+sort columns by name, and compare row-by-row (exact for non-floats, 1e-9
+relative tolerance for floats, plus an exact-match flag to predict the
+driver's hash compare).
+"""
+import json
+import math
+import sys
+
+import duckdb
+
+SFDIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+con = duckdb.connect()
+for t in TABLES:
+    con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SFDIR}/{t}.parquet'")
+
+oracle = json.load(open(f"{OUT}/oracle_sql.json"))
+fails = []
+for name, sql in sorted(oracle.items()):
+    try:
+        got = con.sql(f"SELECT * FROM '{OUT}/{name}/*.parquet'")
+        gcols = sorted(got.columns)
+        grows = con.sql(
+            f"SELECT {', '.join(gcols)} FROM '{OUT}/{name}/*.parquet'").fetchall()
+        exp = con.sql(sql)
+        ecols = sorted(exp.columns)
+        etypes = dict(zip(exp.columns, [str(t) for t in exp.types]))
+        erows = con.sql(
+            f"SELECT {', '.join(ecols)} FROM (" + sql + ")").fetchall()
+    except Exception as e:
+        fails.append(name)
+        print(f"FAIL {name}: error {e}")
+        continue
+    if gcols != ecols:
+        fails.append(name)
+        print(f"FAIL {name}: columns spark={gcols} oracle={ecols}")
+        continue
+    if len(grows) != len(erows):
+        fails.append(name)
+        print(f"FAIL {name}: rows spark={len(grows)} oracle={len(erows)}")
+        continue
+    exact = True
+    bad = None
+    for i, (gr, er) in enumerate(zip(grows, erows)):
+        for j, (g, e) in enumerate(zip(gr, er)):
+            if g == e:
+                continue
+            exact = False
+            if isinstance(g, float) and isinstance(e, float):
+                if math.isclose(g, e, rel_tol=1e-9, abs_tol=1e-12):
+                    continue
+            bad = (i, gcols[j], g, e)
+            break
+        if bad:
+            break
+    if bad:
+        fails.append(name)
+        print(f"FAIL {name}: row {bad[0]} col {bad[1]}: spark={bad[2]!r} oracle={bad[3]!r}")
+    else:
+        tag = "OK  " if exact else "OK~ "  # OK~ = tolerance-only match (hash would differ!)
+        print(f"{tag}{name}: {len(grows)} rows")
+
+print(f"\n{len(oracle) - len(fails)}/{len(oracle)} queries pass"
+      + (f"; FAILED: {', '.join(fails)}" if fails else ""))
+sys.exit(1 if fails else 0)
