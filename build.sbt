@@ -26,5 +26,8 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // spark-submit/spark-shell set this via JavaModuleOptions; without it,
+  // JDK 17 falls back to slow method-handle reflection in hot paths.
+  "-Djdk.reflect.useDirectMethodHandleAccessor=false",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )

@@ -30,7 +30,7 @@ object MultimodalQueries {
 
     // full decode → feature-extract pipeline via typed mapPartitions
     "mm02_decoded_features" -> ((s, dir) => {
-      Multimodal.documentFeatures(s, Tables.table(s, dir, "documents"))
+      Multimodal.documentFeatures(s, fanout(Tables.table(s, dir, "documents")))
         .toDF()
         .select(col("media_id"), col("format"), col("n_bytes"), col("checksum"),
           col("mean_intensity"), col("n_frames").cast("long").as("n_frames"))

@@ -225,7 +225,39 @@ object Relational {
         .groupBy(col("k_bucket"))
         .agg(count(lit(1)).as("n"), sumExact(col("value")).as("total_value"))
         .orderBy(col("k_bucket"))
-    })
+    }),
+
+    // -- range (interval) join: lineitems shipped in the first 10 days of
+    // any order month. Written as bin-equi-join + residual filter: because
+    // each [month-start, +10d) window lies inside one calendar month, the
+    // range condition collapses to an equi-join on the month bin — a
+    // broadcast hash join instead of the O(rows × windows) nested loop a
+    // naive range predicate would plan. This binning is the generic
+    // 100 TB recipe for interval joins (bin to fixed buckets, equi-join on
+    // bucket, re-check the exact range as a residual).
+    "q18_range_join" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val windows = t(s, dir, "orders")
+        .select(date_trunc("month", col("o_orderdate")).as("win_start")).distinct()
+      li.withColumn("ship_month", date_trunc("month", col("l_shipdate")))
+        .join(broadcast(windows), col("ship_month") === col("win_start"))
+        .filter(col("l_shipdate") < col("win_start") + expr("INTERVAL 10 DAYS"))
+        .groupBy(date_format(col("win_start"), "yyyy-MM-dd").as("win_start"))
+        .agg(count(lit(1)).as("n"),
+          sumExact(col("l_extendedprice")).as("revenue"))
+        .orderBy(col("win_start"))
+    }),
+
+    // -- approximate distinct (HLL sketch). No DuckDB oracle: HLL estimates
+    // are engine-specific; the driver records a rows-only check. The exact
+    // counterpart is q09_distinct_stats.
+    "q19_approx_distinct" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          approx_count_distinct(col("l_suppkey")).as("approx_supps"))
+        .orderBy(col("l_returnflag")))
   )
 
   private val sumQty = "CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)"
@@ -369,6 +401,14 @@ object Relational {
       """SELECT CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT) % 10 AS k_bucket,
         |  COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
-        |FROM events GROUP BY k_bucket ORDER BY k_bucket""".stripMargin
+        |FROM events GROUP BY k_bucket ORDER BY k_bucket""".stripMargin,
+
+    "q18_range_join" ->
+      """WITH w AS (SELECT DISTINCT date_trunc('month', o_orderdate) AS m FROM orders)
+        |SELECT strftime(m, '%Y-%m-%d') AS win_start, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN w
+        |  ON l_shipdate >= m AND l_shipdate < m + INTERVAL 10 DAY
+        |GROUP BY win_start ORDER BY win_start""".stripMargin
   )
 }

@@ -70,7 +70,7 @@ object TextOps {
 
     // per-document quality scoring (length / punctuation / stopword ratios)
     "tx03_quality_score" -> ((s, dir) =>
-      docs(s, dir)
+      fanout(docs(s, dir))
         .withColumn("n_tokens", expr(s"size($tokExpr)").cast("long"))
         .withColumn("n_stop",
           expr(s"size(filter($tokExpr, t -> t IN $stopList))").cast("long"))
@@ -87,7 +87,7 @@ object TextOps {
 
     // heuristic language ID (stopword-profile scoring) vs. the labeled lang
     "tx04_langid_confusion" -> ((s, dir) =>
-      docs(s, dir)
+      fanout(docs(s, dir))
         .withColumn("stop_ratio",
           expr(s"size(filter($tokExpr, t -> t IN $stopList))").cast("double") /
             expr(s"size($tokExpr)"))
@@ -98,7 +98,7 @@ object TextOps {
 
     // MinHash + LSH banding: near-duplicate candidate pairs
     "tx05_minhash_pairs" -> ((s, dir) => {
-      val bd = bandSignatures(docs(s, dir), shingleWords = 3)
+      val bd = bandSignatures(fanout(docs(s, dir)), shingleWords = 3)
       val a = bd.select(col("b"), col("band_sig"), col("doc_id").as("doc_a"))
       val c = bd.select(col("b"), col("band_sig"), col("doc_id").as("doc_b"))
       a.join(c, Seq("b", "band_sig"))
@@ -110,7 +110,7 @@ object TextOps {
 
     // exact n-gram Jaccard similarity on a deterministic pair sample
     "tx06_ngram_jaccard" -> ((s, dir) => {
-      val sh = docs(s, dir)
+      val sh = fanout(docs(s, dir))
         .selectExpr("doc_id", s"$tokExpr AS tk")
         .where(expr("size(tk) >= 3"))
         .selectExpr("doc_id",
@@ -131,11 +131,87 @@ object TextOps {
 
     // document fingerprint: 64-char polynomial rolling hash mod 1e9+7
     "tx07_fingerprint" -> ((s, dir) =>
-      docs(s, dir)
+      fanout(docs(s, dir))
         .withColumn("fp", expr(
           "aggregate(sequence(1, least(length(text), 64)), 0L, (acc, i) -> pmod(acc * 31 + ascii(substring(text, i, 1)), 1000000007))"))
         .select(col("doc_id"), col("fp"))
-        .orderBy(col("doc_id")))
+        .orderBy(col("doc_id"))),
+
+    // SimHash near-dup: 64-bit signature from token hashes, LSH-banded into
+    // 2×32-bit bands, candidate pairs scored by hamming distance. Like
+    // MinHash this is the linear-scale dedup shape: signatures are map-side,
+    // the only shuffle keys on (band, value), pairs exist only in buckets.
+    // Band width is the bucket-size dial: 16-bit bands on this clustered
+    // corpus put ~2.4M pairs in buckets at sf0.1; 32-bit bands cut that to
+    // ~150k while still catching everything within hamming 8 of a dup in
+    // at least one half.
+    "tx08_simhash_pairs" -> ((s, dir) => {
+      // Fan out per NIBBLE (16×), not per bit (64×): each row carries the
+      // hex value of one signature nibble, and the per-(doc, nibble) agg
+      // keeps four packed bit-sums. Majority bit k is then 2*s_k > n
+      // (⇔ sum(±1) > 0). One shuffle fewer and 4× fewer shuffled rows
+      // than the naive per-bit layout, and everything stays in codegen.
+      val sig = fanout(docs(s, dir))
+        .selectExpr("doc_id", s"explode(array_distinct($tokExpr)) AS tok")
+        .selectExpr("doc_id", "md5(cast(tok as binary)) AS h")
+        .select(col("doc_id"), col("h"), explode(expr("sequence(0, 15)")).as("ni"))
+        .selectExpr("doc_id", "ni",
+          "instr('0123456789abcdef', substring(h, cast(ni + 1 as int), 1)) - 1 AS nv")
+        .groupBy(col("doc_id"), col("ni"))
+        .agg(
+          count(lit(1)).as("n"),
+          expr("sum(shiftright(nv, 3) & 1)").as("s0"),
+          expr("sum(shiftright(nv, 2) & 1)").as("s1"),
+          expr("sum(shiftright(nv, 1) & 1)").as("s2"),
+          expr("sum(nv & 1)").as("s3"))
+        .selectExpr("doc_id", "ni",
+          """substring('0123456789abcdef', 1 +
+            |  (CASE WHEN 2 * s0 > n THEN 8 ELSE 0 END +
+            |   CASE WHEN 2 * s1 > n THEN 4 ELSE 0 END +
+            |   CASE WHEN 2 * s2 > n THEN 2 ELSE 0 END +
+            |   CASE WHEN 2 * s3 > n THEN 1 ELSE 0 END), 1) AS ch""".stripMargin)
+        .groupBy(col("doc_id"))
+        .agg(expr("array_join(transform(sort_array(collect_list(struct(ni, ch))), x -> x.ch), '')").as("simhash"))
+      val bands = sig
+        .select(col("doc_id"), col("simhash"), explode(expr("sequence(0, 1)")).as("b"))
+        .withColumn("band", expr("substring(simhash, 1 + 8 * b, 8)"))
+      val a = bands.select(col("b"), col("band"),
+        col("doc_id").as("doc_a"), col("simhash").as("sig_a"))
+      val c = bands.select(col("b"), col("band"),
+        col("doc_id").as("doc_b"), col("simhash").as("sig_b"))
+      a.join(c, Seq("b", "band"))
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy(col("doc_a"), col("doc_b"), col("sig_a"), col("sig_b"))
+        .agg(count(lit(1)).as("n_shared_bands"))
+        // hamming distance over the 16 hex nibbles via a popcount lookup.
+        // Inlined as 16 explicit terms instead of an `aggregate` lambda:
+        // higher-order functions run interpreted (outside codegen), and on
+        // 100k+ candidate pairs that interpreted inner loop was the whole
+        // query's runtime; the inlined form stays in whole-stage codegen.
+        .withColumn("hamming", expr(
+          (1 to 16).map(p =>
+            s"""cast(substring('0112122312232334',
+               |  1 + ((instr('0123456789abcdef', substring(sig_a, $p, 1)) - 1) ^
+               |       (instr('0123456789abcdef', substring(sig_b, $p, 1)) - 1)), 1) as int)""".stripMargin)
+            .mkString("(", " + ", ")")))
+        .filter(col("hamming") <= 8)
+        .select(col("doc_a"), col("doc_b"), col("n_shared_bands"), col("hamming"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // token counting, BPE-ish: word/number/punctuation regex vs whitespace
+    "tx09_bpe_tokens" -> ((s, dir) =>
+      fanout(docs(s, dir))
+        .withColumn("ws_tokens", expr(s"size($tokExpr)").cast("long"))
+        .withColumn("bpe_tokens",
+          expr("size(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\\\s]', 0))").cast("long"))
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("ws_tokens")).as("total_ws_tokens"),
+          sum(col("bpe_tokens")).as("total_bpe_tokens"),
+          (sum(col("bpe_tokens")).cast("double") / sum(col("ws_tokens"))).as("bpe_per_ws"))
+        .orderBy(col("lang")))
   )
 
   private val dTok = raw"regexp_split_to_array(trim(lower(text)), '\s+')"
@@ -216,6 +292,48 @@ object TextOps {
         |    list_prepend(0::BIGINT,
         |      list_transform(range(1, least(length(text), 64) + 1), i -> ascii(substr(text, i, 1)))),
         |    (acc, c) -> (acc * 31 + c) % 1000000007) AS fp
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "tx08_simhash_pairs" ->
+      s"""WITH toks AS (SELECT DISTINCT doc_id, unnest($dTok) AS tok FROM documents),
+         |h AS (SELECT doc_id, md5(tok) AS h FROM toks),
+         |bits AS (
+         |  SELECT doc_id, i,
+         |    ((strpos('0123456789abcdef', substr(h, 1 + CAST(i // 4 AS INT), 1)) - 1)
+         |      >> (3 - CAST(i % 4 AS INT))) & 1 AS bit
+         |  FROM h, range(0, 64) t(i)),
+         |sb AS (SELECT doc_id, i, CASE WHEN SUM(2 * bit - 1) > 0 THEN 1 ELSE 0 END AS sbit
+         |       FROM bits GROUP BY doc_id, i),
+         |nib AS (SELECT doc_id, i // 4 AS ni,
+         |    substr('0123456789abcdef', CAST(SUM(sbit << CAST(3 - (i % 4) AS INT)) AS INT) + 1, 1) AS ch
+         |  FROM sb GROUP BY doc_id, i // 4),
+         |sig AS (SELECT doc_id, string_agg(ch, '' ORDER BY ni) AS simhash FROM nib GROUP BY doc_id),
+         |bands AS (SELECT doc_id, simhash, b, substr(simhash, CAST(1 + 8 * b AS INT), 8) AS band
+         |          FROM sig, range(0, 2) t(b)),
+         |p AS (
+         |  SELECT a.doc_id AS doc_a, c.doc_id AS doc_b,
+         |    a.simhash AS sig_a, c.simhash AS sig_b, COUNT(*) AS n_shared_bands
+         |  FROM bands a JOIN bands c ON a.b = c.b AND a.band = c.band AND a.doc_id < c.doc_id
+         |  GROUP BY 1, 2, 3, 4),
+         |hd AS (
+         |  SELECT doc_a, doc_b, n_shared_bands,
+         |    CAST(list_sum(list_transform(range(1, 17), q ->
+         |      CAST(substr('0112122312232334',
+         |        1 + CAST(xor(strpos('0123456789abcdef', substr(sig_a, CAST(q AS INT), 1)) - 1,
+         |                     strpos('0123456789abcdef', substr(sig_b, CAST(q AS INT), 1)) - 1) AS INT), 1) AS INT)))
+         |      AS INT) AS hamming
+         |  FROM p)
+         |SELECT doc_a, doc_b, n_shared_bands, hamming
+         |FROM hd WHERE hamming <= 8 ORDER BY doc_a, doc_b""".stripMargin,
+
+    "tx09_bpe_tokens" ->
+      s"""WITH d AS (SELECT lang, len($dTok) AS ws_tokens,
+         |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS bpe_tokens
+         |  FROM documents)
+         |SELECT lang, COUNT(*) AS n_docs,
+         |  CAST(SUM(ws_tokens) AS BIGINT) AS total_ws_tokens,
+         |  CAST(SUM(bpe_tokens) AS BIGINT) AS total_bpe_tokens,
+         |  CAST(SUM(bpe_tokens) AS DOUBLE) / SUM(ws_tokens) AS bpe_per_ws
+         |FROM d GROUP BY lang ORDER BY lang""".stripMargin
   )
 }

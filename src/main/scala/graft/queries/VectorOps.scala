@@ -28,13 +28,18 @@ object VectorOps {
       .withColumn("emb", col("embedding").cast("array<double>"))
       .withColumn("norm", expr("sqrt(aggregate(emb, 0D, (acc, x) -> acc + x * x))"))
 
-  /** Brute-force cosine top-k of `corpus` rows for each `queries` row. */
+  /** Brute-force cosine top-k of `corpus` rows for each `queries` row.
+    * The dot product is the codegen'd [[graft.functions.DotProduct]] — same
+    * sequential-fold numerics as the zip_with/aggregate HOF chain, but a
+    * single tight loop inside whole-stage codegen. */
   def cosineTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    graft.functions.VectorFunctions.register(corpus.sparkSession)
+    val fanned = fanout(corpus)
     val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
-    corpus
+    fanned
       .crossJoin(broadcast(queries))
       .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("dot", expr("aggregate(zip_with(qe, emb, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"))
+      .withColumn("dot", expr("graft_dot(qe, emb)"))
       .withColumn("sim", round(col("dot") / (col("qn") * col("norm")), 6))
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
@@ -57,6 +62,40 @@ object VectorOps {
         .groupBy(col("label"), col("pos").cast("long").as("pos"))
         .agg(round(avg(col("val")), 6).as("centroid"), count(lit(1)).as("n"))
         .orderBy(col("label"), col("pos")))
+,
+    // LSH-bucketed near-dup (the ANN scale path): 16 deterministic random
+    // hyperplanes → sign signature → 4×4-bit bands → exact cosine only
+    // within buckets. Signatures are map-side; the only shuffle keys on
+    // (band, value) — candidate pairs are bucket-local, never O(n²) in the
+    // corpus. Exact verify uses the codegen'd graft_dot expression.
+    "v03_ann_lsh" -> ((s, dir) => {
+      graft.functions.VectorFunctions.register(s)
+      // plane component j of plane i = ((73856093*(i+1)*(j+7)) mod 2001) - 1000
+      val sig = fanout(emb(s, dir)).withColumn("sig", expr(
+        """aggregate(sequence(0, 15), 0, (acc, i) ->
+          |  acc + (CASE WHEN aggregate(sequence(0, 63), 0D, (a2, j) ->
+          |    a2 + element_at(emb, j + 1) *
+          |      ((CAST(73856093 AS BIGINT) * (i + 1) * (j + 7)) % 2001 - 1000)) >= 0
+          |  THEN shiftleft(1, i) ELSE 0 END))""".stripMargin))
+      val bands = sig
+        .select(col("vec_id"), col("emb"), col("norm"), col("sig"),
+          explode(expr("sequence(0, 3)")).as("b"))
+        .withColumn("bv", expr("shiftright(sig, 4 * b) & 15"))
+      val a = bands.select(col("b"), col("bv"), col("vec_id").as("vec_a"),
+        col("emb").as("emb_a"), col("norm").as("norm_a"))
+      val c = bands.select(col("b"), col("bv"), col("vec_id").as("vec_b"),
+        col("emb").as("emb_b"), col("norm").as("norm_b"))
+      a.join(c, Seq("b", "bv"))
+        .filter(col("vec_a") < col("vec_b"))
+        .select(col("vec_a"), col("vec_b"), col("emb_a"), col("emb_b"),
+          col("norm_a"), col("norm_b"))
+        .distinct()
+        .withColumn("sim",
+          round(expr("graft_dot(emb_a, emb_b)") / (col("norm_a") * col("norm_b")), 6))
+        .filter(col("sim") >= 0.3)
+        .select(col("vec_a"), col("vec_b"), col("sim"))
+        .orderBy(col("vec_a"), col("vec_b"))
+    })
   )
 
   val oracle: Map[String, String] = Map(
@@ -76,6 +115,25 @@ object VectorOps {
         |  FROM p)
         |SELECT q_id, CAST(rnk AS BIGINT) AS rnk, vec_id AS c_id, sim
         |FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
+
+    "v03_ann_lsh" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS emb,
+        |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+        |  FROM embeddings),
+        |s AS (SELECT vec_id, emb, norm,
+        |  CAST(list_sum(list_transform(range(0, 16), i ->
+        |    CASE WHEN list_sum(list_transform(range(0, 64), j ->
+        |      emb[CAST(j + 1 AS INT)] * ((73856093::BIGINT * (i + 1) * (j + 7)) % 2001 - 1000)))
+        |    >= 0 THEN (1 << CAST(i AS INT)) ELSE 0 END)) AS INT) AS sig FROM e),
+        |bands AS (SELECT vec_id, b, (sig >> CAST(4 * b AS INT)) & 15 AS bv
+        |          FROM s, range(0, 4) t(b)),
+        |p AS (SELECT DISTINCT a.vec_id AS vec_a, c.vec_id AS vec_b
+        |      FROM bands a JOIN bands c ON a.b = c.b AND a.bv = c.bv AND a.vec_id < c.vec_id),
+        |x AS (SELECT vec_a, vec_b,
+        |        round(list_dot_product(ea.emb, eb.emb) / (ea.norm * eb.norm), 6) AS sim
+        |      FROM p JOIN e ea ON ea.vec_id = vec_a JOIN e eb ON eb.vec_id = vec_b)
+        |SELECT vec_a, vec_b, sim FROM x WHERE sim >= 0.3 ORDER BY vec_a, vec_b""".stripMargin,
 
     "v02_label_centroids" ->
       """SELECT label, CAST(sub - 1 AS BIGINT) AS pos,

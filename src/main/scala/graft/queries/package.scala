@@ -27,4 +27,18 @@ package object queries {
   /** Order-independent mean: exact decimal sum divided by count (one IEEE
     * division, deterministic on both engines). */
   def avgExact(c: Column): Column = sumExact(c) / count(lit(1))
+
+  /** Spread a small input across the cluster before a row-multiplying stage.
+    *
+    * Explode/fan-out pipelines (shingle × hash-seed, bit-position, pair
+    * enumeration) multiply rows by 10-100× BEFORE their first shuffle; the
+    * map side runs with the scan's input-split parallelism. A small table in
+    * one parquet file = one split = one task doing all the fan-out work.
+    * Repartitioning the pre-explosion rows costs a negligible shuffle and
+    * unlocks full parallelism. At 100 TB the scan already has thousands of
+    * splits, so this is a no-op by then — but it must not be the engine's
+    * job to assume that. */
+  def fanout(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
 }
