@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, StructField, StructType, TimestampType}
+import org.scalacheck.{Gen, Prop, Properties}
+
+import graft.operators.AsOfJoin
+import graft.schema.GasSchema
+import graft.store.LongStore
+import graft.transform.GasTransform
+
+/** Property-based pinning of transform/store invariants (SURVEY.md §5.3),
+  * via ScalaCheck's native runner. */
+object PropertySpec extends Properties("graft") {
+
+  private lazy val spark = SparkSpec.session
+  import spark.implicits._
+
+  private val secondsGen = Gen.chooseNum(0.0, 86400.0)
+
+  property("timestampInDayRange") =
+    Prop.forAll(Gen.nonEmptyListOf(secondsGen)) { ts =>
+      val df = ts.toDF(GasSchema.timeCol)
+        .withColumn("file_name", lit("20161007_210049.csv"))
+      val out = GasTransform(df).select(unix_micros(col("_time"))).collect()
+      val dayStart = java.time.Instant.parse("2016-10-07T00:00:00Z")
+        .getEpochSecond * 1000000L
+      val dayEnd = dayStart + 86400L * 1000000L
+      out.forall { r =>
+        val us = r.getLong(0)
+        us >= dayStart && us <= dayEnd
+      }
+    }
+
+  property("unpivotPreservesCountAndSum") =
+    Prop.forAll(Gen.chooseNum(1, 25)) { n =>
+      val rows = (1 to n).map { i =>
+        Row.fromSeq(java.sql.Timestamp.valueOf(f"2016-10-07 00:00:${i % 60}%02d") +:
+          Seq.tabulate(19)(j => (i * 100 + j).toDouble))
+      }
+      val schema = StructType(StructField("_time", TimestampType) +:
+        GasSchema.sensorCols.map(c => StructField(c, DoubleType)))
+      val wide = spark.createDataFrame(spark.sparkContext.parallelize(rows), schema)
+      val long = LongStore.unpivot(wide)
+      val wideSum = wide.select(
+        GasSchema.sensorCols.map(c => sum(col(s"`$c`"))).reduce(_ + _).as("s"))
+        .first().getDouble(0)
+      val longSum = long.agg(sum(col("_value"))).first().getDouble(0)
+      long.count() == n.toLong * 19 && math.abs(wideSum - longSum) < 1e-6
+    }
+
+  private val eventGen = for {
+    k <- Gen.chooseNum(1L, 4L)
+    t <- Gen.chooseNum(0L, 50L)
+  } yield (k, t)
+
+  property("asOfJoinMatchesReference") =
+    Prop.forAll(Gen.nonEmptyListOf(eventGen), Gen.listOfN(12, eventGen)) { (ls, rsRaw) =>
+      val rs = rsRaw.distinct // operator precondition: unique (key, ts) on the right
+      val left = ls.zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong) }
+        .toDF("k", "t", "lid")
+      val right = rs.zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong) }
+        .toDF("k", "t", "rid")
+      val got = AsOfJoin.joinAsOf(left, right, "k", "t", "t", Seq("rid"))
+        .select("lid", "asof_rid").collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+      val expected = ls.zipWithIndex.map { case ((k, t), i) =>
+        val candidates = rs.zipWithIndex.filter { case ((rk, rt), _) => rk == k && rt <= t }
+        i.toLong -> candidates.sortBy { case ((_, rt), _) => rt }.lastOption.map(_._2.toLong)
+      }.toMap
+      got == expected
+    }
+}
