@@ -95,6 +95,30 @@ object TimeSeries {
         .orderBy(col("user_id"))
     }),
 
+    // gap-fill + forward-fill interpolation (Flux `fill(usePrevious:)`):
+    // a generated hourly spine per field, left-joined to the downsampled
+    // series, missing buckets forward-filled from the last observation.
+    // The spine is derived per-field from min/max (tiny aggregate), the
+    // join keys on (field, bucket), and the fill is one window pass —
+    // all linear, one shuffle each.
+    "ts07_gap_fill" -> ((s, dir) => {
+      val hourly = ev(s, dir)
+        .groupBy(date_trunc("hour", col("ts")).as("bucket"), col("event_type"))
+        .agg(avgExact(col("value")).as("v"))
+      val spine = hourly.groupBy(col("event_type"))
+        .agg(min(col("bucket")).as("mn"), max(col("bucket")).as("mx"))
+        .select(col("event_type"),
+          explode(expr("sequence(mn, mx, INTERVAL 1 HOUR)")).as("bucket"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      spine.join(hourly, Seq("event_type", "bucket"), "left")
+        .withColumn("v_filled", last(col("v"), ignoreNulls = true).over(w))
+        .withColumn("filled", col("v").isNull)
+        .select(date_format(col("bucket"), "yyyy-MM-dd HH:mm:ss").as("bucket"),
+          col("event_type"), col("v_filled"), col("filled"))
+        .orderBy(col("event_type"), col("bucket"))
+    }),
+
     // inter-arrival gap statistics per user (lag over event time)
     "ts06_gap_stats" -> ((s, dir) => {
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
@@ -151,6 +175,23 @@ object TimeSeries {
         |SELECT user_id, COUNT(*) AS n_sessions, CAST(SUM(n) AS BIGINT) AS n_events,
         |  MAX(n) AS max_session_events
         |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "ts07_gap_fill" ->
+      """WITH hourly AS (
+        |  SELECT date_trunc('hour', ts) AS bucket, event_type,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS v
+        |  FROM events GROUP BY bucket, event_type),
+        |rng AS (SELECT event_type, MIN(bucket) AS mn, MAX(bucket) AS mx
+        |        FROM hourly GROUP BY event_type),
+        |spine AS (SELECT event_type, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS bucket
+        |          FROM rng),
+        |j AS (SELECT s.event_type, s.bucket, h.v
+        |      FROM spine s LEFT JOIN hourly h ON s.event_type = h.event_type AND s.bucket = h.bucket)
+        |SELECT strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket, event_type,
+        |  last_value(v IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY bucket
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled,
+        |  v IS NULL AS filled
+        |FROM j ORDER BY event_type, bucket""".stripMargin,
 
     "ts06_gap_stats" ->
       """WITH d AS (
