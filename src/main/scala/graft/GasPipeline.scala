@@ -23,19 +23,31 @@ object GasPipeline {
 
   /** One batch run (the equivalent of one manual DAG trigger). Returns the
     * frame of newly processed file names (empty ⇒ nothing new, the
-    * reference's "skip" branch, ETL.py:96-98). */
+    * reference's "skip" branch, ETL.py:96-98).
+    *
+    * The anti-joined survivors are persisted so the whole batch reads the
+    * input CSVs exactly once: without the cache, the emptiness probe, the
+    * store write and the ledger append would each re-scan the day's input
+    * (3-4 full reads at 100 TB ingest). The returned file list is collected
+    * once from the cache (one short row per new file) and handed back as a
+    * local frame, so consuming it never re-triggers the scan either. */
   def runBatch(spark: SparkSession, inputDir: String, storePath: String,
       ledgerPath: String): DataFrame = {
     val raw = GasIngest.readDayFiles(spark, inputDir)
     val ledger = GasIngest.readLedger(spark, ledgerPath)
-    val fresh = GasIngest.unseenOnly(raw, ledger)
-
-    val newFiles = fresh.select("file_name").distinct()
-    if (newFiles.limit(1).count() > 0) {
-      val transformed = GasTransform(fresh)
-      LongStore.write(LongStore.unpivot(transformed.drop("file_name")), storePath)
-      GasIngest.appendToLedger(fresh, ledgerPath)
-    }
-    newFiles
+    val fresh = GasIngest.unseenOnly(raw, ledger).persist()
+    try {
+      val names = fresh.select("file_name").distinct()
+        .collect().map(_.getString(0)).sorted
+      if (names.nonEmpty) {
+        val transformed = GasTransform(fresh)
+        LongStore.write(
+          LongStore.unpivot(transformed.withColumnRenamed("file_name", "_src")),
+          storePath)
+        GasIngest.appendToLedger(fresh, ledgerPath)
+      }
+      import spark.implicits._
+      names.toSeq.toDF("file_name")
+    } finally fresh.unpersist()
   }
 }

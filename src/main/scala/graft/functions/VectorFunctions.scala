@@ -2,11 +2,11 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.expr
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
 
 /** Native Catalyst expression for the similarity-search hot path.
   *
@@ -66,13 +66,83 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** 16-bit random-hyperplane LSH signature of an `array<double>` embedding,
+  * as one codegen'd expression.
+  *
+  * Plane component j of plane i is the deterministic pseudo-random value
+  * `((73856093L * (i+1) * (j+7)) % 2001) - 1000`; bit i of the signature is
+  * set iff `dot(emb, plane_i) >= 0`. The HOF formulation
+  * (`aggregate(sequence(0,15), .. aggregate(sequence(0,63), ..))`) evaluates
+  * a 1024-term interpreted lambda per row — the exact trap [[DotProduct]]
+  * exists to avoid; this is the same computation as a tight nested loop
+  * inside whole-stage codegen. Numerics are identical (sequential
+  * left-to-right double fold over j, long modulo arithmetic for the plane
+  * term), so swapping it in cannot change oracle-checked results.
+  */
+case class HyperplaneSig(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = IntegerType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_hsig expects array<double>, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = math.min(64, v.numElements())
+    var sig = 0
+    var i = 0
+    while (i < 16) {
+      var acc = 0.0
+      var j = 0
+      while (j < n) {
+        acc += v.getDouble(j) * ((73856093L * (i + 1) * (j + 7)) % 2001L - 1000L)
+        j += 1
+      }
+      if (acc >= 0) sig |= (1 << i)
+      i += 1
+    }
+    sig
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val acc = ctx.freshName("acc")
+      val sig = ctx.freshName("sig")
+      s"""
+         |int $n = java.lang.Math.min(64, $a.numElements());
+         |int $sig = 0;
+         |for (int $i = 0; $i < 16; $i++) {
+         |  double $acc = 0.0;
+         |  for (int $j = 0; $j < $n; $j++) {
+         |    $acc += $a.getDouble($j) *
+         |      (double)((73856093L * ($i + 1) * ($j + 7)) % 2001L - 1000L);
+         |  }
+         |  if ($acc >= 0) $sig |= (1 << $i);
+         |}
+         |${ev.value} = $sig;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
 
-  /** Register `graft_dot` in the session's function registry (idempotent) so
-    * it is usable from SQL and `expr(...)`. */
-  def register(spark: SparkSession): Unit =
+  /** Register `graft_dot` / `graft_hsig` in the session's function registry
+    * (idempotent) so they are usable from SQL and `expr(...)`. */
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_hsig", exprs => HyperplaneSig(exprs(0)), "built-in")
+  }
 
   /** `dot(a, b)` over two array<double> columns via the native expression. */
   def dot(spark: SparkSession, a: String, b: String): Column = {

@@ -30,11 +30,14 @@ object GasIngest {
       .withColumn("file_name",
         element_at(split(input_file_name(), "/"), -1))
 
-  /** Ledger read: empty frame when no ledger exists yet (first run). */
+  /** Ledger read: empty frame when no ledger exists yet (first run).
+    * The existence probe resolves the path's OWN filesystem (s3://, hdfs://,
+    * file:// ...), not the configured default FS — probing the wrong FS
+    * would treat an existing ledger as absent and defeat idempotency. */
   def readLedger(spark: SparkSession, ledgerPath: String): DataFrame = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(new org.apache.hadoop.fs.Path(ledgerPath)))
+    val p = new org.apache.hadoop.fs.Path(ledgerPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p))
       spark.read.parquet(ledgerPath)
     else
       spark.createDataFrame(

@@ -22,10 +22,15 @@ object GasQueries {
       col("_time") < lit(stopIso).cast("timestamp"))
 
   /** Q4: `aggregateWindow(every: interval, fn: mean)` (implied by the
-    * Grafana dashboards, reference README.md:249-251). */
+    * Grafana dashboards, reference README.md:249-251).
+    *
+    * The mean is an exact decimal sum divided by the count ([[avgExact]]):
+    * summing raw doubles is partitioning-order-dependent, so a plain `avg`
+    * would make results vary run-to-run at scale. Sensor readings carry
+    * ≤ 4 fractional digits, well inside DECIMAL(18,6). */
   def aggregateWindow(long: DataFrame, every: String): DataFrame =
     long.groupBy(window(col("_time"), every).as("w"), col("_field"))
-      .agg(avg(col("_value")).as("mean_value"),
+      .agg(avgExact(col("_value")).as("mean_value"),
         min(col("_value")).as("min_value"),
         max(col("_value")).as("max_value"),
         count(lit(1)).as("n_points"))

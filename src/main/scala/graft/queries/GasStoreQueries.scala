@@ -1,0 +1,95 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.GasPipeline
+
+/** Oracle-checked END-TO-END queries through the engine's own gas store:
+  * fixture day-file CSVs → [[graft.GasPipeline.runBatch]] (ledger anti-join,
+  * 24 h filter, timestamp synthesis, unpivot, partitioned parquet store) →
+  * [[GasQueries]] — i.e. the reference's actually-demonstrated Flux queries
+  * (reference README.md:226, 243) answered by the engine's native store.
+  *
+  * The DuckDB oracle recomputes each answer INDEPENDENTLY from the raw CSVs
+  * (filename-date extraction, `<= 86400` filter, microsecond timestamp
+  * synthesis replayed in SQL), so these three queries pin the entire
+  * pipeline, not just the final query step. The `sfDir` argument is unused
+  * by design: the inputs are the reference-shaped day files, not the TPC-H
+  * tables.
+  */
+object GasStoreQueries {
+
+  /** Fixture day-file CSVs — absolute so the DuckDB oracle reads the same. */
+  val fixtureDir = "/root/repo/src/test/resources/gas"
+
+  /** Run the full batch pipeline into a fresh temp store and read it back. */
+  private def store(spark: SparkSession): DataFrame = {
+    val work = Files.createTempDirectory("graft-gas-store")
+    GasPipeline.runBatch(spark, fixtureDir, s"$work/store", s"$work/ledger")
+    spark.read.parquet(s"$work/store")
+  }
+
+  val queries: Map[String, Q] = Map(
+    // Q1/Q2: dashboard field filter over the long store
+    "gs01_field_filter" -> ((s, _) =>
+      GasQueries.fieldFilter(store(s), "CO (ppm)")
+        .select(unix_micros(col("_time")).as("t_us"), col("_field"), col("_value"))
+        .orderBy(col("t_us"))),
+
+    // Q3: range(start, stop) across a day boundary (partition-pruned scan)
+    "gs02_time_range" -> ((s, _) =>
+      GasQueries.timeRange(store(s), "2016-10-07 12:00:00", "2016-10-08 00:00:30")
+        .select(unix_micros(col("_time")).as("t_us"), col("_field"), col("_value"))
+        .orderBy(col("t_us"), col("_field"))),
+
+    // Q4 flagship slice: mean of one field per 1 h bucket for one day
+    "gs03_field_day_mean" -> ((s, _) =>
+      GasQueries.fieldDayMean(store(s), "CO (ppm)", "2016-10-07", "1 hour")
+        .select(unix_micros(col("_bucket")).as("b_us"), col("_field"),
+          col("mean_value"), col("min_value"), col("max_value"), col("n_points"))
+        .orderBy(col("b_us")))
+  )
+
+  /** Shared oracle prelude: replay ingest+transform from the raw CSVs —
+    * filename `yyyymmdd` date, `<= 86400` boundary-keeping filter, and
+    * `trunc(seconds * 1e6)` microsecond synthesis (DuckDB CAST rounds, Spark
+    * cast truncates, so the explicit trunc keeps both engines identical). */
+  private val prelude =
+    s"""WITH raw AS (
+       |  SELECT *, strptime(regexp_extract(parse_filename(filename), '\\d{8}'), '%Y%m%d')
+       |      + to_microseconds(CAST(trunc("Time (s)" * 1000000) AS BIGINT)) AS _time
+       |  FROM read_csv('$fixtureDir/*.csv', header=true, filename=true)
+       |  WHERE "Time (s)" <= 86400)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "gs01_field_filter" ->
+      s"""$prelude
+         |SELECT epoch_us(_time) AS t_us, 'CO (ppm)' AS _field, "CO (ppm)" AS _value
+         |FROM raw ORDER BY t_us""".stripMargin,
+
+    "gs02_time_range" ->
+      s"""$prelude,
+         |u AS (
+         |  UNPIVOT (SELECT * EXCLUDE ("Time (s)", filename) FROM raw)
+         |  ON COLUMNS(* EXCLUDE (_time)) INTO NAME _field VALUE _value)
+         |SELECT epoch_us(_time) AS t_us, _field, _value FROM u
+         |WHERE _time >= TIMESTAMP '2016-10-07 12:00:00'
+         |  AND _time < TIMESTAMP '2016-10-08 00:00:30'
+         |ORDER BY t_us, _field""".stripMargin,
+
+    "gs03_field_day_mean" ->
+      s"""$prelude,
+         |d AS (
+         |  SELECT _time, "CO (ppm)" AS v FROM raw
+         |  WHERE _time >= TIMESTAMP '2016-10-07 00:00:00'
+         |    AND _time < TIMESTAMP '2016-10-08 00:00:00')
+         |SELECT epoch_us(time_bucket(INTERVAL '1 hour', _time)) AS b_us,
+         |  'CO (ppm)' AS _field,
+         |  CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS mean_value,
+         |  MIN(v) AS min_value, MAX(v) AS max_value, COUNT(*) AS n_points
+         |FROM d GROUP BY b_us ORDER BY b_us""".stripMargin
+  )
+}

@@ -29,23 +29,35 @@ object TextOps {
   private val stopList = "('the', 'a', 'of', 'and', 'to', 'in', 'is')"
 
   /** Per-doc MinHash band signatures: 16 hashes, 4 bands of 4 rows.
-    * Hash family j = md5(j || ':' || shingle); signature = min per j. */
+    * Hash family j = md5(j || ':' || shingle); signature = min per j.
+    *
+    * Scale shape: the 16 per-seed hashes are computed as 16 map-side columns
+    * on each shingle row, then reduced by ONE `groupBy(doc_id)` carrying 16
+    * `min` aggregates (partial map-side combine). No row amplification before
+    * the shuffle and a single shuffle total — vs the naive layout (explode
+    * seed 0..15 → 16× shingle rows → two groupBys) this shuffles 16× fewer
+    * rows. The 4 band rows per doc are fanned out only AFTER aggregation,
+    * where cardinality is |docs|, not |shingles|. */
   private def bandSignatures(d: DataFrame, shingleWords: Int): DataFrame = {
     val parts = (0 until shingleWords)
       .map(o => if (o == 0) "element_at(tk, i)" else s"element_at(tk, i + $o)")
       .mkString(", ")
-    d.selectExpr("doc_id", s"$tokExpr AS tk")
+    val shingles = d.selectExpr("doc_id", s"$tokExpr AS tk")
       .where(expr(s"size(tk) >= $shingleWords"))
       .selectExpr("doc_id",
         s"explode(array_distinct(transform(sequence(1, size(tk) - ${shingleWords - 1}), i -> concat_ws(' ', $parts)))) AS shingle")
-      .select(col("doc_id"), col("shingle"), explode(sequence(lit(0), lit(15))).as("j"))
-      .select(col("doc_id"), col("j"),
-        md5(concat(col("j").cast("string"), lit(":"), col("shingle")).cast("binary")).as("h"))
-      .groupBy(col("doc_id"), col("j")).agg(min(col("h")).as("sig"))
-      .groupBy(col("doc_id"), expr("j div 4").as("b"))
-      .agg(expr(
-        "md5(cast(array_join(sort_array(collect_list(concat(lpad(cast(j as string), 2, '0'), ':', sig))), '|') as binary))")
-        .as("band_sig"))
+    val minCols = (0 until 16).map(j =>
+      min(expr(s"md5(cast(concat('$j', ':', shingle) as binary))")).as(s"sig$j"))
+    val sigs = shingles.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
+    // band b = md5('jj:sig_j | ...') over j = 4b..4b+3; the lpad'ed two-digit
+    // j prefix makes lexicographic order == j order, so the concat below is
+    // byte-identical to sort_array(collect_list(...)) in the old layout.
+    val bandStructs = (0 until 4).map { b =>
+      val quad = (4 * b until 4 * b + 4)
+        .map(j => f"concat('$j%02d', ':', sig$j)").mkString(", ")
+      s"named_struct('b', $b, 'band_sig', md5(cast(concat_ws('|', $quad) as binary)))"
+    }
+    sigs.selectExpr("doc_id", s"inline(array(${bandStructs.mkString(", ")}))")
   }
 
   val queries: Map[String, Q] = Map(
@@ -146,32 +158,32 @@ object TextOps {
     // ~150k while still catching everything within hamming 8 of a dup in
     // at least one half.
     "tx08_simhash_pairs" -> ((s, dir) => {
-      // Fan out per NIBBLE (16×), not per bit (64×): each row carries the
-      // hex value of one signature nibble, and the per-(doc, nibble) agg
-      // keeps four packed bit-sums. Majority bit k is then 2*s_k > n
-      // (⇔ sum(±1) > 0). One shuffle fewer and 4× fewer shuffled rows
-      // than the naive per-bit layout, and everything stays in codegen.
+      // No pre-shuffle fan-out at all: each (doc, token) row carries the 16
+      // nibble values of md5(token) as 16 map-side columns, and ONE
+      // groupBy(doc_id) holds all 64 bit-sums (partial map-side combine).
+      // Majority bit k of nibble ni is 2*s_{ni,k} > n; the 16 signature
+      // chars are assembled from the aggregate row, so the shuffle carries
+      // exactly |token rows| — vs the old per-nibble explode (16× rows, two
+      // shuffles). Everything stays inside whole-stage codegen.
+      val nibbleCols = Seq("doc_id") ++ (0 until 16).map(ni =>
+        s"instr('0123456789abcdef', substring(h, ${ni + 1}, 1)) - 1 AS nv$ni")
+      val bitSums = for { ni <- 0 until 16; k <- 0 until 4 } yield
+        expr(if (k == 3) s"sum(nv$ni & 1)" else s"sum(shiftright(nv$ni, ${3 - k}) & 1)")
+          .as(s"s${ni}_$k")
+      val chExprs = (0 until 16).map { ni =>
+        s"""substring('0123456789abcdef', 1 +
+           |  (CASE WHEN 2 * s${ni}_0 > n THEN 8 ELSE 0 END +
+           |   CASE WHEN 2 * s${ni}_1 > n THEN 4 ELSE 0 END +
+           |   CASE WHEN 2 * s${ni}_2 > n THEN 2 ELSE 0 END +
+           |   CASE WHEN 2 * s${ni}_3 > n THEN 1 ELSE 0 END), 1)""".stripMargin
+      }
       val sig = fanout(docs(s, dir))
         .selectExpr("doc_id", s"explode(array_distinct($tokExpr)) AS tok")
         .selectExpr("doc_id", "md5(cast(tok as binary)) AS h")
-        .select(col("doc_id"), col("h"), explode(expr("sequence(0, 15)")).as("ni"))
-        .selectExpr("doc_id", "ni",
-          "instr('0123456789abcdef', substring(h, cast(ni + 1 as int), 1)) - 1 AS nv")
-        .groupBy(col("doc_id"), col("ni"))
-        .agg(
-          count(lit(1)).as("n"),
-          expr("sum(shiftright(nv, 3) & 1)").as("s0"),
-          expr("sum(shiftright(nv, 2) & 1)").as("s1"),
-          expr("sum(shiftright(nv, 1) & 1)").as("s2"),
-          expr("sum(nv & 1)").as("s3"))
-        .selectExpr("doc_id", "ni",
-          """substring('0123456789abcdef', 1 +
-            |  (CASE WHEN 2 * s0 > n THEN 8 ELSE 0 END +
-            |   CASE WHEN 2 * s1 > n THEN 4 ELSE 0 END +
-            |   CASE WHEN 2 * s2 > n THEN 2 ELSE 0 END +
-            |   CASE WHEN 2 * s3 > n THEN 1 ELSE 0 END), 1) AS ch""".stripMargin)
+        .selectExpr(nibbleCols: _*)
         .groupBy(col("doc_id"))
-        .agg(expr("array_join(transform(sort_array(collect_list(struct(ni, ch))), x -> x.ch), '')").as("simhash"))
+        .agg(count(lit(1)).as("n"), bitSums: _*)
+        .selectExpr("doc_id", s"concat(${chExprs.mkString(", ")}) AS simhash")
       val bands = sig
         .select(col("doc_id"), col("simhash"), explode(expr("sequence(0, 1)")).as("b"))
         .withColumn("band", expr("substring(simhash, 1 + 8 * b, 8)"))

@@ -70,13 +70,10 @@ object VectorOps {
     // corpus. Exact verify uses the codegen'd graft_dot expression.
     "v03_ann_lsh" -> ((s, dir) => {
       graft.functions.VectorFunctions.register(s)
-      // plane component j of plane i = ((73856093*(i+1)*(j+7)) mod 2001) - 1000
-      val sig = fanout(emb(s, dir)).withColumn("sig", expr(
-        """aggregate(sequence(0, 15), 0, (acc, i) ->
-          |  acc + (CASE WHEN aggregate(sequence(0, 63), 0D, (a2, j) ->
-          |    a2 + element_at(emb, j + 1) *
-          |      ((CAST(73856093 AS BIGINT) * (i + 1) * (j + 7)) % 2001 - 1000)) >= 0
-          |  THEN shiftleft(1, i) ELSE 0 END))""".stripMargin))
+      // plane component j of plane i = ((73856093*(i+1)*(j+7)) mod 2001) - 1000;
+      // the signature is the codegen'd graft_hsig expression (one tight
+      // nested loop per row), not an interpreted 1024-term HOF lambda.
+      val sig = fanout(emb(s, dir)).withColumn("sig", expr("graft_hsig(emb)"))
       val bands = sig
         .select(col("vec_id"), col("emb"), col("norm"), col("sig"),
           explode(expr("sequence(0, 3)")).as("b"))

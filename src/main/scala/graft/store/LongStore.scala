@@ -23,11 +23,11 @@ object LongStore {
 
   /** U1: wide→long unpivot. 19× row amplification — always filter fields
     * BEFORE unpivoting when the field set is known (SURVEY.md §7.4).
-    * `_date` (source-day partition key, see GasTransform) rides along when
-    * present. */
+    * `_date` (source-day partition key, see GasTransform) and `_src` (source
+    * file id, see [[write]]) ride along when present. */
   def unpivot(wide: DataFrame, measurement: String = "gas",
       fields: Seq[String] = GasSchema.sensorCols): DataFrame = {
-    val ids = Seq("_time") ++ (if (wide.columns.contains("_date")) Seq("_date") else Nil)
+    val ids = Seq("_time") ++ Seq("_date", "_src").filter(wide.columns.contains(_))
     wide.unpivot(
         ids.map(col).toArray,
         fields.map(f => col(s"`$f`")).toArray,
@@ -44,20 +44,31 @@ object LongStore {
       .agg(first(col("_value")))
 
   /** S5 replacement: the engine's native "bucket" — parquet partitioned by
-    * source day. Overwrite is per-partition (dynamic), so re-processing a
+    * source day, sub-partitioned by source file `_src` when the frame
+    * carries one. Overwrite is per-partition (dynamic), so re-processing a
     * day-file is idempotent — that plus the ledger gives exactly-once
-    * (SURVEY.md §7.4). Falls back to event-day partitioning for frames
-    * without a source `_date` (e.g. non-file ingest). */
+    * (SURVEY.md §7.4).
+    *
+    * `_src` exists because "partition = day" only gives lossless idempotent
+    * overwrite if every day arrives in exactly one batch: two files sharing
+    * a `yyyymmdd` prefix but loaded in different batches (or one day split
+    * across streaming micro-batches by `maxFilesPerTrigger`) would otherwise
+    * clobber each other's rows. With (`_date`, `_src`) the overwrite unit is
+    * exactly one source file — re-processing a file rewrites only its own
+    * data. Readers still prune on `_date` alone. Falls back to event-day
+    * partitioning for frames without `_date` (e.g. non-file ingest). */
   def write(long: DataFrame, path: String): Unit = {
     val withDate =
       if (long.columns.contains("_date")) long
       else long.withColumn("_date", to_date(col("_time")))
+    val parts = Seq("_date") ++
+      (if (withDate.columns.contains("_src")) Seq("_src") else Nil)
     withDate
-      .repartition(col("_date"))
+      .repartition(parts.map(col): _*)
       .write
       .mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("_date")
+      .partitionBy(parts: _*)
       .parquet(path)
   }
 }

@@ -33,7 +33,10 @@ object GasStream {
   def pipeline(spark: SparkSession, inputDir: String, storePath: String,
       checkpoint: String): StreamingQuery = {
     val transformed = GasTransform(readStream(spark, inputDir))
-    LongStore.unpivot(transformed.drop("file_name"))
+    // file_name rides along as `_src` so the store's overwrite unit is one
+    // source file — a day split across micro-batches by maxFilesPerTrigger
+    // can no longer clobber the day partition written by an earlier trigger.
+    LongStore.unpivot(transformed.withColumnRenamed("file_name", "_src"))
       .writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
