@@ -71,6 +71,24 @@ object Multimodal {
       encode(col("text"), "UTF-8").as("payload"),
       lit(64).as("width"), lit(64).as("height"), lit(16000).as("sample_rate"))
 
+  /** TRUE-binary media fixture: payloads are arbitrary seeded bytes — nulls
+    * (0x00), high bytes (>0x7f), everything a real image/audio blob contains
+    * and UTF-8 text never exercises. Byte i of media m is
+    * `(m*31 + i*131) mod 256`; length is `64 + m mod 128`. The bytes are
+    * materialized through a genuine `BinaryType` column (unhex of a built
+    * hex string), so the decode path consumes real arbitrary binary, while
+    * an oracle can replay the generating formula arithmetically. */
+  def syntheticBinaryMedia(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").as("media_id"),
+      when(col("doc_id") % 3 === 0, "img")
+        .when(col("doc_id") % 3 === 1, "audio").otherwise("video").as("format"),
+      expr("""unhex(concat_ws('', transform(
+              |  sequence(0, cast(64 + doc_id % 128 as int) - 1),
+              |  i -> lpad(hex((doc_id * 31 + i * 131) % 256), 2, '0'))))""".stripMargin)
+        .as("payload"),
+      lit(64).as("width"), lit(64).as("height"), lit(16000).as("sample_rate"))
+
   /** Partition-parallel decode + feature extraction (mapInPandas analogue).
     * One pass per partition; emits flat typed features. */
   def extractFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {

@@ -29,6 +29,12 @@ object AsOfJoin {
   /** @param rightCols right-side columns to carry; each appears in the output
     *                  as `prefix + name` (nullable — null when no right row
     *                  precedes the left row).
+    *
+    * The carried columns are filled as ONE struct per right row: `last(...,
+    * ignoreNulls)` then skips only the left rows' null placeholder struct,
+    * never a genuine right row — so a right row whose payload value IS NULL
+    * attaches that NULL (DuckDB/kdb ASOF semantics), instead of silently
+    * reaching back to an older right row as a per-column fill would.
     */
   def joinAsOf(
       left: DataFrame,
@@ -40,38 +46,44 @@ object AsOfJoin {
       prefix: String = "asof_"): DataFrame = {
 
     val leftCols = left.columns.toSeq
-    val rightTypes = rightCols.map(c => c -> right.schema(c).dataType).toMap
+    val collisions = rightCols.map(prefix + _).filter(leftCols.contains)
+    require(collisions.isEmpty,
+      s"as-of join output column(s) ${collisions.mkString(", ")} collide with " +
+        "left columns; pass a distinguishing prefix")
 
-    val lTagged = rightCols.foldLeft(
-      left.withColumn("__ts", col(leftTs)).withColumn("__side", lit(1))) {
-      case (df, c) => df.withColumn(prefix + c, lit(null).cast(rightTypes(c)))
-    }
+    val payloadType = org.apache.spark.sql.types.StructType(
+      rightCols.map(c => org.apache.spark.sql.types.StructField(
+        c, right.schema(c).dataType, nullable = true)))
+
+    val lTagged = left
+      .withColumn("__ts", col(leftTs))
+      .withColumn("__side", lit(1))
+      .withColumn("__r", lit(null).cast(payloadType))
     val rTagged = {
       val base = right
         .withColumn("__ts", col(rightTs))
         .withColumn("__side", lit(0))
-      val withPrefixed = rightCols.foldLeft(base) { case (df, c) =>
-        df.withColumn(prefix + c, col(c))
-      }
+        .withColumn("__r", struct(rightCols.map(col): _*))
+        .select(col(key), col("__ts"), col("__side"), col("__r"))
       // null placeholders for every left column absent on the right
-      leftCols.filterNot(_ == key).foldLeft(
-        withPrefixed.select((Seq(key, "__ts", "__side") ++ rightCols.map(prefix + _)).map(col): _*)) {
+      leftCols.filterNot(_ == key).foldLeft(base) {
         case (df, c) => df.withColumn(c, lit(null).cast(left.schema(c).dataType))
       }
     }
 
-    val unioned = lTagged.unionByName(rTagged)
     val w = Window
       .partitionBy(col(key))
       .orderBy(col("__ts"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    val filled = rightCols.foldLeft(unioned) { case (df, c) =>
-      df.withColumn(prefix + c, last(col(prefix + c), ignoreNulls = true).over(w))
+    val projected = rightCols.foldLeft(
+      lTagged.unionByName(rTagged)
+        .withColumn("__r", last(col("__r"), ignoreNulls = true).over(w))) {
+      case (df, c) => df.withColumn(prefix + c, col("__r").getField(c))
     }
 
-    filled
+    projected
       .filter(col("__side") === 1)
-      .drop("__ts", "__side")
+      .drop("__ts", "__side", "__r")
   }
 }

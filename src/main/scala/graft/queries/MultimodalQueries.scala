@@ -28,9 +28,28 @@ object MultimodalQueries {
         .orderBy(col("format"))
     }),
 
-    // full decode → feature-extract pipeline via typed mapPartitions
+    // full decode → feature-extract pipeline via typed mapPartitions.
+    // NOTE: the oracle replays the codec per CHARACTER (ascii codepoints),
+    // the engine per BYTE — equivalent only under the documents fixture's
+    // ASCII-only invariant (held by the generator). Arbitrary-byte handling
+    // is pinned separately by mm03, whose payloads are not text at all.
     "mm02_decoded_features" -> ((s, dir) => {
       Multimodal.documentFeatures(s, fanout(Tables.table(s, dir, "documents")))
+        .toDF()
+        .select(col("media_id"), col("format"), col("n_bytes"), col("checksum"),
+          col("mean_intensity"), col("n_frames").cast("long").as("n_frames"))
+        .orderBy(col("media_id"))
+    }),
+
+    // decode pipeline over TRUE arbitrary binary payloads (0x00, >0x7f):
+    // same typed mapPartitions path, payloads synthesized from a seeded
+    // byte formula through a real BinaryType column (see
+    // Multimodal.syntheticBinaryMedia); the oracle replays the formula.
+    "mm03_binary_features" -> ((s, dir) => {
+      import s.implicits._
+      Multimodal.extractFeatures(
+          Multimodal.syntheticBinaryMedia(fanout(Tables.table(s, dir, "documents")))
+            .as[Multimodal.MediaRecord])
         .toDF()
         .select(col("media_id"), col("format"), col("n_bytes"), col("checksum"),
           col("mean_intensity"), col("n_frames").cast("long").as("n_frames"))
@@ -39,6 +58,10 @@ object MultimodalQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // byte-based on both sides: octet_length of the UTF-8 encoding, not
+    // character length, so a future non-ASCII fixture can't skew the compare
+    // (DuckDB md5(VARCHAR) already hashes the UTF-8 bytes, matching Spark's
+    // md5 over the encoded payload).
     "mm01_media_metadata" ->
       """WITH m AS (
         |  SELECT doc_id AS media_id,
@@ -46,8 +69,8 @@ object MultimodalQueries {
         |         WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS format,
         |    text FROM documents)
         |SELECT format, COUNT(*) AS n_media,
-        |  CAST(SUM(length(text)) AS BIGINT) AS total_bytes,
-        |  CAST(SUM(length(text)) AS DOUBLE) / COUNT(*) AS avg_bytes,
+        |  CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+        |  CAST(SUM(octet_length(encode(text))) AS DOUBLE) / COUNT(*) AS avg_bytes,
         |  MIN(md5(text)) AS min_md5
         |FROM m GROUP BY format ORDER BY format""".stripMargin,
 
@@ -62,6 +85,27 @@ object MultimodalQueries {
         |  SELECT media_id, format, n,
         |    list_transform(range(1, n + 1), i -> xor(ascii(substr(text, i, 1)), 90)) AS decoded,
         |    list_transform(range(1, n + 1, 4), i -> xor(ascii(substr(text, i, 1)), 90)) AS resized
+        |  FROM m)
+        |SELECT media_id, format, CAST(n AS BIGINT) AS n_bytes,
+        |  list_reduce(list_prepend(0::BIGINT, decoded),
+        |    (acc, c) -> (acc * 31 + c) % 1000000007) AS checksum,
+        |  CAST(list_sum(resized) AS DOUBLE) / len(resized) AS mean_intensity,
+        |  CASE WHEN format = 'video'
+        |       THEN (CAST(CEIL(n / 64.0) AS BIGINT) + 1) // 2
+        |       ELSE 1 END AS n_frames
+        |FROM d ORDER BY media_id""".stripMargin,
+
+    "mm03_binary_features" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN 'img'
+        |         WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS format,
+        |    64 + doc_id % 128 AS n
+        |  FROM documents),
+        |d AS (
+        |  SELECT media_id, format, n,
+        |    list_transform(range(0, n), i -> xor((media_id * 31 + i * 131) % 256, 90)) AS decoded,
+        |    list_transform(range(0, n, 4), i -> xor((media_id * 31 + i * 131) % 256, 90)) AS resized
         |  FROM m)
         |SELECT media_id, format, CAST(n AS BIGINT) AS n_bytes,
         |  list_reduce(list_prepend(0::BIGINT, decoded),

@@ -257,7 +257,45 @@ object Relational {
         .agg(
           approx_count_distinct(col("l_partkey")).as("approx_parts"),
           approx_count_distinct(col("l_suppkey")).as("approx_supps"))
-        .orderBy(col("l_returnflag")))
+        .orderBy(col("l_returnflag"))),
+
+    // -- full cube (all 4 grouping sets; completes §2.4 next to q08's rollup)
+    "q20_cube_status_priority" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(sumExact(col("o_totalprice")).as("revenue"),
+          count(lit(1)).as("n_orders"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("revenue"), col("n_orders"))
+        .orderBy(col("status"), col("priority"))),
+
+    // -- GENERAL interval join: 45-day windows that cross month-bin
+    // boundaries (q18's windows sit inside one bin; these don't). The scale
+    // recipe: explode each window into the 2-3 month bins it overlaps,
+    // equi-join probe rows on their bin (broadcast here, shuffle-hash at
+    // scale — never a nested-loop range join), then re-check the exact
+    // range as a residual filter. Fan-out factor = window span / bin width,
+    // bounded and chosen, never O(rows × windows).
+    "q21_interval_join_multibin" -> ((s, dir) => {
+      val wins = t(s, dir, "orders")
+        .filter(pmod(col("o_orderkey"), lit(1000)) === 0)
+        .select(col("o_orderkey").as("win_id"),
+          col("o_orderdate").as("win_start"),
+          date_add(col("o_orderdate"), 45).as("win_end")) // [start, end)
+      val binned = wins.withColumn("bin", explode(expr(
+        "sequence(date_trunc('month', win_start), date_trunc('month', date_sub(win_end, 1)), interval 1 month)")))
+      t(s, dir, "lineitem")
+        .withColumn("bin", date_trunc("month", col("l_shipdate")))
+        .join(broadcast(binned), Seq("bin"))
+        .filter(col("l_shipdate") >= col("win_start") &&
+          col("l_shipdate") < col("win_end"))
+        .groupBy(col("win_id"))
+        .agg(count(lit(1)).as("n"),
+          sumExact(col("l_extendedprice")).as("revenue"))
+        .orderBy(col("win_id"))
+    })
   )
 
   private val sumQty = "CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)"
@@ -409,6 +447,25 @@ object Relational {
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
         |FROM lineitem JOIN w
         |  ON l_shipdate >= m AND l_shipdate < m + INTERVAL 10 DAY
-        |GROUP BY win_start ORDER BY win_start""".stripMargin
+        |GROUP BY win_start ORDER BY win_start""".stripMargin,
+
+    "q20_cube_status_priority" ->
+      """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+        |  COALESCE(o_orderpriority, 'ALL') AS priority,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_orders
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin,
+
+    "q21_interval_join_multibin" ->
+      """WITH wins AS (
+        |  SELECT o_orderkey AS win_id, o_orderdate AS win_start,
+        |    o_orderdate + INTERVAL 45 DAY AS win_end
+        |  FROM orders WHERE o_orderkey % 1000 = 0)
+        |SELECT win_id, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN wins
+        |  ON l_shipdate >= win_start AND l_shipdate < win_end
+        |GROUP BY win_id ORDER BY win_id""".stripMargin
   )
 }

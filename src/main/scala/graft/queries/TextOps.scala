@@ -212,6 +212,7 @@ object TextOps {
     }),
 
     // token counting, BPE-ish: word/number/punctuation regex vs whitespace
+    // (the cheap pre-tokenizer estimate; tx10 is the real merge-table BPE)
     "tx09_bpe_tokens" -> ((s, dir) =>
       fanout(docs(s, dir))
         .withColumn("ws_tokens", expr(s"size($tokExpr)").cast("long"))
@@ -223,8 +224,42 @@ object TextOps {
           sum(col("ws_tokens")).as("total_ws_tokens"),
           sum(col("bpe_tokens")).as("total_bpe_tokens"),
           (sum(col("bpe_tokens")).cast("double") / sum(col("ws_tokens"))).as("bpe_per_ws"))
-        .orderBy(col("lang")))
+        .orderBy(col("lang"))),
+
+    // REAL merge-table BPE token counting: greedy application of a fixed
+    // 20-rule merge vocabulary in rank order. Tokens are parenthesis-wrapped
+    // (`the` → `(t)(h)(e)`) so a merge rule (X,Y) is the literal replacement
+    // `(X)(Y)` → `(XY)` — boundaries can never be confused and non-letter
+    // gaps (left as bare spaces) block cross-word merges. For a VALID merge
+    // table (each rule's parts produced only by strictly earlier rules —
+    // true of any learned BPE vocab) one left-to-right replacement pass per
+    // rule in rank order is exactly iterative lowest-rank-pair BPE: a merge
+    // at rank k only ever creates adjacencies involving its own new token,
+    // which no rule ranked < k can reference. Token count = remaining '('.
+    // All ops are codegen'd string builtins — narrow, no shuffle before the
+    // per-language aggregate.
+    "tx10_bpe_merge_tokens" -> ((s, dir) => {
+      val wrapped =
+        "regexp_replace(regexp_replace(lower(text), '[^a-z]+', ' '), '([a-z])', '($1)')"
+      val merged = bpeMerges.foldLeft(wrapped) { case (acc, (x, y)) =>
+        s"replace($acc, '($x)($y)', '($x$y)')"
+      }
+      fanout(docs(s, dir))
+        .selectExpr("doc_id", "lang", s"$merged AS m")
+        .selectExpr("doc_id", "lang",
+          "cast(length(m) - length(replace(m, '(', '')) as long) AS bpe_tokens")
+        .orderBy(col("doc_id"))
+    })
   )
+
+  /** Fixed BPE merge vocabulary, in rank order. Valid by construction: every
+    * rule's left/right part is a single character or the product of a
+    * strictly earlier rule. */
+  private val bpeMerges: Seq[(String, String)] = Seq(
+    "t" -> "h", "th" -> "e", "i" -> "n", "a" -> "n", "an" -> "d",
+    "e" -> "r", "o" -> "n", "r" -> "e", "a" -> "t", "e" -> "n",
+    "o" -> "r", "e" -> "s", "s" -> "t", "in" -> "g", "o" -> "u",
+    "c" -> "h", "l" -> "l", "w" -> "h", "th" -> "at", "ou" -> "r")
 
   private val dTok = raw"regexp_split_to_array(trim(lower(text)), '\s+')"
   private val dStop = "('the', 'a', 'of', 'and', 'to', 'in', 'is')"
@@ -346,6 +381,18 @@ object TextOps {
          |  CAST(SUM(ws_tokens) AS BIGINT) AS total_ws_tokens,
          |  CAST(SUM(bpe_tokens) AS BIGINT) AS total_bpe_tokens,
          |  CAST(SUM(bpe_tokens) AS DOUBLE) / SUM(ws_tokens) AS bpe_per_ws
-         |FROM d GROUP BY lang ORDER BY lang""".stripMargin
+         |FROM d GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "tx10_bpe_merge_tokens" -> {
+      val wrapped =
+        raw"regexp_replace(regexp_replace(lower(text), '[^a-z]+', ' ', 'g'), '([a-z])', '(\1)', 'g')"
+      val merged = bpeMerges.foldLeft(wrapped) { case (acc, (x, y)) =>
+        s"replace($acc, '($x)($y)', '($x$y)')"
+      }
+      s"""SELECT doc_id, lang,
+         |  CAST(length(m) - length(replace(m, '(', '')) AS BIGINT) AS bpe_tokens
+         |FROM (SELECT doc_id, lang, $merged AS m FROM documents)
+         |ORDER BY doc_id""".stripMargin
+    }
   )
 }

@@ -63,37 +63,68 @@ object VectorOps {
         .agg(round(avg(col("val")), 6).as("centroid"), count(lit(1)).as("n"))
         .orderBy(col("label"), col("pos")))
 ,
-    // LSH-bucketed near-dup (the ANN scale path): 16 deterministic random
-    // hyperplanes → sign signature → 4×4-bit bands → exact cosine only
-    // within buckets. Signatures are map-side; the only shuffle keys on
-    // (band, value) — candidate pairs are bucket-local, never O(n²) in the
-    // corpus. Exact verify uses the codegen'd graft_dot expression.
+    // LSH-bucketed near-dup (the ANN scale path): see [[lshPairs]].
     "v03_ann_lsh" -> ((s, dir) => {
       graft.functions.VectorFunctions.register(s)
-      // plane component j of plane i = ((73856093*(i+1)*(j+7)) mod 2001) - 1000;
-      // the signature is the codegen'd graft_hsig expression (one tight
-      // nested loop per row), not an interpreted 1024-term HOF lambda.
-      val sig = fanout(emb(s, dir)).withColumn("sig", expr("graft_hsig(emb)"))
-      val bands = sig
-        .select(col("vec_id"), col("emb"), col("norm"), col("sig"),
-          explode(expr("sequence(0, 3)")).as("b"))
-        .withColumn("bv", expr("shiftright(sig, 4 * b) & 15"))
-      val a = bands.select(col("b"), col("bv"), col("vec_id").as("vec_a"),
-        col("emb").as("emb_a"), col("norm").as("norm_a"))
-      val c = bands.select(col("b"), col("bv"), col("vec_id").as("vec_b"),
-        col("emb").as("emb_b"), col("norm").as("norm_b"))
-      a.join(c, Seq("b", "bv"))
+      lshPairs(emb(s, dir)).orderBy(col("vec_a"), col("vec_b"))
+    }),
+
+    // ANN quality measurement: recall of the LSH path (v03's pipeline)
+    // against exact all-pairs ground truth at the same sim >= 0.3
+    // threshold, on a deterministic 1/3 sample of the corpus. The exact
+    // side is a sampled cross join — a diagnostic run, not a production
+    // path: recall is measured on a bounded sample precisely so the
+    // O(n²) ground truth stays affordable while the LSH path under test
+    // is the same linear-scale pipeline as v03.
+    "v04_ann_recall" -> ((s, dir) => {
+      graft.functions.VectorFunctions.register(s)
+      val e = emb(s, dir).filter(expr("vec_id % 3 = 0"))
+      val a = e.select(col("vec_id").as("vec_a"), col("emb").as("emb_a"),
+        col("norm").as("norm_a"))
+      val b = e.select(col("vec_id").as("vec_b"), col("emb").as("emb_b"),
+        col("norm").as("norm_b"))
+      val exact = a.crossJoin(broadcast(b))
         .filter(col("vec_a") < col("vec_b"))
-        .select(col("vec_a"), col("vec_b"), col("emb_a"), col("emb_b"),
-          col("norm_a"), col("norm_b"))
-        .distinct()
         .withColumn("sim",
           round(expr("graft_dot(emb_a, emb_b)") / (col("norm_a") * col("norm_b")), 6))
         .filter(col("sim") >= 0.3)
-        .select(col("vec_a"), col("vec_b"), col("sim"))
-        .orderBy(col("vec_a"), col("vec_b"))
+        .select(col("vec_a"), col("vec_b"))
+      val lsh = lshPairs(e).select(col("vec_a"), col("vec_b"))
+      val hit = lsh.join(exact, Seq("vec_a", "vec_b"), "left_semi")
+      exact.agg(count(lit(1)).as("n_exact"))
+        .crossJoin(lsh.agg(count(lit(1)).as("n_lsh")))
+        .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+        .withColumn("recall",
+          round(col("n_hit").cast("double") / col("n_exact"), 6))
     })
   )
+
+  /** LSH near-dup pairs (the ANN scale path): 16 deterministic random
+    * hyperplanes → sign signature (codegen'd `graft_hsig`, plane component
+    * j of plane i = ((73856093*(i+1)*(j+7)) mod 2001) - 1000) → 4×4-bit
+    * bands → exact cosine (codegen'd `graft_dot`) only within buckets.
+    * Signatures are map-side; the only shuffle keys on (band, value) —
+    * candidate pairs are bucket-local, never O(n²) in the corpus. */
+  private def lshPairs(e: DataFrame): DataFrame = {
+    val sig = fanout(e).withColumn("sig", expr("graft_hsig(emb)"))
+    val bands = sig
+      .select(col("vec_id"), col("emb"), col("norm"), col("sig"),
+        explode(expr("sequence(0, 3)")).as("b"))
+      .withColumn("bv", expr("shiftright(sig, 4 * b) & 15"))
+    val a = bands.select(col("b"), col("bv"), col("vec_id").as("vec_a"),
+      col("emb").as("emb_a"), col("norm").as("norm_a"))
+    val c = bands.select(col("b"), col("bv"), col("vec_id").as("vec_b"),
+      col("emb").as("emb_b"), col("norm").as("norm_b"))
+    a.join(c, Seq("b", "bv"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"), col("emb_a"), col("emb_b"),
+        col("norm_a"), col("norm_b"))
+      .distinct()
+      .withColumn("sim",
+        round(expr("graft_dot(emb_a, emb_b)") / (col("norm_a") * col("norm_b")), 6))
+      .filter(col("sim") >= 0.3)
+      .select(col("vec_a"), col("vec_b"), col("sim"))
+  }
 
   val oracle: Map[String, String] = Map(
     "v01_cosine_topk" ->
@@ -137,6 +168,37 @@ object VectorOps {
         |  ROUND(AVG(val), 6) AS centroid, COUNT(*) AS n
         |FROM (SELECT label, unnest(embedding::DOUBLE[]) AS val,
         |        generate_subscripts(embedding, 1) AS sub FROM embeddings)
-        |GROUP BY label, pos ORDER BY label, pos""".stripMargin
+        |GROUP BY label, pos ORDER BY label, pos""".stripMargin,
+
+    "v04_ann_recall" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS emb,
+        |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+        |  FROM embeddings WHERE vec_id % 3 = 0),
+        |s AS (SELECT vec_id, emb, norm,
+        |  CAST(list_sum(list_transform(range(0, 16), i ->
+        |    CASE WHEN list_sum(list_transform(range(0, 64), j ->
+        |      emb[CAST(j + 1 AS INT)] * ((73856093::BIGINT * (i + 1) * (j + 7)) % 2001 - 1000)))
+        |    >= 0 THEN (1 << CAST(i AS INT)) ELSE 0 END)) AS INT) AS sig FROM e),
+        |bands AS (SELECT vec_id, b, (sig >> CAST(4 * b AS INT)) & 15 AS bv
+        |          FROM s, range(0, 4) t(b)),
+        |p AS (SELECT DISTINCT a.vec_id AS vec_a, c.vec_id AS vec_b
+        |      FROM bands a JOIN bands c ON a.b = c.b AND a.bv = c.bv AND a.vec_id < c.vec_id),
+        |lsh AS (SELECT vec_a, vec_b
+        |        FROM (SELECT vec_a, vec_b,
+        |                round(list_dot_product(ea.emb, eb.emb) / (ea.norm * eb.norm), 6) AS sim
+        |              FROM p JOIN e ea ON ea.vec_id = vec_a JOIN e eb ON eb.vec_id = vec_b)
+        |        WHERE sim >= 0.3),
+        |exact AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+        |          FROM e a, e b
+        |          WHERE a.vec_id < b.vec_id
+        |            AND round(list_dot_product(a.emb, b.emb) / (a.norm * b.norm), 6) >= 0.3),
+        |hit AS (SELECT vec_a, vec_b FROM lsh l WHERE EXISTS
+        |  (SELECT 1 FROM exact x WHERE x.vec_a = l.vec_a AND x.vec_b = l.vec_b))
+        |SELECT (SELECT COUNT(*) FROM exact) AS n_exact,
+        |  (SELECT COUNT(*) FROM lsh) AS n_lsh,
+        |  (SELECT COUNT(*) FROM hit) AS n_hit,
+        |  ROUND(CAST((SELECT COUNT(*) FROM hit) AS DOUBLE)
+        |      / (SELECT COUNT(*) FROM exact), 6) AS recall""".stripMargin
   )
 }

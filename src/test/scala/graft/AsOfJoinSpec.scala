@@ -27,4 +27,29 @@ class AsOfJoinSpec extends SparkSpec {
       (2L, 50L, "l-d", Some("r-w")),  // ties on right: latest at ts
       (3L, 7L, "l-e", None)))         // key with no right rows
   }
+
+  test("as-of join: a right row with a NULL payload attaches the NULL") {
+    // DuckDB/kdb ASOF semantics: the MATCHED row's value is carried even if
+    // it is NULL — the fill must not reach back to an older non-null row.
+    val left = Seq((1L, 20L, "l-a")).toDF("k", "t", "lv")
+    val right = Seq(
+      (1L, 5L, Some("r-old")), (1L, 10L, None: Option[String]))
+      .toDF("k", "t", "rv")
+
+    val got = AsOfJoin.joinAsOf(left, right, "k", "t", "t", Seq("rv"))
+      .select("k", "t", "lv", "asof_rv")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        Option(r.getString(3)))).toSet
+
+    assert(got == Set((1L, 20L, "l-a", None)))
+  }
+
+  test("as-of join: colliding output name is rejected") {
+    val df = Seq((1L, 1L, "x")).toDF("k", "t", "lv")
+    intercept[IllegalArgumentException] {
+      // prefix "l" + right column "v" == left column "lv"
+      AsOfJoin.joinAsOf(df, df.withColumnRenamed("lv", "v"), "k", "t", "t",
+        Seq("v"), prefix = "l")
+    }
+  }
 }
