@@ -295,6 +295,34 @@ object Relational {
         .agg(count(lit(1)).as("n"),
           sumExact(col("l_extendedprice")).as("revenue"))
         .orderBy(col("win_id"))
+    }),
+
+    // -- arbitrary GROUPING SETS through the engine's SQL entry point
+    // (rollup = q08, cube = q20; this is the general form neither covers)
+    "q22_grouping_sets" -> ((s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("graft_lineitem")
+      s.sql("""
+        SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+               coalesce(l_linestatus, 'ALL') AS linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+               COUNT(*) AS n_rows
+        FROM graft_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        ORDER BY returnflag, linestatus""")
+    }),
+
+    // -- skew-resistant salted join (operators.SaltedJoin): same rows as the
+    // plain equi-join — the oracle proves salting is output-invariant — while
+    // hot orderkeys spread over 8 reducers instead of one straggler
+    "q23_salted_skew_join" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+      graft.operators.SaltedJoin.join(li, o, "l_orderkey", salts = 8)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"),
+          sumExact(col("l_extendedprice")).as("revenue"))
+        .orderBy(col("o_orderpriority"))
     })
   )
 
@@ -466,6 +494,21 @@ object Relational {
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
         |FROM lineitem JOIN wins
         |  ON l_shipdate >= win_start AND l_shipdate < win_end
-        |GROUP BY win_id ORDER BY win_id""".stripMargin
+        |GROUP BY win_id ORDER BY win_id""".stripMargin,
+
+    "q22_grouping_sets" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+        |  coalesce(l_linestatus, 'ALL') AS linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY returnflag, linestatus""".stripMargin,
+
+    "q23_salted_skew_join" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
   )
 }

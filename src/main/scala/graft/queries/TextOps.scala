@@ -249,6 +249,28 @@ object TextOps {
         .selectExpr("doc_id", "lang",
           "cast(length(m) - length(replace(m, '(', '')) as long) AS bpe_tokens")
         .orderBy(col("doc_id"))
+    }),
+
+    // the DEDUP DECISION on top of MinHash-LSH (tx05 lists candidate pairs;
+    // this emits the per-document keep/drop verdict an LLM-data pipeline
+    // acts on): drop every doc that has a smaller-id LSH near-dup, keeping
+    // the smallest id of each duplicate group as canonical. One aggregate
+    // over the pair list — no new shuffle shape beyond tx05. (This is a
+    // single min-neighbor pass, not transitive closure: LSH duplicate
+    // groups are bucket-cliques, where the two coincide; chains longer
+    // than one hop would need an iterated propagation.)
+    "tx11_neardup_dedup" -> ((s, dir) => {
+      val bd = bandSignatures(fanout(docs(s, dir)), shingleWords = 3)
+      val a = bd.select(col("b"), col("band_sig"), col("doc_id").as("doc_a"))
+      val c = bd.select(col("b"), col("band_sig"), col("doc_id").as("doc_b"))
+      val canon = a.join(c, Seq("b", "band_sig"))
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy(col("doc_b").as("doc_id"))
+        .agg(min(col("doc_a")).as("canonical_id"))
+      docs(s, dir).select(col("doc_id"))
+        .join(canon, Seq("doc_id"), "left")
+        .withColumn("is_kept", col("canonical_id").isNull)
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -393,6 +415,29 @@ object TextOps {
          |  CAST(length(m) - length(replace(m, '(', '')) AS BIGINT) AS bpe_tokens
          |FROM (SELECT doc_id, lang, $merged AS m FROM documents)
          |ORDER BY doc_id""".stripMargin
-    }
+    },
+
+    "tx11_neardup_dedup" ->
+      s"""WITH toks AS (SELECT doc_id, $dTok AS tk FROM documents),
+         |sh AS (
+         |  SELECT DISTINCT doc_id,
+         |    unnest(list_transform(range(1, len(tk) - 1), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS shingle
+         |  FROM toks WHERE len(tk) >= 3),
+         |hs AS (
+         |  SELECT doc_id, j, MIN(md5(j::VARCHAR || ':' || shingle)) AS sig
+         |  FROM sh, range(0, 16) t(j) GROUP BY doc_id, j),
+         |bd AS (
+         |  SELECT doc_id, j // 4 AS b,
+         |    md5(string_agg(lpad(j::VARCHAR, 2, '0') || ':' || sig, '|'
+         |        ORDER BY lpad(j::VARCHAR, 2, '0') || ':' || sig)) AS band_sig
+         |  FROM hs GROUP BY doc_id, j // 4),
+         |canon AS (
+         |  SELECT c.doc_id AS doc_id, MIN(a.doc_id) AS canonical_id
+         |  FROM bd a JOIN bd c ON a.b = c.b AND a.band_sig = c.band_sig
+         |    AND a.doc_id < c.doc_id
+         |  GROUP BY c.doc_id)
+         |SELECT d.doc_id, canonical_id, canonical_id IS NULL AS is_kept
+         |FROM documents d LEFT JOIN canon USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin
   )
 }

@@ -96,6 +96,62 @@ object VectorOps {
         .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
         .withColumn("recall",
           round(col("n_hit").cast("double") / col("n_exact"), 6))
+    }),
+
+    // IVF (inverted-file) ANN — the other classic scale path next to LSH
+    // (v03): a coarse quantizer (per-label centroids, the same aggregate as
+    // v02, rounded so it is bit-identical across engines/partitionings)
+    // partitions the corpus into cells; each query probes only its 2
+    // nearest cells, so exact scoring touches ~2/10 of the corpus.
+    //
+    // Scale shape: centroids are a tiny broadcast (k entries — k is always
+    // metadata-sized for IVF); cell assignment is 10 map-side dot products
+    // per row reduced by ONE compact groupBy(vec_id) max-struct aggregate
+    // (no 10× window shuffle, partial combine applies); the probe set is
+    // filtered to queries BEFORE any window; the candidate join broadcasts
+    // the probes so the corpus side never shuffles at all.
+    "v05_ivf_ann" -> ((s, dir) => {
+      graft.functions.VectorFunctions.register(s)
+      val e = emb(s, dir)
+      val cents = e
+        .select(col("label"), posexplode(col("emb")).as(Seq("pos", "val")))
+        .groupBy(col("label"), col("pos"))
+        .agg(round(avg(col("val")), 6).as("cv"))
+        .groupBy(col("label"))
+        .agg(expr("transform(sort_array(collect_list(struct(pos, cv))), x -> x.cv)")
+          .as("cvec"))
+        .select(col("label").as("clabel"), col("cvec"),
+          expr("sqrt(graft_dot(cvec, cvec))").as("cnorm"))
+      def withCellSims(df: DataFrame): DataFrame = df
+        .crossJoin(broadcast(cents))
+        .withColumn("csim",
+          round(expr("graft_dot(emb, cvec)") / (col("norm") * col("cnorm")), 6))
+      // corpus → nearest cell: max(struct(csim, -label)) == highest sim,
+      // ties to the lowest label — one aggregate, map-side combinable
+      val cells = withCellSims(fanout(e))
+        .groupBy(col("vec_id"))
+        .agg(max(struct(col("csim"), (-col("clabel")).as("negl"))).as("best"),
+          first(col("emb")).as("emb"), first(col("norm")).as("norm"))
+        .select(col("vec_id"), col("emb"), col("norm"),
+          (-col("best.negl")).as("cell"))
+      // queries → 2 nearest cells (tiny set: filtered before the window)
+      val wProbe = Window.partitionBy(col("vec_id"))
+        .orderBy(col("csim").desc, col("clabel"))
+      val probes = withCellSims(e.filter(expr("vec_id % 100 = 0")))
+        .withColumn("crn", row_number().over(wProbe))
+        .filter(col("crn") <= 2)
+        .select(col("vec_id").as("q_id"), col("emb").as("qe"),
+          col("norm").as("qn"), col("clabel").as("cell"))
+      val wTop = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id"))
+      cells.join(broadcast(probes), Seq("cell"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("sim",
+          round(expr("graft_dot(qe, emb)") / (col("qn") * col("norm")), 6))
+        .select(col("q_id"), col("vec_id").as("c_id"), col("sim"))
+        .withColumn("rnk", row_number().over(wTop).cast("long"))
+        .filter(col("rnk") <= 5)
+        .select(col("q_id"), col("rnk"), col("c_id"), col("sim"))
+        .orderBy(col("q_id"), col("rnk"))
     })
   )
 
@@ -199,6 +255,43 @@ object VectorOps {
         |  (SELECT COUNT(*) FROM lsh) AS n_lsh,
         |  (SELECT COUNT(*) FROM hit) AS n_hit,
         |  ROUND(CAST((SELECT COUNT(*) FROM hit) AS DOUBLE)
-        |      / (SELECT COUNT(*) FROM exact), 6) AS recall""".stripMargin
+        |      / (SELECT COUNT(*) FROM exact), 6) AS recall""".stripMargin,
+
+    "v05_ivf_ann" ->
+      """WITH e AS (
+        |  SELECT vec_id, label, embedding::DOUBLE[] AS emb,
+        |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+        |  FROM embeddings),
+        |cd AS (
+        |  SELECT label, sub AS pos, ROUND(AVG(val), 6) AS cv
+        |  FROM (SELECT label, unnest(embedding::DOUBLE[]) AS val,
+        |          generate_subscripts(embedding, 1) AS sub FROM embeddings)
+        |  GROUP BY label, sub),
+        |cent AS (
+        |  SELECT label AS clabel, cvec, sqrt(list_dot_product(cvec, cvec)) AS cnorm
+        |  FROM (SELECT label, list(cv ORDER BY pos) AS cvec FROM cd GROUP BY label)),
+        |sims AS (
+        |  SELECT vec_id, emb, norm, clabel,
+        |    ROUND(list_dot_product(emb, cvec) / (norm * cnorm), 6) AS csim
+        |  FROM e, cent),
+        |assign AS (
+        |  SELECT vec_id, emb, norm, clabel AS cell FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+        |      ORDER BY csim DESC, clabel) AS crn FROM sims)
+        |  WHERE crn = 1),
+        |probes AS (
+        |  SELECT vec_id AS q_id, emb AS qe, norm AS qn, clabel AS cell FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+        |      ORDER BY csim DESC, clabel) AS crn FROM sims WHERE vec_id % 100 = 0)
+        |  WHERE crn <= 2),
+        |cand AS (
+        |  SELECT q_id, vec_id AS c_id,
+        |    ROUND(list_dot_product(qe, emb) / (qn * norm), 6) AS sim
+        |  FROM assign JOIN probes USING (cell) WHERE vec_id <> q_id),
+        |r AS (
+        |  SELECT q_id, c_id, sim, ROW_NUMBER() OVER (PARTITION BY q_id
+        |    ORDER BY sim DESC, c_id) AS rnk FROM cand)
+        |SELECT q_id, CAST(rnk AS BIGINT) AS rnk, c_id, sim
+        |FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
   )
 }

@@ -24,7 +24,13 @@ object Tables {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     name match {
       case "events" =>
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        // nanosAsLong is session-level (no per-read option exists for it);
+        // set it once and only from one thread so concurrent readers never
+        // race on session conf.
+        if (spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
+          synchronized {
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+          }
         spark.read
           .parquet(s"$sfDir/events.parquet")
           .withColumn("ts", timestamp_micros(expr("ts div 1000")))

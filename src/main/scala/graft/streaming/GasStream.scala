@@ -56,4 +56,39 @@ object GasStream {
       .agg(avg(col("_value")).as("mean_value"), count(lit(1)).as("n_points"))
       .select(col("window.start").as("_bucket"), col("_field"),
         col("mean_value"), col("n_points"))
+
+  /** Per-field state carried across micro-batches by [[runningFieldStats]]. */
+  case class FieldState(n: Long, total: Double, maxValue: Double)
+
+  /** One update row emitted per field per micro-batch. */
+  case class FieldStats(_field: String, n: Long, mean: Double, max_value: Double)
+
+  /** Custom stateful streaming aggregation via `mapGroupsWithState`
+    * (SURVEY.md §2.9 extended surface): lifetime running (count, mean, max)
+    * per field, carried across micro-batches in explicit keyed state — the
+    * shape (KeyValueGroupedDataset + GroupState) that covers what windowed
+    * aggregates can't express: counters/sessions/custom machines whose
+    * state outlives any window. State is one small record per key, so the
+    * store stays bounded by field cardinality, not data volume. */
+  def runningFieldStats(long: DataFrame): DataFrame = {
+    import long.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    import org.apache.spark.sql.streaming.GroupState
+    long.selectExpr("_field", "_value").as[(String, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (field: String, rows: Iterator[(String, Double)], state: GroupState[FieldState]) =>
+          val prev = state.getOption.getOrElse(FieldState(0L, 0.0, Double.NegativeInfinity))
+          var n = prev.n
+          var total = prev.total
+          var mx = prev.maxValue
+          rows.foreach { case (_, v) =>
+            n += 1; total += v; mx = math.max(mx, v)
+          }
+          val next = FieldState(n, total, mx)
+          state.update(next)
+          FieldStats(field, n, total / n, mx)
+      }
+      .toDF()
+  }
 }

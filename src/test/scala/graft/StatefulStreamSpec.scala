@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.streaming.GasStream
+
+/** Custom keyed state across micro-batches (`mapGroupsWithState`,
+  * SURVEY.md §2.9 extended surface): the running per-field stats must
+  * accumulate over batches, proving state survives the batch boundary. */
+class StatefulStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("mapGroupsWithState carries per-field running stats across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val long = input.toDF().toDF("_time", "_field", "_value")
+
+    val q = GasStream.runningFieldStats(long)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("running").start()
+
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // batch 1: A has 2 points, B has 1
+    input.addData(
+      (ts("2016-10-07 00:00:01"), "A", 10.0),
+      (ts("2016-10-07 00:00:02"), "A", 30.0),
+      (ts("2016-10-07 00:00:03"), "B", 5.0))
+    q.processAllAvailable()
+    // batch 2: A gains 1 point — its state must still remember batch 1
+    input.addData((ts("2016-10-07 00:00:04"), "A", 20.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.sql("SELECT _field, n, mean, max_value FROM running")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+
+    // batch-1 emissions
+    assert(rows.contains(("A", 2L, 20.0, 30.0)))
+    assert(rows.contains(("B", 1L, 5.0, 5.0)))
+    // batch-2 emission: count 3 and max 30 prove carried state, not a reset
+    assert(rows.contains(("A", 3L, 20.0, 30.0)))
+  }
+}
