@@ -16,10 +16,24 @@ object GasQueries {
     long.filter(col("_field") === field)
 
   /** Q3: `range(start, stop)` — on the date-partitioned store this prunes
-    * partitions (reference README.md:222-224). */
-  def timeRange(long: DataFrame, startIso: String, stopIso: String): DataFrame =
-    long.filter(col("_time") >= lit(startIso).cast("timestamp") &&
-      col("_time") < lit(stopIso).cast("timestamp"))
+    * partitions (reference README.md:222-224).
+    *
+    * A predicate on `_time` alone cannot prune `_date` partitions (Spark
+    * would still list and open every day); the store invariant
+    * `_time ∈ [_date, _date + 24 h]` (GasTransform: seconds-of-day 0..86400
+    * added to the source day) implies `_date ∈ [date(start) - 1, date(stop)]`,
+    * so that derived range is added as an explicit partition predicate —
+    * at 100 TB the scan touches only the bordering days, not the catalog. */
+  def timeRange(long: DataFrame, startIso: String, stopIso: String): DataFrame = {
+    val start = lit(startIso).cast("timestamp")
+    val stop = lit(stopIso).cast("timestamp")
+    val pruned =
+      if (long.columns.contains("_date"))
+        long.filter(col("_date") >= date_sub(to_date(start), 1) &&
+          col("_date") <= to_date(stop))
+      else long
+    pruned.filter(col("_time") >= start && col("_time") < stop)
+  }
 
   /** Q4: `aggregateWindow(every: interval, fn: mean)` (implied by the
     * Grafana dashboards, reference README.md:249-251).

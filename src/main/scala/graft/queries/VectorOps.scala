@@ -112,48 +112,73 @@ object VectorOps {
     // the probes so the corpus side never shuffles at all.
     "v05_ivf_ann" -> ((s, dir) => {
       graft.functions.VectorFunctions.register(s)
+      ivfTopK(emb(s, dir)).orderBy(col("q_id"), col("rnk"))
+    }),
+
+    // IVF quality measurement, symmetric to v04's LSH recall: fraction of
+    // the exact brute-force top-5 (v01's ground truth) that the 2-probe IVF
+    // path recovers. Misses are exactly the true neighbours living outside
+    // the probed cells — the nprobe dial's cost made visible.
+    "v06_ivf_recall" -> ((s, dir) => {
+      graft.functions.VectorFunctions.register(s)
       val e = emb(s, dir)
-      val cents = e
-        .select(col("label"), posexplode(col("emb")).as(Seq("pos", "val")))
-        .groupBy(col("label"), col("pos"))
-        .agg(round(avg(col("val")), 6).as("cv"))
-        .groupBy(col("label"))
-        .agg(expr("transform(sort_array(collect_list(struct(pos, cv))), x -> x.cv)")
-          .as("cvec"))
-        .select(col("label").as("clabel"), col("cvec"),
-          expr("sqrt(graft_dot(cvec, cvec))").as("cnorm"))
-      def withCellSims(df: DataFrame): DataFrame = df
-        .crossJoin(broadcast(cents))
-        .withColumn("csim",
-          round(expr("graft_dot(emb, cvec)") / (col("norm") * col("cnorm")), 6))
-      // corpus → nearest cell: max(struct(csim, -label)) == highest sim,
-      // ties to the lowest label — one aggregate, map-side combinable
-      val cells = withCellSims(fanout(e))
-        .groupBy(col("vec_id"))
-        .agg(max(struct(col("csim"), (-col("clabel")).as("negl"))).as("best"),
-          first(col("emb")).as("emb"), first(col("norm")).as("norm"))
-        .select(col("vec_id"), col("emb"), col("norm"),
-          (-col("best.negl")).as("cell"))
-      // queries → 2 nearest cells (tiny set: filtered before the window)
-      val wProbe = Window.partitionBy(col("vec_id"))
-        .orderBy(col("csim").desc, col("clabel"))
-      val probes = withCellSims(e.filter(expr("vec_id % 100 = 0")))
-        .withColumn("crn", row_number().over(wProbe))
-        .filter(col("crn") <= 2)
-        .select(col("vec_id").as("q_id"), col("emb").as("qe"),
-          col("norm").as("qn"), col("clabel").as("cell"))
-      val wTop = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id"))
-      cells.join(broadcast(probes), Seq("cell"))
-        .filter(col("vec_id") =!= col("q_id"))
-        .withColumn("sim",
-          round(expr("graft_dot(qe, emb)") / (col("qn") * col("norm")), 6))
-        .select(col("q_id"), col("vec_id").as("c_id"), col("sim"))
-        .withColumn("rnk", row_number().over(wTop).cast("long"))
-        .filter(col("rnk") <= 5)
-        .select(col("q_id"), col("rnk"), col("c_id"), col("sim"))
-        .orderBy(col("q_id"), col("rnk"))
+      val qs = e.filter(expr("vec_id % 100 = 0"))
+        .select(col("vec_id").as("q_id"), col("emb").as("qe"), col("norm").as("qn"))
+      val exact = cosineTopK(e, qs, 5).select(col("q_id"), col("c_id"))
+      val approx = ivfTopK(e).select(col("q_id"), col("c_id"))
+      val hit = approx.join(exact, Seq("q_id", "c_id"), "left_semi")
+      exact.agg(count(lit(1)).as("n_exact"))
+        .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+        .withColumn("recall_at_5",
+          round(col("n_hit").cast("double") / col("n_exact"), 6))
     })
   )
+
+  /** IVF (inverted-file) top-5: coarse-quantize by per-label centroids
+    * (rounded → engine-independent), assign each corpus vector to its
+    * nearest cell with ONE map-side-combinable max-struct aggregate (no 10×
+    * window shuffle), probe each query's 2 nearest cells, exact-score only
+    * inside them with the probes broadcast (the corpus never shuffles).
+    * Returns (q_id, rnk, c_id, sim), rnk ≤ 5. */
+  private def ivfTopK(e: DataFrame): DataFrame = {
+    val cents = e
+      .select(col("label"), posexplode(col("emb")).as(Seq("pos", "val")))
+      .groupBy(col("label"), col("pos"))
+      .agg(round(avg(col("val")), 6).as("cv"))
+      .groupBy(col("label"))
+      .agg(expr("transform(sort_array(collect_list(struct(pos, cv))), x -> x.cv)")
+        .as("cvec"))
+      .select(col("label").as("clabel"), col("cvec"),
+        expr("sqrt(graft_dot(cvec, cvec))").as("cnorm"))
+    def withCellSims(df: DataFrame): DataFrame = df
+      .crossJoin(broadcast(cents))
+      .withColumn("csim",
+        round(expr("graft_dot(emb, cvec)") / (col("norm") * col("cnorm")), 6))
+    // corpus → nearest cell: max(struct(csim, -label)) == highest sim,
+    // ties to the lowest label — one aggregate, map-side combinable
+    val cells = withCellSims(fanout(e))
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("csim"), (-col("clabel")).as("negl"))).as("best"),
+        first(col("emb")).as("emb"), first(col("norm")).as("norm"))
+      .select(col("vec_id"), col("emb"), col("norm"),
+        (-col("best.negl")).as("cell"))
+    // queries → 2 nearest cells (tiny set: filtered before the window)
+    val wProbe = Window.partitionBy(col("vec_id"))
+      .orderBy(col("csim").desc, col("clabel"))
+    val probes = withCellSims(e.filter(expr("vec_id % 100 = 0")))
+      .withColumn("crn", row_number().over(wProbe))
+      .filter(col("crn") <= 2)
+      .select(col("vec_id").as("q_id"), col("emb").as("qe"),
+        col("norm").as("qn"), col("clabel").as("cell"))
+    val wTop = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id"))
+    cells.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("sim",
+        round(expr("graft_dot(qe, emb)") / (col("qn") * col("norm")), 6))
+      .select(col("q_id"), col("vec_id").as("c_id"), col("sim"))
+      .withColumn("rnk", row_number().over(wTop).cast("long"))
+      .filter(col("rnk") <= 5)
+  }
 
   /** LSH near-dup pairs (the ANN scale path): 16 deterministic random
     * hyperplanes → sign signature (codegen'd `graft_hsig`, plane component
@@ -292,6 +317,57 @@ object VectorOps {
         |  SELECT q_id, c_id, sim, ROW_NUMBER() OVER (PARTITION BY q_id
         |    ORDER BY sim DESC, c_id) AS rnk FROM cand)
         |SELECT q_id, CAST(rnk AS BIGINT) AS rnk, c_id, sim
-        |FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
+        |FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
+
+    "v06_ivf_recall" ->
+      """WITH e AS (
+        |  SELECT vec_id, label, embedding::DOUBLE[] AS emb,
+        |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, emb AS qe, norm AS qn FROM e WHERE vec_id % 100 = 0),
+        |px AS (
+        |  SELECT q_id, vec_id,
+        |    ROUND(list_dot_product(qe, emb) / (qn * norm), 6) AS sim
+        |  FROM e, q WHERE vec_id <> q_id),
+        |rx AS (
+        |  SELECT q_id, vec_id AS c_id, ROW_NUMBER() OVER (PARTITION BY q_id
+        |    ORDER BY sim DESC, vec_id) AS rnk FROM px),
+        |exact AS (SELECT q_id, c_id FROM rx WHERE rnk <= 5),
+        |cd AS (
+        |  SELECT label, sub AS pos, ROUND(AVG(val), 6) AS cv
+        |  FROM (SELECT label, unnest(embedding::DOUBLE[]) AS val,
+        |          generate_subscripts(embedding, 1) AS sub FROM embeddings)
+        |  GROUP BY label, sub),
+        |cent AS (
+        |  SELECT label AS clabel, cvec, sqrt(list_dot_product(cvec, cvec)) AS cnorm
+        |  FROM (SELECT label, list(cv ORDER BY pos) AS cvec FROM cd GROUP BY label)),
+        |sims AS (
+        |  SELECT vec_id, emb, norm, clabel,
+        |    ROUND(list_dot_product(emb, cvec) / (norm * cnorm), 6) AS csim
+        |  FROM e, cent),
+        |assign AS (
+        |  SELECT vec_id, emb, norm, clabel AS cell FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+        |      ORDER BY csim DESC, clabel) AS crn FROM sims)
+        |  WHERE crn = 1),
+        |probes AS (
+        |  SELECT vec_id AS q_id, emb AS qe, norm AS qn, clabel AS cell FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+        |      ORDER BY csim DESC, clabel) AS crn FROM sims WHERE vec_id % 100 = 0)
+        |  WHERE crn <= 2),
+        |cand AS (
+        |  SELECT q_id, vec_id AS c_id,
+        |    ROUND(list_dot_product(qe, emb) / (qn * norm), 6) AS sim
+        |  FROM assign JOIN probes USING (cell) WHERE vec_id <> q_id),
+        |riv AS (
+        |  SELECT q_id, c_id, ROW_NUMBER() OVER (PARTITION BY q_id
+        |    ORDER BY sim DESC, c_id) AS rnk FROM cand),
+        |ivf AS (SELECT q_id, c_id FROM riv WHERE rnk <= 5),
+        |hit AS (SELECT q_id, c_id FROM ivf i WHERE EXISTS
+        |  (SELECT 1 FROM exact x WHERE x.q_id = i.q_id AND x.c_id = i.c_id))
+        |SELECT (SELECT COUNT(*) FROM exact) AS n_exact,
+        |  (SELECT COUNT(*) FROM hit) AS n_hit,
+        |  ROUND(CAST((SELECT COUNT(*) FROM hit) AS DOUBLE)
+        |      / (SELECT COUNT(*) FROM exact), 6) AS recall_at_5""".stripMargin
   )
 }

@@ -71,4 +71,21 @@ object PropertySpec extends Properties("graft") {
       }.toMap
       got == expected
     }
+
+  // salting must be invisible in the output: same multiset of rows as the
+  // plain equi-join, for any salt count, including duplicate keys both sides
+  property("saltedJoinEqualsPlainJoin") =
+    Prop.forAll(
+      Gen.nonEmptyListOf(Gen.chooseNum(1L, 5L)),
+      Gen.nonEmptyListOf(Gen.chooseNum(1L, 5L)),
+      Gen.chooseNum(1, 7)) { (lks, rks, salts) =>
+      val big = lks.zipWithIndex.map { case (k, i) => (k, i.toLong) }.toDF("k", "lv")
+      val small = rks.zipWithIndex.map { case (k, i) => (k, i.toLong) }.toDF("k", "rv")
+      def multiset(df: org.apache.spark.sql.DataFrame) =
+        df.select("k", "lv", "rv").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+          .groupBy(identity).view.mapValues(_.length).toMap
+      multiset(graft.operators.SaltedJoin.join(big, small, "k", salts)) ==
+        multiset(big.join(small, Seq("k")))
+    }
 }
