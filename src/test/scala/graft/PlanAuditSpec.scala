@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Executable form of PLANS.md: the physical-plan properties the engine's
+  * 100 TB story rests on, asserted so they cannot silently regress.
+  * (Correctness is the DuckDB oracle's job; these pin the PLAN SHAPE.) */
+class PlanAuditSpec extends SparkSpec {
+
+  private def planString(df: DataFrame): String = {
+    df.queryExecution.executedPlan // force planning
+    df.queryExecution.executedPlan.toString
+  }
+
+  private def q(name: String): DataFrame = SparkEntry.queries(name)(spark, sf)
+
+  /** Shuffle exchanges in the (possibly AQE-staged) plan string; a
+    * ReusedExchange deliberately doesn't count — reuse is the point. The
+    * AQE toString appends the pre-adaptive "Initial Plan", which would
+    * double-count — only the final plan section is measured. */
+  private def countShuffles(p: String): Int =
+    raw"\bExchange (hash|range)partitioning".r
+      .findAllIn(p.split("== Initial Plan ==").head).size
+
+  test("q02: filters and projection reach the parquet scan") {
+    val p = planString(q("q02_filter_project"))
+    assert(p.contains("PushedFilters:") && p.contains("GreaterThanOrEqual(l_quantity,30.0)"),
+      s"range predicate not pushed:\n$p")
+    assert(p.contains("FileScan parquet [l_orderkey#"),
+      s"no parquet scan found:\n$p")
+    // column pruning: untouched lineitem columns never enter the scan
+    assert(!p.contains("l_tax") && !p.contains("l_shipdate"),
+      s"scan reads more than the 5 referenced columns:\n$p")
+  }
+
+  test("q05: top-k plans TakeOrderedAndProject, not a global sort") {
+    assert(planString(q("q05_topk_orders")).contains("TakeOrderedAndProject"))
+  }
+
+  test("q21: multi-bin interval join is a hash join with residual range, never a nested loop") {
+    val p = planString(q("q21_interval_join_multibin"))
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast hash join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"range join degenerated to a nested loop:\n$p")
+  }
+
+  test("gs02: store time-range scan prunes _date partitions") {
+    val p = planString(q("gs02_time_range"))
+    assert(p.contains("PartitionFilters: [isnotnull(_date"),
+      s"no partition filter on _date — the range query would list every day:\n$p")
+  }
+
+  test("as-of join costs exactly one shuffle") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, "a")).toDF("k", "t", "lv")
+    val right = Seq((1L, 5L, "x")).toDF("k", "t", "rv")
+    val joined = graft.operators.AsOfJoin.joinAsOf(left, right, "k", "t", "t", Seq("rv"))
+    joined.collect() // materialize so AQE finalizes the plan
+    val p = joined.queryExecution.executedPlan.toString
+    assert(countShuffles(p) == 1, s"as-of join should shuffle once on the key:\n$p")
+  }
+
+  test("tx05 signature path adds no fan-out shuffles beyond the audited set") {
+    // fanout repartition + ONE signature groupBy(doc_id) + band self-join
+    // exchanges (one side reused) + pair groupBy + final orderBy — the old
+    // seed-explode layout had an extra groupBy(doc_id, j) stage on 16× rows.
+    val df = q("tx05_minhash_pairs")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val shuffles = countShuffles(p)
+    assert(shuffles <= 6, s"unexpected extra shuffles ($shuffles):\n$p")
+  }
+}
