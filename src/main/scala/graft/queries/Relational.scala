@@ -323,7 +323,21 @@ object Relational {
         .agg(count(lit(1)).as("n_items"),
           sumExact(col("l_extendedprice")).as("revenue"))
         .orderBy(col("o_orderpriority"))
-    })
+    }),
+
+    // -- exact percentiles (linear interpolation at (n-1)p, the definition
+    // Spark `percentile` and DuckDB `quantile_cont` share). Exact percentile
+    // buffers the group's values — fine per bounded group; the unbounded
+    // 100 TB path is approx_percentile (t-digest), engine-specific like q19.
+    "q24_percentiles" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("round(percentile(l_quantity, 0.25), 6)").as("qty_p25"),
+          expr("round(percentile(l_quantity, 0.5), 6)").as("qty_p50"),
+          expr("round(percentile(l_quantity, 0.75), 6)").as("qty_p75"),
+          expr("round(percentile(l_extendedprice, 0.9), 6)").as("price_p90"))
+        .orderBy(col("l_returnflag")))
   )
 
   private val sumQty = "CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)"
@@ -509,6 +523,14 @@ object Relational {
       """SELECT o_orderpriority, COUNT(*) AS n_items,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q24_percentiles" ->
+      """SELECT l_returnflag,
+        |  ROUND(quantile_cont(l_quantity, 0.25), 6) AS qty_p25,
+        |  ROUND(quantile_cont(l_quantity, 0.5), 6) AS qty_p50,
+        |  ROUND(quantile_cont(l_quantity, 0.75), 6) AS qty_p75,
+        |  ROUND(quantile_cont(l_extendedprice, 0.9), 6) AS price_p90
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
   )
 }

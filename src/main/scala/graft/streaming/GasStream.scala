@@ -91,4 +91,62 @@ object GasStream {
       }
       .toDF()
   }
+
+  /** Open-session state carried by [[closedSessions]] (event-time micros). */
+  case class SessionAgg(start: Long, end: Long, n: Long)
+
+  /** A finalized session emitted by [[closedSessions]]. */
+  case class ClosedSession(_field: String, start_us: Long, end_us: Long, n_points: Long)
+
+  /** Event-time sessionization with CLOSED-session emission via
+    * `flatMapGroupsWithState` + `EventTimeTimeout` — the stateful surface
+    * `session_window` aggregation can't provide: sessions close (and emit
+    * exactly once, in append mode) either when a later event of the same
+    * key breaks the gap, or when the WATERMARK passes end + gap with no
+    * further events (the timeout path — a key that simply stops is still
+    * finalized). State per key is one open session record, so the store is
+    * bounded by key cardinality. */
+  def closedSessions(long: DataFrame, gapMinutes: Int, watermark: String): DataFrame = {
+    import long.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    val gapUs = gapMinutes * 60L * 1000000L
+    long
+      .withWatermark("_time", watermark)
+      // the watermarked _time column must flow INTO the stateful operator
+      // (projecting it to a long first would drop the watermark tag)
+      .select(col("_field"), col("_time")).as[(String, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessionAgg, ClosedSession](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout) {
+        (field: String, rows: Iterator[(String, java.sql.Timestamp)],
+            state: GroupState[SessionAgg]) =>
+          if (state.hasTimedOut) {
+            val ses = state.get
+            state.remove()
+            Iterator.single(ClosedSession(field, ses.start, ses.end, ses.n))
+          } else {
+            // within one micro-batch, fold events in event-time order
+            val ts = rows.map(_._2.getTime * 1000L).toArray.sorted
+            val closed = Seq.newBuilder[ClosedSession]
+            var cur = state.getOption
+            ts.foreach { t =>
+              cur = cur match {
+                case Some(ses) if t - ses.end <= gapUs =>
+                  Some(SessionAgg(ses.start, math.max(ses.end, t), ses.n + 1))
+                case Some(ses) =>
+                  closed += ClosedSession(field, ses.start, ses.end, ses.n)
+                  Some(SessionAgg(t, t, 1))
+                case None =>
+                  Some(SessionAgg(t, t, 1))
+              }
+            }
+            cur.foreach { ses =>
+              state.update(ses)
+              state.setTimeoutTimestamp((ses.end + gapUs) / 1000L) // ms
+            }
+            closed.result().iterator
+          }
+      }
+      .toDF()
+  }
 }

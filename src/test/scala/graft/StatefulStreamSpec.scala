@@ -40,4 +40,40 @@ class StatefulStreamSpec extends SparkSpec {
     // batch-2 emission: count 3 and max 30 prove carried state, not a reset
     assert(rows.contains(("A", 3L, 20.0, 30.0)))
   }
+
+  test("flatMapGroupsWithState closes sessions on gap break AND on event-time timeout") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val long = input.toDF().toDF("_time", "_field", "_value")
+
+    val q = GasStream.closedSessions(long, gapMinutes = 30, watermark = "10 minutes")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sessions").start()
+
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    def us(s: String) = ts(s).getTime * 1000L
+    // batch 1: one open session for A (2 points within the 30 min gap)
+    input.addData(
+      (ts("2016-10-07 00:00:00"), "A", 1.0),
+      (ts("2016-10-07 00:10:00"), "A", 1.0))
+    q.processAllAvailable()
+    // batch 2: an A event far past the gap → closes session 1 by gap break
+    input.addData((ts("2016-10-07 02:00:00"), "A", 1.0))
+    q.processAllAvailable()
+    // batch 3: only a B event, far in the future → watermark advances past
+    // A's (end + gap) with no A event: the timeout path must close it
+    input.addData((ts("2016-10-07 06:00:00"), "B", 1.0))
+    q.processAllAvailable()
+    input.addData((ts("2016-10-07 07:00:00"), "B", 1.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.sql("SELECT _field, start_us, end_us, n_points FROM sessions")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+
+    // gap-break closure: [00:00, 00:10], 2 points
+    assert(rows.contains(("A", us("2016-10-07 00:00:00"), us("2016-10-07 00:10:00"), 2L)))
+    // timeout closure: the 02:00 singleton closed with no further A events
+    assert(rows.contains(("A", us("2016-10-07 02:00:00"), us("2016-10-07 02:00:00"), 1L)))
+  }
 }
