@@ -328,7 +328,7 @@ object Relational {
     // -- exact percentiles (linear interpolation at (n-1)p, the definition
     // Spark `percentile` and DuckDB `quantile_cont` share). Exact percentile
     // buffers the group's values — fine per bounded group; the unbounded
-    // 100 TB path is approx_percentile (t-digest), engine-specific like q19.
+    // 100 TB path is q25's sketch.
     "q24_percentiles" -> ((s, dir) =>
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
@@ -337,6 +337,19 @@ object Relational {
           expr("round(percentile(l_quantity, 0.5), 6)").as("qty_p50"),
           expr("round(percentile(l_quantity, 0.75), 6)").as("qty_p75"),
           expr("round(percentile(l_extendedprice, 0.9), 6)").as("price_p90"))
+        .orderBy(col("l_returnflag"))),
+
+    // -- approximate percentiles (bounded-memory sketch): the 100 TB path —
+    // constant state per group regardless of group size. Like q19's HLL the
+    // estimate is engine-specific, so no DuckDB oracle (rows-only check);
+    // q24 is the exact counterpart.
+    "q25_approx_percentiles" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("approx_percentile(l_quantity, array(0.25, 0.5, 0.75), 10000)")
+            .as("qty_quartiles"),
+          expr("approx_percentile(l_extendedprice, 0.9, 10000)").as("price_p90"))
         .orderBy(col("l_returnflag")))
   )
 

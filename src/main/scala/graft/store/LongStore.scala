@@ -57,14 +57,25 @@ object LongStore {
     * exactly one source file — re-processing a file rewrites only its own
     * data. Readers still prune on `_date` alone. Falls back to event-day
     * partitioning for frames without `_date` (e.g. non-file ingest). */
-  def write(long: DataFrame, path: String): Unit = {
+  /** @param writersPerPartition parallel writer tasks per partition value.
+    *   The pre-write `repartition` on the partition columns produces one
+    *   file per partition (no small-file explosion) but also ONE task per
+    *   partition — a single huge day-file would funnel through one writer.
+    *   Raising this spreads each partition's rows over N tasks (N files),
+    *   trading file count for write parallelism; 1 keeps the compact
+    *   one-file-per-partition layout that suits day-file-sized inputs. */
+  def write(long: DataFrame, path: String, writersPerPartition: Int = 1): Unit = {
     val withDate =
       if (long.columns.contains("_date")) long
       else long.withColumn("_date", to_date(col("_time")))
     val parts = Seq("_date") ++
       (if (withDate.columns.contains("_src")) Seq("_src") else Nil)
+    val spread =
+      if (writersPerPartition > 1)
+        parts.map(col) :+ pmod(xxhash64(col("_time")), lit(writersPerPartition))
+      else parts.map(col)
     withDate
-      .repartition(parts.map(col): _*)
+      .repartition(spread: _*)
       .write
       .mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
