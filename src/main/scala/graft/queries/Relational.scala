@@ -350,7 +350,25 @@ object Relational {
           expr("approx_percentile(l_quantity, array(0.25, 0.5, 0.75), 10000)")
             .as("qty_quartiles"),
           expr("approx_percentile(l_extendedprice, 0.9, 10000)").as("price_p90"))
-        .orderBy(col("l_returnflag")))
+        .orderBy(col("l_returnflag"))),
+
+    // -- full outer join with unmatched rows on BOTH sides (customer sample
+    // vs per-customer order counts), completing the join-type family
+    "q26_outer_join" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+        .filter(col("c_custkey") <= 500)
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val o = t(s, dir, "orders")
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
+      c.join(o, col("c_custkey") === col("o_custkey"), "full_outer")
+        .groupBy(coalesce(col("c_mktsegment"), lit("NONE")).as("segment"))
+        .agg(
+          count(lit(1)).as("n_keys"),
+          count(col("c_custkey")).as("n_cust"),
+          count(col("o_custkey")).as("n_buyers"),
+          sum(coalesce(col("n_orders"), lit(0L))).as("total_orders"))
+        .orderBy(col("segment"))
+    })
   )
 
   private val sumQty = "CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)"
@@ -544,6 +562,17 @@ object Relational {
         |  ROUND(quantile_cont(l_quantity, 0.5), 6) AS qty_p50,
         |  ROUND(quantile_cont(l_quantity, 0.75), 6) AS qty_p75,
         |  ROUND(quantile_cont(l_extendedprice, 0.9), 6) AS price_p90
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q26_outer_join" ->
+      """WITH c AS (SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey <= 500),
+        |o AS (SELECT o_custkey, COUNT(*) AS n_orders FROM orders GROUP BY o_custkey)
+        |SELECT COALESCE(c_mktsegment, 'NONE') AS segment,
+        |  COUNT(*) AS n_keys,
+        |  COUNT(c_custkey) AS n_cust,
+        |  COUNT(o_custkey) AS n_buyers,
+        |  CAST(SUM(COALESCE(n_orders, 0)) AS BIGINT) AS total_orders
+        |FROM c FULL JOIN o ON c_custkey = o_custkey
+        |GROUP BY segment ORDER BY segment""".stripMargin
   )
 }

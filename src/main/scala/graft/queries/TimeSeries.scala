@@ -132,6 +132,40 @@ object TimeSeries {
           max(col("gap_us")).as("max_gap_us"),
           (sum(col("gap_us")).cast("double") / (count(lit(1)) * lit(1000000.0))).as("avg_gap_s"))
         .orderBy(col("user_id"))
+    }),
+
+    // Flux `movingAverage(n: 3)` over the downsampled series: a trailing
+    // 3-bucket rows-frame window per field. The frame sum goes through the
+    // exact-decimal recipe so sliding-frame evaluation order (Spark folds,
+    // DuckDB may use a segment tree) can't perturb the float result.
+    "ts08_moving_avg" -> ((s, dir) => {
+      val hourly = ev(s, dir)
+        .groupBy(date_trunc("hour", col("ts")).as("bucket"), col("event_type"))
+        .agg(round(avgExact(col("value")), 6).as("v"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
+        .rowsBetween(-2, 0)
+      hourly
+        .withColumn("mov_avg",
+          round(sum(sumExactCol(col("v"))).over(w).cast("double") /
+            count(lit(1)).over(w), 6))
+        .select(date_format(col("bucket"), "yyyy-MM-dd HH:mm:ss").as("bucket"),
+          col("event_type"), col("v"), col("mov_avg"))
+        .orderBy(col("event_type"), col("bucket"))
+    }),
+
+    // Flux `derivative(unit: 1s)`: per-user instantaneous rate between
+    // consecutive events — one lag window, one shuffle on the key.
+    "ts09_derivative" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      ev(s, dir)
+        .withColumn("ts_us", unix_micros(col("ts")))
+        .withColumn("dv", col("value") - lag(col("value"), 1).over(w))
+        .withColumn("dt_us", col("ts_us") - lag(col("ts_us"), 1).over(w))
+        .filter(col("dt_us").isNotNull && col("dt_us") > 0)
+        .withColumn("rate_per_s",
+          round(col("dv") / (col("dt_us").cast("double") / 1000000.0), 6))
+        .select(col("user_id"), col("ts_us"), col("event_id"), col("rate_per_s"))
+        .orderBy(col("user_id"), col("ts_us"), col("event_id"))
     })
   )
 
@@ -201,6 +235,30 @@ object TimeSeries {
         |SELECT user_id, COUNT(*) AS n_gaps, MAX(gap_us) AS max_gap_us,
         |  CAST(SUM(gap_us) AS DOUBLE) / (COUNT(*) * 1000000.0) AS avg_gap_s
         |FROM d WHERE gap_us IS NOT NULL
-        |GROUP BY user_id ORDER BY user_id""".stripMargin
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "ts08_moving_avg" ->
+      """WITH hourly AS (
+        |  SELECT date_trunc('hour', ts) AS bucket, event_type,
+        |    ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS v
+        |  FROM events GROUP BY bucket, event_type)
+        |SELECT strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket, event_type, v,
+        |  ROUND(CAST(SUM(CAST(v AS DECIMAL(18,6))) OVER w AS DOUBLE)
+        |      / COUNT(*) OVER w, 6) AS mov_avg
+        |FROM hourly
+        |WINDOW w AS (PARTITION BY event_type ORDER BY bucket
+        |  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_type, bucket""".stripMargin,
+
+    "ts09_derivative" ->
+      """WITH d AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+        |    value - lag(value) OVER w AS dv,
+        |    epoch_us(ts) - lag(epoch_us(ts)) OVER w AS dt_us
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT user_id, ts_us, event_id,
+        |  ROUND(dv / (CAST(dt_us AS DOUBLE) / 1000000.0), 6) AS rate_per_s
+        |FROM d WHERE dt_us IS NOT NULL AND dt_us > 0
+        |ORDER BY user_id, ts_us, event_id""".stripMargin
   )
 }
