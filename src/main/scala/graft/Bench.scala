@@ -51,7 +51,9 @@ object Bench {
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val total = results.map(_._2).sum
+    // the headline total counts successful queries only, matching the
+    // per-query entries (a fast crash must not deflate the total)
+    val total = results.collect { case (_, v, true) => v }.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -50,6 +50,12 @@ object AsOfJoin {
     require(collisions.isEmpty,
       s"as-of join output column(s) ${collisions.mkString(", ")} collide with " +
         "left columns; pass a distinguishing prefix")
+    val internal = Seq("__ts", "__side", "__r")
+    val reserved = internal.filter(c =>
+      leftCols.contains(c) || right.columns.contains(c))
+    require(reserved.isEmpty,
+      s"as-of join reserves column name(s) ${reserved.mkString(", ")}; " +
+        "rename them on the inputs first")
 
     val payloadType = org.apache.spark.sql.types.StructType(
       rightCols.map(c => org.apache.spark.sql.types.StructField(

@@ -12,11 +12,14 @@ import org.apache.spark.sql.functions._
   * salt value, and the join key becomes (key, salt) — hot keys now spread
   * over `salts` reducers at the cost of replicating the other side ×salts.
   *
-  * The salt value is derived from a hash of the big side's whole row, which
-  * makes it deterministic per row but uniformly spread; correctness never
-  * depends on the salt distribution, only parallelism does. AQE's skew-join
-  * splitting handles moderate skew automatically; explicit salting is for
-  * the known-pathological keys where even one shuffle block overflows.
+  * The salt is a round-robin row index (`monotonically_increasing_id mod
+  * salts`), NOT a hash of the row: byte-identical duplicate rows of a hot
+  * key — precisely the pathological case salting exists for — would all
+  * hash to one salt and still pile onto one reducer. The row-index salt
+  * spreads unconditionally; correctness never depends on the salt values,
+  * only parallelism does. AQE's skew-join splitting handles moderate skew
+  * automatically; explicit salting is for the known-pathological keys where
+  * even one shuffle block overflows.
   */
 object SaltedJoin {
 
@@ -25,8 +28,10 @@ object SaltedJoin {
     * rows (the salt columns are internal and dropped). */
   def join(big: DataFrame, small: DataFrame, key: String, salts: Int): DataFrame = {
     require(salts > 0, "salts must be positive")
+    require(!big.columns.contains("__salt") && !small.columns.contains("__salt"),
+      "salted join reserves the column name __salt; rename it on the inputs first")
     val bigSalted = big.withColumn("__salt",
-      pmod(xxhash64(big.columns.map(col).toIndexedSeq: _*), lit(salts)).cast("int"))
+      pmod(monotonically_increasing_id(), lit(salts)).cast("int"))
     val smallReplicated = small.withColumn("__salt",
       explode(expr(s"sequence(0, ${salts - 1})")))
     bigSalted.join(smallReplicated, Seq(key, "__salt")).drop("__salt")

@@ -125,17 +125,26 @@ object GasStream {
             state.remove()
             Iterator.single(ClosedSession(field, ses.start, ses.end, ses.n))
           } else {
-            // within one micro-batch, fold events in event-time order
+            // within one micro-batch, fold events in event-time order; a
+            // late (cross-batch) event may still precede the open session,
+            // so the merge works in both directions and extends `start`
+            // backwards when needed
             val ts = rows.map(_._2.getTime * 1000L).toArray.sorted
             val closed = Seq.newBuilder[ClosedSession]
             var cur = state.getOption
             ts.foreach { t =>
               cur = cur match {
-                case Some(ses) if t - ses.end <= gapUs =>
-                  Some(SessionAgg(ses.start, math.max(ses.end, t), ses.n + 1))
-                case Some(ses) =>
+                case Some(ses) if t > ses.end + gapUs =>
                   closed += ClosedSession(field, ses.start, ses.end, ses.n)
                   Some(SessionAgg(t, t, 1))
+                case Some(ses) if t < ses.start - gapUs =>
+                  // older than the open session's reach: its own session,
+                  // final immediately (the watermark admitted it, but any
+                  // event even older has already been dropped)
+                  closed += ClosedSession(field, t, t, 1L)
+                  Some(ses)
+                case Some(ses) =>
+                  Some(SessionAgg(math.min(ses.start, t), math.max(ses.end, t), ses.n + 1))
                 case None =>
                   Some(SessionAgg(t, t, 1))
               }

@@ -76,4 +76,32 @@ class StatefulStreamSpec extends SparkSpec {
     // timeout closure: the 02:00 singleton closed with no further A events
     assert(rows.contains(("A", us("2016-10-07 02:00:00"), us("2016-10-07 02:00:00"), 1L)))
   }
+
+  test("a late event inside the gap extends the open session backwards") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val long = input.toDF().toDF("_time", "_field", "_value")
+
+    val q = GasStream.closedSessions(long, gapMinutes = 30, watermark = "3 hours")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("late_sessions").start()
+
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    def us(s: String) = ts(s).getTime * 1000L
+    input.addData((ts("2016-10-07 10:00:00"), "A", 1.0))
+    q.processAllAvailable()
+    // late but within the gap of the open session → must merge, not append
+    input.addData((ts("2016-10-07 09:55:00"), "A", 1.0))
+    q.processAllAvailable()
+    // push the watermark far forward so A's session times out and emits
+    input.addData((ts("2016-10-08 00:00:00"), "B", 1.0))
+    q.processAllAvailable()
+    input.addData((ts("2016-10-08 12:00:00"), "B", 1.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.sql("SELECT _field, start_us, end_us, n_points FROM late_sessions")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.contains(("A", us("2016-10-07 09:55:00"), us("2016-10-07 10:00:00"), 2L)))
+  }
 }
