@@ -144,6 +144,10 @@ object VectorFunctions {
       "graft_hsig", exprs => HyperplaneSig(exprs(0)), "built-in")
   }
 
+  private[functions] val injectable = Seq[(String, Seq[Expression] => Expression)](
+    "graft_dot" -> (exprs => DotProduct(exprs(0), exprs(1))),
+    "graft_hsig" -> (exprs => HyperplaneSig(exprs(0))))
+
   /** `dot(a, b)` over two array<double> columns via the native expression. */
   def dot(spark: SparkSession, a: String, b: String): Column = {
     register(spark)

@@ -76,6 +76,11 @@ object LongStore {
       else parts.map(col)
     withDate
       .repartition(spread: _*)
+      // cluster rows inside each file by (field, time): parquet row-group
+      // min/max stats then skip on BOTH the dashboard field filter and the
+      // time range — without the sort, fields interleave and every row
+      // group spans every field, so nothing skips
+      .sortWithinPartitions(col("_field"), col("_time"))
       .write
       .mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")

@@ -92,6 +92,16 @@ object GasStream {
       .toDF()
   }
 
+  /** Streaming exact dedup with BOUNDED state: a duplicate point (same
+    * field + event time) arriving again within the watermark horizon is
+    * dropped; state for keys older than the watermark is evicted, so the
+    * dedup store is bounded by horizon × point rate, not stream lifetime.
+    * This is the streaming form of exact dedup (tx01) for at-least-once
+    * sources that can redeliver. */
+  def dedupeStream(long: DataFrame, watermark: String): DataFrame =
+    long.withWatermark("_time", watermark)
+      .dropDuplicatesWithinWatermark("_field", "_time")
+
   /** Open-session state carried by [[closedSessions]] (event-time micros). */
   case class SessionAgg(start: Long, end: Long, n: Long)
 

@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+
+import graft.functions.{GraftExtensions, VectorFunctions}
+
+/** The session-extension entry point must inject cleanly and the same
+  * builders must resolve through SQL (full end-to-end injection needs a
+  * fresh SparkContext, which the shared test session precludes — the
+  * registry path is exercised via VectorFunctions.register instead). */
+class GraftExtensionsSpec extends SparkSpec {
+
+  test("extension point injects without error") {
+    new GraftExtensions().apply(new SparkSessionExtensions)
+  }
+
+  test("injected builders evaluate from SQL text") {
+    VectorFunctions.register(spark)
+    val row = spark.sql(
+      """SELECT graft_dot(array(1D, 2D, 3D), array(4D, 5D, 6D)) AS d,
+        |       graft_hsig(array_repeat(1D, 64)) AS s""".stripMargin).first()
+    assert(row.getDouble(0) == 32.0)
+    // signature is deterministic: recompute plane sign bits in-test
+    val expected = (0 until 16).map { i =>
+      val acc = (0 until 64).map(j =>
+        1.0 * ((73856093L * (i + 1) * (j + 7)) % 2001L - 1000L)).sum
+      if (acc >= 0) 1 << i else 0
+    }.sum
+    assert(row.getInt(1) == expected)
+  }
+}

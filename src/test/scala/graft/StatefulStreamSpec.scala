@@ -104,4 +104,33 @@ class StatefulStreamSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(rows.contains(("A", us("2016-10-07 09:55:00"), us("2016-10-07 10:00:00"), 2L)))
   }
+
+  test("streaming dedup drops redelivered points within the watermark horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val long = input.toDF().toDF("_time", "_field", "_value")
+
+    val q = GasStream.dedupeStream(long, "10 minutes")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("deduped").start()
+
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // same point twice in one batch
+    input.addData(
+      (ts("2016-10-07 00:00:00"), "A", 1.0),
+      (ts("2016-10-07 00:00:00"), "A", 1.0))
+    q.processAllAvailable()
+    // redelivered in a LATER batch (still inside the horizon) + a new point
+    input.addData(
+      (ts("2016-10-07 00:00:00"), "A", 1.0),
+      (ts("2016-10-07 00:05:00"), "A", 2.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.sql("SELECT _time, _field FROM deduped")
+      .collect().map(r => (r.getTimestamp(0).toString, r.getString(1)))
+    assert(rows.count(_ == ("2016-10-07 00:00:00.0", "A")) == 1)
+    assert(rows.count(_ == ("2016-10-07 00:05:00.0", "A")) == 1)
+    assert(rows.length == 2)
+  }
 }
