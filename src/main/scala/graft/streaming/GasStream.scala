@@ -102,6 +102,31 @@ object GasStream {
     long.withWatermark("_time", watermark)
       .dropDuplicatesWithinWatermark("_field", "_time")
 
+  /** Watermarked stream-stream interval join: pair each reading of
+    * `fieldA` with the readings of `fieldB` at most `withinMinutes` older —
+    * e.g. attach recent humidity context to every CO reading, live. Both
+    * sides carry watermarks and the join condition bounds event-time
+    * distance, so Spark evicts join state older than watermark + interval:
+    * state is bounded by rate × window, not stream lifetime. */
+  def pairedReadings(long: DataFrame, fieldA: String, fieldB: String,
+      watermark: String, withinMinutes: Int): DataFrame = {
+    // Spark requires an equality predicate on stream-stream joins; the
+    // measurement is the natural co-partitioning key of the long model
+    // (and the shuffle key, so a measurement's readings meet on one node)
+    val a = long.filter(col("_field") === fieldA)
+      .withWatermark("_time", watermark)
+      .select(col("_measurement"), col("_time").as("a_time"),
+        col("_value").as("a_value"))
+    val b = long.filter(col("_field") === fieldB)
+      .withWatermark("_time", watermark)
+      .select(col("_measurement").as("b_measurement"),
+        col("_time").as("b_time"), col("_value").as("b_value"))
+    a.join(b, expr(
+      s"""_measurement = b_measurement AND
+         |b_time BETWEEN a_time - INTERVAL $withinMinutes MINUTES AND a_time""".stripMargin))
+      .drop("b_measurement")
+  }
+
   /** Open-session state carried by [[closedSessions]] (event-time micros). */
   case class SessionAgg(start: Long, end: Long, n: Long)
 

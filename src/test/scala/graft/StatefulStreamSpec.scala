@@ -133,4 +133,33 @@ class StatefulStreamSpec extends SparkSpec {
     assert(rows.count(_ == ("2016-10-07 00:05:00.0", "A")) == 1)
     assert(rows.length == 2)
   }
+
+  test("stream-stream interval join pairs readings within the window only") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val long = input.toDF().toDF("_time", "_field", "_value")
+      .withColumn("_measurement", org.apache.spark.sql.functions.lit("gas"))
+
+    val q = GasStream.pairedReadings(long, "CO", "HUM",
+        watermark = "10 minutes", withinMinutes = 5)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("paired").start()
+
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    input.addData(
+      (ts("2016-10-07 00:04:00"), "HUM", 40.0), // 1 min before CO → pairs
+      (ts("2016-10-07 00:05:00"), "CO", 1.5),
+      (ts("2016-10-07 00:06:00"), "HUM", 41.0), // AFTER the CO reading → no
+      (ts("2016-10-07 00:30:00"), "HUM", 42.0)) // far outside → no
+    q.processAllAvailable()
+    // advance watermarks so pending matches flush
+    input.addData((ts("2016-10-07 01:00:00"), "CO", 9.9))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.sql("SELECT a_value, b_value FROM paired")
+      .collect().map(r => (r.getDouble(0), r.getDouble(1)))
+    assert(rows.contains((1.5, 40.0)))
+    assert(!rows.contains((1.5, 41.0)) && !rows.contains((1.5, 42.0)))
+  }
 }
