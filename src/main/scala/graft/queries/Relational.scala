@@ -352,6 +352,23 @@ object Relational {
           expr("approx_percentile(l_extendedprice, 0.9, 10000)").as("price_p90"))
         .orderBy(col("l_returnflag"))),
 
+    // -- array function gallery (sort/distinct/slice/contains/position/
+    // reverse over split words; complements q15's scalar gallery). Arrays
+    // are emitted as joined strings so the oracle compare stays scalar.
+    "q27_array_gallery" -> ((s, dir) =>
+      t(s, dir, "part").select(
+        col("p_partkey"),
+        expr("size(split(p_name, ' '))").cast("long").as("n_words"),
+        expr("array_join(sort_array(array_distinct(split(p_name, ' '))), ',')")
+          .as("sorted_words"),
+        expr("array_join(slice(split(p_name, ' '), 1, 2), ' ')").as("first_two"),
+        expr("array_contains(split(p_name, ' '), 'green')").as("has_green"),
+        // both engines yield 0 for an absent element (1-based otherwise)
+        expr("array_position(split(p_name, ' '), 'green')")
+          .cast("long").as("green_pos"),
+        expr("array_join(reverse(split(p_name, ' ')), ' ')").as("reversed"))
+        .orderBy(col("p_partkey"))),
+
     // -- full outer join with unmatched rows on BOTH sides (customer sample
     // vs per-customer order counts), completing the join-type family
     "q26_outer_join" -> ((s, dir) => {
@@ -563,6 +580,16 @@ object Relational {
         |  ROUND(quantile_cont(l_quantity, 0.75), 6) AS qty_p75,
         |  ROUND(quantile_cont(l_extendedprice, 0.9), 6) AS price_p90
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q27_array_gallery" ->
+      """SELECT p_partkey,
+        |  len(string_split(p_name, ' ')) AS n_words,
+        |  array_to_string(list_sort(list_distinct(string_split(p_name, ' '))), ',') AS sorted_words,
+        |  array_to_string(string_split(p_name, ' ')[1:2], ' ') AS first_two,
+        |  list_contains(string_split(p_name, ' '), 'green') AS has_green,
+        |  CAST(list_position(string_split(p_name, ' '), 'green') AS BIGINT) AS green_pos,
+        |  array_to_string(list_reverse(string_split(p_name, ' ')), ' ') AS reversed
+        |FROM part ORDER BY p_partkey""".stripMargin,
 
     "q26_outer_join" ->
       """WITH c AS (SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey <= 500),
