@@ -58,7 +58,21 @@ object GasStoreQueries {
       GasQueries.fieldDayMean(store(s), "CO (ppm)", "2016-10-07", "1 hour")
         .select(unix_micros(col("_bucket")).as("b_us"), col("_field"),
           col("mean_value"), col("min_value"), col("max_value"), col("n_points"))
-        .orderBy(col("b_us")))
+        .orderBy(col("b_us"))),
+
+    // U2 through the store: pivot the long model back to wide (Grafana
+    // table view). The oracle is the RAW CSV rows themselves — matching
+    // proves CSV → unpivot → partitioned store → pivot is lossless.
+    "gs04_pivot_wide" -> ((s, _) => {
+      import graft.store.LongStore
+      LongStore.pivot(store(s))
+        .select(unix_micros(col("_time")).as("t_us"),
+          col("`CO (ppm)`").as("co"),
+          col("`Humidity (%r.h.)`").as("humidity"),
+          col("`R1 (MOhm)`").as("r1"),
+          col("`R14 (MOhm)`").as("r14"))
+        .orderBy(col("t_us"))
+    })
   )
 
   /** Shared oracle prelude: replay ingest+transform from the raw CSVs —
@@ -98,6 +112,13 @@ object GasStoreQueries {
          |  'CO (ppm)' AS _field,
          |  CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS mean_value,
          |  MIN(v) AS min_value, MAX(v) AS max_value, COUNT(*) AS n_points
-         |FROM d GROUP BY b_us ORDER BY b_us""".stripMargin
+         |FROM d GROUP BY b_us ORDER BY b_us""".stripMargin,
+
+    "gs04_pivot_wide" ->
+      s"""$prelude
+         |SELECT epoch_us(_time) AS t_us,
+         |  "CO (ppm)" AS co, "Humidity (%r.h.)" AS humidity,
+         |  "R1 (MOhm)" AS r1, "R14 (MOhm)" AS r14
+         |FROM raw ORDER BY t_us""".stripMargin
   )
 }
