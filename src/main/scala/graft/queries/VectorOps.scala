@@ -31,19 +31,27 @@ object VectorOps {
   /** Brute-force cosine top-k of `corpus` rows for each `queries` row.
     * The dot product is the codegen'd [[graft.functions.DotProduct]] — same
     * sequential-fold numerics as the zip_with/aggregate HOF chain, but a
-    * single tight loop inside whole-stage codegen. */
+    * single tight loop inside whole-stage codegen.
+    *
+    * Ranking uses the typed [[graft.functions.TopKAggregator]] as a
+    * partial/final aggregate: each map task keeps only its local top-k per
+    * query, so the shuffle carries O(queries × partitions × k) rows — the
+    * window-function form would shuffle and sort EVERY candidate pair.
+    * Ties break on c_id, so results are byte-identical to `row_number`
+    * over (sim DESC, c_id). */
   def cosineTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     graft.functions.VectorFunctions.register(corpus.sparkSession)
-    val fanned = fanout(corpus)
-    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
-    fanned
+    val topk = udaf(new graft.functions.TopKAggregator(k))
+    fanout(corpus)
       .crossJoin(broadcast(queries))
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("dot", expr("graft_dot(qe, emb)"))
       .withColumn("sim", round(col("dot") / (col("qn") * col("norm")), 6))
-      .withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= k)
-      .select(col("q_id"), col("rnk"), col("vec_id").as("c_id"), col("sim"))
+      .groupBy(col("q_id"))
+      .agg(topk(col("vec_id"), col("sim")).as("top"))
+      .select(col("q_id"), posexplode(col("top")).as(Seq("i", "s")))
+      .select(col("q_id"), (col("i") + 1).cast("long").as("rnk"),
+        col("s.c_id").as("c_id"), col("s.sim").as("sim"))
       .orderBy(col("q_id"), col("rnk"))
   }
 
