@@ -271,6 +271,49 @@ object TextOps {
         .join(canon, Seq("doc_id"), "left")
         .withColumn("is_kept", col("canonical_id").isNull)
         .orderBy(col("doc_id"))
+    }),
+
+    // Gopher-style repetition quality signal: the duplicate-3-gram fraction
+    // per document (1 - distinct/total shingles). High values mean looping
+    // or boilerplate text — a standard drop rule in LLM-corpus filtering.
+    // Narrow per-row work + no shuffle before the final sort.
+    "tx12_repetition" -> ((s, dir) =>
+      fanout(docs(s, dir))
+        .selectExpr("doc_id", s"$tokExpr AS tk")
+        .where(expr("size(tk) >= 3"))
+        .selectExpr("doc_id",
+          "transform(sequence(1, size(tk) - 2), i -> concat_ws(' ', element_at(tk, i), element_at(tk, i + 1), element_at(tk, i + 2))) AS sh")
+        .selectExpr("doc_id",
+          "cast(size(sh) as long) AS n_shingles",
+          "cast(size(array_distinct(sh)) as long) AS n_distinct")
+        .withColumn("rep_ratio",
+          round(lit(1.0) - col("n_distinct").cast("double") / col("n_shingles"), 6))
+        .withColumn("drop_repetitive", col("rep_ratio") > 0.2)
+        .orderBy(col("doc_id"))),
+
+    // PII redaction pass: scrub email / phone / IPv4 patterns and count
+    // redactions. The fixture corpus is synthetic, so deterministic PII is
+    // INJECTED first (every 7th doc gains an email, every 11th a phone,
+    // every 13th an IP) — the operator under test is the scrubber itself,
+    // and the oracle replays injection + scrub.
+    "tx13_pii_scrub" -> ((s, dir) => {
+      val emailRe = "[a-z0-9._]+@[a-z0-9-]+\\\\.[a-z]{2,}"
+      val phoneRe = "\\\\+1-[0-9]{3}-[0-9]{3}-[0-9]{4}"
+      val ipRe = "[0-9]{1,3}\\\\.[0-9]{1,3}\\\\.[0-9]{1,3}\\\\.[0-9]{1,3}"
+      fanout(docs(s, dir))
+        .selectExpr("doc_id",
+          """concat(text,
+            |  CASE WHEN doc_id % 7 = 0 THEN concat(' contact user', doc_id, '@example.com') ELSE '' END,
+            |  CASE WHEN doc_id % 11 = 0 THEN ' call +1-555-867-5309' ELSE '' END,
+            |  CASE WHEN doc_id % 13 = 0 THEN ' host 10.0.0.7' ELSE '' END) AS raw""".stripMargin)
+        .selectExpr("doc_id", "raw",
+          s"regexp_replace(regexp_replace(regexp_replace(raw, '$emailRe', '<EMAIL>'), '$phoneRe', '<PHONE>'), '$ipRe', '<IP>') AS clean")
+        .selectExpr("doc_id",
+          "cast((length(clean) - length(replace(clean, '<EMAIL>', ''))) div 7 as long) AS n_email",
+          "cast((length(clean) - length(replace(clean, '<PHONE>', ''))) div 7 as long) AS n_phone",
+          "cast((length(clean) - length(replace(clean, '<IP>', ''))) div 4 as long) AS n_ip",
+          "md5(cast(clean as binary)) AS clean_md5")
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -416,6 +459,38 @@ object TextOps {
          |FROM (SELECT doc_id, lang, $merged AS m FROM documents)
          |ORDER BY doc_id""".stripMargin
     },
+
+    "tx12_repetition" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id,
+         |    list_transform(range(1, len(tk) - 1), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) AS sh
+         |  FROM (SELECT doc_id, $dTok AS tk FROM documents) WHERE len(tk) >= 3)
+         |SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_shingles,
+         |  CAST(len(list_distinct(sh)) AS BIGINT) AS n_distinct,
+         |  ROUND(1.0 - CAST(len(list_distinct(sh)) AS DOUBLE) / len(sh), 6) AS rep_ratio,
+         |  ROUND(1.0 - CAST(len(list_distinct(sh)) AS DOUBLE) / len(sh), 6) > 0.2 AS drop_repetitive
+         |FROM sh ORDER BY doc_id""".stripMargin,
+
+    "tx13_pii_scrub" ->
+      raw"""WITH r AS (
+           |  SELECT doc_id, text ||
+           |    CASE WHEN doc_id % 7 = 0 THEN ' contact user' || doc_id || '@example.com' ELSE '' END ||
+           |    CASE WHEN doc_id % 11 = 0 THEN ' call +1-555-867-5309' ELSE '' END ||
+           |    CASE WHEN doc_id % 13 = 0 THEN ' host 10.0.0.7' ELSE '' END AS raw
+           |  FROM documents),
+           |c AS (
+           |  SELECT doc_id,
+           |    regexp_replace(regexp_replace(regexp_replace(raw,
+           |      '[a-z0-9._]+@[a-z0-9-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+           |      '\+1-[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
+           |      '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g') AS clean
+           |  FROM r)
+           |SELECT doc_id,
+           |  CAST((length(clean) - length(replace(clean, '<EMAIL>', ''))) // 7 AS BIGINT) AS n_email,
+           |  CAST((length(clean) - length(replace(clean, '<PHONE>', ''))) // 7 AS BIGINT) AS n_phone,
+           |  CAST((length(clean) - length(replace(clean, '<IP>', ''))) // 4 AS BIGINT) AS n_ip,
+           |  md5(clean) AS clean_md5
+           |FROM c ORDER BY doc_id""".stripMargin,
 
     "tx11_neardup_dedup" ->
       s"""WITH toks AS (SELECT doc_id, $dTok AS tk FROM documents),
