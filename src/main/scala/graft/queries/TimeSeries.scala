@@ -153,6 +153,23 @@ object TimeSeries {
         .orderBy(col("event_type"), col("bucket"))
     }),
 
+    // time-RANGE window frame (vs ts08's rows frame): for every event, the
+    // exact-decimal sum of the same field's values in the trailing hour —
+    // value-based frames include timestamp peers identically in both
+    // engines, so results are deterministic under ties.
+    "ts10_trailing_window" -> ((s, dir) => {
+      val w = Window.partitionBy(col("event_type")).orderBy(col("ts_us"))
+        .rangeBetween(-3600000000L, 0)
+      ev(s, dir)
+        .withColumn("ts_us", unix_micros(col("ts")))
+        .withColumn("trail_1h_sum",
+          sum(sumExactCol(col("value"))).over(w).cast("double"))
+        .withColumn("trail_1h_n", count(lit(1)).over(w))
+        .select(col("event_type"), col("ts_us"), col("event_id"), col("value"),
+          col("trail_1h_sum"), col("trail_1h_n"))
+        .orderBy(col("event_type"), col("ts_us"), col("event_id"))
+    }),
+
     // Flux `derivative(unit: 1s)`: per-user instantaneous rate between
     // consecutive events — one lag window, one shuffle on the key.
     "ts09_derivative" -> ((s, dir) => {
@@ -249,6 +266,15 @@ object TimeSeries {
         |WINDOW w AS (PARTITION BY event_type ORDER BY bucket
         |  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
         |ORDER BY event_type, bucket""".stripMargin,
+
+    "ts10_trailing_window" ->
+      """SELECT event_type, epoch_us(ts) AS ts_us, event_id, value,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS trail_1h_sum,
+        |  COUNT(*) OVER w AS trail_1h_n
+        |FROM events
+        |WINDOW w AS (PARTITION BY event_type ORDER BY epoch_us(ts)
+        |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_type, ts_us, event_id""".stripMargin,
 
     "ts09_derivative" ->
       """WITH d AS (
