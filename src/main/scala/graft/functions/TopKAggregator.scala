@@ -21,11 +21,24 @@ case class Scored(c_id: Long, sim: Double)
   */
 class TopKAggregator(k: Int) extends Aggregator[Scored, Seq[Scored], Seq[Scored]] {
 
-  private def trim(s: Seq[Scored]): Seq[Scored] =
-    s.sortBy(x => (-x.sim, x.c_id)).take(k)
+  // SQL-consistent ordering: java.lang.Double.compare ranks NaN greatest
+  // (so a NaN sim sorts FIRST under DESC, exactly like Spark SQL's and
+  // DuckDB's ORDER BY sim DESC) — a tuple sortBy on -sim would invert that
+  private val ord: Ordering[Scored] = new Ordering[Scored] {
+    override def compare(a: Scored, b: Scored): Int = {
+      val c = java.lang.Double.compare(b.sim, a.sim) // sim DESC, NaN first
+      if (c != 0) c else java.lang.Long.compare(a.c_id, b.c_id)
+    }
+  }
+
+  /** buffers are kept sorted by [[ord]] (invariant of zero/reduce/merge) */
+  private def trim(s: Seq[Scored]): Seq[Scored] = s.sorted(ord).take(k)
 
   override def zero: Seq[Scored] = Nil
-  override def reduce(b: Seq[Scored], a: Scored): Seq[Scored] = trim(b :+ a)
+  override def reduce(b: Seq[Scored], a: Scored): Seq[Scored] =
+    // bounded insert: a candidate ranking at-or-after the current k-th
+    // best can't enter a full buffer — no allocation, no re-sort
+    if (b.size >= k && ord.compare(a, b.last) >= 0) b else trim(b :+ a)
   override def merge(x: Seq[Scored], y: Seq[Scored]): Seq[Scored] = trim(x ++ y)
   override def finish(b: Seq[Scored]): Seq[Scored] = trim(b)
 

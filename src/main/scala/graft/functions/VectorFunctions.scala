@@ -135,18 +135,20 @@ case class HyperplaneSig(child: Expression) extends UnaryExpression {
 
 object VectorFunctions {
 
-  /** Register `graft_dot` / `graft_hsig` in the session's function registry
-    * (idempotent) so they are usable from SQL and `expr(...)`. */
-  def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_hsig", exprs => HyperplaneSig(exprs(0)), "built-in")
-  }
-
+  /** Single source of truth for the native function set — consumed by both
+    * [[register]] and [[GraftExtensions]] so the two entry points can never
+    * drift apart. */
   private[functions] val injectable = Seq[(String, Seq[Expression] => Expression)](
     "graft_dot" -> (exprs => DotProduct(exprs(0), exprs(1))),
     "graft_hsig" -> (exprs => HyperplaneSig(exprs(0))))
+
+  /** Register the native functions in the session's function registry
+    * (idempotent) so they are usable from SQL and `expr(...)`. */
+  def register(spark: SparkSession): Unit =
+    injectable.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "built-in")
+    }
 
   /** `dot(a, b)` over two array<double> columns via the native expression. */
   def dot(spark: SparkSession, a: String, b: String): Column = {

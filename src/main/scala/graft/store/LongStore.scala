@@ -37,11 +37,16 @@ object LongStore {
   }
 
   /** U2: long→wide pivot (Grafana table view / inverse of U1). The field
-    * list is explicit so no distinct-collect job runs. */
-  def pivot(long: DataFrame, fields: Seq[String] = GasSchema.sensorCols): DataFrame =
-    long.groupBy(col("_time"))
+    * list is explicit so no distinct-collect job runs. `_date`/`_src` join
+    * `_time` in the group key when present so two source files sharing a
+    * timestamp reconstruct as two wide rows, not one lossy merge — the
+    * exact inverse of [[unpivot]]'s id set. */
+  def pivot(long: DataFrame, fields: Seq[String] = GasSchema.sensorCols): DataFrame = {
+    val ids = Seq("_time") ++ Seq("_date", "_src").filter(long.columns.contains(_))
+    long.groupBy(ids.map(col): _*)
       .pivot("_field", fields)
       .agg(first(col("_value")))
+  }
 
   /** S5 replacement: the engine's native "bucket" — parquet partitioned by
     * source day, sub-partitioned by source file `_src` when the frame
@@ -79,8 +84,12 @@ object LongStore {
       // cluster rows inside each file by (field, time): parquet row-group
       // min/max stats then skip on BOTH the dashboard field filter and the
       // time range — without the sort, fields interleave and every row
-      // group spans every field, so nothing skips
-      .sortWithinPartitions(col("_field"), col("_time"))
+      // group spans every field, so nothing skips. The sort MUST lead with
+      // the partition columns: partitionBy's write path inserts its own
+      // Sort(partition cols) above this one, and Catalyst then eliminates a
+      // non-prefix-compatible user sort entirely (verified on the written
+      // files) — prefixing makes the write-path sort redundant instead.
+      .sortWithinPartitions(parts.map(col) ++ Seq(col("_field"), col("_time")): _*)
       .write
       .mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")

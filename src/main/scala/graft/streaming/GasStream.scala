@@ -100,7 +100,10 @@ object GasStream {
     * sources that can redeliver. */
   def dedupeStream(long: DataFrame, watermark: String): DataFrame =
     long.withWatermark("_time", watermark)
-      .dropDuplicatesWithinWatermark("_field", "_time")
+      // a point's identity in the long model is (measurement, field, time) —
+      // omitting the measurement would collapse same-named fields of two
+      // measurements into one point
+      .dropDuplicatesWithinWatermark("_measurement", "_field", "_time")
 
   /** Watermarked stream-stream interval join: pair each reading of
     * `fieldA` with the readings of `fieldB` at most `withinMinutes` older —

@@ -59,6 +59,27 @@ class PlanAuditSpec extends SparkSpec {
     assert(countShuffles(p) == 1, s"as-of join should shuffle once on the key:\n$p")
   }
 
+  test("store files are physically clustered by field (row-group skipping)") {
+    // partitionBy's write path inserts its own sort on the partition
+    // columns and Catalyst ELIMINATES a user sort that isn't a prefix
+    // extension of it — this pins that LongStore.write's clustering
+    // actually reaches the written bytes
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-cluster")
+    val long = Seq.tabulate(100) { i =>
+      (java.sql.Timestamp.valueOf(f"2016-10-07 00:00:${i % 60}%02d"),
+        "gas", s"F${i % 5}", i.toDouble)
+    }.toDF("_time", "_measurement", "_field", "_value")
+    graft.store.LongStore.write(long, work.resolve("store").toString)
+    val fields = spark.read
+      .parquet(work.resolve("store").toString + "/_date=2016-10-07")
+      .select("_field").collect().map(_.getString(0)).toSeq
+    val runs = fields.zip(fields.drop(1)).count { case (a, b) => a != b } + 1
+    assert(runs == fields.distinct.size,
+      s"fields interleave in the written file ($runs runs for " +
+        s"${fields.distinct.size} fields) — clustering sort was eliminated")
+  }
+
   test("tx05 signature path adds no fan-out shuffles beyond the audited set") {
     // fanout repartition + ONE signature groupBy(doc_id) + band self-join
     // exchanges (one side reused) + pair groupBy + final orderBy — the old

@@ -109,6 +109,7 @@ class StatefulStreamSpec extends SparkSpec {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(java.sql.Timestamp, String, Double)]
     val long = input.toDF().toDF("_time", "_field", "_value")
+      .withColumn("_measurement", org.apache.spark.sql.functions.lit("gas"))
 
     val q = GasStream.dedupeStream(long, "10 minutes")
       .writeStream.outputMode("append")
