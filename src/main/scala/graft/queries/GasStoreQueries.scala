@@ -60,6 +60,14 @@ object GasStoreQueries {
           col("mean_value"), col("min_value"), col("max_value"), col("n_points"))
         .orderBy(col("b_us"))),
 
+    // Q2 literally: the Grafana dashboard VARIABLE query (reference
+    // README.md:243) — `r["_field"] == "${Resistances}"` with the variable
+    // bound to one of R1..R14 — through the engine's own store
+    "gs05_resistance_variable" -> ((s, _) =>
+      GasQueries.fieldFilter(store(s), "R7 (MOhm)")
+        .select(unix_micros(col("_time")).as("t_us"), col("_field"), col("_value"))
+        .orderBy(col("t_us"))),
+
     // U2 through the store: pivot the long model back to wide (Grafana
     // table view). The oracle is the RAW CSV rows themselves — matching
     // proves CSV → unpivot → partitioned store → pivot is lossless.
@@ -119,6 +127,11 @@ object GasStoreQueries {
          |SELECT epoch_us(_time) AS t_us,
          |  "CO (ppm)" AS co, "Humidity (%r.h.)" AS humidity,
          |  "R1 (MOhm)" AS r1, "R14 (MOhm)" AS r14
+         |FROM raw ORDER BY t_us""".stripMargin,
+
+    "gs05_resistance_variable" ->
+      s"""$prelude
+         |SELECT epoch_us(_time) AS t_us, 'R7 (MOhm)' AS _field, "R7 (MOhm)" AS _value
          |FROM raw ORDER BY t_us""".stripMargin
   )
 }
