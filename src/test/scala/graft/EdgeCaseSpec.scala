@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.AsOfJoin
+import graft.queries.GasQueries
+
+/** Edge cases of library-facing operators that no oracle query reaches. */
+class EdgeCaseSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("timeRange without a _date column falls back to the plain time filter") {
+    val long = Seq(
+      ("2016-10-07 00:00:01", "A", 1.0),
+      ("2016-10-07 12:00:00", "A", 2.0),
+      ("2016-10-08 00:00:00", "A", 3.0))
+      .toDF("t", "_field", "_value")
+      .withColumn("_time", col("t").cast("timestamp")).drop("t")
+    val got = GasQueries.timeRange(long, "2016-10-07 01:00:00", "2016-10-08 00:00:00")
+      .select("_value").collect().map(_.getDouble(0)).toSet
+    assert(got == Set(2.0))
+  }
+
+  test("as-of join with an empty right side yields all-null carried columns") {
+    val left = Seq((1L, 10L, "a"), (2L, 20L, "b")).toDF("k", "t", "lv")
+    val right = Seq.empty[(Long, Long, String)].toDF("k", "t", "rv")
+    val got = AsOfJoin.joinAsOf(left, right, "k", "t", "t", Seq("rv"))
+      .select("k", "asof_rv").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)))).toSet
+    assert(got == Set((1L, None), (2L, None)))
+  }
+}
