@@ -140,7 +140,8 @@ object VectorFunctions {
     * drift apart. */
   private[functions] val injectable = Seq[(String, Seq[Expression] => Expression)](
     "graft_dot" -> (exprs => DotProduct(exprs(0), exprs(1))),
-    "graft_hsig" -> (exprs => HyperplaneSig(exprs(0))))
+    "graft_hsig" -> (exprs => HyperplaneSig(exprs(0))),
+    "graft_simhash" -> (exprs => SimHashExpr(exprs(0))))
 
   /** Register the native functions in the session's function registry
     * (idempotent) so they are usable from SQL and `expr(...)`. */

@@ -158,32 +158,15 @@ object TextOps {
     // ~150k while still catching everything within hamming 8 of a dup in
     // at least one half.
     "tx08_simhash_pairs" -> ((s, dir) => {
-      // No pre-shuffle fan-out at all: each (doc, token) row carries the 16
-      // nibble values of md5(token) as 16 map-side columns, and ONE
-      // groupBy(doc_id) holds all 64 bit-sums (partial map-side combine).
-      // Majority bit k of nibble ni is 2*s_{ni,k} > n; the 16 signature
-      // chars are assembled from the aggregate row, so the shuffle carries
-      // exactly |token rows| — vs the old per-nibble explode (16× rows, two
-      // shuffles). Everything stays inside whole-stage codegen.
-      val nibbleCols = Seq("doc_id") ++ (0 until 16).map(ni =>
-        s"instr('0123456789abcdef', substring(h, ${ni + 1}, 1)) - 1 AS nv$ni")
-      val bitSums = for { ni <- 0 until 16; k <- 0 until 4 } yield
-        expr(if (k == 3) s"sum(nv$ni & 1)" else s"sum(shiftright(nv$ni, ${3 - k}) & 1)")
-          .as(s"s${ni}_$k")
-      val chExprs = (0 until 16).map { ni =>
-        s"""substring('0123456789abcdef', 1 +
-           |  (CASE WHEN 2 * s${ni}_0 > n THEN 8 ELSE 0 END +
-           |   CASE WHEN 2 * s${ni}_1 > n THEN 4 ELSE 0 END +
-           |   CASE WHEN 2 * s${ni}_2 > n THEN 2 ELSE 0 END +
-           |   CASE WHEN 2 * s${ni}_3 > n THEN 1 ELSE 0 END), 1)""".stripMargin
-      }
+      // The whole 64-bit signature is ONE per-row expression
+      // (graft.functions.SimHashExpr): tokenize + distinct + md5 + majority
+      // in a single pass per document — no token explode, no shuffle at all
+      // before the (band, value) bucket join, which is exactly the shuffle
+      // LSH needs anyway. (Earlier layouts shuffled |token| or 16×|token|
+      // rows through one or two groupBys first.)
+      graft.functions.VectorFunctions.register(s)
       val sig = fanout(docs(s, dir))
-        .selectExpr("doc_id", s"explode(array_distinct($tokExpr)) AS tok")
-        .selectExpr("doc_id", "md5(cast(tok as binary)) AS h")
-        .selectExpr(nibbleCols: _*)
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n"), bitSums: _*)
-        .selectExpr("doc_id", s"concat(${chExprs.mkString(", ")}) AS simhash")
+        .selectExpr("doc_id", "graft_simhash(text) AS simhash")
       val bands = sig
         .select(col("doc_id"), col("simhash"), explode(expr("sequence(0, 1)")).as("b"))
         .withColumn("band", expr("substring(simhash, 1 + 8 * b, 8)"))
