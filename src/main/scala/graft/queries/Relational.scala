@@ -342,7 +342,8 @@ object Relational {
     // -- approximate percentiles (bounded-memory sketch): the 100 TB path —
     // constant state per group regardless of group size. Like q19's HLL the
     // estimate is engine-specific, so no DuckDB oracle (rows-only check);
-    // q24 is the exact counterpart.
+    // q24 is the exact counterpart. The quartile array is projected to three
+    // scalar columns so the driver's rows/schema check can sort the frame.
     "q25_approx_percentiles" -> ((s, dir) =>
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
@@ -350,6 +351,11 @@ object Relational {
           expr("approx_percentile(l_quantity, array(0.25, 0.5, 0.75), 10000)")
             .as("qty_quartiles"),
           expr("approx_percentile(l_extendedprice, 0.9, 10000)").as("price_p90"))
+        .select(col("l_returnflag"),
+          element_at(col("qty_quartiles"), 1).as("qty_p25"),
+          element_at(col("qty_quartiles"), 2).as("qty_p50"),
+          element_at(col("qty_quartiles"), 3).as("qty_p75"),
+          col("price_p90"))
         .orderBy(col("l_returnflag"))),
 
     // -- array function gallery (sort/distinct/slice/contains/position/

@@ -172,6 +172,11 @@ object TimeSeries {
 
     // Flux `derivative(unit: 1s)`: per-user instantaneous rate between
     // consecutive events — one lag window, one shuffle on the key.
+    // The rate is left UNROUNDED: subtraction, the dt_us/1e6 division and
+    // the final quotient are each a single correctly-rounded IEEE-754 op,
+    // so both engines produce bit-identical doubles. (A round(x, 6) here
+    // diverges: Spark rounds the exact binary expansion via BigDecimal
+    // HALF_UP while DuckDB rounds via scaled nearbyint.)
     "ts09_derivative" -> ((s, dir) => {
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
       ev(s, dir)
@@ -180,7 +185,7 @@ object TimeSeries {
         .withColumn("dt_us", col("ts_us") - lag(col("ts_us"), 1).over(w))
         .filter(col("dt_us").isNotNull && col("dt_us") > 0)
         .withColumn("rate_per_s",
-          round(col("dv") / (col("dt_us").cast("double") / 1000000.0), 6))
+          col("dv") / (col("dt_us").cast("double") / 1000000.0))
         .select(col("user_id"), col("ts_us"), col("event_id"), col("rate_per_s"))
         .orderBy(col("user_id"), col("ts_us"), col("event_id"))
     })
@@ -283,7 +288,7 @@ object TimeSeries {
         |    epoch_us(ts) - lag(epoch_us(ts)) OVER w AS dt_us
         |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
         |SELECT user_id, ts_us, event_id,
-        |  ROUND(dv / (CAST(dt_us AS DOUBLE) / 1000000.0), 6) AS rate_per_s
+        |  dv / (CAST(dt_us AS DOUBLE) / 1000000.0) AS rate_per_s
         |FROM d WHERE dt_us IS NOT NULL AND dt_us > 0
         |ORDER BY user_id, ts_us, event_id""".stripMargin
   )
