@@ -256,6 +256,30 @@ object TextOps {
         .orderBy(col("doc_id"))
     }),
 
+    // TRANSITIVE-CLOSURE dedup groups — the shippable corpus-dedup verdict.
+    // tx11's single-hop pass keeps doc C of a chain A~B~C when A,C share no
+    // band; here the tx05 candidate-pair graph is collapsed to connected
+    // components by iterated min-label propagation (ConnectedComponents), so
+    // every doc maps to the minimum id reachable through ANY chain of LSH
+    // near-dup links. Cost: the tx05 pair pipeline + 2-3 label iterations of
+    // two vertex-keyed shuffles each over the (tiny) vertex frame.
+    "tx14_dedup_groups" -> ((s, dir) => {
+      val bd = bandSignatures(fanout(docs(s, dir)), shingleWords = 3)
+      val a = bd.select(col("b"), col("band_sig"), col("doc_id").as("doc_a"))
+      val c = bd.select(col("b"), col("band_sig"), col("doc_id").as("doc_b"))
+      val pairs = a.join(c, Seq("b", "band_sig"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .distinct()
+      val comp = graft.operators.ConnectedComponents.minLabel(pairs)
+      docs(s, dir).select(col("doc_id"))
+        .join(comp.select(col("id").as("doc_id"), col("label")), Seq("doc_id"), "left")
+        .withColumn("canonical_id", coalesce(col("label"), col("doc_id")))
+        .withColumn("is_kept", col("canonical_id") === col("doc_id"))
+        .select(col("doc_id"), col("canonical_id"), col("is_kept"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Gopher-style repetition quality signal: the duplicate-3-gram fraction
     // per document (1 - distinct/total shingles). High values mean looping
     // or boilerplate text — a standard drop rule in LLM-corpus filtering.
@@ -474,6 +498,39 @@ object TextOps {
            |  CAST((length(clean) - length(replace(clean, '<IP>', ''))) // 4 AS BIGINT) AS n_ip,
            |  md5(clean) AS clean_md5
            |FROM c ORDER BY doc_id""".stripMargin,
+
+    // same band/pair pipeline as tx05, then min-reachable-id per vertex via
+    // a recursive CTE — DuckDB's semi-naive evaluation of the same fixpoint
+    // the Spark side iterates explicitly
+    "tx14_dedup_groups" ->
+      s"""WITH RECURSIVE toks AS (SELECT doc_id, $dTok AS tk FROM documents),
+         |sh AS (
+         |  SELECT DISTINCT doc_id,
+         |    unnest(list_transform(range(1, len(tk) - 1), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS shingle
+         |  FROM toks WHERE len(tk) >= 3),
+         |hs AS (
+         |  SELECT doc_id, j, MIN(md5(j::VARCHAR || ':' || shingle)) AS sig
+         |  FROM sh, range(0, 16) t(j) GROUP BY doc_id, j),
+         |bd AS (
+         |  SELECT doc_id, j // 4 AS b,
+         |    md5(string_agg(lpad(j::VARCHAR, 2, '0') || ':' || sig, '|'
+         |        ORDER BY lpad(j::VARCHAR, 2, '0') || ':' || sig)) AS band_sig
+         |  FROM hs GROUP BY doc_id, j // 4),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS src, c.doc_id AS dst
+         |  FROM bd a JOIN bd c ON a.b = c.b AND a.band_sig = c.band_sig
+         |    AND a.doc_id < c.doc_id),
+         |sym AS (SELECT src, dst FROM pairs UNION ALL SELECT dst, src FROM pairs),
+         |verts AS (SELECT DISTINCT src AS id FROM sym),
+         |reach(id, r) AS (
+         |  SELECT id, id FROM verts
+         |  UNION
+         |  SELECT s.src, reach.r FROM sym s JOIN reach ON s.dst = reach.id),
+         |comp AS (SELECT id, MIN(r) AS label FROM reach GROUP BY id)
+         |SELECT d.doc_id, COALESCE(comp.label, d.doc_id) AS canonical_id,
+         |  COALESCE(comp.label, d.doc_id) = d.doc_id AS is_kept
+         |FROM documents d LEFT JOIN comp ON comp.id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
 
     "tx11_neardup_dedup" ->
       s"""WITH toks AS (SELECT doc_id, $dTok AS tk FROM documents),
