@@ -22,6 +22,30 @@ object Relational {
 
   private def t(s: SparkSession, dir: String, n: String) = Tables.table(s, dir, n)
 
+  /** Bucketed copies of lineitem/orders on the join key (SURVEY.md §4),
+    * memoized per (session, sfDir): the bucketing shuffle is paid ONCE at
+    * write time, then every q28 run (and any other same-key join) reads
+    * co-located buckets and plans with no Exchange under the join — the
+    * "daily fact ⋈ fact on the same key" pattern at 100 TB. Table names
+    * carry a dir tag so two dirs in one session can't alias. */
+  private val bucketedBuilt =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (String, String)]()
+  private def bucketedTables(s: SparkSession, dir: String): (String, String) =
+    bucketedBuilt.computeIfAbsent((s, dir), { case (s, dir) =>
+      val tag = (dir.hashCode.toLong & 0xffffffffL).toString
+      val (liT, oT) = (s"graft_bkt_li_$tag", s"graft_bkt_o_$tag")
+      val work = java.nio.file.Files.createTempDirectory("graft-bucketed")
+      graft.store.BucketedStore.write(
+        t(s, dir, "lineitem").select(col("l_orderkey"), col("l_quantity"),
+          col("l_extendedprice")),
+        liT, s"$work/li", "l_orderkey", buckets = 8)
+      graft.store.BucketedStore.write(
+        t(s, dir, "orders").select(col("o_orderkey").as("l_orderkey"),
+          col("o_orderpriority")),
+        oT, s"$work/o", "l_orderkey", buckets = 8)
+      (liT, oT)
+    })
+
   val queries: Map[String, Q] = Map(
     // -- aggregation (TPC-H Q1 shape): partial+final hash agg, 6-group output
     "q01_pricing_summary" -> ((s, dir) => {
@@ -325,6 +349,24 @@ object Relational {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // -- bucketed co-located fact-fact join: both sides read from the
+    // 8-bucket tables written on l_orderkey, so the `merge`-hinted
+    // sort-merge join plans with NO Exchange on either input (the only
+    // shuffle in the whole query is the final tiny per-priority aggregate —
+    // PlanAuditSpec asserts exactly that on this registered query). The
+    // oracle recomputes from the raw parquet, pinning that bucketing
+    // changed the plan and not the answer.
+    "q28_bucketed_join" -> ((s, dir) => {
+      val (liT, oT) = bucketedTables(s, dir)
+      s.table(liT).hint("merge")
+        .join(s.table(oT).hint("merge"), "l_orderkey")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"),
+          sumExact(col("l_quantity")).as("sum_qty"),
+          sumExact(col("l_extendedprice")).as("revenue"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     // -- exact percentiles (linear interpolation at (n-1)p, the definition
     // Spark `percentile` and DuckDB `quantile_cont` share). Exact percentile
     // buffers the group's values — fine per bounded group; the unbounded
@@ -575,6 +617,13 @@ object Relational {
 
     "q23_salted_skew_join" ->
       """SELECT o_orderpriority, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q28_bucketed_join" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,

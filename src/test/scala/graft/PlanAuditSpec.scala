@@ -43,6 +43,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), s"range join degenerated to a nested loop:\n$p")
   }
 
+  test("q28: bucketed join reads co-located buckets — no shuffle under the join") {
+    val df = q("q28_bucketed_join")
+    df.collect() // materialize so AQE settles on the final plan
+    val p = planString(df).split("== Initial Plan ==").head
+    assert(p.contains("SortMergeJoin"), s"expected a sort-merge join:\n$p")
+    assert(!p.contains("Exchange hashpartitioning(l_orderkey"),
+      s"bucketed join still shuffles its inputs — co-location broken:\n$p")
+    // only the tiny per-priority aggregate + the oracle-determinism orderBy
+    // shuffle; the fact-fact join itself moves nothing
+    assert(countShuffles(p) == 2, s"expected agg + sort shuffles only:\n$p")
+    assert(p.contains("SelectedBucketsCount"),
+      s"scan is not bucket-aware:\n$p")
+  }
+
   test("gs02: store time-range scan prunes _date partitions") {
     val p = planString(q("gs02_time_range"))
     assert(p.contains("PartitionFilters: [isnotnull(_date"),

@@ -25,6 +25,10 @@ for t in TABLES:
     con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SFDIR}/{t}.parquet'")
 
 oracle = json.load(open(f"{OUT}/oracle_sql.json"))
+# optional 3rd arg: only check queries with this name prefix (matches
+# graft.Verify's prefix arg for single-query iteration)
+PREFIX = sys.argv[3] if len(sys.argv) > 3 else ""
+oracle = {k: v for k, v in oracle.items() if k.startswith(PREFIX)}
 fails = []
 for name, sql in sorted(oracle.items()):
     try:
