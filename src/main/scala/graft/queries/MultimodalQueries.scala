@@ -15,6 +15,11 @@ import graft.sources.Tables
   */
 object MultimodalQueries {
 
+  /** Injected mm02 row covering 2-byte (é, ö), 3-byte (—, ✓, 模) and 4-byte
+    * (🙂) UTF-8 code points — shared verbatim by the Spark query and the
+    * oracle SQL literal. */
+  private val MM02_UTF8_ROW = "héllo wörld — ünïcode ✓ 模型 🙂"
+
   val queries: Map[String, Q] = Map(
     // metadata-level stats over the binary column, grouped by modality
     "mm01_media_metadata" -> ((s, dir) => {
@@ -29,12 +34,15 @@ object MultimodalQueries {
     }),
 
     // full decode → feature-extract pipeline via typed mapPartitions.
-    // NOTE: the oracle replays the codec per CHARACTER (ascii codepoints),
-    // the engine per BYTE — equivalent only under the documents fixture's
-    // ASCII-only invariant (held by the generator). Arbitrary-byte handling
-    // is pinned separately by mm03, whose payloads are not text at all.
+    // The oracle replays the codec per BYTE (hex-decoding the UTF-8 blob),
+    // matching the engine exactly — and one multi-byte UTF-8 row (2/3/4-byte
+    // code points) is injected on both sides so the compare would catch any
+    // chars-vs-bytes confusion instead of hiding behind an ASCII fixture.
     "mm02_decoded_features" -> ((s, dir) => {
-      Multimodal.documentFeatures(s, fanout(Tables.table(s, dir, "documents")))
+      val base = Tables.table(s, dir, "documents").select(col("doc_id"), col("text"))
+      val extra = s.range(1).select(lit(1000003L).as("doc_id"),
+        lit(MM02_UTF8_ROW).as("text"))
+      Multimodal.documentFeatures(s, fanout(base.unionByName(extra)))
         .toDF()
         .select(col("media_id"), col("format"), col("n_bytes"), col("checksum"),
           col("mean_intensity"), col("n_frames").cast("long").as("n_frames"))
@@ -74,17 +82,27 @@ object MultimodalQueries {
         |  MIN(md5(text)) AS min_md5
         |FROM m GROUP BY format ORDER BY format""".stripMargin,
 
+    // BYTE-based replay: the payload is the UTF-8 blob, byte i is recovered
+    // from the hex dump (two hex digits per byte) — identical to the engine
+    // for any text, multi-byte code points included.
     "mm02_decoded_features" ->
-      """WITH m AS (
+      s"""WITH m AS (
         |  SELECT doc_id AS media_id,
         |    CASE WHEN doc_id % 3 = 0 THEN 'img'
         |         WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS format,
-        |    text, length(text) AS n
-        |  FROM documents),
+        |    hex(encode(text)) AS h, octet_length(encode(text)) AS n
+        |  FROM (SELECT doc_id, text FROM documents
+        |        UNION ALL SELECT 1000003, '$MM02_UTF8_ROW')),
         |d AS (
         |  SELECT media_id, format, n,
-        |    list_transform(range(1, n + 1), i -> xor(ascii(substr(text, i, 1)), 90)) AS decoded,
-        |    list_transform(range(1, n + 1, 4), i -> xor(ascii(substr(text, i, 1)), 90)) AS resized
+        |    list_transform(range(0, n), i -> xor(
+        |      16 * (strpos('0123456789ABCDEF', substr(h, CAST(2*i + 1 AS INT), 1)) - 1)
+        |         + strpos('0123456789ABCDEF', substr(h, CAST(2*i + 2 AS INT), 1)) - 1,
+        |      90)) AS decoded,
+        |    list_transform(range(0, n, 4), i -> xor(
+        |      16 * (strpos('0123456789ABCDEF', substr(h, CAST(2*i + 1 AS INT), 1)) - 1)
+        |         + strpos('0123456789ABCDEF', substr(h, CAST(2*i + 2 AS INT), 1)) - 1,
+        |      90)) AS resized
         |  FROM m)
         |SELECT media_id, format, CAST(n AS BIGINT) AS n_bytes,
         |  list_reduce(list_prepend(0::BIGINT, decoded),
