@@ -12,12 +12,14 @@ import org.apache.spark.sql.types.{DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Whole-document 64-bit SimHash as ONE per-row expression: lowercase +
-  * trim + whitespace-split, distinct tokens, md5 per token, majority vote
-  * per bit, emitted as the 16-hex-char signature.
+  * SQL trim (spaces only) + whitespace-split, distinct tokens, md5 per
+  * token, majority vote per bit, emitted as the 16-hex-char signature.
   *
   * Byte-identical to the dataflow formulation
   * `explode(array_distinct(split(trim(lower(text)), '\s+')))` → `md5(tok)`
-  * → 64 bit-sums → majority — but with NO row explosion and NO shuffle:
+  * → 64 bit-sums → majority — for ALL inputs, non-space whitespace at the
+  * edges included (SimHashSpec pins the equivalence) — but with NO row
+  * explosion and NO shuffle:
   * the signature is computed map-side in a single pass over each document,
   * so a SimHash pipeline's first shuffle is the (band, value) bucket join
   * itself. The token loop runs inside one eval call (CodegenFallback is
@@ -37,10 +39,18 @@ case class SimHashExpr(child: Expression)
 
   override def nullSafeEval(input: Any): Any = {
     val text = input.asInstanceOf[UTF8String].toString
-    // same pipeline as split(trim(lower(text)), '\s+'): Java split matches
-    // Spark's regex split for this pattern, including the [""] result on
-    // empty input
-    val toks = text.toLowerCase(Locale.ROOT).trim.split("\\s+")
+    // same pipeline as split(trim(lower(text)), '\s+') for EVERY input:
+    // SQL trim strips only ' ' (Java String.trim would also eat tabs/
+    // newlines), and the limit=-1 split keeps trailing empty tokens the way
+    // Spark's split does — so text edged with tabs/newlines hashes the same
+    // "" token here as in the dataflow formulation and the DuckDB oracle,
+    // instead of silently diverging on non-space whitespace.
+    val lowered = text.toLowerCase(Locale.ROOT)
+    var st = 0
+    var en = lowered.length
+    while (st < en && lowered.charAt(st) == ' ') st += 1
+    while (en > st && lowered.charAt(en - 1) == ' ') en -= 1
+    val toks = lowered.substring(st, en).split("\\s+", -1)
     val seen = new java.util.HashSet[String]()
     val md = SimHashExpr.digest.get()
     val sums = new Array[Int](64)

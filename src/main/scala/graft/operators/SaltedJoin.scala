@@ -25,7 +25,18 @@ object SaltedJoin {
 
   /** Equi-join `big ⋈ small` on `key`, salting `big` into `salts` sub-keys
     * and replicating `small` ×salts. Output = exactly the unsalted join's
-    * rows (the salt columns are internal and dropped). */
+    * rows (the salt columns are internal and dropped).
+    *
+    * NONDETERMINISM INVARIANT: `monotonically_increasing_id` depends on
+    * partition layout, so a task retry or a cache-evict-then-recompute can
+    * assign a row a DIFFERENT salt than an earlier attempt. This is safe
+    * here because the salt never reaches the output: every salt value joins
+    * against a full replica of `small`, so each big-side row produces the
+    * identical joined row whatever its salt — only which reducer does the
+    * work moves. The oracle (q23 ≡ unsalted join) and the distribution
+    * property test pin both halves of that claim. Do NOT reuse this salt as
+    * a persisted bucketing/partition key, where recompute-stability would
+    * matter — derive one from row content instead. */
   def join(big: DataFrame, small: DataFrame, key: String, salts: Int): DataFrame = {
     require(salts > 0, "salts must be positive")
     require(!big.columns.contains("__salt") && !small.columns.contains("__salt"),

@@ -22,23 +22,38 @@ import graft.GasPipeline
   */
 object GasStoreQueries {
 
-  /** Fixture day-file CSVs — absolute so the DuckDB oracle reads the same. */
-  val fixtureDir = "/root/repo/src/test/resources/gas"
+  /** Fixture day-file CSVs — absolute so the DuckDB oracle reads the same
+    * files (the oracle SQL embeds this value, so overriding the property
+    * moves BOTH sides consistently). */
+  val fixtureDir: String =
+    sys.props.getOrElse("graft.gas.fixture.dir", "/root/repo/src/test/resources/gas")
 
   /** Run the full batch pipeline into a temp store and read it back. The
-    * build is memoized per session — the fixture is static, so gs01-gs03
+    * build is memoized per session — the fixture is static, so gs01-gs05
     * (and repeated bench runs) share one pipeline execution and one temp
-    * dir instead of re-ingesting per query. */
-  private val built =
-    new java.util.concurrent.ConcurrentHashMap[SparkSession, String]()
+    * dir instead of re-ingesting per query. The memo is WEAK-keyed so a
+    * stopped session can be collected rather than pinned for the process
+    * lifetime, and each temp store registers a shutdown-hook delete. */
+  private val built = new java.util.WeakHashMap[SparkSession, String]()
   private def store(spark: SparkSession): DataFrame = {
-    val path = built.computeIfAbsent(spark, s => {
-      val work = Files.createTempDirectory("graft-gas-store")
-      GasPipeline.runBatch(s, fixtureDir, s"$work/store", s"$work/ledger")
-      s"$work/store"
-    })
+    val path = built.synchronized {
+      Option(built.get(spark)).getOrElse {
+        val work = Files.createTempDirectory("graft-gas-store")
+        deleteOnExit(work)
+        GasPipeline.runBatch(spark, fixtureDir, s"$work/store", s"$work/ledger")
+        built.put(spark, s"$work/store")
+        s"$work/store"
+      }
+    }
     spark.read.parquet(path)
   }
+
+  private def deleteOnExit(dir: java.nio.file.Path): Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      try Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+        .forEach { p => Files.deleteIfExists(p); () }
+      catch { case _: Throwable => () } // best-effort temp cleanup
+    }))
 
   val queries: Map[String, Q] = Map(
     // Q1/Q2: dashboard field filter over the long store

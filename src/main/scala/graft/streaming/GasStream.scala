@@ -130,20 +130,29 @@ object GasStream {
       .drop("b_measurement")
   }
 
-  /** Open-session state carried by [[closedSessions]] (event-time micros). */
+  /** One open session (event-time micros) inside [[OpenSessions]]. */
   case class SessionAgg(start: Long, end: Long, n: Long)
+
+  /** All of a key's still-open sessions, sorted by start. More than one can
+    * be open at once when late events arrive behind the newest session —
+    * each must stay joinable until the watermark seals it, so singletons
+    * can merge with each other and with later stragglers. The count is
+    * bounded by ⌈allowed lateness / gap⌉ + 1 (older events are dropped by
+    * the watermark), so state stays small per key. */
+  case class OpenSessions(sessions: Seq[SessionAgg])
 
   /** A finalized session emitted by [[closedSessions]]. */
   case class ClosedSession(_field: String, start_us: Long, end_us: Long, n_points: Long)
 
   /** Event-time sessionization with CLOSED-session emission via
     * `flatMapGroupsWithState` + `EventTimeTimeout` — the stateful surface
-    * `session_window` aggregation can't provide: sessions close (and emit
-    * exactly once, in append mode) either when a later event of the same
-    * key breaks the gap, or when the WATERMARK passes end + gap with no
-    * further events (the timeout path — a key that simply stops is still
-    * finalized). State per key is one open session record, so the store is
-    * bounded by key cardinality. */
+    * `session_window` aggregation can't provide. Every batch: sessionize
+    * the batch's (sorted) events, gap-merge the resulting list with the
+    * open-session state, then close exactly the sessions the WATERMARK has
+    * passed (end + gap ≤ watermark) — gap-broken sessions too wait for the
+    * watermark, so any admissible late event can still rejoin them; the
+    * timeout path runs the same closure for keys that simply stop. Each
+    * session emits exactly once, in append mode. */
   def closedSessions(long: DataFrame, gapMinutes: Int, watermark: String): DataFrame = {
     import long.sparkSession.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
@@ -154,45 +163,41 @@ object GasStream {
       // (projecting it to a long first would drop the watermark tag)
       .select(col("_field"), col("_time")).as[(String, java.sql.Timestamp)]
       .groupByKey(_._1)
-      .flatMapGroupsWithState[SessionAgg, ClosedSession](
+      .flatMapGroupsWithState[OpenSessions, ClosedSession](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout) {
         (field: String, rows: Iterator[(String, java.sql.Timestamp)],
-            state: GroupState[SessionAgg]) =>
-          if (state.hasTimedOut) {
-            val ses = state.get
-            state.remove()
-            Iterator.single(ClosedSession(field, ses.start, ses.end, ses.n))
-          } else {
-            // within one micro-batch, fold events in event-time order; a
-            // late (cross-batch) event may still precede the open session,
-            // so the merge works in both directions and extends `start`
-            // backwards when needed
-            val ts = rows.map(_._2.getTime * 1000L).toArray.sorted
-            val closed = Seq.newBuilder[ClosedSession]
-            var cur = state.getOption
-            ts.foreach { t =>
-              cur = cur match {
-                case Some(ses) if t > ses.end + gapUs =>
-                  closed += ClosedSession(field, ses.start, ses.end, ses.n)
-                  Some(SessionAgg(t, t, 1))
-                case Some(ses) if t < ses.start - gapUs =>
-                  // older than the open session's reach: its own session,
-                  // final immediately (the watermark admitted it, but any
-                  // event even older has already been dropped)
-                  closed += ClosedSession(field, t, t, 1L)
-                  Some(ses)
-                case Some(ses) =>
-                  Some(SessionAgg(math.min(ses.start, t), math.max(ses.end, t), ses.n + 1))
-                case None =>
-                  Some(SessionAgg(t, t, 1))
-              }
-            }
-            cur.foreach { ses =>
-              state.update(ses)
-              state.setTimeoutTimestamp((ses.end + gapUs) / 1000L) // ms
-            }
-            closed.result().iterator
+            state: GroupState[OpenSessions]) =>
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val prior = state.getOption.map(_.sessions).getOrElse(Seq.empty)
+          // sessionize this batch's events (empty on a pure timeout call)
+          val ts = rows.map(_._2.getTime * 1000L).toArray.sorted
+          val batch = Seq.newBuilder[SessionAgg]
+          var cur: SessionAgg = null
+          ts.foreach { t =>
+            if (cur == null) cur = SessionAgg(t, t, 1)
+            else if (t <= cur.end + gapUs)
+              cur = SessionAgg(cur.start, math.max(cur.end, t), cur.n + 1)
+            else { batch += cur; cur = SessionAgg(t, t, 1) }
           }
+          if (cur != null) batch += cur
+          // gap-merge the two sorted session lists (event counts add)
+          val merged = (prior ++ batch.result()).sortBy(_.start)
+            .foldLeft(List.empty[SessionAgg]) { (acc, s) =>
+              acc match {
+                case h :: t if s.start <= h.end + gapUs =>
+                  SessionAgg(h.start, math.max(h.end, s.end), h.n + s.n) :: t
+                case _ => s :: acc
+              }
+            }.reverse
+          val (closed, open) = merged.partition(s => s.end + gapUs <= wmUs)
+          if (open.isEmpty) state.remove()
+          else {
+            state.update(OpenSessions(open))
+            // fire when the oldest open session becomes sealable; > wm is
+            // guaranteed because sealable sessions were just closed
+            state.setTimeoutTimestamp((open.map(_.end).min + gapUs) / 1000L)
+          }
+          closed.iterator.map(s => ClosedSession(field, s.start, s.end, s.n))
       }
       .toDF()
   }

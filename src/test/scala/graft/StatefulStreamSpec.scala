@@ -105,6 +105,49 @@ class StatefulStreamSpec extends SparkSpec {
     assert(rows.contains(("A", us("2016-10-07 09:55:00"), us("2016-10-07 10:00:00"), 2L)))
   }
 
+  test("two late batch-mates within one gap merge into ONE session and stay joinable") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val long = input.toDF().toDF("_time", "_field", "_value")
+
+    val q = GasStream.closedSessions(long, gapMinutes = 30, watermark = "6 hours")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("late_pair_sessions").start()
+
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    def us(s: String) = ts(s).getTime * 1000L
+    // batch 1: the open "newest" session
+    input.addData((ts("2016-10-07 10:00:00"), "A", 1.0))
+    q.processAllAvailable()
+    // batch 2: TWO late events, both far behind the open session's reach but
+    // within the gap of each other — they must form one merged session, not
+    // two finalized singletons
+    input.addData(
+      (ts("2016-10-07 06:00:00"), "A", 1.0),
+      (ts("2016-10-07 06:20:00"), "A", 1.0))
+    q.processAllAvailable()
+    // batch 3: an even later straggler inside that pair's gap must REJOIN it
+    // (the old single-open-session design had already finalized the pair)
+    input.addData((ts("2016-10-07 06:40:00"), "A", 1.0))
+    q.processAllAvailable()
+    // advance the watermark far enough to seal everything
+    input.addData((ts("2016-10-08 12:00:00"), "B", 1.0))
+    q.processAllAvailable()
+    input.addData((ts("2016-10-09 12:00:00"), "B", 1.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.sql(
+      "SELECT _field, start_us, end_us, n_points FROM late_pair_sessions")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+
+    // one 3-point late session [06:00, 06:40], one 1-point session at 10:00
+    assert(rows.contains(("A", us("2016-10-07 06:00:00"), us("2016-10-07 06:40:00"), 3L)))
+    assert(rows.contains(("A", us("2016-10-07 10:00:00"), us("2016-10-07 10:00:00"), 1L)))
+    // and no spurious singleton fragments of the late pair
+    assert(!rows.exists(r => r._1 == "A" && r._4 == 1L && r._2 == us("2016-10-07 06:00:00")))
+  }
+
   test("streaming dedup drops redelivered points within the watermark horizon") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(java.sql.Timestamp, String, Double)]
