@@ -32,11 +32,20 @@ object ConnectedComponents {
     *         `label` is the minimum vertex id of the component
     */
   def minLabel(edges: DataFrame, maxIters: Int = 30): DataFrame = {
-    val sym = edges.select(col("src"), col("dst"))
-      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+    // the edge list joins against the labels EVERY iteration — cache the
+    // directed edges so the (possibly expensive) upstream pipeline producing
+    // them (an LSH band join, say) runs exactly once; the symmetrizing
+    // union then reads the cache twice per use instead of re-running the
+    // pipeline per direction per round
+    val directed = edges.select(col("src"), col("dst")).cache()
+    val sym = directed
+      .union(directed.select(col("dst").as("src"), col("src").as("dst")))
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
       .cache()
+    def labelSum(df: DataFrame): Long =
+      df.agg(coalesce(sum("label"), lit(0L))).first().getLong(0)
+    var prevSum = labelSum(labels) // also materializes the cache
     var converged = labels.isEmpty
     var it = 0
     while (!converged && it < maxIters) {
@@ -48,13 +57,16 @@ object ConnectedComponents {
         .select(col("id"),
           least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
         .cache()
-      val before = labels.agg(coalesce(sum("label"), lit(0L))).first().getLong(0)
-      val after = next.agg(coalesce(sum("label"), lit(0L))).first().getLong(0)
+      // labels only decrease: the sum is strictly smaller iff anything
+      // changed, so one scalar aggregate per round decides convergence
+      val curSum = labelSum(next)
       labels.unpersist()
       labels = next
-      converged = after == before
+      converged = curSum == prevSum
+      prevSum = curSum
       it += 1
     }
+    directed.unpersist()
     labels
   }
 }
