@@ -237,20 +237,37 @@ object VectorOps {
   private def lshCandidates(e: DataFrame, planes: Int, bands: Int,
       width: Int): DataFrame = {
     val mask = (1 << width) - 1
-    val sig = fanout(e).withColumn("sig", expr(s"graft_hsig(emb, $planes)"))
+    val sig = fanout(e).select(col("vec_id"),
+      expr(s"graft_hsig(emb, $planes)").as("sig"))
     val banded = sig
-      .select(col("vec_id"), col("emb"), col("norm"), col("sig"),
-        explode(expr(s"sequence(0, ${bands - 1})")).as("b"))
+      .select(col("vec_id"), explode(expr(s"sequence(0, ${bands - 1})")).as("b"),
+        col("sig"))
       .withColumn("bv", expr(s"shiftright(sig, $width * b) & $mask"))
-    val a = banded.select(col("b"), col("bv"), col("vec_id").as("vec_a"),
-      col("emb").as("emb_a"), col("norm").as("norm_a"))
-    val c = banded.select(col("b"), col("bv"), col("vec_id").as("vec_b"),
-      col("emb").as("emb_b"), col("norm").as("norm_b"))
-    a.join(c, Seq("b", "bv"))
+      .select(col("vec_id"), col("b"), col("bv"))
+    val a = banded.select(col("b"), col("bv"), col("vec_id").as("vec_a"))
+    val c = banded.select(col("b"), col("bv"), col("vec_id").as("vec_b"))
+    // dedup NARROW id-pairs (a pair colliding in k bands appears k times),
+    // and only then re-attach the embeddings for scoring: the multi-band
+    // fan-out and its distinct shuffle carry 16-byte keys, never the
+    // 64-double payloads — at scale the wide-row distinct was the whole
+    // query's cost (payload bytes × bands × bucket fan-out through one
+    // shuffle), and it grows linearly with the band count dial
+    val ids = a.join(c, Seq("b", "bv"))
       .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"))
+      .distinct()
+    // the embedding side is broadcast: the candidate list is orders of
+    // magnitude larger than the vector table, and a sort-merge join would
+    // sort the 10M+-pair list twice. (On a cluster where the vector table
+    // outgrows broadcast, drop the hint — the ids list shuffles on a
+    // 16-byte key, still never carrying payloads through the band fan-out.)
+    ids
+      .join(broadcast(e.select(col("vec_id").as("vec_a"), col("emb").as("emb_a"),
+        col("norm").as("norm_a"))), "vec_a")
+      .join(broadcast(e.select(col("vec_id").as("vec_b"), col("emb").as("emb_b"),
+        col("norm").as("norm_b"))), "vec_b")
       .select(col("vec_a"), col("vec_b"), col("emb_a"), col("emb_b"),
         col("norm_a"), col("norm_b"))
-      .distinct()
   }
 
   /** Candidates exact-scored (codegen'd `graft_dot`) and thresholded. */
