@@ -48,6 +48,29 @@ object GasStoreQueries {
     spark.read.parquet(path)
   }
 
+  /** The same store built by the STREAMING pipeline (AvailableNow +
+    * checkpoint-as-ledger, `graft.streaming.GasStream.pipeline`) instead of
+    * the batch one — memoized like [[store]]. gs06 queries it against the
+    * same raw-CSV oracle, which upgrades the streaming path from
+    * spec-verified to oracle-verified end-to-end: any divergence between
+    * the batch and streaming transform/unpivot/store stacks flips the
+    * compare red. */
+  private val builtStream = new java.util.WeakHashMap[SparkSession, String]()
+  private def streamStore(spark: SparkSession): DataFrame = {
+    val path = builtStream.synchronized {
+      Option(builtStream.get(spark)).getOrElse {
+        val work = Files.createTempDirectory("graft-gas-stream-store")
+        deleteOnExit(work)
+        graft.streaming.GasStream
+          .pipeline(spark, fixtureDir, s"$work/store", s"$work/ckpt")
+          .awaitTermination()
+        builtStream.put(spark, s"$work/store")
+        s"$work/store"
+      }
+    }
+    spark.read.parquet(path)
+  }
+
   private def deleteOnExit(dir: java.nio.file.Path): Unit =
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
       try Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
@@ -82,6 +105,18 @@ object GasStoreQueries {
       GasQueries.fieldFilter(store(s), "R7 (MOhm)")
         .select(unix_micros(col("_time")).as("t_us"), col("_field"), col("_value"))
         .orderBy(col("t_us"))),
+
+    // per-field corpus stats through the STREAMING-built store: the whole
+    // readStream → transform → unpivot → foreachBatch store path answers a
+    // query the oracle recomputes from the raw CSVs
+    "gs06_stream_field_stats" -> ((s, _) =>
+      streamStore(s)
+        .groupBy(col("_field"))
+        .agg(count(lit(1)).as("n_points"),
+          sumExact(col("_value")).as("total"),
+          min(col("_value")).as("min_value"),
+          max(col("_value")).as("max_value"))
+        .orderBy(col("_field"))),
 
     // U2 through the store: pivot the long model back to wide (Grafana
     // table view). The oracle is the RAW CSV rows themselves — matching
@@ -147,6 +182,16 @@ object GasStoreQueries {
     "gs05_resistance_variable" ->
       s"""$prelude
          |SELECT epoch_us(_time) AS t_us, 'R7 (MOhm)' AS _field, "R7 (MOhm)" AS _value
-         |FROM raw ORDER BY t_us""".stripMargin
+         |FROM raw ORDER BY t_us""".stripMargin,
+
+    "gs06_stream_field_stats" ->
+      s"""$prelude,
+         |u AS (
+         |  UNPIVOT (SELECT * EXCLUDE ("Time (s)", filename) FROM raw)
+         |  ON COLUMNS(* EXCLUDE (_time)) INTO NAME _field VALUE _value)
+         |SELECT _field, COUNT(*) AS n_points,
+         |  CAST(SUM(CAST(_value AS DECIMAL(18,6))) AS DOUBLE) AS total,
+         |  MIN(_value) AS min_value, MAX(_value) AS max_value
+         |FROM u GROUP BY _field ORDER BY _field""".stripMargin
   )
 }

@@ -88,4 +88,32 @@ object PropertySpec extends Properties("graft") {
       multiset(graft.operators.SaltedJoin.join(big, small, "k", salts)) ==
         multiset(big.join(small, Seq("k")))
     }
+
+  // the min-label fixpoint must equal brute-force union-find on ANY graph —
+  // chains, cycles, self-loops, duplicate edges, multiple components
+  property("connectedComponentsMatchUnionFind") =
+    Prop.forAll(Gen.listOfN(20,
+      Gen.zip(Gen.chooseNum(1L, 12L), Gen.chooseNum(1L, 12L)))) { edges =>
+      edges.isEmpty || {
+        val got = graft.operators.ConnectedComponents
+          .minLabel(edges.toDF("src", "dst"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val parent = scala.collection.mutable.Map[Long, Long]()
+        def find(x: Long): Long = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val verts = edges.flatMap { case (a, b) => Seq(a, b) }.distinct
+        // canonical id = min vertex of the component, on both sides
+        val expected = verts.map { v =>
+          val root = find(v)
+          v -> verts.filter(find(_) == root).min
+        }.toMap
+        got == expected
+      }
+    }
 }
