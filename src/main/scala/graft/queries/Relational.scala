@@ -28,23 +28,40 @@ object Relational {
     * co-located buckets and plans with no Exchange under the join — the
     * "daily fact ⋈ fact on the same key" pattern at 100 TB. Table names
     * carry a dir tag so two dirs in one session can't alias. */
+  // weak-keyed on the session (a stopped session must not be pinned for
+  // the process lifetime), with a per-session dir map inside and a
+  // shutdown-hook delete for the temp files — same lifecycle discipline as
+  // GasStoreQueries' store memo
   private val bucketedBuilt =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (String, String)]()
+    new java.util.WeakHashMap[SparkSession, collection.mutable.Map[String, (String, String)]]()
   private def bucketedTables(s: SparkSession, dir: String): (String, String) =
-    bucketedBuilt.computeIfAbsent((s, dir), { case (s, dir) =>
-      val tag = (dir.hashCode.toLong & 0xffffffffL).toString
-      val (liT, oT) = (s"graft_bkt_li_$tag", s"graft_bkt_o_$tag")
-      val work = java.nio.file.Files.createTempDirectory("graft-bucketed")
-      graft.store.BucketedStore.write(
-        t(s, dir, "lineitem").select(col("l_orderkey"), col("l_quantity"),
-          col("l_extendedprice")),
-        liT, s"$work/li", "l_orderkey", buckets = 8)
-      graft.store.BucketedStore.write(
-        t(s, dir, "orders").select(col("o_orderkey").as("l_orderkey"),
-          col("o_orderpriority")),
-        oT, s"$work/o", "l_orderkey", buckets = 8)
-      (liT, oT)
-    })
+    bucketedBuilt.synchronized {
+      val perDir = Option(bucketedBuilt.get(s)).getOrElse {
+        val m = collection.mutable.Map.empty[String, (String, String)]
+        bucketedBuilt.put(s, m)
+        m
+      }
+      perDir.getOrElseUpdate(dir, {
+        val tag = (dir.hashCode.toLong & 0xffffffffL).toString
+        val (liT, oT) = (s"graft_bkt_li_$tag", s"graft_bkt_o_$tag")
+        val work = java.nio.file.Files.createTempDirectory("graft-bucketed")
+        Runtime.getRuntime.addShutdownHook(new Thread(() => {
+          try java.nio.file.Files.walk(work)
+            .sorted(java.util.Comparator.reverseOrder())
+            .forEach { p => java.nio.file.Files.deleteIfExists(p); () }
+          catch { case _: Throwable => () } // best-effort temp cleanup
+        }))
+        graft.store.BucketedStore.write(
+          t(s, dir, "lineitem").select(col("l_orderkey"), col("l_quantity"),
+            col("l_extendedprice")),
+          liT, s"$work/li", "l_orderkey", buckets = 8)
+        graft.store.BucketedStore.write(
+          t(s, dir, "orders").select(col("o_orderkey").as("l_orderkey"),
+            col("o_orderpriority")),
+          oT, s"$work/o", "l_orderkey", buckets = 8)
+        (liT, oT)
+      })
+    }
 
   val queries: Map[String, Q] = Map(
     // -- aggregation (TPC-H Q1 shape): partial+final hash agg, 6-group output
