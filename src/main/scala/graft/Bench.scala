@@ -9,11 +9,24 @@ import org.apache.spark.sql.SparkSession
   * executes (a bare `.count()` would let Catalyst prune most of the work).
   * One warm-up action runs first so JVM/codegen warm-up isn't billed to the
   * first query.
+  *
+  * Args: `[--repeat N] [prefix]`. `--repeat N` (or SPARK_GRAFT_REPEAT) runs
+  * each query N times and records the BEST time: this host has documented
+  * hypervisor-steal windows (PLANS.md) that inflate a contiguous block of
+  * queries 3-18× in a single pass, and min-of-N is the standard way to
+  * measure the code rather than the noise. `prefix` restricts to queries
+  * whose name starts with it.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val (repeat, positional) = {
+      val i = args.indexOf("--repeat")
+      if (i >= 0 && i + 1 < args.length)
+        (args(i + 1).toInt, args.patch(i, Nil, 2))
+      else (sys.env.getOrElse("SPARK_GRAFT_REPEAT", "1").toInt, args)
+    }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -27,22 +40,39 @@ object Bench {
     // warm-up: JVM + codegen + parquet footer caches
     SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
 
-    // optional arg: only run queries whose name starts with the prefix
-    val selected = args.headOption match {
+    // optional positional arg: only queries whose name starts with the prefix
+    val selected = positional.headOption match {
       case Some(prefix) => SparkEntry.queries.filter(_._1.startsWith(prefix))
       case None => SparkEntry.queries
     }
-    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-        catch {
-          case e: Throwable =>
-            System.err.println(s"[bench] $name failed: ${e.getMessage}")
-            false
+    // best-of-N per query, whole-suite passes interleaved (pass 1 all
+    // queries, then pass 2, ...) so one steal window can't sit on the same
+    // query in every pass
+    val timings = collection.mutable.Map.empty[String, (Double, Boolean)]
+    for (pass <- 1 to math.max(repeat, 1)) {
+      selected.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+        val t0 = System.nanoTime()
+        val ok =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch {
+            case e: Throwable =>
+              System.err.println(s"[bench] $name failed: ${e.getMessage}")
+              false
+          }
+        val secs = (System.nanoTime() - t0) / 1e9
+        System.err.println(f"[bench] $name (pass $pass): $secs%.3f s")
+        val best = timings.get(name) match {
+          case Some((prev, prevOk)) =>
+            // a pass that crashed never records a (fast) time
+            if (ok && (!prevOk || secs < prev)) (secs, true)
+            else (prev, prevOk)
+          case None => (secs, ok)
         }
-      val secs = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[bench] $name: $secs%.3f s")
+        timings(name) = best
+      }
+    }
+    val results = selected.keys.toSeq.sorted.map { name =>
+      val (secs, ok) = timings(name)
       (name, secs, ok)
     }
     // a failed query is reported as -1, never as a (fast) success time

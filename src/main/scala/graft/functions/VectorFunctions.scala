@@ -92,7 +92,8 @@ case class HyperplaneSig(child: Expression, planes: Int = 16)
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case _ if planes < 1 || planes > 62 => TypeCheckResult.TypeCheckFailure(
-      s"graft_hsig plane count must be in 1..62, got $planes")
+      "graft_hsig plane count must be a foldable integer literal in 1..62" +
+        (if (planes >= 0) s", got $planes" else ""))
     case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
       s"graft_hsig expects array<double>, got ${other.simpleString}")
@@ -150,9 +151,26 @@ object VectorFunctions {
     * drift apart. */
   private[functions] val injectable = Seq[(String, Seq[Expression] => Expression)](
     "graft_dot" -> (exprs => DotProduct(exprs(0), exprs(1))),
-    // optional 2nd arg = plane count, a constant-foldable int literal
-    "graft_hsig" -> (exprs => HyperplaneSig(exprs(0),
-      exprs.lift(1).map(_.eval().asInstanceOf[Number].intValue).getOrElse(16))),
+    // optional 2nd arg = plane count. Guarded: only a foldable integral
+    // expression is eval()'d (there is no input row at build time) — a
+    // non-foldable or non-integral arg maps to planes = -1, which
+    // HyperplaneSig.checkInputDataTypes turns into a clean analysis-time
+    // TypeCheckFailure instead of a ClassCastException/NPE here.
+    "graft_hsig" -> (exprs => HyperplaneSig(exprs(0), exprs.lift(1) match {
+      case None => 16
+      case Some(e) if e.foldable && (e.dataType match {
+            case org.apache.spark.sql.types.ByteType |
+                 org.apache.spark.sql.types.ShortType |
+                 org.apache.spark.sql.types.IntegerType |
+                 org.apache.spark.sql.types.LongType => true
+            case _ => false
+          }) =>
+        e.eval() match {
+          case n: Number => n.intValue
+          case _ => -1 // foldable NULL literal
+        }
+      case Some(_) => -1
+    })),
     "graft_simhash" -> (exprs => SimHashExpr(exprs(0))))
 
   /** Register the native functions in the session's function registry

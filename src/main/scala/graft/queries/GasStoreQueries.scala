@@ -71,12 +71,9 @@ object GasStoreQueries {
     spark.read.parquet(path)
   }
 
+  // one process-wide hook drains every registered store — see TempDirs
   private def deleteOnExit(dir: java.nio.file.Path): Unit =
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      try Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
-        .forEach { p => Files.deleteIfExists(p); () }
-      catch { case _: Throwable => () } // best-effort temp cleanup
-    }))
+    graft.util.TempDirs.deleteOnExit(dir)
 
   val queries: Map[String, Q] = Map(
     // Q1/Q2: dashboard field filter over the long store

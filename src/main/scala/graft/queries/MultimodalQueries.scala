@@ -40,8 +40,13 @@ object MultimodalQueries {
     // chars-vs-bytes confusion instead of hiding behind an ASCII fixture.
     "mm02_decoded_features" -> ((s, dir) => {
       val base = Tables.table(s, dir, "documents").select(col("doc_id"), col("text"))
+      // 1000003: multi-byte UTF-8; 1000004: EMPTY text — exercises the
+      // zero-length decode branch (mean_intensity 0.0, 0 frames) that the
+      // oracle mirrors with COALESCE/NULLIF instead of a NULL division
       val extra = s.range(1).select(lit(1000003L).as("doc_id"),
         lit(MM02_UTF8_ROW).as("text"))
+        .unionByName(s.range(1).select(lit(1000004L).as("doc_id"),
+          lit("").as("text")))
       Multimodal.documentFeatures(s, fanout(base.unionByName(extra)))
         .toDF()
         .select(col("media_id"), col("format"), col("n_bytes"), col("checksum"),
@@ -92,7 +97,8 @@ object MultimodalQueries {
         |         WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS format,
         |    hex(encode(text)) AS h, octet_length(encode(text)) AS n
         |  FROM (SELECT doc_id, text FROM documents
-        |        UNION ALL SELECT 1000003, '$MM02_UTF8_ROW')),
+        |        UNION ALL SELECT 1000003, '$MM02_UTF8_ROW'
+        |        UNION ALL SELECT 1000004, '')),
         |d AS (
         |  SELECT media_id, format, n,
         |    list_transform(range(0, n), i -> xor(
@@ -107,7 +113,8 @@ object MultimodalQueries {
         |SELECT media_id, format, CAST(n AS BIGINT) AS n_bytes,
         |  list_reduce(list_prepend(0::BIGINT, decoded),
         |    (acc, c) -> (acc * 31 + c) % 1000000007) AS checksum,
-        |  CAST(list_sum(resized) AS DOUBLE) / len(resized) AS mean_intensity,
+        |  COALESCE(CAST(list_sum(resized) AS DOUBLE) / NULLIF(len(resized), 0),
+        |           0.0) AS mean_intensity,
         |  CASE WHEN format = 'video'
         |       THEN (CAST(CEIL(n / 64.0) AS BIGINT) + 1) // 2
         |       ELSE 1 END AS n_frames
@@ -128,7 +135,8 @@ object MultimodalQueries {
         |SELECT media_id, format, CAST(n AS BIGINT) AS n_bytes,
         |  list_reduce(list_prepend(0::BIGINT, decoded),
         |    (acc, c) -> (acc * 31 + c) % 1000000007) AS checksum,
-        |  CAST(list_sum(resized) AS DOUBLE) / len(resized) AS mean_intensity,
+        |  COALESCE(CAST(list_sum(resized) AS DOUBLE) / NULLIF(len(resized), 0),
+        |           0.0) AS mean_intensity,
         |  CASE WHEN format = 'video'
         |       THEN (CAST(CEIL(n / 64.0) AS BIGINT) + 1) // 2
         |       ELSE 1 END AS n_frames

@@ -42,15 +42,14 @@ object Relational {
         m
       }
       perDir.getOrElseUpdate(dir, {
-        val tag = (dir.hashCode.toLong & 0xffffffffL).toString
+        // full md5 hex of the dir, not String.hashCode: a 32-bit hash of two
+        // distinct dirs in one session could collide and silently overwrite
+        // the first dir's tables
+        val tag = java.security.MessageDigest.getInstance("MD5")
+          .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
         val (liT, oT) = (s"graft_bkt_li_$tag", s"graft_bkt_o_$tag")
         val work = java.nio.file.Files.createTempDirectory("graft-bucketed")
-        Runtime.getRuntime.addShutdownHook(new Thread(() => {
-          try java.nio.file.Files.walk(work)
-            .sorted(java.util.Comparator.reverseOrder())
-            .forEach { p => java.nio.file.Files.deleteIfExists(p); () }
-          catch { case _: Throwable => () } // best-effort temp cleanup
-        }))
+        graft.util.TempDirs.deleteOnExit(work)
         graft.store.BucketedStore.write(
           t(s, dir, "lineitem").select(col("l_orderkey"), col("l_quantity"),
             col("l_extendedprice")),
@@ -289,15 +288,27 @@ object Relational {
         .orderBy(col("win_start"))
     }),
 
-    // -- approximate distinct (HLL sketch). No DuckDB oracle: HLL estimates
-    // are engine-specific; the driver records a rows-only check. The exact
-    // counterpart is q09_distinct_stats.
+    // -- approximate distinct (HLL sketch). The sketch VALUE is
+    // engine-specific, but sketch ACCURACY is checkable: the exact distinct
+    // count runs alongside in-engine and the output carries
+    // `|approx - exact| / exact <= 0.05` booleans (0.05 = Spark's default
+    // HLL++ rsd). The DuckDB oracle computes the same exact counts and
+    // asserts the same booleans from its side — deterministic and
+    // hash-matchable, so a broken sketch flips the compare red instead of
+    // sailing through a rows-only check. Exact counterpart: q09.
     "q19_approx_distinct" -> ((s, dir) =>
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(
           approx_count_distinct(col("l_partkey")).as("approx_parts"),
-          approx_count_distinct(col("l_suppkey")).as("approx_supps"))
+          approx_count_distinct(col("l_suppkey")).as("approx_supps"),
+          countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"))
+        .select(col("l_returnflag"), col("n_parts"), col("n_supps"),
+          (abs(col("approx_parts") - col("n_parts")).cast("double")
+            <= col("n_parts") * 0.05).as("parts_within_tol"),
+          (abs(col("approx_supps") - col("n_supps")).cast("double")
+            <= col("n_supps") * 0.05).as("supps_within_tol"))
         .orderBy(col("l_returnflag"))),
 
     // -- full cube (all 4 grouping sets; completes §2.4 next to q08's rollup)
@@ -399,23 +410,37 @@ object Relational {
         .orderBy(col("l_returnflag"))),
 
     // -- approximate percentiles (bounded-memory sketch): the 100 TB path —
-    // constant state per group regardless of group size. Like q19's HLL the
-    // estimate is engine-specific, so no DuckDB oracle (rows-only check);
-    // q24 is the exact counterpart. The quartile array is projected to three
-    // scalar columns so the driver's rows/schema check can sort the frame.
-    "q25_approx_percentiles" -> ((s, dir) =>
+    // constant state per group regardless of group size; q24 is the exact
+    // counterpart. Like q19 the sketch VALUE is engine-specific but its
+    // ACCURACY is not: the exact percentiles run alongside and the output
+    // carries `|approx - exact| <= max(1.0, 2% of exact)` booleans (at
+    // accuracy 10000 the sketch's rank error is 1e-4, far inside that band;
+    // the 1.0 floor covers integer-valued l_quantity where the exact
+    // interpolated quantile can sit between two attainable data values).
+    // The oracle recomputes the exact side and asserts the same booleans.
+    "q25_approx_percentiles" -> ((s, dir) => {
+      def ok(approx: org.apache.spark.sql.Column,
+             exact: org.apache.spark.sql.Column) =
+        abs(approx - exact) <= greatest(lit(1.0), abs(exact) * 0.02)
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(
           expr("approx_percentile(l_quantity, array(0.25, 0.5, 0.75), 10000)")
-            .as("qty_quartiles"),
-          expr("approx_percentile(l_extendedprice, 0.9, 10000)").as("price_p90"))
+            .as("aq"),
+          expr("approx_percentile(l_extendedprice, 0.9, 10000)").as("ap90"),
+          expr("percentile(l_quantity, array(0.25, 0.5, 0.75))").as("eq"),
+          expr("percentile(l_extendedprice, 0.9)").as("ep90"))
         .select(col("l_returnflag"),
-          element_at(col("qty_quartiles"), 1).as("qty_p25"),
-          element_at(col("qty_quartiles"), 2).as("qty_p50"),
-          element_at(col("qty_quartiles"), 3).as("qty_p75"),
-          col("price_p90"))
-        .orderBy(col("l_returnflag"))),
+          round(element_at(col("eq"), 1), 6).as("qty_p25"),
+          round(element_at(col("eq"), 2), 6).as("qty_p50"),
+          round(element_at(col("eq"), 3), 6).as("qty_p75"),
+          round(col("ep90"), 6).as("price_p90"),
+          ok(element_at(col("aq"), 1), element_at(col("eq"), 1)).as("p25_within_tol"),
+          ok(element_at(col("aq"), 2), element_at(col("eq"), 2)).as("p50_within_tol"),
+          ok(element_at(col("aq"), 3), element_at(col("eq"), 3)).as("p75_within_tol"),
+          ok(col("ap90"), col("ep90")).as("p90_within_tol"))
+        .orderBy(col("l_returnflag"))
+    }),
 
     // -- array function gallery (sort/distinct/slice/contains/position/
     // reverse over split words; complements q15's scalar gallery). Arrays
@@ -644,6 +669,32 @@ object Relational {
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    // exact counts computed by DuckDB independently; the within_tol booleans
+    // are asserted TRUE — if Spark's sketch drifts past tolerance its FALSE
+    // hash-mismatches here (rsd 0.05 = Spark's default HLL++ precision)
+    "q19_approx_distinct" ->
+      """SELECT l_returnflag,
+        |  COUNT(DISTINCT l_partkey) AS n_parts,
+        |  COUNT(DISTINCT l_suppkey) AS n_supps,
+        |  TRUE AS parts_within_tol,
+        |  TRUE AS supps_within_tol
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // exact percentiles recomputed via quantile_cont (same (n-1)p linear
+    // interpolation as Spark `percentile`); the sketch-accuracy booleans are
+    // asserted TRUE — a broken t-digest flips them FALSE on the Spark side
+    "q25_approx_percentiles" ->
+      """SELECT l_returnflag,
+        |  ROUND(quantile_cont(l_quantity, 0.25), 6) AS qty_p25,
+        |  ROUND(quantile_cont(l_quantity, 0.5), 6) AS qty_p50,
+        |  ROUND(quantile_cont(l_quantity, 0.75), 6) AS qty_p75,
+        |  ROUND(quantile_cont(l_extendedprice, 0.9), 6) AS price_p90,
+        |  TRUE AS p25_within_tol,
+        |  TRUE AS p50_within_tol,
+        |  TRUE AS p75_within_tol,
+        |  TRUE AS p90_within_tol
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q24_percentiles" ->
       """SELECT l_returnflag,

@@ -33,4 +33,18 @@ class ConnectedComponentsSpec extends SparkSpec {
   test("empty edge list yields an empty labelling") {
     assert(labelsOf(Seq.empty) == Map.empty)
   }
+
+  test("iteration cap exit is reported as non-convergence, fixpoint as convergence") {
+    // a 12-vertex path needs ~11 propagation rounds; maxIters=3 must exit
+    // via the cap and SAY so (partial labels would otherwise silently
+    // under-merge a dedup built on them)
+    val path = (1L to 11L).map(i => (i, i + 1))
+    val capped = ConnectedComponents
+      .minLabelWithStats(path.toDF("src", "dst"), maxIters = 3)
+    assert(!capped.converged && capped.iterations == 3)
+
+    val full = ConnectedComponents.minLabelWithStats(path.toDF("src", "dst"))
+    assert(full.converged)
+    assert(full.labels.collect().map(_.getLong(1)).toSet == Set(1L))
+  }
 }
