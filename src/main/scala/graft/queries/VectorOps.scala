@@ -143,6 +143,43 @@ object VectorOps {
           round(col("n_hit").cast("double") / col("n_exact"), 6))
     }),
 
+    // HIGH-recall ANN point completing the recall/cost curve
+    // (v04 0.512 → v07 0.936 → v08 ≥0.95): v07's 60-plane/15-band pipeline
+    // plus MULTI-PROBE — each band also probes its four 1-bit-flip
+    // neighbour buckets, lifting per-band collision from p⁴ to
+    // p⁴ + 4p³(1-p) with zero extra data at rest and no new shuffle
+    // stages (the probe fan-out lives only inside the existing
+    // (band, value) exchange). n_cand is the cost column: pairs
+    // exact-scored, the price of the last recall decile.
+    "v08_ann_recall_probe" -> ((s, dir) => {
+      graft.functions.VectorFunctions.register(s)
+      val e = emb(s, dir).filter(expr("vec_id % 3 = 0"))
+      val a = e.select(col("vec_id").as("vec_a"), col("emb").as("emb_a"),
+        col("norm").as("norm_a"))
+      val b = e.select(col("vec_id").as("vec_b"), col("emb").as("emb_b"),
+        col("norm").as("norm_b"))
+      val exact = a.crossJoin(broadcast(b))
+        .filter(col("vec_a") < col("vec_b"))
+        .withColumn("sim",
+          round(expr("graft_dot(emb_a, emb_b)") / (col("norm_a") * col("norm_b")), 6))
+        .filter(col("sim") >= 0.3)
+        .select(col("vec_a"), col("vec_b"))
+      val cand = lshCandidates(e, planes = 60, bands = 15, width = 4,
+        multiProbe = true)
+      val lsh = cand
+        .withColumn("sim",
+          round(expr("graft_dot(emb_a, emb_b)") / (col("norm_a") * col("norm_b")), 6))
+        .filter(col("sim") >= 0.3)
+        .select(col("vec_a"), col("vec_b"))
+      val hit = lsh.join(exact, Seq("vec_a", "vec_b"), "left_semi")
+      exact.agg(count(lit(1)).as("n_exact"))
+        .crossJoin(cand.agg(count(lit(1)).as("n_cand")))
+        .crossJoin(lsh.agg(count(lit(1)).as("n_lsh")))
+        .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+        .withColumn("recall",
+          round(col("n_hit").cast("double") / col("n_exact"), 6))
+    }),
+
     // IVF (inverted-file) ANN — the other classic scale path next to LSH
     // (v03): a coarse quantizer (per-label centroids, the same aggregate as
     // v02, rounded so it is bit-identical across engines/partitionings)
@@ -233,9 +270,20 @@ object VectorOps {
     * in the corpus. (planes, bands) is the recall/cost dial: each extra
     * band adds one more chance for a true pair to collide, at linearly more
     * shuffle volume — v04 measures the 16/4-band baseline, v07 the
-    * 60/15-band production configuration. */
+    * 60/15-band production configuration, v08 adds MULTI-PROBE on top.
+    *
+    * `multiProbe`: one side of the bucket join additionally emits each band
+    * value with every single bit flipped, so a pair collides in a band when
+    * its band values differ by Hamming ≤ 1 (vs exactly 0). This is the
+    * classic multi-probe LSH trade: per-band collision probability jumps
+    * from p^w to p^w + w·p^(w-1)(1-p) with NO new shuffle stages and no
+    * extra data at rest — the probe fan-out (width+1 rows per band) exists
+    * only inside the one (band, value)-keyed exchange, and the pair list
+    * it feeds still carries 16-byte ids only. The ordered `vec_a < vec_b`
+    * filter keeps the asymmetric join exhaustive: a Hamming-1 pair (x, y)
+    * always collides as (exact x, probe y). */
   private def lshCandidates(e: DataFrame, planes: Int, bands: Int,
-      width: Int): DataFrame = {
+      width: Int, multiProbe: Boolean = false): DataFrame = {
     val mask = (1 << width) - 1
     val sig = fanout(e).select(col("vec_id"),
       expr(s"graft_hsig(emb, $planes)").as("sig"))
@@ -245,7 +293,15 @@ object VectorOps {
       .withColumn("bv", expr(s"shiftright(sig, $width * b) & $mask"))
       .select(col("vec_id"), col("b"), col("bv"))
     val a = banded.select(col("b"), col("bv"), col("vec_id").as("vec_a"))
-    val c = banded.select(col("b"), col("bv"), col("vec_id").as("vec_b"))
+    val probed =
+      if (!multiProbe) banded
+      else (0 until width).foldLeft(banded) { (acc, k) =>
+        // explicit unions, not a transform() lambda: HOFs run interpreted
+        // and this sits on the fan-out hot path
+        acc.union(banded.select(col("vec_id"), col("b"),
+          col("bv").bitwiseXOR(lit(1 << k)).as("bv")))
+      }
+    val c = probed.select(col("b"), col("bv"), col("vec_id").as("vec_b"))
     // dedup NARROW id-pairs (a pair colliding in k bands appears k times),
     // and only then re-attach the embeddings for scoring: the multi-band
     // fan-out and its distinct shuffle carry 16-byte keys, never the
@@ -368,6 +424,45 @@ object VectorOps {
         |          FROM s, range(0, 15) t(b)),
         |p AS (SELECT DISTINCT a.vec_id AS vec_a, c.vec_id AS vec_b
         |      FROM bands a JOIN bands c ON a.b = c.b AND a.bv = c.bv AND a.vec_id < c.vec_id),
+        |lsh AS (SELECT vec_a, vec_b
+        |        FROM (SELECT vec_a, vec_b,
+        |                round(list_dot_product(ea.emb, eb.emb) / (ea.norm * eb.norm), 6) AS sim
+        |              FROM p JOIN e ea ON ea.vec_id = vec_a JOIN e eb ON eb.vec_id = vec_b)
+        |        WHERE sim >= 0.3),
+        |exact AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+        |          FROM e a, e b
+        |          WHERE a.vec_id < b.vec_id
+        |            AND round(list_dot_product(a.emb, b.emb) / (a.norm * b.norm), 6) >= 0.3),
+        |hit AS (SELECT vec_a, vec_b FROM lsh l WHERE EXISTS
+        |  (SELECT 1 FROM exact x WHERE x.vec_a = l.vec_a AND x.vec_b = l.vec_b))
+        |SELECT (SELECT COUNT(*) FROM exact) AS n_exact,
+        |  (SELECT COUNT(*) FROM p) AS n_cand,
+        |  (SELECT COUNT(*) FROM lsh) AS n_lsh,
+        |  (SELECT COUNT(*) FROM hit) AS n_hit,
+        |  ROUND(CAST((SELECT COUNT(*) FROM hit) AS DOUBLE)
+        |      / (SELECT COUNT(*) FROM exact), 6) AS recall""".stripMargin,
+
+    // v07's replay plus a `probes` CTE (band values ∪ their four 1-bit
+    // flips) on one join side — Hamming ≤ 1 band collisions, same as the
+    // engine's multi-probe
+    "v08_ann_recall_probe" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS emb,
+        |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+        |  FROM embeddings WHERE vec_id % 3 = 0),
+        |s AS (SELECT vec_id, emb, norm,
+        |  CAST(list_sum(list_transform(range(0, 60), i ->
+        |    CASE WHEN list_sum(list_transform(range(0, 64), j ->
+        |      emb[CAST(j + 1 AS INT)] * ((73856093::BIGINT * (i + 1) * (j + 7)) % 2001 - 1000)))
+        |    >= 0 THEN (1::BIGINT << CAST(i AS INT)) ELSE 0 END)) AS BIGINT) AS sig FROM e),
+        |bands AS (SELECT vec_id, b, (sig >> CAST(4 * b AS INT)) & 15 AS bv
+        |          FROM s, range(0, 15) t(b)),
+        |probes AS (SELECT vec_id, b, bv FROM bands
+        |           UNION ALL
+        |           SELECT vec_id, b, xor(bv, 1 << CAST(k AS INT)) AS bv
+        |           FROM bands, range(0, 4) f(k)),
+        |p AS (SELECT DISTINCT a.vec_id AS vec_a, c.vec_id AS vec_b
+        |      FROM bands a JOIN probes c ON a.b = c.b AND a.bv = c.bv AND a.vec_id < c.vec_id),
         |lsh AS (SELECT vec_a, vec_b
         |        FROM (SELECT vec_a, vec_b,
         |                round(list_dot_product(ea.emb, eb.emb) / (ea.norm * eb.norm), 6) AS sim
