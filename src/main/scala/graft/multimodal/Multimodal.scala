@@ -17,10 +17,15 @@ import org.apache.spark.sql.functions._
   *  - outputs are flat typed columns so downstream filters/aggregations are
   *    codegen'd Catalyst again.
   *
-  * The codec itself is STUBBED: this container has no image/audio libs, so
-  * [[FakeCodec]] is a deterministic stand-in (documented as such). Swapping
-  * in a real JNI/ImageIO codec changes only that object — the schema,
-  * partitioning and batch shape stay identical.
+  * Two codec tiers share that batch shape:
+  *  - [[graft.multimodal.MediaCodecs]] — REAL pure-JVM parsers for public
+  *    container formats (24-bpp BMP, RIFF/WAVE PCM), used by the mm04 path
+  *    ([[syntheticContainers]] → [[decodeContainers]]);
+  *  - [[FakeCodec]] — a deterministic stand-in for formats that genuinely
+  *    need native libraries (JPEG/MP3/video), kept for mm02/mm03 so the
+  *    binary plumbing is exercised with arbitrary bytes. Swapping in a JNI
+  *    codec changes only that object — schema, partitioning and batch shape
+  *    stay identical.
   */
 object Multimodal {
 
@@ -116,5 +121,87 @@ object Multimodal {
   def documentFeatures(spark: SparkSession, docs: DataFrame): Dataset[MediaFeatures] = {
     import spark.implicits._
     extractFeatures(mediaFromDocuments(docs).as[MediaRecord])
+  }
+
+  // --------------------------------------------------------------------
+  // REAL container path (mm04): genuine BMP / WAV bytes through the same
+  // typed mapPartitions shape, decoded by graft.multimodal.MediaCodecs.
+  // --------------------------------------------------------------------
+
+  /** An opaque media container: just an id and bytes — the decoder learns
+    * everything else (format included) from the bytes themselves. */
+  case class Container(media_id: Long, payload: Array[Byte])
+
+  case class ContainerFeatures(
+      media_id: Long,
+      format: String,       // sniffed from magic bytes, not carried metadata
+      n_bytes: Long,        // full container size (headers + padding + data)
+      width: Long, height: Long,   // BMP dims; 0 for audio
+      sample_rate: Long,    // WAV fmt-chunk rate; 0 for images
+      n_samples: Long,      // decoded content units (channel bytes / samples)
+      checksum: Long,       // ordered fold over decoded content
+      mean_val: Double)     // mean decoded value
+
+  /** Synthesize REAL containers on the executors: even ids become 24-bpp
+    * BMPs (varying width ⇒ row padding 0–3 bytes), odd ids become RIFF/WAVE
+    * PCM with a JUNK chunk (odd lengths ⇒ RIFF pad byte) before `data`.
+    * Content follows closed-form byte formulas so an oracle can replay the
+    * *decoded* values arithmetically without parsing anything:
+    *   BMP  m: w=4+m%5, h=3+m%4, channel j = (m*31 + j) mod 256 (top-down BGR)
+    *   WAV  m: n=32+m%64, sample i = (m*131 + i*17) mod 65536 as signed i16,
+    *           junk length 5+m%3
+    */
+  def syntheticContainers(docs: DataFrame): Dataset[Container] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.map { m =>
+        val payload =
+          if (m % 2 == 0) {
+            val w = (4 + m % 5).toInt
+            val h = (3 + m % 4).toInt
+            val channels = Array.tabulate(w * h * 3)(j => ((m * 31 + j) % 256).toInt)
+            MediaCodecs.Bmp.write(w, h, channels)
+          } else {
+            val n = (32 + m % 64).toInt
+            val samples = Array.tabulate(n)(i => ((m * 131 + i * 17) % 65536).toShort)
+            MediaCodecs.Wav.write(16000, samples, junkLen = (5 + m % 3).toInt)
+          }
+        Container(m, payload)
+      }
+    }
+  }
+
+  /** Partition-parallel REAL decode: sniff the container magic, parse with
+    * the genuine header/chunk parser, emit flat features. Any parse slip —
+    * row order, padding, chunk offsets, sample sign — changes checksum or
+    * mean and is caught by the formula-replaying oracle. */
+  def decodeContainers(media: Dataset[Container]): Dataset[ContainerFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { c =>
+        val b = c.payload
+        if (b.length >= 2 && b(0) == 'B' && b(1) == 'M') {
+          val img = MediaCodecs.Bmp.parse(b)
+          var sum = 0L; var chk = 0L; var i = 0
+          while (i < img.channels.length) {
+            val v = img.channels(i)
+            sum += v; chk = (chk * 31 + v) % 1000000007L; i += 1
+          }
+          ContainerFeatures(c.media_id, "img", b.length.toLong,
+            img.width.toLong, img.height.toLong, 0L, img.channels.length.toLong,
+            chk, sum.toDouble / img.channels.length)
+        } else {
+          val audio = MediaCodecs.Wav.parse(b)
+          var sum = 0L; var chk = 0L; var i = 0
+          while (i < audio.samples.length) {
+            val s = audio.samples(i)
+            sum += s; chk = (chk * 31 + (s & 0xffff)) % 1000000007L; i += 1
+          }
+          ContainerFeatures(c.media_id, "audio", b.length.toLong,
+            0L, 0L, audio.sampleRate.toLong, audio.samples.length.toLong,
+            chk, sum.toDouble / audio.samples.length)
+        }
+      }
+    }
   }
 }

@@ -67,6 +67,20 @@ object MultimodalQueries {
         .select(col("media_id"), col("format"), col("n_bytes"), col("checksum"),
           col("mean_intensity"), col("n_frames").cast("long").as("n_frames"))
         .orderBy(col("media_id"))
+    }),
+
+    // REAL codec end-to-end: genuine BMP (bottom-up rows, 4-byte padding)
+    // and RIFF/WAVE (chunk walk past a JUNK chunk, odd-size pad byte)
+    // containers are synthesized on the executors, then decoded by the real
+    // header/chunk parsers in graft.multimodal.MediaCodecs. The oracle
+    // replays the CONTENT formulas only — it never parses a byte — so any
+    // parser slip (row flip, padding read as pixels, fixed-offset data,
+    // sample sign) diverges and flips the compare red.
+    "mm04_container_decode" -> ((s, dir) => {
+      Multimodal.decodeContainers(
+          Multimodal.syntheticContainers(fanout(Tables.table(s, dir, "documents"))))
+        .toDF()
+        .orderBy(col("media_id"))
     })
   )
 
@@ -140,6 +154,49 @@ object MultimodalQueries {
         |  CASE WHEN format = 'video'
         |       THEN (CAST(CEIL(n / 64.0) AS BIGINT) + 1) // 2
         |       ELSE 1 END AS n_frames
-        |FROM d ORDER BY media_id""".stripMargin
+        |FROM d ORDER BY media_id""".stripMargin,
+
+    // Replays the mm04 content formulas arithmetically (never parses bytes):
+    //   BMP m: w=4+m%5, h=3+m%4, channel j = (m*31+j)%256;
+    //          container size = 54 + h*rowstride, rowstride = ceil(3w/4)*4
+    //   WAV m: n=32+m%64, u16 sample i = (m*131+i*17)%65536 (signed for the
+    //          mean, raw u16 for the checksum); container size = 44 + junk
+    //          chunk (8 + 5+m%3 rounded up to even) + 2n
+    "mm04_container_decode" ->
+      """WITH m AS (SELECT doc_id AS media_id FROM documents),
+        |bmp AS (
+        |  SELECT media_id, 4 + media_id % 5 AS w, 3 + media_id % 4 AS h
+        |  FROM m WHERE media_id % 2 = 0),
+        |bmpd AS (
+        |  SELECT media_id, 'img' AS format,
+        |    CAST(54 + h * ((3*w + 3) // 4 * 4) AS BIGINT) AS n_bytes,
+        |    CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |    0::BIGINT AS sample_rate,
+        |    CAST(w*h*3 AS BIGINT) AS n_samples,
+        |    list_reduce(list_prepend(0::BIGINT,
+        |      list_transform(range(0, w*h*3), j -> (media_id*31 + j) % 256)),
+        |      (acc, v) -> (acc*31 + v) % 1000000007) AS checksum,
+        |    CAST(list_sum(list_transform(range(0, w*h*3),
+        |      j -> (media_id*31 + j) % 256)) AS DOUBLE) / (w*h*3) AS mean_val
+        |  FROM bmp),
+        |wav AS (
+        |  SELECT media_id, 32 + media_id % 64 AS n, 5 + media_id % 3 AS junk
+        |  FROM m WHERE media_id % 2 = 1),
+        |wavd AS (
+        |  SELECT media_id, 'audio' AS format,
+        |    CAST(44 + 8 + junk + junk % 2 + 2*n AS BIGINT) AS n_bytes,
+        |    0::BIGINT AS width, 0::BIGINT AS height,
+        |    16000::BIGINT AS sample_rate,
+        |    CAST(n AS BIGINT) AS n_samples,
+        |    list_reduce(list_prepend(0::BIGINT,
+        |      list_transform(range(0, n), i -> (media_id*131 + i*17) % 65536)),
+        |      (acc, v) -> (acc*31 + v) % 1000000007) AS checksum,
+        |    CAST(list_sum(list_transform(range(0, n), i ->
+        |      CASE WHEN (media_id*131 + i*17) % 65536 >= 32768
+        |           THEN (media_id*131 + i*17) % 65536 - 65536
+        |           ELSE (media_id*131 + i*17) % 65536 END)) AS DOUBLE) / n AS mean_val
+        |  FROM wav)
+        |SELECT * FROM bmpd
+        |UNION ALL SELECT * FROM wavd ORDER BY media_id""".stripMargin
   )
 }
