@@ -91,6 +91,11 @@ object ConnectedComponents {
       it += 1
     }
     directed.unpersist()
+    // one stderr line per run: iteration count == component diameter is the
+    // quantity the scale-up experiment tracks (PLANS.md) — a corpus whose
+    // duplicate chains lengthen would show up here before it shows up in time
+    System.err.println(
+      s"[graft] ConnectedComponents.minLabel: converged=$converged after $it rounds")
     if (!converged)
       // loud, not silent: callers building a dedup verdict on a partial
       // labelling would otherwise under-merge with no signal anywhere

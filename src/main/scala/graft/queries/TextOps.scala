@@ -321,6 +321,46 @@ object TextOps {
           "cast((length(clean) - length(replace(clean, '<IP>', ''))) div 4 as long) AS n_ip",
           "md5(cast(clean as binary)) AS clean_md5")
         .orderBy(col("doc_id"))
+    }),
+
+    // Approximate token frequency via a COUNT-MIN SKETCH, expressed
+    // relationally: d=4 hash rows × w=256 buckets. Each token occurrence
+    // emits its 4 (seed, bucket) cells map-side (bucket = first byte of
+    // md5(seed:token), explicit named_structs — codegen'd, no interpreted
+    // HOF on the hot path); the sketch is ONE groupBy over a key domain
+    // bounded at d×w = 1024 cells, so partial aggregation collapses any
+    // corpus to 1024 rows per task before the shuffle. That bounded state
+    // is the 100 TB story: exact vocabulary counting shuffles |vocab| keys
+    // (billions for web corpora), the sketch shuffles 1024 regardless.
+    // Estimates are min over the 4 cells (never under-counts; over-counts
+    // by collision mass). The top-20-by-exact comparison side is the
+    // accuracy diagnostic: both engines build the identical sketch, so
+    // n_est and overcount hash-match exactly.
+    "tx15_cms_heavy_hitters" -> ((s, dir) => {
+      val toks = fanout(docs(s, dir)).select(explode(expr(tokExpr)).as("token"))
+      val cellStructs = (0 until 4).map(j =>
+        s"named_struct('seed', $j, 'bucket', cast(conv(substr(md5(cast(concat('$j', ':', token) as binary)), 1, 2), 16, 10) as int))")
+        .mkString(", ")
+      val cells = toks
+        .selectExpr(s"inline(array($cellStructs))")
+        .groupBy(col("seed"), col("bucket"))
+        .agg(count(lit(1)).as("cnt"))
+      val exact = toks.groupBy(col("token")).agg(count(lit(1)).as("n_exact"))
+      // top-k by exact count: orderBy+limit plans TakeOrderedAndProject
+      // (per-partition top-k, no global sort); the row_number below then
+      // ranks a 20-row local frame
+      val top = exact.orderBy(col("n_exact").desc, col("token")).limit(20)
+        .withColumn("rnk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("n_exact").desc, col("token"))).cast("long"))
+      top.selectExpr("rnk", "token", "n_exact", s"inline(array($cellStructs))")
+        .join(broadcast(cells), Seq("seed", "bucket"))
+        .groupBy(col("rnk"), col("token"), col("n_exact"))
+        .agg(min(col("cnt")).as("n_est"))
+        .withColumn("overcount", (col("n_est") - col("n_exact")).cast("long"))
+        .select(col("rnk"), col("token"), col("n_exact"), col("n_est"),
+          col("overcount"))
+        .orderBy(col("rnk"))
     })
   )
 
@@ -553,6 +593,39 @@ object TextOps {
          |  GROUP BY c.doc_id)
          |SELECT d.doc_id, canonical_id, canonical_id IS NULL AS is_kept
          |FROM documents d LEFT JOIN canon USING (doc_id)
-         |ORDER BY d.doc_id""".stripMargin
+         |ORDER BY d.doc_id""".stripMargin,
+
+    // identical count-min sketch replay: same md5-derived (seed, bucket)
+    // cells (bucket = first md5 byte via nibble arithmetic), same min-over-
+    // rows estimate, so n_est/overcount match the engine bit-for-bit
+    "tx15_cms_heavy_hitters" ->
+      s"""WITH toks AS (SELECT unnest($dTok) AS token FROM documents),
+         |cell AS (
+         |  SELECT j::VARCHAR AS js, md5(j::VARCHAR || ':' || token) AS h
+         |  FROM toks, range(0, 4) t(j)),
+         |cells AS (
+         |  SELECT js, 16 * (strpos('0123456789abcdef', substr(h, 1, 1)) - 1)
+         |            + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) AS bucket,
+         |    COUNT(*) AS cnt
+         |  FROM cell GROUP BY 1, 2),
+         |exact AS (SELECT token, COUNT(*) AS n_exact FROM toks GROUP BY token),
+         |top AS (SELECT token, n_exact,
+         |    ROW_NUMBER() OVER (ORDER BY n_exact DESC, token) AS rnk
+         |  FROM exact ORDER BY n_exact DESC, token LIMIT 20),
+         |probe AS (
+         |  SELECT rnk, token, n_exact, j::VARCHAR AS js,
+         |    md5(j::VARCHAR || ':' || token) AS h
+         |  FROM top, range(0, 4) t(j)),
+         |est AS (
+         |  SELECT rnk, token, n_exact, MIN(cnt) AS n_est
+         |  FROM (SELECT rnk, token, n_exact, js,
+         |          16 * (strpos('0123456789abcdef', substr(h, 1, 1)) - 1)
+         |          + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) AS bucket
+         |        FROM probe) p
+         |  JOIN cells USING (js, bucket)
+         |  GROUP BY rnk, token, n_exact)
+         |SELECT CAST(rnk AS BIGINT) AS rnk, token, n_exact, n_est,
+         |  n_est - n_exact AS overcount
+         |FROM est ORDER BY rnk""".stripMargin
   )
 }

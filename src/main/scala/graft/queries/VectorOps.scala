@@ -180,6 +180,22 @@ object VectorOps {
           round(col("n_hit").cast("double") / col("n_exact"), 6))
     }),
 
+    // The PRODUCTION near-dup pair query at the measured-1.0-recall
+    // configuration (v08's dial: 60 planes / 15×4-bit bands + 1-bit
+    // multi-probe), over the FULL corpus — what a user actually ships
+    // once the v04→v07→v08 curve has picked the operating point. Unlike
+    // v07/v08 (recall DIAGNOSTICS, whose exact ground-truth side is a
+    // deliberately-quadratic sampled cross join), this is the linear-scale
+    // pipeline alone: map-side signatures, one (band, value)-keyed
+    // shuffle, id-only candidate dedup, broadcast payload re-attach,
+    // codegen'd exact scoring. This is also the query the 32×/64×
+    // scale-up experiment times (PLANS.md).
+    "v09_ann_pairs_hi" -> ((s, dir) => {
+      graft.functions.VectorFunctions.register(s)
+      lshPairs(emb(s, dir), planes = 60, bands = 15, width = 4,
+        multiProbe = true).orderBy(col("vec_a"), col("vec_b"))
+    }),
+
     // IVF (inverted-file) ANN — the other classic scale path next to LSH
     // (v03): a coarse quantizer (per-label centroids, the same aggregate as
     // v02, rounded so it is bit-identical across engines/partitionings)
@@ -328,8 +344,8 @@ object VectorOps {
 
   /** Candidates exact-scored (codegen'd `graft_dot`) and thresholded. */
   private def lshPairs(e: DataFrame, planes: Int = 16, bands: Int = 4,
-      width: Int = 4): DataFrame =
-    lshCandidates(e, planes, bands, width)
+      width: Int = 4, multiProbe: Boolean = false): DataFrame =
+    lshCandidates(e, planes, bands, width, multiProbe)
       .withColumn("sim",
         round(expr("graft_dot(emb_a, emb_b)") / (col("norm_a") * col("norm_b")), 6))
       .filter(col("sim") >= 0.3)
@@ -480,6 +496,31 @@ object VectorOps {
         |  (SELECT COUNT(*) FROM hit) AS n_hit,
         |  ROUND(CAST((SELECT COUNT(*) FROM hit) AS DOUBLE)
         |      / (SELECT COUNT(*) FROM exact), 6) AS recall""".stripMargin,
+
+    // v08's signature/probe replay over the FULL corpus, emitting the
+    // thresholded pair list itself (the production output)
+    "v09_ann_pairs_hi" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS emb,
+        |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+        |  FROM embeddings),
+        |s AS (SELECT vec_id, emb, norm,
+        |  CAST(list_sum(list_transform(range(0, 60), i ->
+        |    CASE WHEN list_sum(list_transform(range(0, 64), j ->
+        |      emb[CAST(j + 1 AS INT)] * ((73856093::BIGINT * (i + 1) * (j + 7)) % 2001 - 1000)))
+        |    >= 0 THEN (1::BIGINT << CAST(i AS INT)) ELSE 0 END)) AS BIGINT) AS sig FROM e),
+        |bands AS (SELECT vec_id, b, (sig >> CAST(4 * b AS INT)) & 15 AS bv
+        |          FROM s, range(0, 15) t(b)),
+        |probes AS (SELECT vec_id, b, bv FROM bands
+        |           UNION ALL
+        |           SELECT vec_id, b, xor(bv, 1 << CAST(k AS INT)) AS bv
+        |           FROM bands, range(0, 4) f(k)),
+        |p AS (SELECT DISTINCT a.vec_id AS vec_a, c.vec_id AS vec_b
+        |      FROM bands a JOIN probes c ON a.b = c.b AND a.bv = c.bv AND a.vec_id < c.vec_id),
+        |x AS (SELECT vec_a, vec_b,
+        |        round(list_dot_product(ea.emb, eb.emb) / (ea.norm * eb.norm), 6) AS sim
+        |      FROM p JOIN e ea ON ea.vec_id = vec_a JOIN e eb ON eb.vec_id = vec_b)
+        |SELECT vec_a, vec_b, sim FROM x WHERE sim >= 0.3 ORDER BY vec_a, vec_b""".stripMargin,
 
     "v05_ivf_ann" ->
       """WITH e AS (
