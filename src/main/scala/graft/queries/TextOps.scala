@@ -361,6 +361,39 @@ object TextOps {
         .select(col("rnk"), col("token"), col("n_exact"), col("n_est"),
           col("overcount"))
         .orderBy(col("rnk"))
+    }),
+
+    // TF-IDF keyword extraction — the classic corpus-statistics text op:
+    // tf = in-doc term count, idf = ln(N/df), top-3 terms per doc by
+    // tf·idf (ties to the lexicographically first term). Pipeline shape at
+    // 100 TB: ONE (doc_id, token)-keyed hash aggregate builds tf (map-side
+    // partial combine collapses repeats before the shuffle); df is a second
+    // aggregate over the already-|doc×distinct-token|-sized tf frame keyed
+    // on token; the tf⋈df join shuffles on token (vocab-sized, far below
+    // corpus-sized — broadcast instead if the vocab is capped); the final
+    // per-doc top-3 is one window on doc_id. Nothing ever carries text
+    // payloads past the first explode. Numerics: idf's ln sees the exact
+    // IEEE quotient N/df (≤ |docs| distinct inputs) and tf·idf is rounded
+    // at 6 dp before ranking, so both engines rank identically.
+    "tx16_tfidf_keywords" -> ((s, dir) => {
+      val tf = fanout(docs(s, dir))
+        .select(col("doc_id"), explode(expr(tokExpr)).as("token"))
+        .filter(col("token") =!= "")
+        .groupBy(col("doc_id"), col("token"))
+        .agg(count(lit(1)).as("tf"))
+      val n = tf.agg(countDistinct(col("doc_id")).as("n_docs"))
+      val dfr = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+        .orderBy(col("tfidf").desc, col("token"))
+      tf.join(dfr, "token")
+        .crossJoin(broadcast(n))
+        .withColumn("tfidf",
+          round(col("tf").cast("double") *
+            log(col("n_docs").cast("double") / col("df").cast("double")), 6))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 3)
+        .select(col("doc_id"), col("rnk"), col("token"), col("tfidf"))
+        .orderBy(col("doc_id"), col("rnk"))
     })
   )
 
@@ -626,6 +659,23 @@ object TextOps {
          |  GROUP BY rnk, token, n_exact)
          |SELECT CAST(rnk AS BIGINT) AS rnk, token, n_exact, n_est,
          |  n_est - n_exact AS overcount
-         |FROM est ORDER BY rnk""".stripMargin
+         |FROM est ORDER BY rnk""".stripMargin,
+
+    "tx16_tfidf_keywords" ->
+      s"""WITH tf AS (
+         |  SELECT doc_id, tok AS token, COUNT(*) AS tf
+         |  FROM (SELECT doc_id, unnest($dTok) AS tok FROM documents)
+         |  WHERE tok <> '' GROUP BY doc_id, tok),
+         |n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM tf),
+         |dfr AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+         |x AS (
+         |  SELECT tf.doc_id, tf.token,
+         |    ROUND(CAST(tf.tf AS DOUBLE)
+         |      * ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)), 6) AS tfidf
+         |  FROM tf JOIN dfr USING (token), n),
+         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+         |        ORDER BY tfidf DESC, token) AS rnk FROM x)
+         |SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, token, tfidf
+         |FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin
   )
 }

@@ -188,6 +188,72 @@ object TimeSeries {
           col("dv") / (col("dt_us").cast("double") / 1000000.0))
         .select(col("user_id"), col("ts_us"), col("event_id"), col("rate_per_s"))
         .orderBy(col("user_id"), col("ts_us"), col("event_id"))
+    }),
+
+    // Flux `timeWeightedAvg` / `integral`: per field, each observation is
+    // weighted by the time until the NEXT observation (last-observation-
+    // carried-forward segments, the Influx definition). One lead window +
+    // one hash aggregate — a single shuffle on the field key. Numerics:
+    // value is exact at scale 6, dt_us is an exact long, so the per-segment
+    // weight value·dt_us is an EXACT decimal product and the sum is
+    // order-independent; the only float ops are the two final divisions
+    // (single correctly-rounded IEEE ops, bit-identical across engines).
+    "ts11_time_weighted_avg" -> ((s, dir) => {
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("ts_us"), col("event_id"))
+      ev(s, dir)
+        .withColumn("ts_us", unix_micros(col("ts")))
+        .withColumn("dt_us", lead(col("ts_us"), 1).over(w) - col("ts_us"))
+        .filter(col("dt_us").isNotNull)
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n_segments"),
+          sum(sumExactCol(col("value")) * col("dt_us")).as("wsum"),
+          sum(col("dt_us")).as("span_us"))
+        .select(col("event_type"), col("n_segments"),
+          (col("span_us").cast("double") / lit(1000000.0)).as("span_s"),
+          (col("wsum").cast("double") / col("span_us").cast("double")).as("twa"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Flux `interpolate.linear`: ts07's hourly spine, but missing buckets
+    // get the LINEAR blend of the bracketing observations instead of the
+    // previous value — v0 + (v1−v0)·(t−t0)/(t1−t0); buckets outside the
+    // first/last observation stay NULL (nothing to bracket). Two window
+    // passes over the spine (backward carry + forward carry) on the same
+    // (field, bucket) ordering — same single-shuffle shape as ts07. The
+    // blend is three IEEE ops on exact inputs (the fraction's operands are
+    // exact longs), so both engines emit identical bits.
+    "ts12_interpolate_linear" -> ((s, dir) => {
+      val hourly = ev(s, dir)
+        .groupBy(date_trunc("hour", col("ts")).as("bucket"), col("event_type"))
+        .agg(round(avgExact(col("value")), 6).as("v"))
+      val spine = hourly.groupBy(col("event_type"))
+        .agg(min(col("bucket")).as("mn"), max(col("bucket")).as("mx"))
+        .select(col("event_type"),
+          explode(expr("sequence(mn, mx, INTERVAL 1 HOUR)")).as("bucket"))
+      val wb = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wf = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      spine.join(hourly, Seq("event_type", "bucket"), "left")
+        .withColumn("t_us", unix_micros(col("bucket")))
+        .withColumn("pv", last(col("v"), ignoreNulls = true).over(wb))
+        .withColumn("pt",
+          last(when(col("v").isNotNull, col("t_us")), ignoreNulls = true).over(wb))
+        .withColumn("nv", first(col("v"), ignoreNulls = true).over(wf))
+        .withColumn("nt",
+          first(when(col("v").isNotNull, col("t_us")), ignoreNulls = true).over(wf))
+        .withColumn("v_interp",
+          when(col("v").isNotNull, col("v"))
+            .when(col("pv").isNotNull && col("nv").isNotNull,
+              col("pv") + (col("nv") - col("pv")) *
+                ((col("t_us") - col("pt")).cast("double") /
+                  (col("nt") - col("pt")).cast("double"))))
+        .withColumn("interpolated", col("v").isNull)
+        .select(date_format(col("bucket"), "yyyy-MM-dd HH:mm:ss").as("bucket"),
+          col("event_type"), col("v"), col("v_interp"), col("interpolated"))
+        .orderBy(col("event_type"), col("bucket"))
     })
   )
 
@@ -290,6 +356,48 @@ object TimeSeries {
         |SELECT user_id, ts_us, event_id,
         |  dv / (CAST(dt_us AS DOUBLE) / 1000000.0) AS rate_per_s
         |FROM d WHERE dt_us IS NOT NULL AND dt_us > 0
-        |ORDER BY user_id, ts_us, event_id""".stripMargin
+        |ORDER BY user_id, ts_us, event_id""".stripMargin,
+
+    "ts11_time_weighted_avg" ->
+      """WITH t AS (
+        |  SELECT event_type, epoch_us(ts) AS ts_us, value,
+        |    lead(epoch_us(ts)) OVER (PARTITION BY event_type
+        |      ORDER BY epoch_us(ts), event_id) - epoch_us(ts) AS dt_us
+        |  FROM events)
+        |SELECT event_type, COUNT(*) AS n_segments,
+        |  CAST(SUM(dt_us) AS DOUBLE) / 1000000.0 AS span_s,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6)) * dt_us) AS DOUBLE)
+        |    / CAST(SUM(dt_us) AS DOUBLE) AS twa
+        |FROM t WHERE dt_us IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "ts12_interpolate_linear" ->
+      """WITH hourly AS (
+        |  SELECT date_trunc('hour', ts) AS bucket, event_type,
+        |    ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS v
+        |  FROM events GROUP BY bucket, event_type),
+        |rng AS (SELECT event_type, MIN(bucket) AS mn, MAX(bucket) AS mx
+        |        FROM hourly GROUP BY event_type),
+        |spine AS (SELECT event_type, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS bucket
+        |          FROM rng),
+        |j AS (SELECT s.event_type, s.bucket, epoch_us(s.bucket) AS t_us, h.v
+        |      FROM spine s LEFT JOIN hourly h ON s.event_type = h.event_type AND s.bucket = h.bucket),
+        |x AS (SELECT *,
+        |    last_value(v IGNORE NULLS) OVER wb AS pv,
+        |    last_value(CASE WHEN v IS NOT NULL THEN t_us END IGNORE NULLS) OVER wb AS pt,
+        |    first_value(v IGNORE NULLS) OVER wf AS nv,
+        |    first_value(CASE WHEN v IS NOT NULL THEN t_us END IGNORE NULLS) OVER wf AS nt
+        |  FROM j
+        |  WINDOW wb AS (PARTITION BY event_type ORDER BY bucket
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |         wf AS (PARTITION BY event_type ORDER BY bucket
+        |           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket, event_type, v,
+        |  CASE WHEN v IS NOT NULL THEN v
+        |       WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+        |         pv + (nv - pv) * (CAST(t_us - pt AS DOUBLE) / CAST(nt - pt AS DOUBLE))
+        |  END AS v_interp,
+        |  v IS NULL AS interpolated
+        |FROM x ORDER BY event_type, bucket""".stripMargin
   )
 }

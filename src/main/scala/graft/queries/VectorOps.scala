@@ -196,6 +196,29 @@ object VectorOps {
         multiProbe = true).orderBy(col("vec_a"), col("vec_b"))
     }),
 
+    // EMBEDDING-COSINE NEAR-DUP DEDUP — the vector-side twin of tx14: v09's
+    // production pair list (cosine ≥ 0.3 through the measured-1.0-recall
+    // multi-probe LSH dial) collapsed to transitive duplicate groups by
+    // ConnectedComponents, so a chain of embedding near-dups A~B~C maps to
+    // ONE canonical vector even when A and C never share a bucket. This is
+    // the semantic-dedup pass of an LLM data pipeline (drop paraphrases /
+    // re-encodings that string-level MinHash can't see). Cost on top of v09:
+    // 2-3 label-propagation rounds over the (vec_id, label) frame — two
+    // vertex-keyed shuffles of two longs per round, nothing corpus-sized.
+    "v10_embedding_dedup" -> ((s, dir) => {
+      graft.functions.VectorFunctions.register(s)
+      val pairs = lshPairs(emb(s, dir), planes = 60, bands = 15, width = 4,
+        multiProbe = true)
+        .select(col("vec_a").as("src"), col("vec_b").as("dst"))
+      val comp = graft.operators.ConnectedComponents.minLabel(pairs)
+      emb(s, dir).select(col("vec_id"))
+        .join(comp.select(col("id").as("vec_id"), col("label")), Seq("vec_id"), "left")
+        .withColumn("canonical_id", coalesce(col("label"), col("vec_id")))
+        .withColumn("is_kept", col("canonical_id") === col("vec_id"))
+        .select(col("vec_id"), col("canonical_id"), col("is_kept"))
+        .orderBy(col("vec_id"))
+    }),
+
     // IVF (inverted-file) ANN — the other classic scale path next to LSH
     // (v03): a coarse quantizer (per-label centroids, the same aggregate as
     // v02, rounded so it is bit-identical across engines/partitionings)
@@ -521,6 +544,44 @@ object VectorOps {
         |        round(list_dot_product(ea.emb, eb.emb) / (ea.norm * eb.norm), 6) AS sim
         |      FROM p JOIN e ea ON ea.vec_id = vec_a JOIN e eb ON eb.vec_id = vec_b)
         |SELECT vec_a, vec_b, sim FROM x WHERE sim >= 0.3 ORDER BY vec_a, vec_b""".stripMargin,
+
+    // v09's pair replay + transitive closure to the per-component minimum
+    // id (same WITH RECURSIVE reachability shape as tx14's oracle), left
+    // joined back so singleton vectors keep themselves
+    "v10_embedding_dedup" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS emb,
+        |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+        |  FROM embeddings),
+        |s AS (SELECT vec_id, emb, norm,
+        |  CAST(list_sum(list_transform(range(0, 60), i ->
+        |    CASE WHEN list_sum(list_transform(range(0, 64), j ->
+        |      emb[CAST(j + 1 AS INT)] * ((73856093::BIGINT * (i + 1) * (j + 7)) % 2001 - 1000)))
+        |    >= 0 THEN (1::BIGINT << CAST(i AS INT)) ELSE 0 END)) AS BIGINT) AS sig FROM e),
+        |bands AS (SELECT vec_id, b, (sig >> CAST(4 * b AS INT)) & 15 AS bv
+        |          FROM s, range(0, 15) t(b)),
+        |probes AS (SELECT vec_id, b, bv FROM bands
+        |           UNION ALL
+        |           SELECT vec_id, b, xor(bv, 1 << CAST(k AS INT)) AS bv
+        |           FROM bands, range(0, 4) f(k)),
+        |p AS (SELECT DISTINCT a.vec_id AS vec_a, c.vec_id AS vec_b
+        |      FROM bands a JOIN probes c ON a.b = c.b AND a.bv = c.bv AND a.vec_id < c.vec_id),
+        |pairs AS (SELECT vec_a AS src, vec_b AS dst
+        |          FROM (SELECT vec_a, vec_b,
+        |                  round(list_dot_product(ea.emb, eb.emb) / (ea.norm * eb.norm), 6) AS sim
+        |                FROM p JOIN e ea ON ea.vec_id = vec_a JOIN e eb ON eb.vec_id = vec_b)
+        |          WHERE sim >= 0.3),
+        |sym AS (SELECT src, dst FROM pairs UNION ALL SELECT dst, src FROM pairs),
+        |verts AS (SELECT DISTINCT src AS id FROM sym),
+        |reach(id, r) AS (
+        |  SELECT id, id FROM verts
+        |  UNION
+        |  SELECT sm.src, reach.r FROM sym sm JOIN reach ON sm.dst = reach.id),
+        |comp AS (SELECT id, MIN(r) AS label FROM reach GROUP BY id)
+        |SELECT em.vec_id, COALESCE(comp.label, em.vec_id) AS canonical_id,
+        |  COALESCE(comp.label, em.vec_id) = em.vec_id AS is_kept
+        |FROM embeddings em LEFT JOIN comp ON comp.id = em.vec_id
+        |ORDER BY em.vec_id""".stripMargin,
 
     "v05_ivf_ann" ->
       """WITH e AS (
