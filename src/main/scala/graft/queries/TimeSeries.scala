@@ -254,6 +254,34 @@ object TimeSeries {
         .select(date_format(col("bucket"), "yyyy-MM-dd HH:mm:ss").as("bucket"),
           col("event_type"), col("v"), col("v_interp"), col("interpolated"))
         .orderBy(col("event_type"), col("bucket"))
+    }),
+
+    // Flux `increase()`: monotonic-counter total per series. Each step
+    // contributes (v − prev) when the counter moved forward, or v itself
+    // when v < prev — the Influx reset rule: a decrease means the counter
+    // restarted from 0, so the whole new value is growth. The running total
+    // never decreases, which is what makes it safe to `derivative` or
+    // downsample afterwards. One lag window + one running sum over the same
+    // (series, time) ordering — a single shuffle on the series key, exactly
+    // ts09's shape. Numerics: contributions are exact decimals (value has
+    // ≤ 2 fractional digits), so the running sum is order-independent and
+    // the final cast to double is one deterministic conversion per row.
+    "ts13_increase" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+      val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev(s, dir)
+        .withColumn("ts_us", unix_micros(col("ts")))
+        .withColumn("prev", lag(sumExactCol(col("value")), 1).over(w))
+        .withColumn("contrib",
+          when(col("prev").isNull, lit(null))
+            .when(sumExactCol(col("value")) >= col("prev"),
+              sumExactCol(col("value")) - col("prev"))
+            .otherwise(sumExactCol(col("value"))))
+        .withColumn("increase",
+          coalesce(sum(col("contrib")).over(run), lit(0)).cast("double"))
+        .select(col("user_id"), col("ts_us"), col("event_id"), col("value"),
+          col("increase"))
+        .orderBy(col("user_id"), col("ts_us"), col("event_id"))
     })
   )
 
@@ -398,6 +426,25 @@ object TimeSeries {
         |         pv + (nv - pv) * (CAST(t_us - pt AS DOUBLE) / CAST(nt - pt AS DOUBLE))
         |  END AS v_interp,
         |  v IS NULL AS interpolated
-        |FROM x ORDER BY event_type, bucket""".stripMargin
+        |FROM x ORDER BY event_type, bucket""".stripMargin,
+
+    "ts13_increase" ->
+      """WITH w AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, event_id, value,
+        |    lag(CAST(value AS DECIMAL(18,6))) OVER
+        |      (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev
+        |  FROM events),
+        |c AS (SELECT *,
+        |    CASE WHEN prev IS NULL THEN NULL
+        |         WHEN CAST(value AS DECIMAL(18,6)) >= prev
+        |           THEN CAST(value AS DECIMAL(18,6)) - prev
+        |         ELSE CAST(value AS DECIMAL(18,6)) END AS contrib
+        |  FROM w)
+        |SELECT user_id, ts_us, event_id, value,
+        |  CAST(COALESCE(SUM(contrib) OVER
+        |    (PARTITION BY user_id ORDER BY ts_us, event_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS DOUBLE)
+        |    AS increase
+        |FROM c ORDER BY user_id, ts_us, event_id""".stripMargin
   )
 }

@@ -21,6 +21,24 @@ class EdgeCaseSpec extends SparkSpec {
     assert(got == Set(2.0))
   }
 
+  test("ts13 increase applies the Influx counter-reset rule") {
+    // counter goes 10 → 12 → 5 → 6: the 12→5 step is a reset, so the Influx
+    // rule credits the whole new value (5) as growth, never a negative step
+    val dir = java.nio.file.Files.createTempDirectory("graft-ts13")
+    graft.util.TempDirs.deleteOnExit(dir)
+    Seq(
+      (1L, 1000000000L, 7L, "counter", 10.0, "{}"),
+      (2L, 2000000000L, 7L, "counter", 12.0, "{}"),
+      (3L, 3000000000L, 7L, "counter", 5.0, "{}"),
+      (4L, 4000000000L, 7L, "counter", 6.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = SparkEntry.queries("ts13_increase")(spark, dir.toString)
+      .select("event_id", "increase").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == Map(1L -> 0.0, 2L -> 2.0, 3L -> 7.0, 4L -> 8.0))
+  }
+
   test("as-of join with an empty right side yields all-null carried columns") {
     val left = Seq((1L, 10L, "a"), (2L, 20L, "b")).toDF("k", "t", "lv")
     val right = Seq.empty[(Long, Long, String)].toDF("k", "t", "rv")
