@@ -394,6 +394,79 @@ object TextOps {
         .filter(col("rnk") <= 3)
         .select(col("doc_id"), col("rnk"), col("token"), col("tfidf"))
         .orderBy(col("doc_id"), col("rnk"))
+    }),
+
+    // Corpus-level boilerplate detection (the CCNet/RefinedWeb paragraph-
+    // dedup shape, adapted to newline-free text): documents are cut into
+    // NON-overlapping 10-token chunks, chunk frequency is counted across
+    // the whole corpus, and each doc reports how much of it is made of
+    // chunks that also appear in at least one OTHER document — the signal
+    // used to strip headers/footers/navigation from crawl data.
+    // Scale shape: the global frequency shuffle carries (md5, doc_id) pairs
+    // only — 48 bytes/chunk regardless of chunk text — keyed on a uniform
+    // 128-bit hash (no skew); the re-join probes the SAME exchange (AQE
+    // reuse), and the per-doc rollup is one partial+final hash aggregate
+    // on doc_id. Nothing is ever O(corpus²).
+    "tx17_boilerplate_chunks" -> ((s, dir) => {
+      val chunks = fanout(docs(s, dir))
+        .selectExpr("doc_id", s"$tokExpr AS tk")
+        // guard before sequence(): Spark's sequence(1, 0) steps DOWN
+        .where(expr("size(tk) >= 10"))
+        .selectExpr("doc_id",
+          """explode(transform(sequence(1, size(tk) div 10),
+            |  i -> md5(cast(concat_ws(' ', slice(tk, (i-1)*10 + 1, 10)) as binary)))) AS ch""".stripMargin)
+      val freq = chunks.groupBy(col("ch"))
+        .agg(countDistinct(col("doc_id")).as("ndocs"))
+      val per = chunks.join(freq, "ch")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("ndocs") >= 2, 1L).otherwise(0L)).as("dup_chunks"))
+      docs(s, dir).select(col("doc_id")).join(per, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
+          coalesce(col("dup_chunks"), lit(0L)).as("dup_chunks"),
+          // exact-long division: one IEEE op, bit-identical on both engines
+          (coalesce(col("dup_chunks"), lit(0L)).cast("double") /
+            greatest(coalesce(col("n_chunks"), lit(0L)), lit(1L)).cast("double"))
+            .as("dup_frac"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Benchmark decontamination (the PaLM/GPT-3 eval-overlap rule): a doc
+    // is flagged when ≥5% of its sliding 8-token n-grams appear in the
+    // benchmark set. Benchmark here = the deterministic 5% slice
+    // doc_id % 20 = 0 (standing in for an eval suite — chosen so the
+    // fixture's near-dup pairs actually straddle the split and the overlap
+    // counts are non-degenerate); scan side = all
+    // other docs. Scale shape: real benchmark suites are tiny and FIXED,
+    // so the gram set is distinct-reduced then BROADCAST — the scan side's
+    // grams never shuffle at all (map-side probe + partial per-doc counts);
+    // the only exchange is the final per-doc rollup on doc_id. This is the
+    // decontamination plan that survives 100 TB: corpus-side work is
+    // embarrassingly parallel, benchmark-side state is O(eval suite).
+    "tx18_decontaminate" -> ((s, dir) => {
+      val grams = fanout(docs(s, dir))
+        .selectExpr("doc_id", s"$tokExpr AS tk")
+        .where(expr("size(tk) >= 8"))
+        .selectExpr("doc_id",
+          """explode(transform(sequence(1, size(tk) - 7),
+            |  i -> md5(cast(concat_ws(' ', slice(tk, i, 8)) as binary)))) AS g""".stripMargin)
+      val bench = grams.filter(col("doc_id") % 20 === 0)
+        .select(col("g")).distinct().withColumn("hit", lit(1L))
+      val per = grams.filter(col("doc_id") % 20 =!= 0)
+        .join(broadcast(bench), Seq("g"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"),
+          sum(coalesce(col("hit"), lit(0L))).as("contaminated"))
+      docs(s, dir).filter(col("doc_id") % 20 =!= 0).select(col("doc_id"))
+        .join(per, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+          coalesce(col("contaminated"), lit(0L)).as("contaminated"),
+          (coalesce(col("contaminated"), lit(0L)).cast("double") /
+            greatest(coalesce(col("n_grams"), lit(0L)), lit(1L)).cast("double")
+            >= 0.05).as("flagged"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -676,6 +749,45 @@ object TextOps {
          |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
          |        ORDER BY tfidf DESC, token) AS rnk FROM x)
          |SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, token, tfidf
-         |FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin
+         |FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
+
+    "tx17_boilerplate_chunks" ->
+      s"""WITH tk AS (SELECT doc_id, $dTok AS tk FROM documents),
+         |i0 AS (SELECT doc_id, tk,
+         |         unnest(generate_series(1, len(tk) // 10)) AS i FROM tk),
+         |ch AS (SELECT doc_id,
+         |         md5(array_to_string(tk[(i-1)*10+1 : (i-1)*10+10], ' ')) AS ch
+         |       FROM i0),
+         |freq AS (SELECT ch, COUNT(DISTINCT doc_id) AS ndocs FROM ch GROUP BY ch),
+         |per AS (SELECT c.doc_id, COUNT(*) AS n_chunks,
+         |          SUM(CASE WHEN f.ndocs >= 2 THEN 1 ELSE 0 END) AS dup_chunks
+         |        FROM ch c JOIN freq f ON c.ch = f.ch GROUP BY c.doc_id)
+         |SELECT d.doc_id,
+         |  CAST(COALESCE(n_chunks, 0) AS BIGINT) AS n_chunks,
+         |  CAST(COALESCE(dup_chunks, 0) AS BIGINT) AS dup_chunks,
+         |  CAST(COALESCE(dup_chunks, 0) AS DOUBLE)
+         |    / CAST(greatest(COALESCE(n_chunks, 0), 1) AS DOUBLE) AS dup_frac
+         |FROM documents d LEFT JOIN per USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+
+    "tx18_decontaminate" ->
+      s"""WITH tk AS (SELECT doc_id, $dTok AS tk FROM documents),
+         |i0 AS (SELECT doc_id, tk,
+         |         unnest(generate_series(1, len(tk) - 7)) AS i
+         |       FROM tk WHERE len(tk) >= 8),
+         |g AS (SELECT doc_id,
+         |        md5(array_to_string(tk[i : i+7], ' ')) AS g
+         |      FROM i0),
+         |bench AS (SELECT DISTINCT g FROM g WHERE doc_id % 20 = 0),
+         |per AS (SELECT s.doc_id, COUNT(*) AS n_grams,
+         |          SUM(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END) AS contaminated
+         |        FROM (SELECT * FROM g WHERE doc_id % 20 <> 0) s
+         |        LEFT JOIN bench b ON s.g = b.g GROUP BY s.doc_id)
+         |SELECT d.doc_id,
+         |  CAST(COALESCE(n_grams, 0) AS BIGINT) AS n_grams,
+         |  CAST(COALESCE(contaminated, 0) AS BIGINT) AS contaminated,
+         |  CAST(COALESCE(contaminated, 0) AS DOUBLE)
+         |    / CAST(greatest(COALESCE(n_grams, 0), 1) AS DOUBLE) >= 0.05 AS flagged
+         |FROM documents d LEFT JOIN per USING (doc_id)
+         |WHERE d.doc_id % 20 <> 0 ORDER BY d.doc_id""".stripMargin
   )
 }

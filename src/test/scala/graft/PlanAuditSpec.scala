@@ -104,4 +104,17 @@ class PlanAuditSpec extends SparkSpec {
     val shuffles = countShuffles(p)
     assert(shuffles <= 6, s"unexpected extra shuffles ($shuffles):\n$p")
   }
+
+  test("tx18: benchmark gram set broadcasts — corpus grams never shuffle for the probe") {
+    val df = q("tx18_decontaminate")
+    df.collect() // let AQE settle
+    val p = planString(df).split("== Initial Plan ==").head
+    assert(p.contains("BroadcastHashJoin"),
+      s"bench-gram probe is not a broadcast join:\n$p")
+    // the corpus side must reach the probe without an exchange: only the
+    // fanout repartition, the per-doc rollup, the doc left-join and the
+    // final orderBy may shuffle (bench-side distinct shuffles a 5% slice)
+    assert(!p.contains("SortMergeJoin"),
+      s"gram probe degenerated to a shuffle join:\n$p")
+  }
 }
