@@ -75,6 +75,48 @@ object GasStoreQueries {
   private def deleteOnExit(dir: java.nio.file.Path): Unit =
     graft.util.TempDirs.deleteOnExit(dir)
 
+  /** Result of the streaming SLIDING-window aggregation (gs07): the live
+    * long stream → watermark → `window(_time, 2h, 1h)` mean per field →
+    * APPEND-mode parquet sink, memoized like [[store]]. Append mode only
+    * emits a window once the watermark passes its end, so at end-of-stream
+    * the trailing windows (end > max event time − 30 min) are withheld —
+    * that cutoff is the watermark CONTRACT, and the DuckDB oracle replays
+    * it explicitly from the raw CSVs (each point expanded to its two
+    * covering hourly-slid 2 h windows, windows filtered to
+    * end ≤ max(_time) − 30 min). Scale shape: state is one (window, field)
+    * row per open window — bounded by field cardinality × (window/slide),
+    * never by stream volume; the sink is plain partitionable parquet. */
+  private val builtSliding = new java.util.WeakHashMap[SparkSession, String]()
+  private def slidingAgg(spark: SparkSession): DataFrame = {
+    val path = builtSliding.synchronized {
+      Option(builtSliding.get(spark)).getOrElse {
+        val work = Files.createTempDirectory("graft-gas-sliding")
+        deleteOnExit(work)
+        val long = graft.store.LongStore.unpivot(
+          graft.transform.GasTransform(
+            graft.streaming.GasStream.readStream(spark, fixtureDir))
+            .withColumnRenamed("file_name", "_src")).drop("_src")
+        long.withWatermark("_time", "30 minutes")
+          .groupBy(window(col("_time"), "2 hours", "1 hour"), col("_field"))
+          .agg(count(lit(1)).as("n_points"),
+            sum(sumExactCol(col("_value"))).as("total"))
+          .select(col("window.start").as("_bucket"), col("_field"),
+            col("n_points"), col("total"))
+          .writeStream
+          .format("parquet")
+          .option("path", s"$work/out")
+          .option("checkpointLocation", s"$work/ckpt")
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+          .awaitTermination()
+        builtSliding.put(spark, s"$work/out")
+        s"$work/out"
+      }
+    }
+    spark.read.parquet(path)
+  }
+
   val queries: Map[String, Q] = Map(
     // Q1/Q2: dashboard field filter over the long store
     "gs01_field_filter" -> ((s, _) =>
@@ -114,6 +156,21 @@ object GasStoreQueries {
           min(col("_value")).as("min_value"),
           max(col("_value")).as("max_value"))
         .orderBy(col("_field"))),
+
+    // watermarked SLIDING-window downsampling through the LIVE streaming
+    // aggregation operator (not a batch query over a store): overlapping
+    // 2 h windows sliding hourly, emitted append-mode as the watermark
+    // seals them — Grafana's overlapping-window smoothing done natively
+    // by the stream. One field keeps the compare focused; the oracle
+    // replays both the window expansion and the watermark cutoff.
+    "gs07_stream_sliding_mean" -> ((s, _) =>
+      slidingAgg(s)
+        .filter(col("_field") === "CO (ppm)")
+        .select(unix_micros(col("_bucket")).as("b_us"), col("_field"),
+          col("n_points"),
+          (col("total").cast("double") / col("n_points").cast("double"))
+            .as("mean_value"))
+        .orderBy(col("b_us"))),
 
     // U2 through the store: pivot the long model back to wide (Grafana
     // table view). The oracle is the RAW CSV rows themselves — matching
@@ -189,6 +246,27 @@ object GasStoreQueries {
          |SELECT _field, COUNT(*) AS n_points,
          |  CAST(SUM(CAST(_value AS DECIMAL(18,6))) AS DOUBLE) AS total,
          |  MIN(_value) AS min_value, MAX(_value) AS max_value
-         |FROM u GROUP BY _field ORDER BY _field""".stripMargin
+         |FROM u GROUP BY _field ORDER BY _field""".stripMargin,
+
+    "gs07_stream_sliding_mean" ->
+      s"""$prelude,
+         |pts AS (
+         |  SELECT _time, 'CO (ppm)' AS _field, "CO (ppm)" AS _value,
+         |    date_trunc('hour', _time) AS h
+         |  FROM raw),
+         |mx AS (SELECT MAX(_time) AS mx FROM pts),
+         |expanded AS (
+         |  SELECT _field, _value, h - INTERVAL 1 HOUR AS ws FROM pts
+         |  UNION ALL
+         |  SELECT _field, _value, h AS ws FROM pts),
+         |agg AS (
+         |  SELECT ws, _field, COUNT(*) AS n_points,
+         |    CAST(SUM(CAST(_value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+         |      AS mean_value
+         |  FROM expanded GROUP BY ws, _field)
+         |SELECT epoch_us(ws) AS b_us, _field, n_points, mean_value
+         |FROM agg, mx
+         |WHERE ws + INTERVAL 2 HOUR <= mx - INTERVAL 30 MINUTE
+         |ORDER BY b_us""".stripMargin
   )
 }
