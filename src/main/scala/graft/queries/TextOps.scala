@@ -467,7 +467,62 @@ object TextOps {
             greatest(coalesce(col("n_grams"), lit(0L)), lit(1L)).cast("double")
             >= 0.05).as("flagged"))
         .orderBy(col("doc_id"))
-    })
+    }),
+
+    // GPT-style training-sequence packing (concat-and-chunk): documents are
+    // concatenated in doc_id order into one token stream and cut into fixed
+    // 512-token training sequences; each doc reports its stream offset, the
+    // sequences it lands in, and whether it straddles a boundary — the
+    // attention-masking question every packing pipeline must answer.
+    // Scale shape: the global running offset is NOT a `Window.orderBy(doc_id)`
+    // over the corpus (that funnels everything through one partition) — it
+    // is a two-level distributed prefix sum: per-bucket token subtotals
+    // (a frame with |corpus|/64 rows) take the single-partition cumulative
+    // window where it is cheap, then come back as broadcast base offsets
+    // and the within-bucket running sum is window-partitioned by bucket,
+    // fully parallel. One narrow shuffle + one broadcast total.
+    "tx19_pack_sequences" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = docs(s, dir)
+        .selectExpr("doc_id", s"cast(size($tokExpr) as bigint) AS n_tok",
+          "doc_id div 64 AS bucket")
+      val wB = Window.orderBy(col("bucket"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val base = d.groupBy(col("bucket")).agg(sum(col("n_tok")).as("btok"))
+        .withColumn("base", coalesce(sum(col("btok")).over(wB), lit(0L)))
+        .select(col("bucket"), col("base"))
+      val wIn = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      d.join(broadcast(base), "bucket")
+        .withColumn("tok_offset",
+          col("base") + coalesce(sum(col("n_tok")).over(wIn), lit(0L)))
+        .selectExpr("doc_id", "n_tok", "tok_offset",
+          "tok_offset div 512 AS seq_first",
+          "(tok_offset + n_tok - 1) div 512 AS seq_last",
+          "(tok_offset + n_tok - 1) div 512 - tok_offset div 512 + 1 AS n_seqs",
+          "(tok_offset + n_tok - 1) div 512 > tok_offset div 512 AS crosses_seq")
+        .orderBy(col("doc_id"))
+    }),
+
+    // Deterministic stratified sampling for training-mixture construction
+    // (the Pile/ROOTS per-source weighting): each language stratum gets a
+    // target rate and a doc is kept iff the first 8 hex chars of
+    // md5(doc_id) fall under the stratum's threshold. Pure map-side
+    // predicate — reproducible across engines/runs/retries (no RNG state),
+    // zero shuffle, and at 100 TB it composes with any scan since it only
+    // needs the key and stratum columns. Thresholds are hex-string
+    // compares: md5 is lowercase fixed-width, so lexicographic == numeric.
+    "tx20_stratified_sample" -> ((s, dir) =>
+      docs(s, dir)
+        .withColumn("skey",
+          substring(md5(col("doc_id").cast("string").cast("binary")), 1, 8))
+        .withColumn("thr",
+          when(col("lang") === "en", lit("40000000"))    // rate 0.25
+            .when(col("lang") === "zh", lit("c0000000")) // rate 0.75
+            .otherwise(lit("80000000")))                 // rate 0.50
+        .filter(col("skey") < col("thr"))
+        .select(col("doc_id"), col("lang"), col("skey"))
+        .orderBy(col("doc_id")))
   )
 
   /** Fixed BPE merge vocabulary, in rank order. Valid by construction: every
@@ -788,6 +843,30 @@ object TextOps {
          |  CAST(COALESCE(contaminated, 0) AS DOUBLE)
          |    / CAST(greatest(COALESCE(n_grams, 0), 1) AS DOUBLE) >= 0.05 AS flagged
          |FROM documents d LEFT JOIN per USING (doc_id)
-         |WHERE d.doc_id % 20 <> 0 ORDER BY d.doc_id""".stripMargin
+         |WHERE d.doc_id % 20 <> 0 ORDER BY d.doc_id""".stripMargin,
+
+    "tx19_pack_sequences" ->
+      s"""WITH d AS (SELECT doc_id, len($dTok) AS n_tok FROM documents),
+         |o AS (SELECT doc_id, n_tok,
+         |  COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_offset
+         |  FROM d)
+         |SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+         |  CAST(tok_offset AS BIGINT) AS tok_offset,
+         |  CAST(tok_offset // 512 AS BIGINT) AS seq_first,
+         |  CAST((tok_offset + n_tok - 1) // 512 AS BIGINT) AS seq_last,
+         |  CAST((tok_offset + n_tok - 1) // 512 - tok_offset // 512 + 1 AS BIGINT)
+         |    AS n_seqs,
+         |  (tok_offset + n_tok - 1) // 512 > tok_offset // 512 AS crosses_seq
+         |FROM o ORDER BY doc_id""".stripMargin,
+
+    "tx20_stratified_sample" ->
+      """WITH d AS (SELECT doc_id, lang,
+        |  substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS skey FROM documents)
+        |SELECT doc_id, lang, skey FROM d
+        |WHERE skey < CASE WHEN lang = 'en' THEN '40000000'
+        |                  WHEN lang = 'zh' THEN 'c0000000'
+        |                  ELSE '80000000' END
+        |ORDER BY doc_id""".stripMargin
   )
 }

@@ -282,6 +282,41 @@ object TimeSeries {
         .select(col("user_id"), col("ts_us"), col("event_id"), col("value"),
           col("increase"))
         .orderBy(col("user_id"), col("ts_us"), col("event_id"))
+    }),
+
+    // Flux `pearsonr(x:, y:, on: ["_time"])` — cross-series correlation:
+    // align two fields on a common hourly bucket (inner join keeps only
+    // buckets where BOTH series observed points, Flux's join-then-correlate
+    // shape), then Pearson r over the aligned pairs. Numerics: the five
+    // moment sums (Σx, Σy, Σxy, Σx², Σy²) are accumulated as EXACT decimals
+    // (values have ≤6 fractional digits, so products are exact at scale 12
+    // and sums are order-independent — shuffle-safe), cast to double once,
+    // and r is assembled with one fixed IEEE expression tree that the
+    // oracle mirrors token-for-token. Scale shape: one hash agg per series
+    // keyed on the bucket, one equi-join on the bucket key, then a single
+    // partial+final global aggregate — nothing wider than the bucket
+    // cardinality ever shuffles.
+    "ts14_pearson_corr" -> ((s, dir) => {
+      val hourly = ev(s, dir)
+        .groupBy(date_trunc("hour", col("ts")).as("bucket"), col("event_type"))
+        .agg(sum(sumExactCol(col("value"))).as("v")) // stays decimal: no double round-trip
+      val x = hourly.filter(col("event_type") === "purchase")
+        .select(col("bucket"), col("v").cast("decimal(18,6)").as("x"))
+      val y = hourly.filter(col("event_type") === "view")
+        .select(col("bucket"), col("v").cast("decimal(18,6)").as("y"))
+      x.join(y, "bucket")
+        .agg(
+          count(lit(1)).as("n_buckets"),
+          sum(col("x")).cast("double").as("sx"),
+          sum(col("y")).cast("double").as("sy"),
+          sum(col("x") * col("y")).cast("double").as("sxy"),
+          sum(col("x") * col("x")).cast("double").as("sxx"),
+          sum(col("y") * col("y")).cast("double").as("syy"))
+        .select(col("n_buckets"),
+          round((col("n_buckets").cast("double") * col("sxy") - col("sx") * col("sy")) /
+            (sqrt(col("n_buckets").cast("double") * col("sxx") - col("sx") * col("sx")) *
+             sqrt(col("n_buckets").cast("double") * col("syy") - col("sy") * col("sy"))), 6)
+            .as("pearson_r"))
     })
   )
 
@@ -445,6 +480,28 @@ object TimeSeries {
         |    (PARTITION BY user_id ORDER BY ts_us, event_id
         |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS DOUBLE)
         |    AS increase
-        |FROM c ORDER BY user_id, ts_us, event_id""".stripMargin
+        |FROM c ORDER BY user_id, ts_us, event_id""".stripMargin,
+
+    "ts14_pearson_corr" ->
+      """WITH hourly AS (
+        |  SELECT date_trunc('hour', ts) AS bucket, event_type,
+        |    SUM(CAST(value AS DECIMAL(18,6))) AS v
+        |  FROM events GROUP BY 1, 2),
+        |j AS (
+        |  SELECT CAST(x.v AS DECIMAL(18,6)) AS x, CAST(y.v AS DECIMAL(18,6)) AS y
+        |  FROM (SELECT * FROM hourly WHERE event_type = 'purchase') x
+        |  JOIN (SELECT * FROM hourly WHERE event_type = 'view') y USING (bucket)),
+        |m AS (
+        |  SELECT COUNT(*) AS n_buckets,
+        |    CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+        |    CAST(SUM(x * y) AS DOUBLE) AS sxy,
+        |    CAST(SUM(x * x) AS DOUBLE) AS sxx,
+        |    CAST(SUM(y * y) AS DOUBLE) AS syy
+        |  FROM j)
+        |SELECT n_buckets,
+        |  ROUND((CAST(n_buckets AS DOUBLE) * sxy - sx * sy) /
+        |    (sqrt(CAST(n_buckets AS DOUBLE) * sxx - sx * sx) *
+        |     sqrt(CAST(n_buckets AS DOUBLE) * syy - sy * sy)), 6) AS pearson_r
+        |FROM m""".stripMargin
   )
 }
