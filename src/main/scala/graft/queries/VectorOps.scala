@@ -321,7 +321,7 @@ object VectorOps {
     * it feeds still carries 16-byte ids only. The ordered `vec_a < vec_b`
     * filter keeps the asymmetric join exhaustive: a Hamming-1 pair (x, y)
     * always collides as (exact x, probe y). */
-  private def lshCandidates(e: DataFrame, planes: Int, bands: Int,
+  private[graft] def lshCandidates(e: DataFrame, planes: Int, bands: Int,
       width: Int, multiProbe: Boolean = false): DataFrame = {
     val mask = (1 << width) - 1
     val sig = fanout(e).select(col("vec_id"),

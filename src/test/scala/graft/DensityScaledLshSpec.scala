@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.queries.VectorOps
+
+/** Density-scaled LSH banding (PLANS.md "The v09 finding").
+  *
+  * A fixed band width w gives 2^w buckets per band, so bucket occupancy —
+  * and with it the random-collision candidate volume, ∝ n²/2^w — grows
+  * with the corpus. The scale remedy is to grow w with log₂(n), holding
+  * occupancy (and therefore shuffle volume per row) constant. That trade
+  * only works in the similarity regime LSH is for: true-duplicate pairs
+  * whose per-plane agreement p is high still collide at p^w per band,
+  * while random pairs are diluted across 2^w buckets.
+  *
+  * This suite pins both halves on a seeded synthetic corpus of 20
+  * high-similarity clusters (5 members each, cos ≈ 0.999 within) buried
+  * in 1000 random noise vectors:
+  *   1. recall: the wide (13-bit) bands keep ≥ 95% of within-cluster
+  *      pairs — p ≈ 0.986 per plane ⇒ p¹³ ≈ 0.83 per band, 4 bands ⇒
+  *      ≈ 0.999 per pair;
+  *   2. dilution: noise-noise candidates collapse by ≥ 50× versus the
+  *      4-bit bands at equal band count (expected ratio ≈ 2⁹).
+  */
+class DensityScaledLshSpec extends SparkSpec {
+
+  private val Dim = 64
+  private val NoiseN = 1000
+  private val Clusters = 20
+  private val Members = 5
+
+  /** (vec_id, emb, norm) frame: noise ids 0..999, cluster member ids
+    * 10000 + 10·cluster + member. Seeded — fully deterministic. */
+  private lazy val corpus: DataFrame = {
+    val rnd = new scala.util.Random(42)
+    def unitish(): Array[Double] = Array.fill(Dim)(rnd.nextGaussian())
+    val noise = (0 until NoiseN).map(i => (i.toLong, unitish()))
+    val clustered = (0 until Clusters).flatMap { c =>
+      val center = unitish()
+      (0 until Members).map { m =>
+        val v = center.zip(Array.fill(Dim)(rnd.nextGaussian() * 0.02))
+          .map { case (x, e) => x + e }
+        (10000L + 10L * c + m, v)
+      }
+    }
+    val rows = (noise ++ clustered).map { case (id, v) =>
+      (id, v, math.sqrt(v.map(x => x * x).sum))
+    }
+    import spark.implicits._
+    rows.toDF("vec_id", "emb", "norm")
+  }
+
+  private def pairs(planes: Int, bands: Int, width: Int): Set[(Long, Long)] = {
+    graft.functions.VectorFunctions.register(spark)
+    VectorOps.lshCandidates(corpus, planes, bands, width)
+      .select(col("vec_a"), col("vec_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+  }
+
+  private def isCluster(id: Long) = id >= 10000L
+  private def sameCluster(a: Long, b: Long) =
+    isCluster(a) && isCluster(b) && (a - 10000L) / 10 == (b - 10000L) / 10
+
+  // equal band count so the only variable is band width; 4 bands is what
+  // 52 planes of 13 bits afford under graft_hsig's 62-plane signature cap
+  private lazy val narrow = pairs(planes = 16, bands = 4, width = 4)
+  private lazy val wide = pairs(planes = 52, bands = 4, width = 13)
+
+  test("wide bands keep within-cluster recall high") {
+    val truePairs = for {
+      c <- 0 until Clusters
+      m1 <- 0 until Members; m2 <- (m1 + 1) until Members
+    } yield (10000L + 10L * c + m1, 10000L + 10L * c + m2)
+    val wideHits = truePairs.count(wide.contains)
+    assert(wideHits >= (truePairs.size * 0.95).toInt,
+      s"wide-band recall $wideHits/${truePairs.size}")
+  }
+
+  test("wide bands dilute random collisions by orders of magnitude") {
+    val narrowNoise = narrow.count { case (a, b) => !sameCluster(a, b) }
+    val wideNoise = wide.count { case (a, b) => !sameCluster(a, b) }
+    assert(narrowNoise > 0, "fixture must produce narrow-band noise collisions")
+    assert(wideNoise.toDouble <= narrowNoise.toDouble / 50,
+      s"expected >=50x dilution, got narrow=$narrowNoise wide=$wideNoise")
+  }
+}
