@@ -56,6 +56,36 @@ object TimeSeries {
         col("event_type"), col("avg_value"), col("min_value"), col("max_value"), col("n"))
       .orderBy(col("bucket"), col("event_type"))
 
+  /** The Prometheus linear-interpolation median over le0..le4/n_total —
+    * identical text runs in Spark SQL and (with CAST syntax shared) DuckDB,
+    * so both engines evaluate the same IEEE expression tree. */
+  private val histQuantileSql: String =
+    """CASE
+      |  WHEN 2 * le0 >= n_total THEN
+      |    1.0 * (CAST(0.5 AS DOUBLE) * n_total) / le0
+      |  WHEN 2 * le1 >= n_total THEN
+      |    1.0 + (5.0 - 1.0) * (CAST(0.5 AS DOUBLE) * n_total - le0) / (le1 - le0)
+      |  WHEN 2 * le2 >= n_total THEN
+      |    5.0 + (25.0 - 5.0) * (CAST(0.5 AS DOUBLE) * n_total - le1) / (le2 - le1)
+      |  WHEN 2 * le3 >= n_total THEN
+      |    25.0 + (125.0 - 25.0) * (CAST(0.5 AS DOUBLE) * n_total - le2) / (le3 - le2)
+      |  WHEN 2 * le4 >= n_total THEN
+      |    125.0 + (625.0 - 125.0) * (CAST(0.5 AS DOUBLE) * n_total - le3) / (le4 - le3)
+      |  ELSE 625.0
+      |END""".stripMargin
+
+  /** The ts15/ts16 cumulative bucket aggregate in DuckDB form — the same
+    * conditional sums the Spark side computes in [[histCounts]]. */
+  private val histCountsSql: String =
+    """SELECT event_type,
+      |    SUM(CASE WHEN value <= 1.0 THEN 1 ELSE 0 END) AS le0,
+      |    SUM(CASE WHEN value <= 5.0 THEN 1 ELSE 0 END) AS le1,
+      |    SUM(CASE WHEN value <= 25.0 THEN 1 ELSE 0 END) AS le2,
+      |    SUM(CASE WHEN value <= 125.0 THEN 1 ELSE 0 END) AS le3,
+      |    SUM(CASE WHEN value <= 625.0 THEN 1 ELSE 0 END) AS le4,
+      |    COUNT(*) AS n_total
+      |  FROM events GROUP BY event_type""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "ts01_field_filter" -> ((s, dir) => fieldFilter(ev(s, dir), "purchase")),
 
@@ -317,8 +347,48 @@ object TimeSeries {
             (sqrt(col("n_buckets").cast("double") * col("sxx") - col("sx") * col("sx")) *
              sqrt(col("n_buckets").cast("double") * col("syy") - col("sy") * col("sy"))), 6)
             .as("pearson_r"))
-    })
+    }),
+
+    // Flux `histogram(bins: [1, 5, 25, 125, 625])` — cumulative le-style
+    // distribution per field (the Prometheus classic-histogram shape Flux
+    // emits). One partial+final hash aggregate computes every bucket as a
+    // conditional sum in a single pass over the scan — no per-bucket
+    // shuffles, no explode before aggregation; the 6-row-per-field fan-out
+    // happens AFTER the aggregate where cardinality is |fields|.
+    "ts15_histogram" -> ((s, dir) =>
+      histCounts(ev(s, dir))
+        .selectExpr("event_type",
+          """stack(6, 0L, '1.0',   le0,
+            |         1L, '5.0',   le1,
+            |         2L, '25.0',  le2,
+            |         3L, '125.0', le3,
+            |         4L, '625.0', le4,
+            |         5L, '+Inf',  n_total) AS (bin, le, n_le)""".stripMargin)
+        .orderBy(col("event_type"), col("bin"))),
+
+    // Flux `histogramQuantile(quantile: 0.5)` — the Prometheus estimator:
+    // walk the cumulative buckets to the first one covering q·total, then
+    // interpolate linearly inside it. Runs on the same single-pass
+    // conditional-sum aggregate as ts15; the estimator is ONE fixed
+    // expression tree over exact long counts (mirrored token-for-token by
+    // the oracle), so the double arithmetic is bit-identical.
+    "ts16_histogram_quantile" -> ((s, dir) =>
+      histCounts(ev(s, dir))
+        .selectExpr("event_type", "n_total", s"round($histQuantileSql, 6) AS q50")
+        .orderBy(col("event_type")))
   )
+
+  /** Single-pass cumulative bucket counts for ts15/ts16: one hash aggregate,
+    * each le-bucket a conditional sum (edges 1/5/25/125/625). */
+  private def histCounts(events: DataFrame): DataFrame = {
+    val edges = Seq(1.0, 5.0, 25.0, 125.0, 625.0)
+    val les = edges.zipWithIndex.map { case (e, i) =>
+      sum(when(col("value") <= e, 1L).otherwise(0L)).as(s"le$i")
+    }
+    events.groupBy(col("event_type"))
+      .agg(les.head, (les.tail :+ count(lit(1)).as("n_total")): _*)
+  }
+
 
   val oracle: Map[String, String] = Map(
     "ts01_field_filter" ->
@@ -502,6 +572,25 @@ object TimeSeries {
         |  ROUND((CAST(n_buckets AS DOUBLE) * sxy - sx * sy) /
         |    (sqrt(CAST(n_buckets AS DOUBLE) * sxx - sx * sx) *
         |     sqrt(CAST(n_buckets AS DOUBLE) * syy - sy * sy)), 6) AS pearson_r
-        |FROM m""".stripMargin
+        |FROM m""".stripMargin,
+
+    "ts15_histogram" ->
+      s"""WITH h AS ($histCountsSql)
+         |SELECT event_type, bin, le, n_le FROM (
+         |  SELECT event_type, CAST(0 AS BIGINT) AS bin, '1.0' AS le,
+         |         CAST(le0 AS BIGINT) AS n_le FROM h
+         |  UNION ALL SELECT event_type, 1, '5.0', CAST(le1 AS BIGINT) FROM h
+         |  UNION ALL SELECT event_type, 2, '25.0', CAST(le2 AS BIGINT) FROM h
+         |  UNION ALL SELECT event_type, 3, '125.0', CAST(le3 AS BIGINT) FROM h
+         |  UNION ALL SELECT event_type, 4, '625.0', CAST(le4 AS BIGINT) FROM h
+         |  UNION ALL SELECT event_type, 5, '+Inf', CAST(n_total AS BIGINT) FROM h)
+         |ORDER BY event_type, bin""".stripMargin,
+
+    "ts16_histogram_quantile" ->
+      s"""WITH h AS ($histCountsSql)
+         |SELECT event_type, CAST(n_total AS BIGINT) AS n_total,
+         |  ROUND($histQuantileSql, 6) AS q50
+         |FROM h ORDER BY event_type""".stripMargin
   )
+
 }
