@@ -117,6 +117,43 @@ object GasStoreQueries {
     spark.read.parquet(path)
   }
 
+  /** gs08's sink: the live STREAM-STREAM interval join
+    * ([[graft.streaming.GasStream.pairedReadings]]) run end-to-end — each
+    * CO reading picks up the humidity readings of the preceding 10 minutes
+    * while both streams flow. Inner joins emit matches as they arrive
+    * (no append-mode window cutoff to replay); the 26 h watermark is the
+    * state-eviction CONTRACT (state ≈ rate × (watermark + interval), never
+    * stream lifetime) and is wider than the fixture's 2-day span, so the
+    * oracle is the plain interval join over the raw CSVs. */
+  private val builtJoin = new java.util.WeakHashMap[SparkSession, String]()
+  private def streamJoin(spark: SparkSession): DataFrame = {
+    val path = builtJoin.synchronized {
+      Option(builtJoin.get(spark)).getOrElse {
+        val work = Files.createTempDirectory("graft-gas-join")
+        deleteOnExit(work)
+        val long = graft.store.LongStore.unpivot(
+          graft.transform.GasTransform(
+            graft.streaming.GasStream.readStream(spark, fixtureDir))
+            .withColumnRenamed("file_name", "_src")).drop("_src")
+        graft.streaming.GasStream
+          .pairedReadings(long, "CO (ppm)", "Humidity (%r.h.)",
+            watermark = "26 hours", withinMinutes = 10)
+          .select(col("a_time"), col("a_value"), col("b_time"), col("b_value"))
+          .writeStream
+          .format("parquet")
+          .option("path", s"$work/out")
+          .option("checkpointLocation", s"$work/ckpt")
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+          .awaitTermination()
+        builtJoin.put(spark, s"$work/out")
+        s"$work/out"
+      }
+    }
+    spark.read.parquet(path)
+  }
+
   val queries: Map[String, Q] = Map(
     // Q1/Q2: dashboard field filter over the long store
     "gs01_field_filter" -> ((s, _) =>
@@ -163,6 +200,19 @@ object GasStoreQueries {
     // seals them — Grafana's overlapping-window smoothing done natively
     // by the stream. One field keeps the compare focused; the oracle
     // replays both the window expansion and the watermark cutoff.
+    // live stream-stream interval join, aggregated hourly after the sink:
+    // the pair list itself is the deterministic artifact; the rollup keeps
+    // the compare compact and the sums exact-decimal
+    "gs08_stream_pair_join" -> ((s, _) =>
+      streamJoin(s)
+        .groupBy(date_trunc("hour", col("a_time")).as("h"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sumExact(col("a_value")).as("total_a"),
+          sumExact(col("b_value")).as("total_b"))
+        .select(unix_micros(col("h")).as("h_us"), col("n_pairs"),
+          col("total_a"), col("total_b"))
+        .orderBy(col("h_us"))),
+
     "gs07_stream_sliding_mean" -> ((s, _) =>
       slidingAgg(s)
         .filter(col("_field") === "CO (ppm)")
@@ -247,6 +297,18 @@ object GasStoreQueries {
          |  CAST(SUM(CAST(_value AS DECIMAL(18,6))) AS DOUBLE) AS total,
          |  MIN(_value) AS min_value, MAX(_value) AS max_value
          |FROM u GROUP BY _field ORDER BY _field""".stripMargin,
+
+    "gs08_stream_pair_join" ->
+      s"""$prelude,
+         |a AS (SELECT _time AS a_time, "CO (ppm)" AS a_value FROM raw),
+         |b AS (SELECT _time AS b_time, "Humidity (%r.h.)" AS b_value FROM raw),
+         |j AS (SELECT * FROM a JOIN b
+         |      ON b_time BETWEEN a_time - INTERVAL 10 MINUTE AND a_time)
+         |SELECT epoch_us(date_trunc('hour', a_time)) AS h_us,
+         |  COUNT(*) AS n_pairs,
+         |  CAST(SUM(CAST(a_value AS DECIMAL(18,6))) AS DOUBLE) AS total_a,
+         |  CAST(SUM(CAST(b_value AS DECIMAL(18,6))) AS DOUBLE) AS total_b
+         |FROM j GROUP BY 1 ORDER BY h_us""".stripMargin,
 
     "gs07_stream_sliding_mean" ->
       s"""$prelude,

@@ -62,6 +62,23 @@ object Relational {
       })
     }
 
+  /** q29's SQL — ONE text, run verbatim by spark.sql() AND as the DuckDB
+    * oracle. "Customers above their segment's average balance with at least
+    * one urgent order": the above-average predicate is balance × segment
+    * count > segment sum (exact decimal, no AVG rounding divergence). */
+  private val q29Sql: String =
+    """SELECT c.c_custkey, c.c_name, c.c_acctbal AS acctbal
+      |FROM customer c
+      |WHERE CAST(c.c_acctbal AS DECIMAL(18,6)) *
+      |      (SELECT COUNT(*) FROM customer c2
+      |       WHERE c2.c_mktsegment = c.c_mktsegment)
+      |    > (SELECT SUM(CAST(c3.c_acctbal AS DECIMAL(18,6))) FROM customer c3
+      |       WHERE c3.c_mktsegment = c.c_mktsegment)
+      |  AND EXISTS (SELECT 1 FROM orders o
+      |              WHERE o.o_custkey = c.c_custkey
+      |                AND o.o_orderpriority = '1-URGENT')
+      |ORDER BY c.c_custkey""".stripMargin
+
   val queries: Map[String, Q] = Map(
     // -- aggregation (TPC-H Q1 shape): partial+final hash agg, 6-group output
     "q01_pricing_summary" -> ((s, dir) => {
@@ -395,6 +412,20 @@ object Relational {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // -- the ANSI SQL front door: correlated scalar subqueries + EXISTS,
+    // run through spark.sql() over temp views — the analyst-facing surface
+    // next to the DataFrame API. ONE SQL text runs verbatim on both
+    // engines (q29Sql below is also the oracle entry). Catalyst
+    // DECORRELATES both subqueries into a per-segment aggregate join and
+    // the EXISTS into a left-semi join — no per-row re-execution anywhere;
+    // the above-average test multiplies by the count instead of dividing
+    // (exact decimal compare, no engine-specific AVG rounding).
+    "q29_correlated_subquery" -> ((s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("customer")
+      t(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql(q29Sql)
+    }),
+
     // -- exact percentiles (linear interpolation at (n-1)p, the definition
     // Spark `percentile` and DuckDB `quantile_cont` share). Exact percentile
     // buffers the group's values — fine per bounded group; the unbounded
@@ -669,6 +700,9 @@ object Relational {
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    // the exact text spark.sql() runs — shared by construction
+    "q29_correlated_subquery" -> q29Sql,
 
     // exact counts computed by DuckDB independently; the within_tol booleans
     // are asserted TRUE — if Spark's sketch drifts past tolerance its FALSE

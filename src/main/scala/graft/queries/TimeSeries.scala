@@ -366,6 +366,38 @@ object TimeSeries {
             |         5L, '+Inf',  n_total) AS (bin, le, n_le)""".stripMargin)
         .orderBy(col("event_type"), col("bin"))),
 
+    // Flux `stateDuration` + `stateCount` (monitoring: "how long has this
+    // sensor been above threshold") — consecutive in-state runs found with
+    // the gaps-and-islands trick (global row index minus within-state row
+    // index is constant exactly along one run), then each row reports its
+    // 1-based position in the run and the elapsed µs since the run began;
+    // out-of-state rows report Flux's -1 sentinel. Scale shape: three
+    // window passes all partitioned by the SAME series key (one shuffle,
+    // sort reused), integer arithmetic end to end.
+    "ts17_state_duration" -> ((s, dir) => {
+      val w = Window.partitionBy(col("event_type")).orderBy(col("ts_us"), col("event_id"))
+      val wIsland = Window
+        .partitionBy(col("event_type"), col("in_state"), col("island"))
+        .orderBy(col("ts_us"), col("event_id"))
+      ev(s, dir)
+        .withColumn("ts_us", unix_micros(col("ts")))
+        .withColumn("in_state", col("value") > 100.0)
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("rns", row_number().over(
+          Window.partitionBy(col("event_type"), col("in_state"))
+            .orderBy(col("ts_us"), col("event_id"))).cast("long"))
+        .withColumn("island", col("rn") - col("rns"))
+        .withColumn("state_count",
+          when(col("in_state"), row_number().over(wIsland).cast("long"))
+            .otherwise(lit(-1L)))
+        .withColumn("state_duration_us",
+          when(col("in_state"), col("ts_us") - min(col("ts_us")).over(wIsland))
+            .otherwise(lit(-1L)))
+        .select(col("event_type"), col("ts_us"), col("event_id"), col("value"),
+          col("in_state"), col("state_count"), col("state_duration_us"))
+        .orderBy(col("event_type"), col("ts_us"), col("event_id"))
+    }),
+
     // Flux `histogramQuantile(quantile: 0.5)` — the Prometheus estimator:
     // walk the cumulative buckets to the first one covering q·total, then
     // interpolate linearly inside it. Runs on the same single-pass
@@ -573,6 +605,25 @@ object TimeSeries {
         |    (sqrt(CAST(n_buckets AS DOUBLE) * sxx - sx * sx) *
         |     sqrt(CAST(n_buckets AS DOUBLE) * syy - sy * sy)), 6) AS pearson_r
         |FROM m""".stripMargin,
+
+    "ts17_state_duration" ->
+      """WITH x AS (
+        |  SELECT event_type, epoch_us(ts) AS ts_us, event_id, value,
+        |    value > 100.0 AS in_state,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type
+        |      ORDER BY epoch_us(ts), event_id) AS rn,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type, value > 100.0
+        |      ORDER BY epoch_us(ts), event_id) AS rns
+        |  FROM events),
+        |i AS (SELECT *, rn - rns AS island FROM x)
+        |SELECT event_type, ts_us, event_id, value, in_state,
+        |  CASE WHEN in_state THEN ROW_NUMBER() OVER w ELSE -1 END AS state_count,
+        |  CASE WHEN in_state THEN ts_us - MIN(ts_us) OVER w ELSE -1 END
+        |    AS state_duration_us
+        |FROM i
+        |WINDOW w AS (PARTITION BY event_type, in_state, island
+        |             ORDER BY ts_us, event_id)
+        |ORDER BY event_type, ts_us, event_id""".stripMargin,
 
     "ts15_histogram" ->
       s"""WITH h AS ($histCountsSql)
