@@ -171,6 +171,37 @@ object Multimodal {
     }
   }
 
+  /** One sampled audio frame: exact integer aggregates (sum / sum of
+    * squares / peak) so the oracle compare never meets a float sum. */
+  case class FrameFeatures(
+      media_id: Long, frame_idx: Long, n_samples: Long,
+      sum_val: Long, sum_sq: Long, peak: Long)
+
+  /** Frame-sampling over REAL WAV containers (the "frame-sample" stage of
+    * a media pipeline): parse the RIFF/WAVE chunks, split PCM into
+    * `frameLen`-sample frames, keep every `everyK`-th frame, and reduce
+    * each kept frame to exact integer features on the executor — the
+    * mapPartitions batch path never ships raw samples through a shuffle,
+    * only the O(frames/everyK) feature rows. */
+  def audioFrames(media: Dataset[Container], frameLen: Int,
+      everyK: Int): Dataset[FrameFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { c =>
+        val audio = MediaCodecs.Wav.parse(c.payload)
+        audio.samples.grouped(frameLen).zipWithIndex.collect {
+          case (fr, idx) if idx % everyK == 0 =>
+            var sum = 0L; var sq = 0L; var peak = 0L
+            fr.foreach { s =>
+              sum += s; sq += s.toLong * s
+              peak = math.max(peak, math.abs(s.toLong))
+            }
+            FrameFeatures(c.media_id, idx.toLong, fr.length.toLong, sum, sq, peak)
+        }
+      }
+    }
+  }
+
   /** Partition-parallel REAL decode: sniff the container magic, parse with
     * the genuine header/chunk parser, emit flat features. Any parse slip —
     * row order, padding, chunk offsets, sample sign — changes checksum or

@@ -81,6 +81,23 @@ object MultimodalQueries {
           Multimodal.syntheticContainers(fanout(Tables.table(s, dir, "documents"))))
         .toDF()
         .orderBy(col("media_id"))
+    }),
+
+    // FRAME-SAMPLING through the real WAV parser: PCM split into 16-sample
+    // frames, every 4th frame kept, each reduced to exact integer features
+    // on the executor (mm04's decode stage extended one step down the media
+    // pipeline). rms is the only float — one shared division+sqrt tree over
+    // exact longs. The oracle replays the sample formula arithmetically
+    // (signed-i16 reconstruction included) without parsing a byte.
+    "mm05_frame_features" -> ((s, dir) => {
+      Multimodal.audioFrames(
+          Multimodal.syntheticContainers(fanout(Tables.table(s, dir, "documents"))
+            .filter(col("doc_id") % 2 === 1)),
+          frameLen = 16, everyK = 4)
+        .toDF()
+        .withColumn("rms",
+          round(sqrt(col("sum_sq").cast("double") / col("n_samples").cast("double")), 6))
+        .orderBy(col("media_id"), col("frame_idx"))
     })
   )
 
@@ -197,6 +214,37 @@ object MultimodalQueries {
         |           ELSE (media_id*131 + i*17) % 65536 END)) AS DOUBLE) / n AS mean_val
         |  FROM wav)
         |SELECT * FROM bmpd
-        |UNION ALL SELECT * FROM wavd ORDER BY media_id""".stripMargin
+        |UNION ALL SELECT * FROM wavd ORDER BY media_id""".stripMargin,
+
+    // arithmetic replay of the frame-sampled WAV path: n = 32+m%64 signed
+    // i16 samples, frames of 16, every 4th kept (the last frame may be
+    // short when n % 16 != 0 — replayed by the least() bound)
+    "mm05_frame_features" ->
+      """WITH a AS (
+        |  SELECT doc_id AS media_id, 32 + doc_id % 64 AS n
+        |  FROM documents WHERE doc_id % 2 = 1),
+        |fr AS (
+        |  SELECT media_id, n, unnest(range(0, (n + 15) // 16)) AS frame_idx
+        |  FROM a),
+        |sampled AS (SELECT * FROM fr WHERE frame_idx % 4 = 0),
+        |s AS (
+        |  SELECT media_id, frame_idx,
+        |    unnest(range(frame_idx*16, least(frame_idx*16 + 16, n))) AS i
+        |  FROM sampled),
+        |v AS (
+        |  SELECT media_id, frame_idx,
+        |    CASE WHEN (media_id*131 + i*17) % 65536 >= 32768
+        |         THEN (media_id*131 + i*17) % 65536 - 65536
+        |         ELSE (media_id*131 + i*17) % 65536 END AS val
+        |  FROM s),
+        |g AS (
+        |  SELECT media_id, frame_idx, CAST(COUNT(*) AS BIGINT) AS n_samples,
+        |    CAST(SUM(val) AS BIGINT) AS sum_val,
+        |    CAST(SUM(val * val) AS BIGINT) AS sum_sq,
+        |    CAST(MAX(abs(val)) AS BIGINT) AS peak
+        |  FROM v GROUP BY media_id, frame_idx)
+        |SELECT media_id, frame_idx, n_samples, sum_val, sum_sq, peak,
+        |  ROUND(sqrt(CAST(sum_sq AS DOUBLE) / CAST(n_samples AS DOUBLE)), 6) AS rms
+        |FROM g ORDER BY media_id, frame_idx""".stripMargin
   )
 }

@@ -523,6 +523,41 @@ object TextOps {
         .filter(col("skey") < col("thr"))
         .select(col("doc_id"), col("lang"), col("skey"))
         .orderBy(col("doc_id")))
+    ,
+
+    // Unigram log-probability scoring — the PERPLEXITY FILTER of LLM data
+    // curation (CCNet/Gopher-style: drop documents whose tokens are
+    // improbable under a corpus language model; here the LM is the
+    // corpus's own unigram distribution). avg_nll = −Σ tf·ln(p(tok)) / n.
+    // Numerics: each per-token term is one deterministic double tree
+    // (long/long division, ln, multiply) ROUNDED to 6 dp and cast to an
+    // exact decimal, so the per-doc sum is order-independent under any
+    // partitioning — the oracle replays the identical terms. Scale shape:
+    // token frequencies are one hash agg; the corpus total is a 1-row
+    // broadcast; the per-doc rollup is a second hash agg on doc_id. The
+    // tf frame is computed once and reused for both the LM and the scan.
+    "tx21_unigram_logprob" -> ((s, dir) => {
+      val tf = fanout(docs(s, dir))
+        .select(col("doc_id"), explode(expr(tokExpr)).as("token"))
+        .filter(col("token") =!= "")
+        .groupBy(col("doc_id"), col("token"))
+        .agg(count(lit(1)).as("tf"))
+      val freq = tf.groupBy(col("token")).agg(sum(col("tf")).as("cnt"))
+      val total = freq.agg(sum(col("cnt")).as("total"))
+      tf.join(freq, "token")
+        .crossJoin(broadcast(total))
+        .withColumn("term",
+          round(col("tf").cast("double") *
+            log(col("cnt").cast("double") / col("total").cast("double")), 6)
+            .cast("decimal(18,6)"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("tf")).as("n_tok"), sum(col("term")).as("sum_term"))
+        .select(col("doc_id"), col("n_tok"),
+          round(-col("sum_term").cast("double") / col("n_tok").cast("double"), 6)
+            .as("avg_nll"))
+        .withColumn("flagged", col("avg_nll") >= 8.0)
+        .orderBy(col("doc_id"))
+    })
   )
 
   /** Fixed BPE merge vocabulary, in rank order. Valid by construction: every
@@ -867,6 +902,27 @@ object TextOps {
         |WHERE skey < CASE WHEN lang = 'en' THEN '40000000'
         |                  WHEN lang = 'zh' THEN 'c0000000'
         |                  ELSE '80000000' END
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    "tx21_unigram_logprob" ->
+      s"""WITH tf AS (
+         |  SELECT doc_id, tok AS token, COUNT(*) AS tf
+         |  FROM (SELECT doc_id, unnest($dTok) AS tok FROM documents)
+         |  WHERE tok <> '' GROUP BY doc_id, tok),
+         |freq AS (SELECT token, SUM(tf) AS cnt FROM tf GROUP BY token),
+         |tot AS (SELECT SUM(cnt) AS total FROM freq),
+         |terms AS (
+         |  SELECT tf.doc_id, tf.tf,
+         |    CAST(ROUND(CAST(tf.tf AS DOUBLE) *
+         |      ln(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE)), 6)
+         |      AS DECIMAL(18,6)) AS term
+         |  FROM tf JOIN freq USING (token), tot),
+         |d AS (
+         |  SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tok,
+         |    ROUND(-CAST(SUM(term) AS DOUBLE) / CAST(SUM(tf) AS DOUBLE), 6)
+         |      AS avg_nll
+         |  FROM terms GROUP BY doc_id)
+         |SELECT doc_id, n_tok, avg_nll, avg_nll >= 8.0 AS flagged
+         |FROM d ORDER BY doc_id""".stripMargin
   )
 }
