@@ -154,6 +154,43 @@ object GasStoreQueries {
     spark.read.parquet(path)
   }
 
+  /** gs09's sink: streaming EXACTLY-ONCE dedup under duplicate delivery —
+    * the same day files are read by TWO independent file sources unioned
+    * into one stream (every point arrives twice, the redelivery/replay
+    * failure mode of real ingestion), and
+    * [[graft.streaming.GasStream.dedupeStream]] must drop the second copy
+    * via `dropDuplicatesWithinWatermark` keyed on the point identity
+    * (measurement, field, time). State is bounded by rate × watermark. The
+    * oracle counts each raw point ONCE — a broken dedup doubles n_points
+    * and flips the compare red. */
+  private val builtDedup = new java.util.WeakHashMap[SparkSession, String]()
+  private def streamDedup(spark: SparkSession): DataFrame = {
+    val path = builtDedup.synchronized {
+      Option(builtDedup.get(spark)).getOrElse {
+        val work = Files.createTempDirectory("graft-gas-dedup")
+        deleteOnExit(work)
+        def long() = graft.store.LongStore.unpivot(
+          graft.transform.GasTransform(
+            graft.streaming.GasStream.readStream(spark, fixtureDir))
+            .withColumnRenamed("file_name", "_src")).drop("_src")
+        graft.streaming.GasStream
+          .dedupeStream(long().unionAll(long()), watermark = "26 hours")
+          .select(col("_time"), col("_field"), col("_value"))
+          .writeStream
+          .format("parquet")
+          .option("path", s"$work/out")
+          .option("checkpointLocation", s"$work/ckpt")
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+          .awaitTermination()
+        builtDedup.put(spark, s"$work/out")
+        s"$work/out"
+      }
+    }
+    spark.read.parquet(path)
+  }
+
   val queries: Map[String, Q] = Map(
     // Q1/Q2: dashboard field filter over the long store
     "gs01_field_filter" -> ((s, _) =>
@@ -200,6 +237,15 @@ object GasStoreQueries {
     // seals them — Grafana's overlapping-window smoothing done natively
     // by the stream. One field keeps the compare focused; the oracle
     // replays both the window expansion and the watermark cutoff.
+    // streaming exactly-once dedup under double delivery, rolled up per
+    // field after the sink; identical totals to a single clean delivery
+    "gs09_stream_dedup" -> ((s, _) =>
+      streamDedup(s)
+        .groupBy(col("_field"))
+        .agg(count(lit(1)).as("n_points"),
+          sumExact(col("_value")).as("total"))
+        .orderBy(col("_field"))),
+
     // live stream-stream interval join, aggregated hourly after the sink:
     // the pair list itself is the deterministic artifact; the rollup keeps
     // the compare compact and the sums exact-decimal
@@ -296,6 +342,15 @@ object GasStoreQueries {
          |SELECT _field, COUNT(*) AS n_points,
          |  CAST(SUM(CAST(_value AS DECIMAL(18,6))) AS DOUBLE) AS total,
          |  MIN(_value) AS min_value, MAX(_value) AS max_value
+         |FROM u GROUP BY _field ORDER BY _field""".stripMargin,
+
+    "gs09_stream_dedup" ->
+      s"""$prelude,
+         |u AS (
+         |  UNPIVOT (SELECT * EXCLUDE ("Time (s)", filename) FROM raw)
+         |  ON COLUMNS(* EXCLUDE (_time)) INTO NAME _field VALUE _value)
+         |SELECT _field, COUNT(*) AS n_points,
+         |  CAST(SUM(CAST(_value AS DECIMAL(18,6))) AS DOUBLE) AS total
          |FROM u GROUP BY _field ORDER BY _field""".stripMargin,
 
     "gs08_stream_pair_join" ->

@@ -117,4 +117,30 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"),
       s"gram probe degenerated to a shuffle join:\n$p")
   }
+
+  test("q29: Catalyst decorrelates both scalar subqueries and the EXISTS — no per-row re-execution") {
+    import org.apache.spark.sql.catalyst.expressions.PlanExpression
+    val df = q("q29_correlated_subquery")
+    // after optimization no correlated subquery expression survives — both
+    // above-average scalars became a per-segment aggregate join and the
+    // EXISTS a left-semi join
+    val residual = df.queryExecution.optimizedPlan.expressions.flatMap(_.collect {
+      case pe: PlanExpression[_] => pe
+    }) ++ df.queryExecution.optimizedPlan.collect {
+      case n if n.expressions.exists(_.exists(_.isInstanceOf[PlanExpression[_]])) => n
+    }
+    assert(residual.isEmpty, s"correlated subqueries survived optimization:\n$residual")
+    val p = planString(df)
+    assert(p.contains("LeftSemi"), s"EXISTS did not become a semi join:\n$p")
+  }
+
+  test("ts17: the three window passes share ONE series-key shuffle ordering") {
+    val df = q("ts17_state_duration")
+    df.collect()
+    val p = planString(df).split("== Initial Plan ==").head
+    // event_type-keyed exchanges: rn, rns and the island window all hash on
+    // event_type(+flags); the final orderBy adds one range exchange. The
+    // cap asserts no accidental per-window re-shuffle of the raw frame.
+    assert(countShuffles(p) <= 4, s"too many shuffles:\n$p")
+  }
 }
