@@ -412,6 +412,54 @@ object Relational {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // -- higher-moment aggregate gallery (Flux mode/skew/kurtosis): the
+    // four power sums Σx..Σx⁴ are accumulated as EXACT decimals (values
+    // have ≤2 fractional digits, so x⁴ is exact at scale 8 and the sums
+    // are order-independent under any partitioning), cast to double once,
+    // and the population skewness/kurtosis assembled with one fixed IEEE
+    // tree mirrored by the oracle. mode is exact with a deterministic
+    // (max count, min value) tie-break. Scale: one partial+final hash agg
+    // for the moments; mode adds one (key, value) agg + per-key top-1.
+    "q30_moment_stats" -> ((s, dir) => {
+      // staged exact powers: x² re-anchored at DECIMAL(19,4) so x³/x⁴ stay
+      // inside 38 digits on BOTH engines (x ≤ 500.02 with 2 decimals, so
+      // every stage is exact; Spark would otherwise hit the 38-precision
+      // cap on the 4th power and silently round)
+      val d = t(s, dir, "events").select(col("event_type"),
+        col("value").cast("decimal(12,2)").as("x"))
+        .withColumn("x2", (col("x") * col("x")).cast("decimal(19,4)"))
+      val m = d.groupBy(col("event_type")).agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(col("x")).cast("double").as("s1"),
+        sum(col("x2")).cast("double").as("s2"),
+        sum(col("x2") * col("x")).cast("double").as("s3"),
+        sum(col("x2") * col("x2")).cast("double").as("s4"))
+        .withColumn("mean", col("s1") / col("n"))
+        .withColumn("m2", col("s2") / col("n") - col("mean") * col("mean"))
+        .withColumn("m3", col("s3") / col("n")
+          - lit(3.0) * col("mean") * (col("s2") / col("n"))
+          + lit(2.0) * col("mean") * col("mean") * col("mean"))
+        .withColumn("m4", col("s4") / col("n")
+          - lit(4.0) * col("mean") * (col("s3") / col("n"))
+          + lit(6.0) * col("mean") * col("mean") * (col("s2") / col("n"))
+          - lit(3.0) * col("mean") * col("mean") * col("mean") * col("mean"))
+        .select(col("event_type"), col("n").cast("long").as("n"),
+          round(col("mean"), 6).as("mean"),
+          // m2^1.5 as m2*sqrt(m2): sqrt is IEEE-exact on both engines,
+          // pow(x, 1.5) is not guaranteed to be
+          round(col("m3") / (col("m2") * sqrt(col("m2"))), 6).as("skewness"),
+          round(col("m4") / (col("m2") * col("m2")), 6).as("kurtosis"))
+      val counts = t(s, dir, "events")
+        .groupBy(col("event_type"), col("value")).agg(count(lit(1)).as("c"))
+      val wMode = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type"))
+        .orderBy(col("c").desc, col("value"))
+      val mode = counts.withColumn("rnk", row_number().over(wMode))
+        .filter(col("rnk") === 1)
+        .select(col("event_type"), col("value").as("mode_value"))
+      m.join(mode, "event_type").orderBy(col("event_type"))
+    }),
+
     // -- the ANSI SQL front door: correlated scalar subqueries + EXISTS,
     // run through spark.sql() over temp views — the analyst-facing surface
     // next to the DataFrame API. ONE SQL text runs verbatim on both
@@ -703,6 +751,42 @@ object Relational {
 
     // the exact text spark.sql() runs — shared by construction
     "q29_correlated_subquery" -> q29Sql,
+
+    "q30_moment_stats" ->
+      """WITH d AS (
+        |  SELECT event_type, CAST(value AS DECIMAL(12,2)) AS x,
+        |    CAST(CAST(value AS DECIMAL(12,2)) * CAST(value AS DECIMAL(12,2))
+        |      AS DECIMAL(19,4)) AS x2
+        |  FROM events),
+        |m AS (
+        |  SELECT event_type,
+        |    CAST(COUNT(*) AS DOUBLE) AS n,
+        |    CAST(SUM(x) AS DOUBLE) AS s1,
+        |    CAST(SUM(x2) AS DOUBLE) AS s2,
+        |    CAST(SUM(x2 * x) AS DOUBLE) AS s3,
+        |    CAST(SUM(x2 * x2) AS DOUBLE) AS s4
+        |  FROM d GROUP BY event_type),
+        |e AS (
+        |  SELECT event_type, n, s1 / n AS mean,
+        |    s2 / n - (s1 / n) * (s1 / n) AS m2,
+        |    s3 / n - 3.0 * (s1 / n) * (s2 / n)
+        |      + 2.0 * (s1 / n) * (s1 / n) * (s1 / n) AS m3,
+        |    s4 / n - 4.0 * (s1 / n) * (s3 / n)
+        |      + 6.0 * (s1 / n) * (s1 / n) * (s2 / n)
+        |      - 3.0 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n) AS m4
+        |  FROM m),
+        |c AS (
+        |  SELECT event_type, value AS mode_value,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type
+        |      ORDER BY COUNT(*) DESC, value) AS rnk
+        |  FROM events GROUP BY event_type, value),
+        |md AS (SELECT event_type, mode_value FROM c WHERE rnk = 1)
+        |SELECT e.event_type, CAST(n AS BIGINT) AS n,
+        |  ROUND(mean, 6) AS mean,
+        |  ROUND(m3 / (m2 * sqrt(m2)), 6) AS skewness,
+        |  ROUND(m4 / (m2 * m2), 6) AS kurtosis,
+        |  mode_value
+        |FROM e JOIN md USING (event_type) ORDER BY e.event_type""".stripMargin,
 
     // exact counts computed by DuckDB independently; the within_tol booleans
     // are asserted TRUE — if Spark's sketch drifts past tolerance its FALSE
