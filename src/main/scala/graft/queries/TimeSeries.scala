@@ -407,7 +407,99 @@ object TimeSeries {
     "ts16_histogram_quantile" -> ((s, dir) =>
       histCounts(ev(s, dir))
         .selectExpr("event_type", "n_total", s"round($histQuantileSql, 6) AS q50")
-        .orderBy(col("event_type")))
+        .orderBy(col("event_type"))),
+
+    // Ordered conversion funnel (view → click → purchase), the canonical
+    // product-analytics shape: a user converts stage k only with an event
+    // STRICTLY AFTER their stage-(k-1) anchor, so conditional per-user
+    // aggregates alone can't express it — each stage's anchor feeds the
+    // next stage's predicate. Three chained full-partition window minima
+    // share ONE user_id hash partitioning (unordered frames, so no sort
+    // either), and the final per-user groupBy reuses that same exchange:
+    // the whole funnel costs exactly one shuffle of the events scan.
+    "ts18_funnel" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+      ev(s, dir)
+        .withColumn("ts_us", unix_micros(col("ts")))
+        .withColumn("fv",
+          min(when(col("event_type") === "view", col("ts_us"))).over(w))
+        .withColumn("fc",
+          min(when(col("event_type") === "click" && col("ts_us") > col("fv"),
+            col("ts_us"))).over(w))
+        .withColumn("fp",
+          min(when(col("event_type") === "purchase" && col("ts_us") > col("fc"),
+            col("ts_us"))).over(w))
+        .groupBy(col("user_id"))
+        .agg(min(col("fv")).as("first_view_us"),
+          min(col("fc")).as("first_click_us"),
+          min(col("fp")).as("first_purchase_us"))
+        .withColumn("stage",
+          when(col("first_purchase_us").isNotNull, 3L)
+            .when(col("first_click_us").isNotNull, 2L)
+            .when(col("first_view_us").isNotNull, 1L)
+            .otherwise(0L))
+        .orderBy(col("user_id"))
+    }),
+
+    // Signup-cohort weekly retention matrix: cohort = ISO week of the
+    // user's first signup; a user is retained in week-offset k if they
+    // produced ANY event in cohort_week + k weeks. Scale shape: the
+    // cohort frame is |users| rows (one hash agg), the activity frame is
+    // distinct (user, week) — both shuffles are keyed on user_id and the
+    // final matrix agg is keyed on (cohort_week, offset) whose cardinality
+    // is weeks² — tiny. Rate is one IEEE division over exact longs.
+    "ts19_retention" -> ((s, dir) => {
+      val e = ev(s, dir)
+      val cohort = e.filter(col("event_type") === "signup")
+        .groupBy(col("user_id"))
+        .agg(date_trunc("week", min(col("ts"))).as("cohort_week"))
+      val sizes = cohort.groupBy(col("cohort_week"))
+        .agg(count(lit(1)).as("n_cohort"))
+      val activity = e
+        .select(col("user_id"), date_trunc("week", col("ts")).as("week"))
+        .distinct()
+      val active = activity.join(cohort, "user_id")
+        .filter(col("week") >= col("cohort_week"))
+        .groupBy(col("cohort_week"),
+          (datediff(col("week"), col("cohort_week")) / 7).cast("long").as("week_offset"))
+        .agg(count(lit(1)).as("n_active"))
+      active.join(sizes, "cohort_week")
+        .select(
+          date_format(col("cohort_week"), "yyyy-MM-dd").as("cohort_week"),
+          col("week_offset"), col("n_active"), col("n_cohort"),
+          round(col("n_active").cast("double") / col("n_cohort"), 6).as("retention"))
+        .orderBy(col("cohort_week"), col("week_offset"))
+    }),
+
+    // Mergeable-sketch incremental rollup — the 100 TB aggregation story:
+    // history is summarized ONCE into per-day HLL sketches (DataSketches
+    // HllSketch via hll_sketch_agg) and any later "distinct users over
+    // range X" query merges the bounded sketch column instead of
+    // rescanning raw events. The oracle can't see sketch internals, so —
+    // exactly like q19/q25 — the registered output is the deterministic
+    // ACCURACY verdict: every per-day estimate and the union-merged global
+    // estimate must land within 5% of the exact distinct count (at this
+    // cardinality HLL runs in sparse mode and is near-exact; a broken
+    // sketch or merge flips the booleans and the hash).
+    "ts20_hll_merge" -> ((s, dir) => {
+      val e = ev(s, dir)
+      val daily = e.groupBy(to_date(col("ts")).as("day"))
+        .agg(hll_sketch_agg(col("user_id")).as("sk"),
+          countDistinct(col("user_id")).as("day_exact"))
+        .withColumn("day_est", hll_sketch_estimate(col("sk")))
+        .withColumn("day_ok",
+          abs(col("day_est") - col("day_exact")).cast("double") /
+            col("day_exact") <= 0.05)
+      val merged = daily.agg(
+        count(lit(1)).as("n_days"),
+        sum(when(col("day_ok"), 1L).otherwise(0L)).as("n_days_ok"),
+        hll_sketch_estimate(hll_union_agg(col("sk"))).as("merged_est"))
+      val exact = e.agg(countDistinct(col("user_id")).as("n_exact"))
+      merged.crossJoin(exact)
+        .select(col("n_days"), col("n_days_ok"), col("n_exact"),
+          (abs(col("merged_est") - col("n_exact")).cast("double") /
+            col("n_exact") <= 0.05).as("merged_ok"))
+    })
   )
 
   /** Single-pass cumulative bucket counts for ts15/ts16: one hash aggregate,
@@ -641,7 +733,53 @@ object TimeSeries {
       s"""WITH h AS ($histCountsSql)
          |SELECT event_type, CAST(n_total AS BIGINT) AS n_total,
          |  ROUND($histQuantileSql, 6) AS q50
-         |FROM h ORDER BY event_type""".stripMargin
+         |FROM h ORDER BY event_type""".stripMargin,
+
+    "ts18_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+        |a AS (SELECT *, MIN(CASE WHEN event_type = 'view' THEN ts_us END)
+        |        OVER (PARTITION BY user_id) AS fv FROM e),
+        |b AS (SELECT *, MIN(CASE WHEN event_type = 'click' AND ts_us > fv
+        |        THEN ts_us END) OVER (PARTITION BY user_id) AS fc FROM a),
+        |c AS (SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts_us > fc
+        |        THEN ts_us END) OVER (PARTITION BY user_id) AS fp FROM b)
+        |SELECT user_id, MIN(fv) AS first_view_us, MIN(fc) AS first_click_us,
+        |  MIN(fp) AS first_purchase_us,
+        |  CAST(CASE WHEN MIN(fp) IS NOT NULL THEN 3
+        |            WHEN MIN(fc) IS NOT NULL THEN 2
+        |            WHEN MIN(fv) IS NOT NULL THEN 1
+        |            ELSE 0 END AS BIGINT) AS stage
+        |FROM c GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "ts19_retention" ->
+      """WITH cohort AS (
+        |  SELECT user_id, date_trunc('week', MIN(ts)) AS cw
+        |  FROM events WHERE event_type = 'signup' GROUP BY user_id),
+        |sizes AS (SELECT cw, COUNT(*) AS n_cohort FROM cohort GROUP BY cw),
+        |activity AS (
+        |  SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events),
+        |active AS (
+        |  SELECT c.cw, CAST(datediff('day', c.cw, a.week) / 7 AS BIGINT) AS week_offset,
+        |    COUNT(*) AS n_active
+        |  FROM activity a JOIN cohort c ON a.user_id = c.user_id
+        |  WHERE a.week >= c.cw
+        |  GROUP BY c.cw, week_offset)
+        |SELECT strftime(x.cw, '%Y-%m-%d') AS cohort_week, x.week_offset,
+        |  x.n_active, s.n_cohort,
+        |  ROUND(CAST(x.n_active AS DOUBLE) / s.n_cohort, 6) AS retention
+        |FROM active x JOIN sizes s ON x.cw = s.cw
+        |ORDER BY cohort_week, week_offset""".stripMargin,
+
+    // the oracle asserts the ACCURACY verdict (see the query's scaladoc):
+    // exact counts from raw events, booleans as literals — a broken
+    // sketch/merge on the engine side flips day_ok/merged_ok and the hash
+    "ts20_hll_merge" ->
+      """SELECT CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+        |  CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days_ok,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact,
+        |  TRUE AS merged_ok
+        |FROM events""".stripMargin
   )
 
 }
