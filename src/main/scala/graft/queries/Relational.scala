@@ -554,6 +554,53 @@ object Relational {
           count(col("o_custkey")).as("n_buyers"),
           sum(coalesce(col("n_orders"), lit(0L))).as("total_orders"))
         .orderBy(col("segment"))
+    }),
+
+    // -- slowly-changing-dimension type-2 merge (warehouse upsert): two
+    // deterministic customer snapshots (updates: %7 → segment tag + bal+100;
+    // deletes: %13 absent from snap2; inserts: %11 re-keyed) merge into
+    // effective-dated history rows. Scale shape: ONE full-outer key shuffle
+    // of the dimension; both output rows per key (the closed old version and
+    // the open current one) are emitted in a SINGLE pass over the join via
+    // array_compact+explode — no second scan, no union re-join; the change
+    // predicate compares only tracked attributes.
+    "q31_scd2_merge" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"), col("c_acctbal"))
+      val snap1 = c
+      val snap2 = c.filter(col("c_custkey") % 13 =!= 0)
+        .select(col("c_custkey"), col("c_name"),
+          when(col("c_custkey") % 7 === 0, concat(col("c_mktsegment"), lit("#2")))
+            .otherwise(col("c_mktsegment")).as("c_mktsegment"),
+          when(col("c_custkey") % 7 === 0, col("c_acctbal") + 100.0)
+            .otherwise(col("c_acctbal")).as("c_acctbal"))
+        .unionAll(c.filter(col("c_custkey") % 11 === 0)
+          .select((col("c_custkey") + 10000000L).as("c_custkey"),
+            concat(lit("NEW-"), col("c_name")).as("c_name"),
+            col("c_mktsegment"), col("c_acctbal")))
+      val o = snap1.select(col("c_custkey").as("k"), col("c_name").as("o_name"),
+        col("c_mktsegment").as("o_seg"), col("c_acctbal").as("o_bal"))
+      val n = snap2.select(col("c_custkey").as("k"), col("c_name").as("n_name"),
+        col("c_mktsegment").as("n_seg"), col("c_acctbal").as("n_bal"))
+      val d1 = lit("2024-01-01"); val d2 = lit("2024-06-01"); val hi = lit("9999-12-31")
+      val j = o.join(n, Seq("k"), "full_outer")
+        .withColumn("oe", col("o_name").isNotNull)
+        .withColumn("ne", col("n_name").isNotNull)
+        .withColumn("chg", col("oe") && col("ne") &&
+          (col("o_seg") =!= col("n_seg") || col("o_bal") =!= col("n_bal") ||
+            col("o_name") =!= col("n_name")))
+      val closed = struct(col("k").as("custkey"), col("o_name").as("name"),
+        col("o_seg").as("mktsegment"), col("o_bal").as("acctbal"),
+        d1.as("valid_from"), d2.as("valid_to"), lit(false).as("is_current"))
+      val current = struct(col("k").as("custkey"), col("n_name").as("name"),
+        col("n_seg").as("mktsegment"), col("n_bal").as("acctbal"),
+        when(col("oe") && !col("chg"), d1).otherwise(d2).as("valid_from"),
+        hi.as("valid_to"), lit(true).as("is_current"))
+      j.select(explode(array_compact(array(
+          when(col("oe") && (!col("ne") || col("chg")), closed),
+          when(col("ne"), current)))).as("r"))
+        .select(col("r.*"))
+        .orderBy(col("custkey"), col("valid_from"))
     })
   )
 
@@ -841,6 +888,39 @@ object Relational {
         |  COUNT(o_custkey) AS n_buyers,
         |  CAST(SUM(COALESCE(n_orders, 0)) AS BIGINT) AS total_orders
         |FROM c FULL JOIN o ON c_custkey = o_custkey
-        |GROUP BY segment ORDER BY segment""".stripMargin
+        |GROUP BY segment ORDER BY segment""".stripMargin,
+
+    "q31_scd2_merge" ->
+      """WITH snap1 AS (
+        |  SELECT c_custkey, c_name, c_mktsegment, c_acctbal FROM customer),
+        |snap2 AS (
+        |  SELECT c_custkey, c_name,
+        |    CASE WHEN c_custkey % 7 = 0 THEN c_mktsegment || '#2'
+        |         ELSE c_mktsegment END AS c_mktsegment,
+        |    CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 100.0
+        |         ELSE c_acctbal END AS c_acctbal
+        |  FROM customer WHERE c_custkey % 13 <> 0
+        |  UNION ALL
+        |  SELECT c_custkey + 10000000, 'NEW-' || c_name, c_mktsegment, c_acctbal
+        |  FROM customer WHERE c_custkey % 11 = 0),
+        |j AS (
+        |  SELECT o.c_custkey AS ok_, o.c_name AS onm, o.c_mktsegment AS os, o.c_acctbal AS ob,
+        |         n.c_custkey AS nk, n.c_name AS nnm, n.c_mktsegment AS ns, n.c_acctbal AS nb
+        |  FROM snap1 o FULL JOIN snap2 n ON o.c_custkey = n.c_custkey),
+        |x AS (
+        |  SELECT *, ok_ IS NOT NULL AS oe, nk IS NOT NULL AS ne,
+        |    (ok_ IS NOT NULL AND nk IS NOT NULL
+        |     AND (os <> ns OR ob <> nb OR onm <> nnm)) AS chg
+        |  FROM j)
+        |SELECT * FROM (
+        |  SELECT ok_ AS custkey, onm AS name, os AS mktsegment, ob AS acctbal,
+        |    '2024-01-01' AS valid_from, '2024-06-01' AS valid_to, FALSE AS is_current
+        |  FROM x WHERE oe AND (NOT ne OR chg)
+        |  UNION ALL
+        |  SELECT nk, nnm, ns, nb,
+        |    CASE WHEN oe AND NOT chg THEN '2024-01-01' ELSE '2024-06-01' END,
+        |    '9999-12-31', TRUE
+        |  FROM x WHERE ne)
+        |ORDER BY custkey, valid_from""".stripMargin
   )
 }
