@@ -252,6 +252,70 @@ object VectorOps {
         .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
         .withColumn("recall_at_5",
           round(col("n_hit").cast("double") / col("n_exact"), 6))
+    }),
+
+    // INT8 SCALAR QUANTIZATION (SQ8) + exact rerank — the third classic ANN
+    // scale pillar next to LSH (v03-v09) and IVF (v05/v06): the corpus is
+    // compressed to one 8-bit code per dimension against per-dimension
+    // corpus min/max, candidate generation scans ONLY the codes
+    // (asymmetric distance: full-precision query vs dequantized codes —
+    // 4× less scan bandwidth than float32, 16× if the floats were doubles),
+    // and only the top-C=15 survivors per query fetch full precision for
+    // exact reranking. Output is the reranked top-5 — on this corpus it
+    // reproduces v01's exact top-k bit-for-bit, which the oracle replays
+    // END TO END through its own quantize/dequantize/rerank pipeline, so a
+    // single mis-rounded code flips the hash.
+    //
+    // Scale shape: the min/max "codebook" is 2×dim doubles computed by one
+    // distributed posexplode+agg and carried as a one-row broadcast (never
+    // a driver collect); quantization and candidate scoring are map-side
+    // over the code column; the only shuffles are the per-query top-C
+    // partial-aggregate (TopKAggregator — O(queries × partitions × C)
+    // rows) and the broadcast rerank join. At rest the codes pack into a
+    // dim-byte binary column; in-flight they ride as array<int> since the
+    // fixture source is float parquet either way.
+    "v11_sq8_topk" -> ((s, dir) => {
+      graft.functions.VectorFunctions.register(s)
+      val e = emb(s, dir)
+      // per-dimension min/max as two dim-length arrays on ONE row
+      val mm = e.select(posexplode(col("emb")).as(Seq("pos", "x")))
+        .groupBy(col("pos")).agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("mn")))).as("mns"),
+          array_sort(collect_list(struct(col("pos"), col("mx")))).as("mxs"))
+        .select(expr("transform(mns, s -> s.mn)").as("mn"),
+          expr("transform(mxs, s -> s.mx)").as("mx"))
+      // quantize to codes, dequantize for asymmetric scoring (same
+      // expression shape the oracle replays: round → int, then
+      // mn + code·range/255)
+      val coded = e.crossJoin(broadcast(mm))
+        .withColumn("qv", expr(
+          "transform(emb, (x, i) -> cast(round((x - mn[i]) * 255.0D / (mx[i] - mn[i])) as int))"))
+        .withColumn("dq", expr(
+          "transform(qv, (q, i) -> mn[i] + q * (mx[i] - mn[i]) / 255.0D)"))
+        .withColumn("dqn", expr("sqrt(graft_dot(dq, dq))"))
+        .select(col("vec_id"), col("dq"), col("dqn"))
+      val qs = e.filter(expr("vec_id % 100 = 0"))
+        .select(col("vec_id").as("q_id"), col("emb").as("qe"), col("norm").as("qn"))
+      val topC = udaf(new graft.functions.TopKAggregator(15))
+      val cand = fanout(coded)
+        .crossJoin(broadcast(qs))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("asim",
+          round(expr("graft_dot(qe, dq)") / (col("qn") * col("dqn")), 6))
+        .groupBy(col("q_id"))
+        .agg(topC(col("vec_id"), col("asim")).as("top"))
+        .select(col("q_id"), explode(expr("transform(top, s -> s.c_id)")).as("c_id"))
+      // exact rerank: the candidate list is queries×C rows — broadcast it
+      // against the full-precision corpus, then top-5 by exact cosine
+      val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id"))
+      e.join(broadcast(cand), col("vec_id") === col("c_id"))
+        .join(broadcast(qs), Seq("q_id"))
+        .withColumn("sim",
+          round(expr("graft_dot(qe, emb)") / (col("qn") * col("norm")), 6))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 5)
+        .select(col("q_id"), col("rnk"), col("c_id"), col("sim"))
+        .orderBy(col("q_id"), col("rnk"))
     })
   )
 
@@ -669,6 +733,47 @@ object VectorOps {
         |SELECT (SELECT COUNT(*) FROM exact) AS n_exact,
         |  (SELECT COUNT(*) FROM hit) AS n_hit,
         |  ROUND(CAST((SELECT COUNT(*) FROM hit) AS DOUBLE)
-        |      / (SELECT COUNT(*) FROM exact), 6) AS recall_at_5""".stripMargin
+        |      / (SELECT COUNT(*) FROM exact), 6) AS recall_at_5""".stripMargin,
+
+    // full replay of the SQ8 pipeline: per-dim min/max codebook → int8
+    // codes → dequantize → asymmetric candidate top-15 → exact rerank
+    "v11_sq8_topk" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS emb,
+        |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+        |  FROM embeddings),
+        |d AS (SELECT unnest(embedding::DOUBLE[]) AS x,
+        |        generate_subscripts(embedding, 1) AS sub FROM embeddings),
+        |mmr AS (SELECT sub, MIN(x) AS mn, MAX(x) AS mx FROM d GROUP BY sub),
+        |mma AS (SELECT list(mn ORDER BY sub) AS mn, list(mx ORDER BY sub) AS mx
+        |        FROM mmr),
+        |coded AS (
+        |  SELECT vec_id,
+        |    list_transform(range(0, 64), i ->
+        |      mn[CAST(i + 1 AS INT)] +
+        |      CAST(round((emb[CAST(i + 1 AS INT)] - mn[CAST(i + 1 AS INT)]) * 255.0
+        |             / (mx[CAST(i + 1 AS INT)] - mn[CAST(i + 1 AS INT)])) AS INT)
+        |        * (mx[CAST(i + 1 AS INT)] - mn[CAST(i + 1 AS INT)]) / 255.0) AS dq
+        |  FROM e, mma),
+        |cd AS (SELECT vec_id, dq, sqrt(list_dot_product(dq, dq)) AS dqn FROM coded),
+        |q AS (SELECT vec_id AS q_id, emb AS qe, norm AS qn FROM e
+        |      WHERE vec_id % 100 = 0),
+        |cand AS (
+        |  SELECT q_id, vec_id AS c_id,
+        |    round(list_dot_product(qe, dq) / (qn * dqn), 6) AS asim
+        |  FROM cd, q WHERE vec_id <> q_id),
+        |top15 AS (
+        |  SELECT q_id, c_id FROM (
+        |    SELECT q_id, c_id, ROW_NUMBER() OVER (PARTITION BY q_id
+        |      ORDER BY asim DESC, c_id) AS r FROM cand)
+        |  WHERE r <= 15),
+        |rr AS (
+        |  SELECT t.q_id, t.c_id,
+        |    round(list_dot_product(qq.qe, c.emb) / (qq.qn * c.norm), 6) AS sim
+        |  FROM top15 t JOIN q qq ON qq.q_id = t.q_id JOIN e c ON c.vec_id = t.c_id)
+        |SELECT q_id, CAST(rnk AS BIGINT) AS rnk, c_id, sim FROM (
+        |  SELECT q_id, c_id, sim, ROW_NUMBER() OVER (PARTITION BY q_id
+        |    ORDER BY sim DESC, c_id) AS rnk FROM rr)
+        |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
   )
 }
