@@ -143,4 +143,45 @@ class PlanAuditSpec extends SparkSpec {
     // cap asserts no accidental per-window re-shuffle of the raw frame.
     assert(countShuffles(p) <= 4, s"too many shuffles:\n$p")
   }
+
+  test("runtime bloom filter from a selective dim prunes the fact scan of a shuffle join") {
+    // At 100 TB a fact-fact shuffle join whose other side carries a
+    // selective predicate should not shuffle the unfiltered fact: Spark's
+    // InjectRuntimeFilter builds a bloom filter from the filtered side's
+    // join keys and applies it BELOW the fact side's exchange, so
+    // non-qualifying rows die before they are hashed, serialized and
+    // shuffled. This pins (a) that the engine's session leaves the feature
+    // ON, and (b) the plan shape that makes it fire — an equi shuffle join
+    // with a selective creation side — so the 100 TB claim can't silently
+    // regress. (The size thresholds exist for real clusters; the test
+    // lowers only the application-side floor, which merely says "our fact
+    // table is big enough to be worth filtering".)
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val conf = spark.conf
+    val keys = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+    val saved = keys.map(k => k -> conf.getOption(k)).toMap
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      val li = graft.sources.Tables.table(spark, sf, "lineitem")
+      val o = graft.sources.Tables.table(spark, sf, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val j = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+      val p = planString(j)
+      assert(p.contains("might_contain"),
+        s"no bloom filter injected on the fact side:\n$p")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        s"join is not a shuffle join — the audit premise broke:\n$p")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
 }
