@@ -601,6 +601,30 @@ object Relational {
           when(col("ne"), current)))).as("r"))
         .select(col("r.*"))
         .orderBy(col("custkey"), col("valid_from"))
+    }),
+
+    // -- distribution-window gallery: ntile / percent_rank / cume_dist /
+    // nth_value complete the window-function family next to q06 (ranking)
+    // and q07 (lag + running frames). All four ride the SAME
+    // priority-keyed sort — one exchange, one sort, four functions; the
+    // two distribution functions are exact rank ratios (one IEEE division
+    // each), so both engines agree bit-for-bit.
+    "q32_window_gallery" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      t(s, dir, "orders")
+        .filter(col("o_orderkey") % 10 === 0)
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("quartile", ntile(4).over(w).cast("long"))
+        .withColumn("pct_rank", round(percent_rank().over(w), 6))
+        .withColumn("cume", round(cume_dist().over(w), 6))
+        .withColumn("third_cheapest",
+          nth_value(col("o_orderkey"), 3).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
+          col("rn"), col("quartile"), col("pct_rank"), col("cume"),
+          col("third_cheapest"))
+        .orderBy(col("o_orderpriority"), col("rn"))
     })
   )
 
@@ -921,6 +945,19 @@ object Relational {
         |    CASE WHEN oe AND NOT chg THEN '2024-01-01' ELSE '2024-06-01' END,
         |    '9999-12-31', TRUE
         |  FROM x WHERE ne)
-        |ORDER BY custkey, valid_from""".stripMargin
+        |ORDER BY custkey, valid_from""".stripMargin,
+
+    "q32_window_gallery" ->
+      """SELECT o_orderkey, o_orderpriority, o_totalprice,
+        |  CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn,
+        |  CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+        |  ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+        |  ROUND(CUME_DIST() OVER w, 6) AS cume,
+        |  NTH_VALUE(o_orderkey, 3) OVER
+        |    (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS third_cheapest
+        |FROM orders WHERE o_orderkey % 10 = 0
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderpriority, rn""".stripMargin
   )
 }

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
@@ -557,6 +558,28 @@ object TextOps {
             .as("avg_nll"))
         .withColumn("flagged", col("avg_nll") >= 8.0)
         .orderBy(col("doc_id"))
+    }),
+
+    // Per-domain quota capping (crawl de-biasing: no single domain may
+    // contribute more than `cap` documents; C4/RefinedWeb-style host-level
+    // budgets). Which docs survive must be deterministic and
+    // content-independent, so the per-domain ranking key is the same
+    // md5(doc_id) hash tx20 uses — a reproducible uniform shuffle within
+    // each domain. Scale shape: ONE shuffle keyed on source for the
+    // ranking window. A pathological mega-domain makes that window's
+    // partition hot; the 100 TB remedy keeps the same semantics — convert
+    // each domain's quota to a hash threshold (cap / count, one broadcast
+    // join) so the cap becomes a map-side predicate like tx20, exact up to
+    // hash-uniformity instead of exactly-cap.
+    "tx22_domain_quota" -> ((s, dir) => {
+      val w = Window.partitionBy(col("source")).orderBy(col("skey"), col("doc_id"))
+      docs(s, dir)
+        .withColumn("skey",
+          substring(md5(col("doc_id").cast("string").cast("binary")), 1, 8))
+        .withColumn("qrank", row_number().over(w).cast("long"))
+        .withColumn("kept", col("qrank") <= 15)
+        .select(col("doc_id"), col("source"), col("skey"), col("qrank"), col("kept"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -923,6 +946,16 @@ object TextOps {
          |      AS avg_nll
          |  FROM terms GROUP BY doc_id)
          |SELECT doc_id, n_tok, avg_nll, avg_nll >= 8.0 AS flagged
-         |FROM d ORDER BY doc_id""".stripMargin
+         |FROM d ORDER BY doc_id""".stripMargin,
+
+    "tx22_domain_quota" ->
+      """WITH d AS (SELECT doc_id, source,
+        |  substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS skey FROM documents)
+        |SELECT doc_id, source, skey,
+        |  CAST(ROW_NUMBER() OVER w AS BIGINT) AS qrank,
+        |  ROW_NUMBER() OVER w <= 15 AS kept
+        |FROM d
+        |WINDOW w AS (PARTITION BY source ORDER BY skey, doc_id)
+        |ORDER BY doc_id""".stripMargin
   )
 }
