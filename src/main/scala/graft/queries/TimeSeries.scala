@@ -499,6 +499,45 @@ object TimeSeries {
         .select(col("n_days"), col("n_days_ok"), col("n_exact"),
           (abs(col("merged_est") - col("n_exact")).cast("double") /
             col("n_exact") <= 0.05).as("merged_ok"))
+    }),
+
+    // Flux `exponentialMovingAverage` (k = 2/(n+1), n = 9 → k = 0.2,
+    // seeded with the first observation): y_i = (1-k)^(i-1)·x_1 +
+    // k·Σ_{j=2..i} (1-k)^(i-j)·x_j, evaluated in CLOSED FORM over the
+    // daily per-field series so the recursion becomes a data-parallel
+    // weighted sum. Cross-engine exactness: the decay powers are built by
+    // FOLDING m literal 0.8 factors (identical IEEE product sequence on
+    // both engines — `pow()` is not correctly-rounded and may differ by an
+    // ulp between libm and the JVM), each term is rounded and summed as an
+    // exact decimal (order-independent under any partitioning), and only
+    // the final cast returns to double. Scale shape: the O(len²)
+    // pair-expansion is per SERIES (len = days-per-key, bounded); at
+    // 100 TB EMA over long series runs as a stateful sequential scan per
+    // series key instead (mapGroupsWithState — GasStream), or as the
+    // truncated-kernel window approximation; this closed form is the
+    // oracle-checkable batch semantics.
+    "ts21_ema" -> ((s, dir) => {
+      val daily = ev(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg((avgExact(col("value"))).as("xr"))
+        .withColumn("x", round(col("xr"), 6))
+        .withColumn("i", row_number().over(
+          Window.partitionBy(col("event_type")).orderBy(col("day"))).cast("long"))
+        .select(col("event_type"), col("day"), col("i"), col("x"))
+      val a = daily.select(col("event_type"), col("day"), col("i"), col("x").as("xi"))
+      val b = daily.select(col("event_type").as("et2"), col("i").as("j"), col("x").as("xj"))
+      a.join(b, col("event_type") === col("et2") && col("j") <= col("i"))
+        .withColumn("f", expr(
+          """CASE WHEN i - j = 0 THEN CAST(1.0 AS DOUBLE)
+            |ELSE aggregate(array_repeat(0.8D, CAST(i - j AS INT)), 1.0D,
+            |               (acc, z) -> acc * z) END""".stripMargin))
+        .withColumn("term", expr(
+          "CAST(round((CASE WHEN j = 1 THEN f ELSE 0.2 * f END) * xj, 12) AS DECIMAL(28,12))"))
+        .groupBy(col("event_type"), col("day"), col("i"))
+        .agg(sum(col("term")).as("acc"))
+        .select(col("event_type"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("i"), round(col("acc").cast("double"), 6).as("ema"))
+        .orderBy(col("event_type"), col("i"))
     })
   )
 
@@ -779,7 +818,38 @@ object TimeSeries {
         |  CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days_ok,
         |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact,
         |  TRUE AS merged_ok
-        |FROM events""".stripMargin
+        |FROM events""".stripMargin,
+
+    "ts21_ema" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)
+        |      AS x
+        |  FROM events GROUP BY event_type, day),
+        |idx AS (
+        |  SELECT event_type, day, x,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS BIGINT)
+        |      AS i
+        |  FROM daily),
+        |pairs AS (
+        |  SELECT a.event_type, a.day, a.i, b.i AS j, b.x AS xj,
+        |    CASE WHEN a.i - b.i = 0 THEN CAST(1.0 AS DOUBLE)
+        |         -- elements MUST be double: a DECIMAL(2,1) 0.8 would make
+        |         -- list_reduce round the accumulator back to 1 dp each step
+        |         ELSE list_reduce(list_transform(range(a.i - b.i),
+        |                            z -> CAST(0.8 AS DOUBLE)),
+        |                          (acc, z) -> acc * z) END AS f
+        |  FROM idx a JOIN idx b
+        |    ON a.event_type = b.event_type AND b.i <= a.i),
+        |terms AS (
+        |  SELECT event_type, day, i,
+        |    CAST(ROUND((CASE WHEN j = 1 THEN f ELSE 0.2 * f END) * xj, 12)
+        |      AS DECIMAL(28,12)) AS term
+        |  FROM pairs)
+        |SELECT event_type, strftime(day, '%Y-%m-%d') AS day, i,
+        |  ROUND(CAST(SUM(term) AS DOUBLE), 6) AS ema
+        |FROM terms GROUP BY event_type, day, i
+        |ORDER BY event_type, i""".stripMargin
   )
 
 }
