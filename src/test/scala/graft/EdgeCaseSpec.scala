@@ -47,4 +47,28 @@ class EdgeCaseSpec extends SparkSpec {
       .map(r => (r.getLong(0), Option(r.getString(1)))).toSet
     assert(got == Set((1L, None), (2L, None)))
   }
+
+  test("ts21 closed-form EMA matches the sequential recursive definition") {
+    // the data-parallel closed form must agree with the textbook recursion
+    // y_1 = x_1; y_i = k·x_i + (1-k)·y_{i-1} — recompute the recursion on
+    // the driver from the same daily means and compare to within the
+    // query's 6-dp output rounding
+    val got = SparkEntry.queries("ts21_ema")(spark, sf)
+      .select("event_type", "i", "ema").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val daily = graft.sources.Tables.table(spark, sf, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(round(graft.queries.avgExact(col("value")), 6).as("x"))
+      .orderBy(col("event_type"), col("day"))
+      .select("event_type", "x").collect()
+      .map(r => r.getString(0) -> r.getDouble(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    val k = 0.2
+    for ((et, xs) <- daily) {
+      val emas = xs.tail.scanLeft(xs.head)((prev, x) => k * x + (1 - k) * prev)
+      for ((y, idx) <- emas.zipWithIndex)
+        assert(math.abs(got((et, idx + 1L)) - y) < 1e-5,
+          s"$et i=${idx + 1}: closed form ${got((et, idx + 1L))} vs recursive $y")
+    }
+  }
 }
