@@ -14,6 +14,14 @@ class RegistrySpec extends SparkSpec {
     assert(missing.isEmpty, s"oracle keys without queries: $missing")
   }
 
+  test("every registered query is oracled — no rows-only verification anywhere") {
+    // the board has been 100% hash-checked since round 4 (sketch queries
+    // emit accuracy verdicts); a new query landing without an oracle would
+    // silently downgrade itself to the driver's weaker rows-only check
+    val unoracled = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(unoracled.isEmpty, s"queries without an oracle: $unoracled")
+  }
+
   test("all registered queries run and return rows on sf0.001") {
     val empty = SparkEntry.queries.toSeq.sortBy(_._1).filter {
       case (_, fn) => fn(spark, sf).limit(1).count() == 0
