@@ -201,4 +201,49 @@ object GasStream {
       }
       .toDF()
   }
+
+  /** Per-key EMA recursion state: last smoothed value + last applied time. */
+  case class EmaState(ema: Double, lastUs: Long, n: Long)
+
+  /** One smoothed point emitted per applied input point. */
+  case class EmaPoint(_field: String, ts_us: Long, value: Double, ema: Double, n: Long)
+
+  /** Streaming exponential moving average — the UNBOUNDED-series form of
+    * ts21's closed-form batch EMA (PLANS.md): y_1 = x_1,
+    * y_i = k·x_i + (1−k)·y_{i−1}, carried as one tiny record of keyed
+    * state per series, so an infinite stream costs O(keys) state and zero
+    * re-reads. Within a micro-batch events are applied in event-time
+    * order; across batches the recursion is inherently sequential, so a
+    * straggler OLDER than the last applied point cannot retroactively
+    * re-smooth history — it is dropped, and the monotone guard makes that
+    * an explicit, documented semantics (the alternative — buffering the
+    * watermark horizon per key — buys exact replay at gap-fill cost;
+    * ts21 is the exact batch semantics when order matters after the
+    * fact). StatefulStreamSpec pins stream ≡ recursion across batches and
+    * the straggler drop. */
+  def emaStream(long: DataFrame, k: Double = 0.2): DataFrame = {
+    import long.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    long.select(col("_field"), col("_time"), col("_value"))
+      .as[(String, java.sql.Timestamp, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[EmaState, EmaPoint](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (field: String, rows: Iterator[(String, java.sql.Timestamp, Double)],
+            state: GroupState[EmaState]) =>
+          var st = state.getOption.getOrElse(EmaState(0.0, Long.MinValue, 0L))
+          val out = Seq.newBuilder[EmaPoint]
+          rows.toSeq.sortBy(_._2.getTime).foreach { case (_, t, v) =>
+            val us = t.getTime * 1000L
+            if (us >= st.lastUs) { // monotone guard: drop stale stragglers
+              val y = if (st.n == 0L) v else k * v + (1 - k) * st.ema
+              st = EmaState(y, us, st.n + 1)
+              out += EmaPoint(field, us, v, y, st.n)
+            }
+          }
+          if (st.n > 0L) state.update(st)
+          out.result().iterator
+      }
+      .toDF()
+  }
 }

@@ -206,4 +206,49 @@ class StatefulStreamSpec extends SparkSpec {
     assert(rows.contains((1.5, 40.0)))
     assert(!rows.contains((1.5, 41.0)) && !rows.contains((1.5, 42.0)))
   }
+
+  test("streaming EMA equals the sequential recursion across batches; stale stragglers drop") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val long = input.toDF().toDF("_time", "_field", "_value")
+
+    val q = GasStream.emaStream(long, k = 0.2)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ema").start()
+
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // batch 1: three A points OUT OF ORDER inside the batch (must be
+    // applied time-sorted) and one B point
+    input.addData(
+      (ts("2016-10-07 00:02:00"), "A", 20.0),
+      (ts("2016-10-07 00:01:00"), "A", 10.0),
+      (ts("2016-10-07 00:03:00"), "A", 40.0),
+      (ts("2016-10-07 00:01:00"), "B", 7.0))
+    q.processAllAvailable()
+    // batch 2: A continues — recursion must resume from batch-1 state —
+    // and a STALE A straggler (behind the last applied point) must drop
+    input.addData(
+      (ts("2016-10-07 00:04:00"), "A", 40.0),
+      (ts("2016-10-07 00:00:30"), "A", 999.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.sql("SELECT _field, ts_us, value, ema, n FROM ema")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getLong(4)))
+
+    // the reference recursion over the time-ordered A series 10, 20, 40, 40
+    val k = 0.2
+    val xs = Seq(10.0, 20.0, 40.0, 40.0)
+    val want = xs.tail.scanLeft(xs.head)((p, x) => k * x + (1 - k) * p)
+    val gotA = got.filter(_._1 == "A").sortBy(_._2)
+    assert(gotA.map(_._3) sameElements Array(10.0, 20.0, 40.0, 40.0),
+      s"A points applied out of order or straggler kept: $gotA")
+    gotA.map(_._4).zip(want).foreach { case (g, w) =>
+      assert(math.abs(g - w) < 1e-12, s"stream EMA $g vs recursion $w")
+    }
+    assert(gotA.map(_._5) sameElements Array(1L, 2L, 3L, 4L))
+    assert(!got.exists(_._3 == 999.0), "stale straggler was applied")
+    assert(got.count(_._1 == "B") == 1 && got.find(_._1 == "B").get._4 == 7.0)
+  }
 }
