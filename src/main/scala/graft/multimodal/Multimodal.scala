@@ -202,6 +202,50 @@ object Multimodal {
     }
   }
 
+  /** One fixed-size thumbnail per image: source dims + per-channel sums of
+    * the resized pixels (exact longs; any float is derived downstream). */
+  case class Thumbnail(media_id: Long, width: Long, height: Long,
+      r_sum: Long, g_sum: Long, b_sum: Long)
+
+  /** Nearest-neighbour IMAGE RESIZE through the real BMP parser — the
+    * "resize" stage of the media pipeline (decode → RESIZE → features),
+    * downsampling each decoded image to a fixed w2×h2 thumbnail: output
+    * pixel (x2, y2) samples source pixel (⌊x2·w/w2⌋, ⌊y2·h/h2⌋). All
+    * arithmetic is exact integers, so the oracle can replay the sampled
+    * coordinates and channel formula without parsing a byte — a parser or
+    * index slip (row flip, padding, channel order) lands in the sums and
+    * flips the hash. Scale shape: pure mapPartitions over the payload
+    * column (the one place a Catalyst expression genuinely can't go);
+    * thumbnails are w2×h2×3 ints regardless of source size, so downstream
+    * stages shuffle bounded rows, never pixels. */
+  def imageThumbnails(media: Dataset[Container], w2: Int, h2: Int): Dataset[Thumbnail] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { c =>
+        val b = c.payload
+        if (b.length >= 2 && b(0) == 'B' && b(1) == 'M') {
+          val img = MediaCodecs.Bmp.parse(b)
+          var rs = 0L; var gs = 0L; var bs = 0L
+          var y2 = 0
+          while (y2 < h2) {
+            var x2 = 0
+            while (x2 < w2) {
+              val x = x2 * img.width / w2
+              val y = y2 * img.height / h2
+              val base = (y * img.width + x) * 3
+              rs += img.channels(base)
+              gs += img.channels(base + 1)
+              bs += img.channels(base + 2)
+              x2 += 1
+            }
+            y2 += 1
+          }
+          Some(Thumbnail(c.media_id, img.width.toLong, img.height.toLong, rs, gs, bs))
+        } else None
+      }
+    }
+  }
+
   /** Partition-parallel REAL decode: sniff the container magic, parse with
     * the genuine header/chunk parser, emit flat features. Any parse slip —
     * row order, padding, chunk offsets, sample sign — changes checksum or

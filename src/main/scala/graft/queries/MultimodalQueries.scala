@@ -98,6 +98,23 @@ object MultimodalQueries {
         .withColumn("rms",
           round(sqrt(col("sum_sq").cast("double") / col("n_samples").cast("double")), 6))
         .orderBy(col("media_id"), col("frame_idx"))
+    }),
+
+    // IMAGE RESIZE through the real BMP parser: each decoded image is
+    // nearest-neighbour-downsampled to a fixed 3×2 thumbnail on the
+    // executor (mm04's decode stage extended one step: decode → resize →
+    // features). Sums are exact integers; the oracle replays the sampled
+    // source coordinates ⌊x2·w/3⌋, ⌊y2·h/2⌋ and the channel formula
+    // arithmetically, never parsing a byte.
+    "mm06_image_resize" -> ((s, dir) => {
+      Multimodal.imageThumbnails(
+          Multimodal.syntheticContainers(fanout(Tables.table(s, dir, "documents"))
+            .filter(col("doc_id") % 2 === 0)),
+          w2 = 3, h2 = 2)
+        .toDF()
+        .withColumn("mean_lum",
+          round((col("r_sum") + col("g_sum") + col("b_sum")).cast("double") / 18, 6))
+        .orderBy(col("media_id"))
     })
   )
 
@@ -245,6 +262,26 @@ object MultimodalQueries {
         |  FROM v GROUP BY media_id, frame_idx)
         |SELECT media_id, frame_idx, n_samples, sum_val, sum_sq, peak,
         |  ROUND(sqrt(CAST(sum_sq AS DOUBLE) / CAST(n_samples AS DOUBLE)), 6) AS rms
-        |FROM g ORDER BY media_id, frame_idx""".stripMargin
+        |FROM g ORDER BY media_id, frame_idx""".stripMargin,
+
+    // replay of mm06: BMP dims w = 4 + m%5, h = 3 + m%4; channel value at
+    // (x, y, c) is (m·31 + ((y·w + x)·3 + c)) % 256; the 3×2 thumbnail
+    // samples x = (x2·w)//3, y = (y2·h)//2
+    "mm06_image_resize" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |px AS (
+        |  SELECT media_id, w, h, c,
+        |    (media_id * 31 + (((y2 * h) // 2) * w + ((x2 * w) // 3)) * 3 + c) % 256
+        |      AS v
+        |  FROM m, range(0, 3) tx(x2), range(0, 2) ty(y2), range(0, 3) tc(c))
+        |SELECT media_id,
+        |  CAST(MIN(w) AS BIGINT) AS width, CAST(MIN(h) AS BIGINT) AS height,
+        |  CAST(SUM(CASE WHEN c = 0 THEN v ELSE 0 END) AS BIGINT) AS r_sum,
+        |  CAST(SUM(CASE WHEN c = 1 THEN v ELSE 0 END) AS BIGINT) AS g_sum,
+        |  CAST(SUM(CASE WHEN c = 2 THEN v ELSE 0 END) AS BIGINT) AS b_sum,
+        |  ROUND(CAST(SUM(v) AS DOUBLE) / 18, 6) AS mean_lum
+        |FROM px GROUP BY media_id ORDER BY media_id""".stripMargin
   )
 }
