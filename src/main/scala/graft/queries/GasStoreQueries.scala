@@ -191,7 +191,49 @@ object GasStoreQueries {
     spark.read.parquet(path)
   }
 
+  /** gs10's sink: the STREAMING EMA — the sequential per-series recursion
+    * carried as keyed state ([[graft.streaming.GasStream.emaStream]]) —
+    * run end-to-end over the live long stream for two fields. The DuckDB
+    * oracle replays the SAME recursion over the raw CSVs with
+    * `WITH RECURSIVE`, so a stateful streaming operator is hash-verified
+    * point-by-point (state carry-over, in-batch event-time ordering and
+    * the smoothing arithmetic all land in every emitted row). */
+  private val builtEma = new java.util.WeakHashMap[SparkSession, String]()
+  private def streamEma(spark: SparkSession): DataFrame = {
+    val path = builtEma.synchronized {
+      Option(builtEma.get(spark)).getOrElse {
+        val work = Files.createTempDirectory("graft-gas-ema")
+        deleteOnExit(work)
+        val long = graft.store.LongStore.unpivot(
+          graft.transform.GasTransform(
+            graft.streaming.GasStream.readStream(spark, fixtureDir))
+            .withColumnRenamed("file_name", "_src")).drop("_src")
+          .filter(col("_field").isin("CO (ppm)", "Humidity (%r.h.)"))
+        graft.streaming.GasStream.emaStream(long, k = 0.2)
+          .writeStream
+          .format("parquet")
+          .option("path", s"$work/out")
+          .option("checkpointLocation", s"$work/ckpt")
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+          .awaitTermination()
+        builtEma.put(spark, s"$work/out")
+        s"$work/out"
+      }
+    }
+    spark.read.parquet(path)
+  }
+
   val queries: Map[String, Q] = Map(
+    // streaming EMA point stream (rounded only at emission; state and the
+    // recursion itself stay full-precision on both engines)
+    "gs10_stream_ema" -> ((s, _) =>
+      streamEma(s)
+        .select(col("_field"), col("ts_us"), col("value"),
+          round(col("ema"), 6).as("ema"), col("n"))
+        .orderBy(col("_field"), col("ts_us"))),
+
     // Q1/Q2: dashboard field filter over the long store
     "gs01_field_filter" -> ((s, _) =>
       GasQueries.fieldFilter(store(s), "CO (ppm)")
@@ -352,6 +394,31 @@ object GasStoreQueries {
          |SELECT _field, COUNT(*) AS n_points,
          |  CAST(SUM(CAST(_value AS DECIMAL(18,6))) AS DOUBLE) AS total
          |FROM u GROUP BY _field ORDER BY _field""".stripMargin,
+
+    // the streaming EMA recursion replayed verbatim: same seed (first
+    // value), same per-step expression 0.2·x + (1 − 0.2)·y — identical
+    // IEEE sequence, so the hash matches without tolerance
+    "gs10_stream_ema" ->
+      s"""${prelude.replace("WITH raw AS", "WITH RECURSIVE raw AS")},
+         |pts AS (
+         |  SELECT 'CO (ppm)' AS _field, epoch_us(_time) AS ts_us,
+         |    "CO (ppm)" AS value FROM raw
+         |  UNION ALL
+         |  SELECT 'Humidity (%r.h.)', epoch_us(_time), "Humidity (%r.h.)"
+         |  FROM raw),
+         |ord AS (
+         |  SELECT _field, ts_us, value,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY _field ORDER BY ts_us)
+         |      AS BIGINT) AS n
+         |  FROM pts),
+         |rec AS (
+         |  SELECT _field, ts_us, value, n, value AS ema FROM ord WHERE n = 1
+         |  UNION ALL
+         |  SELECT o._field, o.ts_us, o.value, o.n,
+         |    0.2 * o.value + (1 - 0.2) * r.ema
+         |  FROM ord o JOIN rec r ON o._field = r._field AND o.n = r.n + 1)
+         |SELECT _field, ts_us, value, ROUND(ema, 6) AS ema, n
+         |FROM rec ORDER BY _field, ts_us""".stripMargin,
 
     "gs08_stream_pair_join" ->
       s"""$prelude,

@@ -233,8 +233,11 @@ object GasStream {
             state: GroupState[EmaState]) =>
           var st = state.getOption.getOrElse(EmaState(0.0, Long.MinValue, 0L))
           val out = Seq.newBuilder[EmaPoint]
-          rows.toSeq.sortBy(_._2.getTime).foreach { case (_, t, v) =>
-            val us = t.getTime * 1000L
+          // full-microsecond event time: getTime alone truncates to ms
+          def micros(t: java.sql.Timestamp): Long =
+            Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+          rows.toSeq.sortBy(r => micros(r._2)).foreach { case (_, t, v) =>
+            val us = micros(t)
             if (us >= st.lastUs) { // monotone guard: drop stale stragglers
               val y = if (st.n == 0L) v else k * v + (1 - k) * st.ema
               st = EmaState(y, us, st.n + 1)
