@@ -538,8 +538,60 @@ object TimeSeries {
         .select(col("event_type"), date_format(col("day"), "yyyy-MM-dd").as("day"),
           col("i"), round(col("acc").cast("double"), 6).as("ema"))
         .orderBy(col("event_type"), col("i"))
+    }),
+
+    // Brown's DOUBLE exponential smoothing — the trend-aware forecasting
+    // step up from ts21 (the non-seasonal core of Flux `holtWinters`):
+    // smooth the series (s1), smooth the smoothed series (s2), then
+    // level = 2·s1 − s2, trend = k/(1−k)·(s1 − s2), one-step forecast =
+    // level + trend. Both smoothing passes are the ts21 closed form
+    // ([[emaClosedForm]]); s1 is ROUNDED to the 6-dp output grid before
+    // feeding pass 2, so both engines smooth identical inputs and the
+    // final level/trend/forecast are one shared IEEE tree over 6-dp
+    // values. Same scale shape as ts21: per-series O(len²) with bounded
+    // len, keyed shuffles only.
+    "ts22_double_exp_smooth" -> ((s, dir) => {
+      val daily = ev(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(avgExact(col("value")).as("xr"))
+        .withColumn("x", round(col("xr"), 6))
+        .withColumn("i", row_number().over(
+          Window.partitionBy(col("event_type")).orderBy(col("day"))).cast("long"))
+        .select(col("event_type").as("g"), col("day"), col("i"), col("x"))
+      val s1 = emaClosedForm(daily.select(col("g"), col("i"), col("x")))
+        .withColumn("s1", round(col("ema"), 6)).drop("ema")
+      val s2 = emaClosedForm(s1.select(col("g"), col("i"), col("s1").as("x")))
+        .withColumn("s2", round(col("ema"), 6)).drop("ema")
+      daily.join(s1, Seq("g", "i")).join(s2, Seq("g", "i"))
+        .select(col("g").as("event_type"),
+          date_format(col("day"), "yyyy-MM-dd").as("day"), col("i"),
+          col("s1"), col("s2"),
+          round(lit(2.0) * col("s1") - col("s2"), 6).as("level"),
+          round(lit(0.25) * (col("s1") - col("s2")), 6).as("trend"),
+          round(lit(2.0) * col("s1") - col("s2") +
+            lit(0.25) * (col("s1") - col("s2")), 6).as("forecast_next"))
+        .orderBy(col("event_type"), col("i"))
     })
   )
+
+  /** Closed-form EMA over a keyed indexed series (g, i, x) — ts21's kernel
+    * shared with ts22's double-smoothing: decay powers fold literal 0.8
+    * factors (never `pow`), per-term rounding + exact-decimal sums make the
+    * aggregate order-independent. Returns (g, i, ema) unrounded. */
+  private def emaClosedForm(series: DataFrame): DataFrame = {
+    val a = series.select(col("g"), col("i"), col("x").as("xi"))
+    val b = series.select(col("g").as("g2"), col("i").as("j"), col("x").as("xj"))
+    a.join(b, col("g") === col("g2") && col("j") <= col("i"))
+      .withColumn("f", expr(
+        """CASE WHEN i - j = 0 THEN CAST(1.0 AS DOUBLE)
+          |ELSE aggregate(array_repeat(0.8D, CAST(i - j AS INT)), 1.0D,
+          |               (acc, z) -> acc * z) END""".stripMargin))
+      .withColumn("term", expr(
+        "CAST(round((CASE WHEN j = 1 THEN f ELSE 0.2 * f END) * xj, 12) AS DECIMAL(28,12))"))
+      .groupBy(col("g"), col("i"))
+      .agg(sum(col("term")).as("acc"))
+      .select(col("g"), col("i"), col("acc").cast("double").as("ema"))
+  }
 
   /** Single-pass cumulative bucket counts for ts15/ts16: one hash aggregate,
     * each le-bucket a conditional sum (edges 1/5/25/125/625). */
@@ -849,7 +901,50 @@ object TimeSeries {
         |SELECT event_type, strftime(day, '%Y-%m-%d') AS day, i,
         |  ROUND(CAST(SUM(term) AS DOUBLE), 6) AS ema
         |FROM terms GROUP BY event_type, day, i
-        |ORDER BY event_type, i""".stripMargin
+        |ORDER BY event_type, i""".stripMargin,
+
+    "ts22_double_exp_smooth" ->
+      s"""WITH daily0 AS (
+         |  SELECT event_type AS g, CAST(ts AS DATE) AS day,
+         |    ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)
+         |      AS x
+         |  FROM events GROUP BY g, day),
+         |daily AS (
+         |  SELECT g, day, x,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY g ORDER BY day) AS BIGINT) AS i
+         |  FROM daily0),
+         |ser1 AS (SELECT g, i, x FROM daily),
+         |${emaSql("ser1", "e1")},
+         |s1 AS (SELECT g, i, ROUND(ema, 6) AS s1 FROM e1),
+         |ser2 AS (SELECT g, i, s1 AS x FROM s1),
+         |${emaSql("ser2", "e2")},
+         |s2 AS (SELECT g, i, ROUND(ema, 6) AS s2 FROM e2)
+         |SELECT d.g AS event_type, strftime(d.day, '%Y-%m-%d') AS day, d.i,
+         |  s1.s1, s2.s2,
+         |  ROUND(2.0 * s1.s1 - s2.s2, 6) AS level,
+         |  ROUND(0.25 * (s1.s1 - s2.s2), 6) AS trend,
+         |  ROUND(2.0 * s1.s1 - s2.s2 + 0.25 * (s1.s1 - s2.s2), 6)
+         |    AS forecast_next
+         |FROM daily d
+         |JOIN s1 ON s1.g = d.g AND s1.i = d.i
+         |JOIN s2 ON s2.g = d.g AND s2.i = d.i
+         |ORDER BY event_type, d.i""".stripMargin
   )
 
+  /** The ts21 closed-form EMA kernel as a DuckDB CTE pair (`<out>_pairs`,
+    * `<out>`) over a (g, i, x) source — shared by the ts22 oracle's two
+    * smoothing passes. Mirrors [[emaClosedForm]] token-for-token. */
+  private def emaSql(src: String, out: String): String =
+    s"""${out}_pairs AS (
+       |  SELECT a.g, a.i, b.i AS j, b.x AS xj,
+       |    CASE WHEN a.i - b.i = 0 THEN CAST(1.0 AS DOUBLE)
+       |         ELSE list_reduce(list_transform(range(a.i - b.i),
+       |                            z -> CAST(0.8 AS DOUBLE)),
+       |                          (acc, z) -> acc * z) END AS f
+       |  FROM $src a JOIN $src b ON a.g = b.g AND b.i <= a.i),
+       |$out AS (
+       |  SELECT g, i,
+       |    CAST(SUM(CAST(ROUND((CASE WHEN j = 1 THEN f ELSE 0.2 * f END) * xj,
+       |      12) AS DECIMAL(28,12))) AS DOUBLE) AS ema
+       |  FROM ${out}_pairs GROUP BY g, i)""".stripMargin
 }
