@@ -625,8 +625,53 @@ object Relational {
           col("rn"), col("quartile"), col("pct_rank"), col("cume"),
           col("third_cheapest"))
         .orderBy(col("o_orderpriority"), col("rn"))
+    }),
+
+    // -- MULTISET set operations (INTERSECT ALL / EXCEPT ALL) — the
+    // bag-semantics completion of q10's distinct set ops: duplicates
+    // count, so the result cardinality per key is min(nA,nB) resp.
+    // max(0, nA−nB). Spark plans both as hash aggregates + a single
+    // count-compare join — no row-pair blowup — and the per-key counts
+    // after the op are what the oracle pins.
+    "q33_setops_all" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val a = o.filter(col("o_custkey") % 2 === 0).select(col("o_orderpriority"))
+      val b = o.filter(col("o_totalprice") > 150000.0).select(col("o_orderpriority"))
+      val inter = a.intersectAll(b).groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_intersect_all"))
+      val except = a.exceptAll(b).groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_except_all"))
+      inter.join(except, Seq("o_orderpriority"), "full_outer")
+        .select(col("o_orderpriority"),
+          coalesce(col("n_intersect_all"), lit(0L)).as("n_intersect_all"),
+          coalesce(col("n_except_all"), lit(0L)).as("n_except_all"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // -- JSONL (newline-delimited JSON) SOURCE with nested structs and
+    // arrays: read with a PINNED schema (schema inference is a second full
+    // pass over the data — never acceptable at 100 TB), reach into the
+    // nested object with dot paths, explode the tag array, aggregate.
+    // The oracle reads the SAME static fixture file with DuckDB's
+    // read_json, so the whole source → nested-access → flatten path is
+    // hash-verified.
+    "q34_jsonl_scan" -> ((s, _) => {
+      val schema = "id BIGINT, ts STRING, type STRING, value DOUBLE, " +
+        "meta STRUCT<device: STRING, region: STRING>, tags ARRAY<STRING>"
+      s.read.schema(schema).json(jsonlFixture)
+        .select(col("meta.region").as("region"), col("type"),
+          col("value"), explode(col("tags")).as("tag"))
+        .groupBy(col("region"), col("tag"))
+        .agg(count(lit(1)).as("n"), sumExact(col("value")).as("total_value"))
+        .orderBy(col("region"), col("tag"))
     })
   )
+
+  /** Static JSONL fixture — absolute so the DuckDB oracle reads the same
+    * file (mirrors GasStoreQueries.fixtureDir). */
+  private val jsonlFixture: String =
+    sys.props.getOrElse("graft.jsonl.fixture",
+      "/root/repo/src/test/resources/events_sample.jsonl")
 
   private val sumQty = "CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)"
 
@@ -958,6 +1003,32 @@ object Relational {
         |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS third_cheapest
         |FROM orders WHERE o_orderkey % 10 = 0
         |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
-        |ORDER BY o_orderpriority, rn""".stripMargin
+        |ORDER BY o_orderpriority, rn""".stripMargin,
+
+    "q33_setops_all" ->
+      """WITH a AS (SELECT o_orderpriority FROM orders WHERE o_custkey % 2 = 0),
+        |b AS (SELECT o_orderpriority FROM orders WHERE o_totalprice > 150000.0),
+        |i AS (SELECT o_orderpriority, COUNT(*) AS n_intersect_all
+        |      FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b)
+        |      GROUP BY o_orderpriority),
+        |e AS (SELECT o_orderpriority, COUNT(*) AS n_except_all
+        |      FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b)
+        |      GROUP BY o_orderpriority)
+        |SELECT COALESCE(i.o_orderpriority, e.o_orderpriority) AS o_orderpriority,
+        |  COALESCE(n_intersect_all, 0) AS n_intersect_all,
+        |  COALESCE(n_except_all, 0) AS n_except_all
+        |FROM i FULL JOIN e ON i.o_orderpriority = e.o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "q34_jsonl_scan" ->
+      s"""WITH j AS (
+         |  SELECT meta.region AS region, type, value, unnest(tags) AS tag
+         |  FROM read_json('$jsonlFixture', format = 'newline_delimited')),
+         |g AS (
+         |  SELECT region, tag, COUNT(*) AS n,
+         |    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+         |  FROM j GROUP BY region, tag)
+         |SELECT region, tag, n, total_value FROM g
+         |ORDER BY region, tag""".stripMargin
   )
 }
