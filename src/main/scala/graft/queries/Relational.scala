@@ -664,7 +664,23 @@ object Relational {
         .groupBy(col("region"), col("tag"))
         .agg(count(lit(1)).as("n"), sumExact(col("value")).as("total_value"))
         .orderBy(col("region"), col("tag"))
-    })
+    }),
+
+    // -- ORC SOURCE round-trip: customer written to ORC (the other major
+    // columnar format Spark reads natively — predicate pushdown and column
+    // pruning work the same as parquet), read back and aggregated. DuckDB
+    // cannot read ORC, so the oracle computes the identical aggregate from
+    // the ORIGINAL parquet — matching proves the parquet→ORC→read cycle is
+    // lossless, including double round-tripping.
+    "q35_orc_roundtrip" -> ((s, dir) =>
+      s.read.orc(orcCustomer(s, dir))
+        .filter(col("c_acctbal") > 0.0)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          sumExact(col("c_acctbal")).as("total_bal"),
+          min(col("c_custkey")).as("min_key"),
+          max(col("c_custkey")).as("max_key"))
+        .orderBy(col("c_mktsegment")))
   )
 
   /** Static JSONL fixture — absolute so the DuckDB oracle reads the same
@@ -672,6 +688,27 @@ object Relational {
   private val jsonlFixture: String =
     sys.props.getOrElse("graft.jsonl.fixture",
       "/root/repo/src/test/resources/events_sample.jsonl")
+
+  /** ORC twin of the customer table, memoized per (session, dir) with the
+    * bucketed-tables lifecycle discipline. */
+  private val orcBuilt =
+    new java.util.WeakHashMap[SparkSession, collection.mutable.Map[String, String]]()
+  private def orcCustomer(s: SparkSession, dir: String): String =
+    orcBuilt.synchronized {
+      val perDir = Option(orcBuilt.get(s)).getOrElse {
+        val m = collection.mutable.Map.empty[String, String]
+        orcBuilt.put(s, m)
+        m
+      }
+      perDir.getOrElseUpdate(dir, {
+        val work = java.nio.file.Files.createTempDirectory("graft-orc")
+        graft.util.TempDirs.deleteOnExit(work)
+        t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+          .write.mode("overwrite").orc(s"$work/customer")
+        s"$work/customer"
+      })
+    }
 
   private val sumQty = "CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)"
 
@@ -1029,6 +1066,13 @@ object Relational {
          |    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
          |  FROM j GROUP BY region, tag)
          |SELECT region, tag, n, total_value FROM g
-         |ORDER BY region, tag""".stripMargin
+         |ORDER BY region, tag""".stripMargin,
+
+    "q35_orc_roundtrip" ->
+      """SELECT c_mktsegment, COUNT(*) AS n,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS total_bal,
+        |  MIN(c_custkey) AS min_key, MAX(c_custkey) AS max_key
+        |FROM customer WHERE c_acctbal > 0.0
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
   )
 }
