@@ -571,6 +571,61 @@ object TimeSeries {
           round(lit(2.0) * col("s1") - col("s2") +
             lit(0.25) * (col("s1") - col("s2")), 6).as("forecast_next"))
         .orderBy(col("event_type"), col("i"))
+    }),
+
+    // ADDITIVE SEASONAL DECOMPOSITION + deseasonalized trend forecast —
+    // the seasonal completion of ts22, i.e. the full level+trend+season
+    // shape of Flux `holtWinters(seasonality: 7)`: a period-7 seasonal
+    // index per series (mean of the day's seasonal position minus the
+    // series mean — season-mean decomposition, the classical-decomposition
+    // fixed-index variant), the deseasonalized series runs through ts22's
+    // double smoothing, and the one-step forecast re-adds the NEXT
+    // position's seasonal index. Seasonal position is (i−1) mod 7 — the
+    // day sequence is dense, so this is weekday alignment without either
+    // engine's dow() convention in the hash path. All means are
+    // exact-decimal sums over 6-dp inputs; every arithmetic node is
+    // rounded identically on both engines. Scale shape: the seasonal index
+    // is one tiny (series × 7) aggregate joined back broadcast-style; the
+    // smoothing passes are ts21's per-series closed form (bounded len);
+    // nothing new shuffles beyond the series key.
+    "ts23_seasonal_forecast" -> ((s, dir) => {
+      val daily = ev(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(avgExact(col("value")).as("xr"))
+        .withColumn("x", round(col("xr"), 6))
+        .withColumn("i", row_number().over(
+          Window.partitionBy(col("event_type")).orderBy(col("day"))).cast("long"))
+        .withColumn("p", (col("i") - 1) % 7)
+        .select(col("event_type").as("g"), col("day"), col("i"), col("p"), col("x"))
+      val mu = daily.groupBy(col("g"))
+        .agg(round(avgExact(col("x")), 6).as("gmu"))
+      val seas = daily.groupBy(col("g"), col("p"))
+        .agg(round(avgExact(col("x")), 6).as("pmu"))
+        .join(mu, Seq("g"))
+        .select(col("g"), col("p"), round(col("pmu") - col("gmu"), 6).as("sidx"))
+      val de = daily.join(seas, Seq("g", "p"))
+        .withColumn("y", round(col("x") - col("sidx"), 6))
+      val s1 = emaClosedForm(de.select(col("g"), col("i"), col("y").as("x")))
+        .withColumn("s1", round(col("ema"), 6)).drop("ema")
+      val s2 = emaClosedForm(s1.select(col("g"), col("i"), col("s1").as("x")))
+        .withColumn("s2", round(col("ema"), 6)).drop("ema")
+      val nextSeas = seas.select(col("g"), col("p").as("np"),
+        col("sidx").as("next_sidx"))
+      de.join(s1, Seq("g", "i")).join(s2, Seq("g", "i"))
+        .withColumn("np", col("i") % 7)
+        .join(nextSeas, Seq("g", "np"))
+        .withColumn("level", round(lit(2.0) * col("s1") - col("s2"), 6))
+        .withColumn("trend", round(lit(0.25) * (col("s1") - col("s2")), 6))
+        // sum of ALREADY-6dp values: the true result sits on the 6-dp grid,
+        // never near a rounding boundary — summing the unrounded forms here
+        // measurably diverges between the engines' round() at the 7th digit
+        .withColumn("forecast_next",
+          round(col("level") + col("trend") + col("next_sidx"), 6))
+        .select(col("g").as("event_type"),
+          date_format(col("day"), "yyyy-MM-dd").as("day"), col("i"),
+          col("x"), col("sidx"), col("y").as("deseason"),
+          col("level"), col("trend"), col("forecast_next"))
+        .orderBy(col("event_type"), col("i"))
     })
   )
 
@@ -928,7 +983,51 @@ object TimeSeries {
          |FROM daily d
          |JOIN s1 ON s1.g = d.g AND s1.i = d.i
          |JOIN s2 ON s2.g = d.g AND s2.i = d.i
-         |ORDER BY event_type, d.i""".stripMargin
+         |ORDER BY event_type, d.i""".stripMargin,
+
+    "ts23_seasonal_forecast" ->
+      s"""WITH daily0 AS (
+         |  SELECT event_type AS g, CAST(ts AS DATE) AS day,
+         |    ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)
+         |      AS x
+         |  FROM events GROUP BY g, day),
+         |daily AS (
+         |  SELECT g, day, x,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY g ORDER BY day) AS BIGINT) AS i
+         |  FROM daily0),
+         |dailyp AS (SELECT *, CAST((i - 1) % 7 AS BIGINT) AS p FROM daily),
+         |mu AS (
+         |  SELECT g,
+         |    ROUND(CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)
+         |      AS gmu
+         |  FROM dailyp GROUP BY g),
+         |pm AS (
+         |  SELECT g, p,
+         |    ROUND(CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)
+         |      AS pmu
+         |  FROM dailyp GROUP BY g, p),
+         |seas AS (SELECT pm.g, pm.p, ROUND(pm.pmu - mu.gmu, 6) AS sidx
+         |         FROM pm JOIN mu ON mu.g = pm.g),
+         |de AS (
+         |  SELECT d.g, d.day, d.i, d.p, d.x, s.sidx, ROUND(d.x - s.sidx, 6) AS y
+         |  FROM dailyp d JOIN seas s ON s.g = d.g AND s.p = d.p),
+         |ser1 AS (SELECT g, i, y AS x FROM de),
+         |${emaSql("ser1", "e1")},
+         |s1 AS (SELECT g, i, ROUND(ema, 6) AS s1 FROM e1),
+         |ser2 AS (SELECT g, i, s1 AS x FROM s1),
+         |${emaSql("ser2", "e2")},
+         |s2 AS (SELECT g, i, ROUND(ema, 6) AS s2 FROM e2)
+         |SELECT de.g AS event_type, strftime(de.day, '%Y-%m-%d') AS day, de.i,
+         |  de.x, de.sidx, de.y AS deseason,
+         |  ROUND(2.0 * s1.s1 - s2.s2, 6) AS level,
+         |  ROUND(0.25 * (s1.s1 - s2.s2), 6) AS trend,
+         |  ROUND(ROUND(2.0 * s1.s1 - s2.s2, 6) + ROUND(0.25 * (s1.s1 - s2.s2), 6)
+         |        + ns.sidx, 6) AS forecast_next
+         |FROM de
+         |JOIN s1 ON s1.g = de.g AND s1.i = de.i
+         |JOIN s2 ON s2.g = de.g AND s2.i = de.i
+         |JOIN seas ns ON ns.g = de.g AND ns.p = de.i % 7
+         |ORDER BY event_type, de.i""".stripMargin
   )
 
   /** The ts21 closed-form EMA kernel as a DuckDB CTE pair (`<out>_pairs`,
