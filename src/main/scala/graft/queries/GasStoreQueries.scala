@@ -225,7 +225,64 @@ object GasStoreQueries {
     spark.read.parquet(path)
   }
 
+  /** gs11's sink: STREAM-STATIC enrichment join — every point of the live
+    * long stream picks up its field's metadata (kind/unit/scale) from a
+    * static dimension by broadcast join, the canonical "enrich the stream
+    * against a dimension table" shape. The static side is planned ONCE and
+    * broadcast to every micro-batch: no state, no watermark, nothing
+    * accumulates — at 100 TB the dimension refreshes by restarting the
+    * query (or `foreachBatch` re-reading it), never by shuffling the
+    * stream. The oracle joins the same literal dimension to the raw-CSV
+    * replay. */
+  private val builtEnrich = new java.util.WeakHashMap[SparkSession, String]()
+  private def streamEnrich(spark: SparkSession): DataFrame = {
+    val path = builtEnrich.synchronized {
+      Option(builtEnrich.get(spark)).getOrElse {
+        val work = Files.createTempDirectory("graft-gas-enrich")
+        deleteOnExit(work)
+        import spark.implicits._
+        val dim = (Seq(
+          ("CO (ppm)", "target_gas", "ppb", 1000.0),
+          ("Humidity (%r.h.)", "ambient", "%r.h.", 1.0),
+          ("Temperature (C)", "ambient", "C", 1.0),
+          ("Flow rate (mL/min)", "control", "mL/min", 1.0),
+          ("Heater voltage (V)", "control", "mV", 1000.0)) ++
+          (1 to 14).map(i => (s"R$i (MOhm)", "sensor_resistance", "kOhm", 1000.0)))
+          .toDF("_field", "kind", "unit", "scale")
+        val long = graft.store.LongStore.unpivot(
+          graft.transform.GasTransform(
+            graft.streaming.GasStream.readStream(spark, fixtureDir))
+            .withColumnRenamed("file_name", "_src")).drop("_src")
+        long.join(broadcast(dim), Seq("_field"))
+          .select(col("_time"), col("_field"), col("kind"), col("unit"),
+            (col("_value") * col("scale")).as("scaled"))
+          .writeStream
+          .format("parquet")
+          .option("path", s"$work/out")
+          .option("checkpointLocation", s"$work/ckpt")
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+          .awaitTermination()
+        builtEnrich.put(spark, s"$work/out")
+        s"$work/out"
+      }
+    }
+    spark.read.parquet(path)
+  }
+
   val queries: Map[String, Q] = Map(
+    // stream-static enrichment rolled up per dimension group after the
+    // sink; unit scaling happens in-stream, so wrong/missing dimension
+    // rows or a broken scale factor flip the totals red
+    "gs11_stream_enrich" -> ((s, _) =>
+      streamEnrich(s)
+        .groupBy(col("kind"), col("unit"))
+        .agg(countDistinct(col("_field")).as("n_fields"),
+          count(lit(1)).as("n_points"),
+          sumExact(col("scaled")).as("total_scaled"))
+        .orderBy(col("kind"), col("unit"))),
+
     // streaming EMA point stream (rounded only at emission; state and the
     // recursion itself stay full-precision on both engines)
     "gs10_stream_ema" -> ((s, _) =>
@@ -431,6 +488,30 @@ object GasStoreQueries {
          |  CAST(SUM(CAST(a_value AS DECIMAL(18,6))) AS DOUBLE) AS total_a,
          |  CAST(SUM(CAST(b_value AS DECIMAL(18,6))) AS DOUBLE) AS total_b
          |FROM j GROUP BY 1 ORDER BY h_us""".stripMargin,
+
+    "gs11_stream_enrich" ->
+      s"""$prelude,
+         |u AS (
+         |  UNPIVOT (SELECT * EXCLUDE ("Time (s)", filename) FROM raw)
+         |  ON COLUMNS(* EXCLUDE (_time)) INTO NAME _field VALUE _value),
+         |dim AS (
+         |  SELECT * FROM (VALUES
+         |    ('CO (ppm)', 'target_gas', 'ppb', 1000.0),
+         |    ('Humidity (%r.h.)', 'ambient', '%r.h.', 1.0),
+         |    ('Temperature (C)', 'ambient', 'C', 1.0),
+         |    ('Flow rate (mL/min)', 'control', 'mL/min', 1.0),
+         |    ('Heater voltage (V)', 'control', 'mV', 1000.0))
+         |    AS t(_field, kind, unit, scale)
+         |  UNION ALL
+         |  SELECT 'R' || CAST(i AS VARCHAR) || ' (MOhm)', 'sensor_resistance',
+         |    'kOhm', 1000.0
+         |  FROM (SELECT unnest(range(1, 15)) AS i))
+         |SELECT kind, unit, COUNT(DISTINCT _field) AS n_fields,
+         |  COUNT(*) AS n_points,
+         |  CAST(SUM(CAST(_value * CAST(scale AS DOUBLE) AS DECIMAL(18,6)))
+         |    AS DOUBLE) AS total_scaled
+         |FROM u JOIN dim USING (_field)
+         |GROUP BY kind, unit ORDER BY kind, unit""".stripMargin,
 
     "gs07_stream_sliding_mean" ->
       s"""$prelude,
