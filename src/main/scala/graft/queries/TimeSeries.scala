@@ -626,6 +626,32 @@ object TimeSeries {
           col("x"), col("sidx"), col("y").as("deseason"),
           col("level"), col("trend"), col("forecast_next"))
         .orderBy(col("event_type"), col("i"))
+    }),
+
+    // LTTB (largest-triangle-three-buckets) downsampling — Grafana's
+    // shape-preserving "2M points → 20 points" visual downsampler, run as
+    // a per-series sequential kernel inside flatMapGroups (data-parallel
+    // across series, sequential within — see [[graft.operators.Lttb]]).
+    // The DuckDB oracle replays the pick-by-pick recursion with
+    // WITH RECURSIVE (argmax via NOT EXISTS, ties to the earliest point),
+    // so every selected point — and therefore every triangle-area
+    // comparison against the running previous pick — is hash-verified.
+    "ts24_lttb_downsample" -> ((s, dir) => {
+      val sp = s
+      import sp.implicits._
+      ev(s, dir)
+        .select(col("event_type"), unix_micros(col("ts")).as("xus"),
+          col("event_id"), col("value"))
+        .as[(String, Long, Long, Double)]
+        .groupByKey(_._1)
+        .flatMapGroups { (g, it) =>
+          val pts = it.map(t => (t._2, t._3, t._4)).toArray
+            .sortBy(p => (p._1, p._2))
+          graft.operators.Lttb.downsample(pts, 20).iterator
+            .map(o => (g, o._1, o._2, o._3))
+        }
+        .toDF("event_type", "k", "x_us", "y")
+        .orderBy(col("event_type"), col("k"))
     })
   )
 
@@ -1027,7 +1053,57 @@ object TimeSeries {
          |JOIN s1 ON s1.g = de.g AND s1.i = de.i
          |JOIN s2 ON s2.g = de.g AND s2.i = de.i
          |JOIN seas ns ON ns.g = de.g AND ns.p = de.i % 7
-         |ORDER BY event_type, de.i""".stripMargin
+         |ORDER BY event_type, de.i""".stripMargin,
+
+    // pick-by-pick LTTB replay: centroids from exact sums, the recursion
+    // advances one bucket per step, argmax-by-area via NOT EXISTS with
+    // ties to the earliest point — the same IEEE area tree as the engine
+    "ts24_lttb_downsample" ->
+      """WITH RECURSIVE
+        |pts AS (
+        |  SELECT event_type AS g, epoch_us(ts) AS xus,
+        |    CAST(epoch_us(ts) AS DOUBLE) AS xd, value AS y,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+        |      ORDER BY ts, event_id) AS BIGINT) AS i,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS n
+        |  FROM events),
+        |mids AS (SELECT *, (i - 2) * 20 // (n - 2) AS b FROM pts
+        |         WHERE i >= 2 AND i <= n - 1),
+        |cent AS (
+        |  SELECT g, b, CAST(SUM(xus) AS DOUBLE) / COUNT(*) AS cx,
+        |    CAST(SUM(CAST(y AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS cy
+        |  FROM mids GROUP BY g, b),
+        |lastp AS (SELECT g, xus, xd, y FROM pts WHERE i = n),
+        |cand AS (
+        |  SELECT m.g, m.b, m.i, m.xus, m.xd, m.y,
+        |    COALESCE(c.cx, l.xd) AS cx, COALESCE(c.cy, l.y) AS cy
+        |  FROM mids m
+        |  LEFT JOIN cent c ON c.g = m.g AND c.b = m.b + 1
+        |  JOIN lastp l ON l.g = m.g),
+        |rec AS (
+        |  SELECT g, CAST(0 AS BIGINT) AS k, xus AS selxus, xd AS selxd,
+        |    y AS sely
+        |  FROM pts WHERE i = 1
+        |  UNION ALL
+        |  SELECT r.g, r.k + 1, p.xus, p.xd, p.y
+        |  FROM rec r JOIN cand p ON p.g = r.g AND p.b = r.k
+        |  WHERE NOT EXISTS (
+        |    SELECT 1 FROM cand p2
+        |    WHERE p2.g = p.g AND p2.b = p.b AND (
+        |      ABS((r.selxd - p2.cx) * (p2.y - r.sely)
+        |          - (r.selxd - p2.xd) * (p2.cy - r.sely))
+        |        > ABS((r.selxd - p.cx) * (p.y - r.sely)
+        |              - (r.selxd - p.xd) * (p.cy - r.sely))
+        |      OR (ABS((r.selxd - p2.cx) * (p2.y - r.sely)
+        |               - (r.selxd - p2.xd) * (p2.cy - r.sely))
+        |            = ABS((r.selxd - p.cx) * (p.y - r.sely)
+        |                  - (r.selxd - p.xd) * (p.cy - r.sely))
+        |          AND p2.i < p.i))))
+        |SELECT event_type, k, x_us, y FROM (
+        |  SELECT g AS event_type, k, selxus AS x_us, sely AS y FROM rec
+        |  UNION ALL
+        |  SELECT g, CAST(21 AS BIGINT), xus, y FROM lastp)
+        |ORDER BY event_type, k""".stripMargin
   )
 
   /** The ts21 closed-form EMA kernel as a DuckDB CTE pair (`<out>_pairs`,
