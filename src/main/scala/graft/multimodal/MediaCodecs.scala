@@ -181,4 +181,155 @@ object MediaCodecs {
     private def tag(bytes: Array[Byte], at: Int): String =
       new String(bytes, at, 4, "US-ASCII")
   }
+
+  /** Decoded truecolor PNG: R,G,B bytes (0-255) per pixel, top-down. */
+  final case class PngImage(width: Int, height: Int, rgb: Array[Int])
+
+  /** PNG, 8-bit truecolor (color type 2), non-interlaced — a COMPRESSED
+    * container: scanlines are byte-filtered then zlib-deflated (JDK
+    * `Deflater`/`Inflater`, a real zlib), framed in CRC-32-guarded chunks.
+    * The writer deliberately exercises what lazy readers skip: scanline
+    * filters cycle None/Sub/Up per row (so unfiltering must actually
+    * reconstruct, not memcpy), the deflate stream is split across TWO IDAT
+    * chunks (readers must concatenate before inflating), and every chunk
+    * CRC is verified on parse. Compressed output length depends on the
+    * deflate implementation, so pipelines must treat container size as
+    * opaque — only DECODED content is oracle-comparable. */
+  object Png {
+    private val Signature = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+      .map(_.toByte)
+
+    /** Serialize top-down R,G,B channel bytes into a real PNG. Row y uses
+      * filter y%3: 0 None, 1 Sub (delta vs the pixel to the left), 2 Up
+      * (delta vs the row above). */
+    def write(width: Int, height: Int, rgb: Array[Int]): Array[Byte] = {
+      require(rgb.length == width * height * 3,
+        s"need ${width * height * 3} channel bytes, got ${rgb.length}")
+      val stride = width * 3
+      val raw = new Array[Byte](height * (1 + stride))
+      var y = 0
+      while (y < height) {
+        val off = y * (1 + stride)
+        val filter = y % 3
+        raw(off) = filter.toByte
+        var x = 0
+        while (x < stride) {
+          val v = rgb(y * stride + x)
+          val pred = filter match {
+            case 1 => if (x >= 3) rgb(y * stride + x - 3) else 0
+            case 2 => if (y >= 1) rgb((y - 1) * stride + x) else 0
+            case _ => 0
+          }
+          raw(off + 1 + x) = ((v - pred) & 0xff).toByte
+          x += 1
+        }
+        y += 1
+      }
+      val deflater = new java.util.zip.Deflater()
+      deflater.setInput(raw)
+      deflater.finish()
+      val comp = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](4096)
+      while (!deflater.finished()) comp.write(buf, 0, deflater.deflate(buf))
+      deflater.end()
+      val idat = comp.toByteArray
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(Signature, 0, Signature.length)
+      val ihdr = ByteBuffer.allocate(13).order(ByteOrder.BIG_ENDIAN)
+      ihdr.putInt(width).putInt(height)
+      ihdr.put(8: Byte)  // bit depth
+      ihdr.put(2: Byte)  // color type: truecolor
+      ihdr.put(0: Byte).put(0: Byte).put(0: Byte) // deflate, adaptive, no interlace
+      writeChunk(out, "IHDR", ihdr.array())
+      val cut = idat.length / 2 // two IDATs: readers must concatenate
+      writeChunk(out, "IDAT", java.util.Arrays.copyOfRange(idat, 0, cut))
+      writeChunk(out, "IDAT", java.util.Arrays.copyOfRange(idat, cut, idat.length))
+      writeChunk(out, "IEND", Array.emptyByteArray)
+      out.toByteArray
+    }
+
+    private def writeChunk(out: java.io.ByteArrayOutputStream, typ: String,
+        data: Array[Byte]): Unit = {
+      val t = typ.getBytes("US-ASCII")
+      val len = ByteBuffer.allocate(4).order(ByteOrder.BIG_ENDIAN)
+        .putInt(data.length).array()
+      out.write(len, 0, 4)
+      out.write(t, 0, 4)
+      out.write(data, 0, data.length)
+      val crc = new java.util.zip.CRC32()
+      crc.update(t)
+      crc.update(data)
+      val c = ByteBuffer.allocate(4).order(ByteOrder.BIG_ENDIAN)
+        .putInt(crc.getValue.toInt).array()
+      out.write(c, 0, 4)
+    }
+
+    /** Chunk-walk + CRC-verify + inflate + unfilter back to top-down RGB. */
+    def parse(bytes: Array[Byte]): PngImage = {
+      require(bytes.length >= 8 && Signature.indices.forall(i => bytes(i) == Signature(i)),
+        "bad PNG signature")
+      val buf = ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN)
+      var pos = 8
+      var width = -1
+      var height = -1
+      val idat = new java.io.ByteArrayOutputStream()
+      var done = false
+      while (!done) {
+        require(pos + 8 <= bytes.length, "truncated PNG chunk header")
+        val len = buf.getInt(pos)
+        val typ = new String(bytes, pos + 4, 4, "US-ASCII")
+        require(len >= 0 && pos + 12 + len <= bytes.length, s"truncated '$typ' chunk")
+        val crc = new java.util.zip.CRC32()
+        crc.update(bytes, pos + 4, 4 + len)
+        require(crc.getValue.toInt == buf.getInt(pos + 8 + len),
+          s"CRC mismatch in '$typ' chunk")
+        typ match {
+          case "IHDR" =>
+            width = buf.getInt(pos + 8)
+            height = buf.getInt(pos + 12)
+            val depth = bytes(pos + 16).toInt
+            val color = bytes(pos + 17).toInt
+            val interlace = bytes(pos + 20).toInt
+            require(depth == 8 && color == 2 && interlace == 0,
+              s"unsupported PNG: depth $depth, color $color, interlace $interlace")
+          case "IDAT" => idat.write(bytes, pos + 8, len)
+          case "IEND" => done = true
+          case _ => () // ancillary chunk — skip
+        }
+        pos += 12 + len
+      }
+      require(width > 0 && height > 0, "no IHDR before IDAT/IEND")
+      val stride = width * 3
+      val raw = new Array[Byte](height * (1 + stride))
+      val inflater = new java.util.zip.Inflater()
+      inflater.setInput(idat.toByteArray)
+      var got = 0
+      while (got < raw.length && !inflater.finished()) {
+        val n = inflater.inflate(raw, got, raw.length - got)
+        require(n > 0 || !inflater.needsInput, "truncated deflate stream")
+        got += n
+      }
+      inflater.end()
+      require(got == raw.length, s"short pixel data: $got of ${raw.length}")
+      val rgb = new Array[Int](width * height * 3)
+      var y = 0
+      while (y < height) {
+        val off = y * (1 + stride)
+        val filter = raw(off).toInt
+        require(filter >= 0 && filter <= 2, s"unsupported filter $filter")
+        var x = 0
+        while (x < stride) {
+          val pred = filter match {
+            case 1 => if (x >= 3) rgb(y * stride + x - 3) else 0
+            case 2 => if (y >= 1) rgb((y - 1) * stride + x) else 0
+            case _ => 0
+          }
+          rgb(y * stride + x) = ((raw(off + 1 + x) & 0xff) + pred) & 0xff
+          x += 1
+        }
+        y += 1
+      }
+      PngImage(width, height, rgb)
+    }
+  }
 }

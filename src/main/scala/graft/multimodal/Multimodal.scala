@@ -246,6 +246,52 @@ object Multimodal {
     }
   }
 
+  /** Flat features of a decoded PNG. No container-size column on purpose:
+    * deflate output length is implementation-defined, so only DECODED
+    * content is cross-engine comparable. */
+  case class PngFeatures(media_id: Long, width: Long, height: Long,
+      n_channels: Long, checksum: Long, mean_val: Double)
+
+  /** Synthesize REAL PNGs (zlib-compressed, CRC-framed, filter-cycled —
+    * see [[MediaCodecs.Png]]) on the executors. Content is closed-form so
+    * the oracle replays decoded values arithmetically:
+    *   PNG m: w = 3 + m%6, h = 2 + m%5, channel j = (m*37 + j*11) mod 256
+    *   (top-down RGB). */
+  def syntheticPngs(docs: DataFrame): Dataset[Container] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.map { m =>
+        val w = (3 + m % 6).toInt
+        val h = (2 + m % 5).toInt
+        val rgb = Array.tabulate(w * h * 3)(j => ((m * 37 + j * 11) % 256).toInt)
+        Container(m, MediaCodecs.Png.write(w, h, rgb))
+      }
+    }
+  }
+
+  /** Partition-parallel PNG decode through the real chunk-walk + inflate +
+    * unfilter parser. A slip anywhere — CRC, IDAT reassembly, a filter
+    * predictor — lands in checksum/mean and flips the oracle compare. */
+  def decodePngs(media: Dataset[Container]): Dataset[PngFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { c =>
+        val img = MediaCodecs.Png.parse(c.payload)
+        var sum = 0L
+        var chk = 0L
+        var i = 0
+        while (i < img.rgb.length) {
+          val v = img.rgb(i)
+          sum += v
+          chk = (chk * 31 + v) % 1000000007L
+          i += 1
+        }
+        PngFeatures(c.media_id, img.width.toLong, img.height.toLong,
+          img.rgb.length.toLong, chk, sum.toDouble / img.rgb.length)
+      }
+    }
+  }
+
   /** Partition-parallel REAL decode: sniff the container magic, parse with
     * the genuine header/chunk parser, emit flat features. Any parse slip —
     * row order, padding, chunk offsets, sample sign — changes checksum or

@@ -115,7 +115,21 @@ object MultimodalQueries {
         .withColumn("mean_lum",
           round((col("r_sum") + col("g_sum") + col("b_sum")).cast("double") / 18, 6))
         .orderBy(col("media_id"))
-    })
+    }),
+
+    // COMPRESSED-container decode: real PNGs (zlib deflate via the JDK,
+    // CRC-32-framed chunks, None/Sub/Up filter cycling, the stream split
+    // across two IDAT chunks) synthesized and decoded on the executors.
+    // The oracle replays the pixel formula only — any slip in the chunk
+    // walk, CRC check, IDAT reassembly, inflate loop or filter predictors
+    // flips checksum/mean red. Container size is deliberately NOT output:
+    // deflate length is implementation-defined.
+    "mm07_png_decode" -> ((s, dir) =>
+      Multimodal.decodePngs(
+          Multimodal.syntheticPngs(fanout(Tables.table(s, dir, "documents"))
+            .filter(col("doc_id") % 3 === 0)))
+        .toDF()
+        .orderBy(col("media_id")))
   )
 
   val oracle: Map[String, String] = Map(
@@ -282,6 +296,24 @@ object MultimodalQueries {
         |  CAST(SUM(CASE WHEN c = 1 THEN v ELSE 0 END) AS BIGINT) AS g_sum,
         |  CAST(SUM(CASE WHEN c = 2 THEN v ELSE 0 END) AS BIGINT) AS b_sum,
         |  ROUND(CAST(SUM(v) AS DOUBLE) / 18, 6) AS mean_lum
-        |FROM px GROUP BY media_id ORDER BY media_id""".stripMargin
+        |FROM px GROUP BY media_id ORDER BY media_id""".stripMargin,
+
+    // replay of mm07: PNG m has w = 3 + m%6, h = 2 + m%5, channel
+    // j = (m*37 + j*11) % 256 top-down RGB — the oracle sees only the
+    // formula; compression, chunking and filtering live entirely in the
+    // engine's encode/decode round trip
+    "mm07_png_decode" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id, 3 + doc_id % 6 AS w, 2 + doc_id % 5 AS h
+        |  FROM documents WHERE doc_id % 3 = 0)
+        |SELECT media_id,
+        |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |  CAST(w*h*3 AS BIGINT) AS n_channels,
+        |  list_reduce(list_prepend(0::BIGINT,
+        |    list_transform(range(0, w*h*3), j -> (media_id*37 + j*11) % 256)),
+        |    (acc, v) -> (acc*31 + v) % 1000000007) AS checksum,
+        |  CAST(list_sum(list_transform(range(0, w*h*3),
+        |    j -> (media_id*37 + j*11) % 256)) AS DOUBLE) / (w*h*3) AS mean_val
+        |FROM m ORDER BY media_id""".stripMargin
   )
 }

@@ -95,6 +95,82 @@ class MediaCodecsSpec extends AnyFunSuite {
       assert(audio.samples.toSeq == samples.toSeq, s"junk=$junk")
     }
   }
+
+  // ---------------------------------------------------------------- PNG
+
+  private def be32(v: Int): Array[Byte] =
+    Array[Byte]((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+
+  private def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+    val t = typ.getBytes("US-ASCII")
+    val crc = new java.util.zip.CRC32()
+    crc.update(t); crc.update(data)
+    be32(data.length) ++ t ++ data ++ be32(crc.getValue.toInt)
+  }
+
+  private def deflate(raw: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater()
+    d.setInput(raw); d.finish()
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](1024)
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end(); out.toByteArray
+  }
+
+  private val pngSig =
+    Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  /** Hand-assembled 2×2 truecolor PNG with hand-computed filter bytes:
+    * row 0 filter None, row 1 filter Up with deltas that WRAP mod 256 —
+    * a parser that skips unfiltering (or signs the bytes) cannot pass. */
+  private def handPng: Array[Byte] = {
+    val ihdr = be32(2) ++ be32(2) ++ Array[Byte](8, 2, 0, 0, 0)
+    val raw = Array[Byte](
+      0, 10, 20, 30, 40, 50, 60,                             // row0: None
+      2, 5, 5, 5, 250.toByte, 250.toByte, 250.toByte)        // row1: Up
+    pngSig ++ chunk("IHDR", ihdr) ++ chunk("IDAT", deflate(raw)) ++
+      chunk("IEND", Array.emptyByteArray)
+  }
+
+  test("PNG parse unfilters Up rows with mod-256 wraparound") {
+    val img = MediaCodecs.Png.parse(handPng)
+    assert(img.width == 2 && img.height == 2)
+    assert(img.rgb.toSeq == Seq(10, 20, 30, 40, 50, 60,
+      15, 25, 35, (40 + 250) % 256, (50 + 250) % 256, (60 + 250) % 256))
+  }
+
+  test("PNG parse concatenates IDAT chunks split at arbitrary points") {
+    val ihdr = be32(2) ++ be32(2) ++ Array[Byte](8, 2, 0, 0, 0)
+    val raw = Array[Byte](
+      0, 10, 20, 30, 40, 50, 60,
+      1, 5, 5, 5, 7, 7, 7) // row1: Sub (left-pixel deltas)
+    val z = deflate(raw)
+    // three-way split, including a 1-byte chunk
+    val parts = Seq(z.slice(0, 1), z.slice(1, z.length / 2),
+      z.slice(z.length / 2, z.length))
+    val bytes = pngSig ++ chunk("IHDR", ihdr) ++
+      parts.map(chunk("IDAT", _)).reduce(_ ++ _) ++
+      chunk("IEND", Array.emptyByteArray)
+    val img = MediaCodecs.Png.parse(bytes)
+    // Sub predicts from the pixel to the LEFT in the same row
+    assert(img.rgb.toSeq == Seq(10, 20, 30, 40, 50, 60,
+      5, 5, 5, 12, 12, 12))
+  }
+
+  test("PNG parse rejects a corrupted chunk CRC") {
+    val bytes = handPng
+    bytes(bytes.length - 5) = (bytes(bytes.length - 5) ^ 0x01).toByte // IEND CRC
+    val e = intercept[IllegalArgumentException](MediaCodecs.Png.parse(bytes))
+    assert(e.getMessage.contains("CRC"))
+  }
+
+  test("PNG write → parse round-trips the filter cycle (None/Sub/Up)") {
+    val (w, h) = (5, 7) // ≥3 rows so every filter type is exercised
+    val rgb = Array.tabulate(w * h * 3)(j => (j * 13 + 7) % 256)
+    val img = MediaCodecs.Png.parse(MediaCodecs.Png.write(w, h, rgb))
+    assert(img.width == w && img.height == h)
+    assert(img.rgb.toSeq == rgb.toSeq)
+  }
 }
 
 /** The Spark-side mm04 path: executor-synthesized real containers decoded
@@ -125,6 +201,21 @@ class ContainerPipelineSpec extends SparkSpec {
         val signed = u.map(v => if (v >= 32768) v - 65536 else v)
         assert(f.mean_val == signed.sum.toDouble / n)
       }
+    }
+  }
+
+  test("Spark PNG decode matches the generating formula end-to-end") {
+    val docs = spark.range(0, 12).selectExpr("id AS doc_id")
+    val feats = Multimodal.decodePngs(Multimodal.syntheticPngs(docs))
+      .collect().sortBy(_.media_id)
+    assert(feats.length == 12)
+    feats.foreach { f =>
+      val m = f.media_id
+      val w = 3 + m % 6; val h = 2 + m % 5
+      assert(f.width == w && f.height == h && f.n_channels == w * h * 3)
+      val vals = (0L until w * h * 3).map(j => (m * 37 + j * 11) % 256)
+      assert(f.checksum == vals.foldLeft(0L)((a, v) => (a * 31 + v) % 1000000007L))
+      assert(f.mean_val == vals.sum.toDouble / vals.length)
     }
   }
 }
