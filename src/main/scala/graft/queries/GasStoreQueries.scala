@@ -271,7 +271,42 @@ object GasStoreQueries {
     spark.read.parquet(path)
   }
 
+  /** gs12's sink: the foreachBatch incremental UPSERT
+    * ([[graft.streaming.GasStream.upsertLatest]]) — "latest reading per
+    * field" maintained as keyed state across micro-batches.
+    * `maxFilesPerTrigger = 1` forces one batch per day file, so the merge
+    * genuinely runs incrementally (state from batch 1 merged with batch 2),
+    * not as one big batch. The reduce is associative+commutative, so the
+    * oracle is simply the per-field argmax over the raw CSVs. */
+  private val builtUpsert = new java.util.WeakHashMap[SparkSession, String]()
+  private def streamUpsert(spark: SparkSession): DataFrame = {
+    val path = builtUpsert.synchronized {
+      Option(builtUpsert.get(spark)).getOrElse {
+        val work = Files.createTempDirectory("graft-gas-upsert")
+        deleteOnExit(work)
+        val long = graft.store.LongStore.unpivot(
+          graft.transform.GasTransform(
+            graft.streaming.GasStream.readStream(spark, fixtureDir,
+              maxFilesPerTrigger = 1))
+            .withColumnRenamed("file_name", "_src")).drop("_src")
+        graft.streaming.GasStream
+          .upsertLatest(long, s"$work/state", s"$work/ckpt")
+          .awaitTermination()
+        builtUpsert.put(spark, s"$work/state")
+        s"$work/state"
+      }
+    }
+    spark.read.parquet(path)
+  }
+
   val queries: Map[String, Q] = Map(
+    // the upserted SCD1 state read back: exactly one latest row per field
+    "gs12_stream_upsert" -> ((s, _) =>
+      streamUpsert(s)
+        .select(col("_field"), unix_micros(col("_time")).as("t_us"),
+          col("_value"))
+        .orderBy(col("_field"))),
+
     // stream-static enrichment rolled up per dimension group after the
     // sink; unit scaling happens in-stream, so wrong/missing dimension
     // rows or a broken scale factor flip the totals red
@@ -488,6 +523,20 @@ object GasStoreQueries {
          |  CAST(SUM(CAST(a_value AS DECIMAL(18,6))) AS DOUBLE) AS total_a,
          |  CAST(SUM(CAST(b_value AS DECIMAL(18,6))) AS DOUBLE) AS total_b
          |FROM j GROUP BY 1 ORDER BY h_us""".stripMargin,
+
+    // per-field argmax over the raw CSVs — the final upserted state must
+    // equal it however the files split into micro-batches (tie-break
+    // mirrors the engine's max(struct(_time, _value)))
+    "gs12_stream_upsert" ->
+      s"""$prelude,
+         |u AS (
+         |  UNPIVOT (SELECT * EXCLUDE ("Time (s)", filename) FROM raw)
+         |  ON COLUMNS(* EXCLUDE (_time)) INTO NAME _field VALUE _value)
+         |SELECT _field, epoch_us(_time) AS t_us, _value FROM (
+         |  SELECT _field, _time, _value, ROW_NUMBER() OVER (
+         |    PARTITION BY _field ORDER BY _time DESC, _value DESC) AS rn
+         |  FROM u) WHERE rn = 1
+         |ORDER BY _field""".stripMargin,
 
     "gs11_stream_enrich" ->
       s"""$prelude,

@@ -702,7 +702,25 @@ object Relational {
           sumExact(col("value")).as("total_value"),
           min(col("event_id")).as("min_event"),
           max(col("event_id")).as("max_event"),
-          countDistinct(col("user_id")).as("n_users")))
+          countDistinct(col("user_id")).as("n_users"))),
+
+    // -- SMALL-FILE COMPACTION (the lakehouse OPTIMIZE / bin-packing
+    // rewrite): a store fragmented into 256 tiny files — the classic
+    // streaming-ingest failure mode; at 100 TB each open file costs a
+    // task, a footer read and a NameNode/manifest entry — is rewritten in
+    // one pass into 4 right-sized ts-range files (range partitioning keeps
+    // a useful clustering; `maxRecordsPerFile` caps file size). The query
+    // answers from the COMPACTED store; the oracle computes the same
+    // aggregate from the original table, so the rewrite is pinned
+    // lossless. PlanAuditSpec asserts the 256 → 4 file-count collapse.
+    "q37_compaction" -> ((s, dir) =>
+      s.read.parquet(compactedEvents(s, dir))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sumExact(col("value")).as("total_value"),
+          min(col("event_id")).as("min_event"),
+          max(col("event_id")).as("max_event"))
+        .orderBy(col("event_type")))
   )
 
   /** Static JSONL fixture — absolute so the DuckDB oracle reads the same
@@ -753,6 +771,40 @@ object Relational {
         s"$work/events"
       })
     }
+
+  /** Fragmented (256 tiny files) and compacted (4 ts-range files) copies
+    * of events, memoized per (session, dir). Returns the compacted path;
+    * [[fragmentedEventsDir]] exposes the fragmented one for the file-count
+    * audit. */
+  private val compactBuilt =
+    new java.util.WeakHashMap[SparkSession, collection.mutable.Map[String, (String, String)]]()
+  private def compactedPair(s: SparkSession, dir: String): (String, String) =
+    compactBuilt.synchronized {
+      val perDir = Option(compactBuilt.get(s)).getOrElse {
+        val m = collection.mutable.Map.empty[String, (String, String)]
+        compactBuilt.put(s, m)
+        m
+      }
+      perDir.getOrElseUpdate(dir, {
+        val work = java.nio.file.Files.createTempDirectory("graft-compact")
+        graft.util.TempDirs.deleteOnExit(work)
+        val ev = t(s, dir, "events")
+        // the "before": streaming-ingest fragmentation, 256 tiny files
+        ev.repartition(256).write.mode("overwrite").parquet(s"$work/frag")
+        // the compaction rewrite: ONE pass, range-clustered on ts
+        s.read.parquet(s"$work/frag")
+          .repartitionByRange(4, col("ts"))
+          .sortWithinPartitions(col("ts"))
+          .write.mode("overwrite")
+          .option("maxRecordsPerFile", 500000)
+          .parquet(s"$work/compact")
+        (s"$work/frag", s"$work/compact")
+      })
+    }
+  private[graft] def fragmentedEventsDir(s: SparkSession, dir: String): String =
+    compactedPair(s, dir)._1
+  private[graft] def compactedEvents(s: SparkSession, dir: String): String =
+    compactedPair(s, dir)._2
 
   private val sumQty = "CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)"
 
@@ -1128,6 +1180,14 @@ object Relational {
         |  COUNT(DISTINCT user_id) AS n_users
         |FROM events
         |WHERE user_id BETWEEN 40 AND 59
-        |  AND ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-13'""".stripMargin
+        |  AND ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-13'""".stripMargin,
+
+    // same aggregate over the ORIGINAL table — equality proves the
+    // fragment → compact rewrite cycle lost nothing
+    "q37_compaction" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST("value" AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+        |  MIN(event_id) AS min_event, MAX(event_id) AS max_event
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 }

@@ -249,4 +249,45 @@ object GasStream {
       }
       .toDF()
   }
+
+  /** foreachBatch INCREMENTAL UPSERT — the streaming MERGE/SCD1 sink
+    * ("keep the latest reading per key"): every micro-batch reduces to its
+    * per-field argmax-by-time row, merges with the current keyed state
+    * (union → one more argmax reduce) and atomically replaces it
+    * (write-to-temp + directory swap — plain parquet has no transactional
+    * MERGE; against Delta/Iceberg the same foreachBatch body becomes a
+    * real MERGE INTO and the swap disappears). The reduce —
+    * `max(struct(_time, _value))` per key — is associative and
+    * commutative, so the final state is INDEPENDENT of how files split
+    * into micro-batches; state size is O(keys), never stream length. */
+  def upsertLatest(long: DataFrame, statePath: String,
+      checkpoint: String): StreamingQuery = {
+    def reduce(df: DataFrame): DataFrame =
+      df.groupBy(col("_field"))
+        .agg(max(struct(col("_time"), col("_value"))).as("b"))
+        .select(col("_field"), col("b._time").as("_time"),
+          col("b._value").as("_value"))
+    long.select(col("_field"), col("_time"), col("_value"))
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val stateDir = new java.io.File(statePath)
+        val merged = reduce(
+          if (stateDir.exists) reduce(batch).unionByName(spark.read.parquet(statePath))
+          else batch)
+        val tmp = statePath + ".tmp"
+        merged.write.mode("overwrite").parquet(tmp) // materialize BEFORE the swap
+        def rmTree(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rmTree)
+          f.delete(); ()
+        }
+        if (stateDir.exists) rmTree(stateDir)
+        if (!new java.io.File(tmp).renameTo(stateDir))
+          sys.error(s"state swap failed: $tmp -> $statePath")
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
 }

@@ -224,4 +224,15 @@ class PlanAuditSpec extends SparkSpec {
     // and the layouts hold identical data (the oracle pins this too)
     assert(spark.read.parquet(zdir).count() === ev.count())
   }
+
+  test("q37: compaction collapses 256 tiny files into 4 right-sized ones") {
+    val frag = graft.queries.Relational.fragmentedEventsDir(spark, sf)
+    val compact = graft.queries.Relational.compactedEvents(spark, sf)
+    def files(p: String): Int =
+      new java.io.File(p).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(files(frag) == 256, "fragmented store should have 256 files")
+    assert(files(compact) <= 4, "compacted store should be <= 4 files")
+    assert(spark.read.parquet(compact).count() ===
+      spark.read.parquet(frag).count())
+  }
 }
