@@ -652,6 +652,71 @@ object TimeSeries {
         }
         .toDF("event_type", "k", "x_us", "y")
         .orderBy(col("event_type"), col("k"))
+    }),
+
+    // Anomaly detection — the monitoring verdict a sensor pipeline actually
+    // pages on, with the two standard detectors side by side: (a) a rolling
+    // z-score over the trailing 24 points (catches level shifts against the
+    // recent regime; null until the window fills, so early rows never fire
+    // on a half-estimated variance) and (b) a robust global z-score from
+    // median/MAD (outlier-resistant where mean/σ are themselves dragged by
+    // the anomalies they're meant to find). Numerics: rolling Σx and Σx²
+    // are EXACT decimals over the rows frame (order-independent under any
+    // partitioning), cast to double once, and each score is ONE fixed IEEE
+    // tree the oracle mirrors token-for-token; the median is rank-based
+    // ((v⌊(n+1)/2⌋ + v⌈(n+1)/2⌉)/2 in exact decimal) rather than an
+    // interpolating percentile, so no engine-specific interpolation
+    // arithmetic exists anywhere. Scale shape: one shuffle on the series
+    // key shared by every window pass; the median/MAD side is two
+    // rank-windows + two tiny per-series aggregates joined back by
+    // broadcast (|series| rows). MAD = 0 (constant-majority series) yields
+    // a null robust score, not ±Inf.
+    "ts25_anomaly_detect" -> ((s, dir) => {
+      val keyed = ev(s, dir)
+        .withColumn("ts_us", unix_micros(col("ts")))
+        .withColumn("xd", col("value").cast("decimal(18,6)"))
+      // (a) trailing-24 rolling z-score from exact decimal moment sums
+      val frame = Window.partitionBy(col("event_type"))
+        .orderBy(col("ts_us"), col("event_id")).rowsBetween(-23, 0)
+      val rolled = keyed
+        .withColumn("n24", count(lit(1)).over(frame))
+        .withColumn("sx", sum(col("xd")).over(frame).cast("double"))
+        .withColumn("sxx",
+          sum((col("xd") * col("xd")).cast("decimal(38,12)")).over(frame)
+            .cast("double"))
+      // (b) exact rank-based median and MAD per series
+      def med(df: DataFrame, v: String, out: String): DataFrame = {
+        val w = Window.partitionBy(col("event_type")).orderBy(col(v), col("event_id"))
+        df.withColumn("rn", row_number().over(w).cast("long"))
+          .withColumn("n", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+          .filter(col("rn") === expr("(n + 1) div 2") ||
+            col("rn") === expr("n div 2 + 1"))
+          .groupBy(col("event_type"))
+          .agg(((min(col(v)) + max(col(v))) / lit(2)).cast("decimal(18,6)").as(out))
+      }
+      val medians = med(keyed, "xd", "med")
+      val mads = med(
+        keyed.join(broadcast(medians), "event_type")
+          .withColumn("adev", abs(col("xd") - col("med")).cast("decimal(18,6)")),
+        "adev", "mad")
+      rolled
+        .join(broadcast(medians), "event_type")
+        .join(broadcast(mads), "event_type")
+        .withColumn("vr",
+          (col("sxx") - col("sx") * col("sx") / lit(24.0)) / lit(24.0))
+        .withColumn("z_roll_raw",
+          when(col("n24") === 24 && col("vr") > 0.0,
+            (col("value") - col("sx") / lit(24.0)) / sqrt(col("vr"))))
+        .withColumn("z_rob_raw",
+          when(col("mad").cast("double") > 0.0,
+            lit(0.6745) * (col("value") - col("med").cast("double")) /
+              col("mad").cast("double")))
+        .select(col("event_type"), col("ts_us"), col("event_id"), col("value"),
+          round(col("z_roll_raw"), 6).as("z_roll"),
+          (abs(col("z_roll_raw")) > 3.0).as("roll_flag"),
+          round(col("z_rob_raw"), 6).as("z_robust"),
+          (abs(col("z_rob_raw")) > 3.5).as("robust_flag"))
+        .orderBy(col("event_type"), col("ts_us"), col("event_id"))
     })
   )
 
@@ -1103,7 +1168,60 @@ object TimeSeries {
         |  SELECT g AS event_type, k, selxus AS x_us, sely AS y FROM rec
         |  UNION ALL
         |  SELECT g, CAST(21 AS BIGINT), xus, y FROM lastp)
-        |ORDER BY event_type, k""".stripMargin
+        |ORDER BY event_type, k""".stripMargin,
+
+    // the same exact-decimal rolling moments, rank-based median/MAD and
+    // fixed IEEE score trees as the engine — no interpolating percentile
+    // anywhere, so there is nothing engine-specific to diverge
+    "ts25_anomaly_detect" ->
+      """WITH k AS (
+        |  SELECT event_type, epoch_us(ts) AS ts_us, event_id, value,
+        |    CAST(value AS DECIMAL(18,6)) AS xd
+        |  FROM events),
+        |r AS (
+        |  SELECT *,
+        |    COUNT(*) OVER w24 AS n24,
+        |    CAST(SUM(xd) OVER w24 AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(xd * xd AS DECIMAL(38,12))) OVER w24 AS DOUBLE) AS sxx
+        |  FROM k
+        |  WINDOW w24 AS (PARTITION BY event_type ORDER BY ts_us, event_id
+        |                 ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)),
+        |mr AS (
+        |  SELECT event_type, xd,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY xd, event_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS n
+        |  FROM k),
+        |m AS (
+        |  SELECT event_type, CAST((MIN(xd) + MAX(xd)) / 2 AS DECIMAL(18,6)) AS med
+        |  FROM mr WHERE rn = (n + 1) // 2 OR rn = n // 2 + 1
+        |  GROUP BY event_type),
+        |ar AS (
+        |  SELECT k.event_type, k.event_id,
+        |    CAST(ABS(xd - med) AS DECIMAL(18,6)) AS adev
+        |  FROM k JOIN m USING (event_type)),
+        |ar2 AS (
+        |  SELECT event_type, adev,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY adev, event_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS n
+        |  FROM ar),
+        |md AS (
+        |  SELECT event_type, CAST((MIN(adev) + MAX(adev)) / 2 AS DECIMAL(18,6)) AS mad
+        |  FROM ar2 WHERE rn = (n + 1) // 2 OR rn = n // 2 + 1
+        |  GROUP BY event_type),
+        |scored AS (
+        |  SELECT r.event_type, r.ts_us, r.event_id, r.value,
+        |    (r.sxx - r.sx * r.sx / 24.0) / 24.0 AS vr,
+        |    CASE WHEN r.n24 = 24 AND (r.sxx - r.sx * r.sx / 24.0) / 24.0 > 0.0
+        |         THEN (r.value - r.sx / 24.0)
+        |              / sqrt((r.sxx - r.sx * r.sx / 24.0) / 24.0) END AS zr,
+        |    CASE WHEN CAST(md.mad AS DOUBLE) > 0.0
+        |         THEN 0.6745 * (r.value - CAST(m.med AS DOUBLE))
+        |              / CAST(md.mad AS DOUBLE) END AS zb
+        |  FROM r JOIN m USING (event_type) JOIN md USING (event_type))
+        |SELECT event_type, ts_us, event_id, value,
+        |  ROUND(zr, 6) AS z_roll, ABS(zr) > 3.0 AS roll_flag,
+        |  ROUND(zb, 6) AS z_robust, ABS(zb) > 3.5 AS robust_flag
+        |FROM scored ORDER BY event_type, ts_us, event_id""".stripMargin
   )
 
   /** The ts21 closed-form EMA kernel as a DuckDB CTE pair (`<out>_pairs`,
