@@ -720,7 +720,42 @@ object Relational {
           sumExact(col("value")).as("total_value"),
           min(col("event_id")).as("min_event"),
           max(col("event_id")).as("max_event"))
-        .orderBy(col("event_type")))
+        .orderBy(col("event_type"))),
+
+    // -- FUZZY JOIN / record linkage (entity resolution without a shared
+    // key): probe strings — every 10th part name with one deterministically
+    // chosen character deleted — are matched back to the dimension at edit
+    // distance ≤ 1. The naive form is an O(n·m) cross join with a
+    // levenshtein per pair; the scalable form here is DUAL-BLOCKED: a
+    // single edit cannot change both the first 3 and the last 3 characters
+    // of strings ≥ 6 chars (an edit at position p < 3 leaves the suffix
+    // intact since p ≤ len−4, and vice versa — p_name is 7-12 chars), so
+    // the union of two equi-joins on (prefix3) and (suffix3) provably
+    // contains every qualifying pair. Cost: two ordinary hash-join shuffles
+    // on short block keys + levenshtein only on within-block candidates —
+    // at 100 TB block-key cardinality scales with the dictionary and no
+    // quadratic stage exists. The oracle computes the UNBLOCKED cross-join
+    // answer, so a completeness hole in the blocking flips the hash red.
+    "q38_fuzzy_join" -> ((s, dir) => {
+      val parts = t(s, dir, "part").select(col("p_partkey"), col("p_name"))
+      val probes = parts.filter(col("p_partkey") % 10 === 0)
+        .select(col("p_partkey").as("q_id"),
+          expr("""concat(substring(p_name, 1, CAST(p_partkey % length(p_name) AS INT)),
+                 |       substring(p_name, CAST(p_partkey % length(p_name) AS INT) + 2))"""
+            .stripMargin).as("q_name"))
+      val pPre = parts.withColumn("bk", substring(col("p_name"), 1, 3))
+      val pSuf = parts.withColumn("bk", expr("right(p_name, 3)"))
+      val qPre = probes.withColumn("bk", substring(col("q_name"), 1, 3))
+      val qSuf = probes.withColumn("bk", expr("right(q_name, 3)"))
+      // levenshtein BEFORE the dedup: the distinct's shuffle then carries
+      // only qualifying pairs (rare), not every block collision (common)
+      qPre.join(pPre, "bk").unionByName(qSuf.join(pSuf, "bk"))
+        .select(col("q_id"), col("q_name"), col("p_partkey"), col("p_name"))
+        .withColumn("dist", levenshtein(col("q_name"), col("p_name")).cast("long"))
+        .filter(col("dist") <= 1)
+        .distinct()
+        .orderBy(col("q_id"), col("p_partkey"))
+    })
   )
 
   /** Static JSONL fixture — absolute so the DuckDB oracle reads the same
@@ -1188,6 +1223,22 @@ object Relational {
       """SELECT event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST("value" AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
         |  MIN(event_id) AS min_event, MAX(event_id) AS max_event
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // the UNBLOCKED ground truth: same probes, but candidates from a full
+    // cross join — if the engine's dual prefix/suffix blocking missed any
+    // qualifying pair, this hash cannot match
+    "q38_fuzzy_join" ->
+      """WITH probes AS (
+        |  SELECT p_partkey AS q_id,
+        |    substring(p_name, 1, CAST(p_partkey % length(p_name) AS INT))
+        |      || substring(p_name, CAST(p_partkey % length(p_name) AS INT) + 2)
+        |      AS q_name
+        |  FROM part WHERE p_partkey % 10 = 0)
+        |SELECT q_id, q_name, p_partkey, p_name,
+        |  CAST(levenshtein(q_name, p_name) AS BIGINT) AS dist
+        |FROM probes, part
+        |WHERE levenshtein(q_name, p_name) <= 1
+        |ORDER BY q_id, p_partkey""".stripMargin
   )
 }
