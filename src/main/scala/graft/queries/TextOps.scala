@@ -580,6 +580,36 @@ object TextOps {
         .withColumn("kept", col("qrank") <= 15)
         .select(col("doc_id"), col("source"), col("skey"), col("qrank"), col("kept"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Negative sampling for contrastive training (SimCLR/DPR-style: each
+    // anchor needs k "random" negatives, but training-data builds must be
+    // REPRODUCIBLE — a re-run after a failed shard cannot sample different
+    // negatives): negative j of anchor d is the Knuth-hash index
+    // (d·2654435761 + j·40503) mod n over the dense id domain, self-hits
+    // deterministically bumped to the next id. Scale shape: n is a one-row
+    // broadcast, candidate generation is a 4× map-side fan-out, and the
+    // only shuffle is the equi-join that fetches each negative's payload —
+    // exactly the cost of any keyed lookup. No RNG state anywhere, so
+    // retries, speculative tasks and engine swaps all produce the same
+    // pairs (the oracle replays the arithmetic bit-for-bit).
+    "tx23_negative_pairs" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("source"))
+      val n = d.agg(count(lit(1)).as("n"))
+      val cands = fanout(d).crossJoin(broadcast(n))
+        .withColumn("j", explode(expr("sequence(1L, 4L)")))
+        .withColumn("c0",
+          (col("doc_id") * lit(2654435761L) + col("j") * lit(40503L)) % col("n"))
+        .withColumn("neg_id",
+          when(col("c0") === col("doc_id"), (col("c0") + 1) % col("n"))
+            .otherwise(col("c0")))
+      cands
+        .join(d.select(col("doc_id").as("neg_id"), col("source").as("neg_source")),
+          "neg_id")
+        .select(col("doc_id"), col("j"), col("neg_id"),
+          col("source").as("anchor_source"), col("neg_source"),
+          (col("source") === col("neg_source")).as("same_source"))
+        .orderBy(col("doc_id"), col("j"))
     })
   )
 
@@ -956,6 +986,22 @@ object TextOps {
         |  ROW_NUMBER() OVER w <= 15 AS kept
         |FROM d
         |WINDOW w AS (PARTITION BY source ORDER BY skey, doc_id)
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    // identical Knuth-hash index arithmetic — BIGINT end to end
+    "tx23_negative_pairs" ->
+      """WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+        |c AS (
+        |  SELECT d.doc_id, d.source, j,
+        |    (d.doc_id * 2654435761 + j * 40503) % nn.n AS c0, nn.n AS n
+        |  FROM documents d, nn, (SELECT unnest([1,2,3,4]) AS j)),
+        |x AS (
+        |  SELECT doc_id, source, CAST(j AS BIGINT) AS j,
+        |    CASE WHEN c0 = doc_id THEN (c0 + 1) % n ELSE c0 END AS neg_id
+        |  FROM c)
+        |SELECT x.doc_id, x.j, x.neg_id, x.source AS anchor_source,
+        |  d2.source AS neg_source, x.source = d2.source AS same_source
+        |FROM x JOIN documents d2 ON d2.doc_id = x.neg_id
+        |ORDER BY x.doc_id, x.j""".stripMargin
   )
 }
