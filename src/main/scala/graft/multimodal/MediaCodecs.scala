@@ -304,9 +304,13 @@ object MediaCodecs {
       val inflater = new java.util.zip.Inflater()
       inflater.setInput(idat.toByteArray)
       var got = 0
+      var stalls = 0 // n==0 with input remaining: bounded, then malformed
       while (got < raw.length && !inflater.finished()) {
         val n = inflater.inflate(raw, got, raw.length - got)
+        require(!inflater.needsDictionary, "preset-dictionary zlib stream unsupported")
         require(n > 0 || !inflater.needsInput, "truncated deflate stream")
+        if (n == 0) { stalls += 1; require(stalls < 8, "stalled deflate stream") }
+        else stalls = 0
         got += n
       }
       inflater.end()

@@ -296,7 +296,7 @@ object GasStoreQueries {
         s"$work/state"
       }
     }
-    spark.read.parquet(path)
+    spark.read.parquet(graft.streaming.GasStream.latestUpsertState(path))
   }
 
   val queries: Map[String, Q] = Map(

@@ -1122,7 +1122,11 @@ object TimeSeries {
 
     // pick-by-pick LTTB replay: centroids from exact sums, the recursion
     // advances one bucket per step, argmax-by-area via NOT EXISTS with
-    // ties to the earliest point — the same IEEE area tree as the engine
+    // ties to the earliest point — the same IEEE area tree as the engine.
+    // Series with no interior to thin (n <= buckets+2 = 22) bypass the
+    // recursion entirely (k = position), mirroring the engine's
+    // pass-through — they would otherwise stall the recursion on sparse
+    // bucket numbering and divide by zero at n = 2.
     "ts24_lttb_downsample" ->
       """WITH RECURSIVE
         |pts AS (
@@ -1132,13 +1136,14 @@ object TimeSeries {
         |      ORDER BY ts, event_id) AS BIGINT) AS i,
         |    COUNT(*) OVER (PARTITION BY event_type) AS n
         |  FROM events),
+        |short AS (SELECT g, i - 1 AS k, xus, y FROM pts WHERE n <= 22),
         |mids AS (SELECT *, (i - 2) * 20 // (n - 2) AS b FROM pts
-        |         WHERE i >= 2 AND i <= n - 1),
+        |         WHERE n > 22 AND i >= 2 AND i <= n - 1),
         |cent AS (
         |  SELECT g, b, CAST(SUM(xus) AS DOUBLE) / COUNT(*) AS cx,
         |    CAST(SUM(CAST(y AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS cy
         |  FROM mids GROUP BY g, b),
-        |lastp AS (SELECT g, xus, xd, y FROM pts WHERE i = n),
+        |lastp AS (SELECT g, xus, xd, y FROM pts WHERE i = n AND n > 22),
         |cand AS (
         |  SELECT m.g, m.b, m.i, m.xus, m.xd, m.y,
         |    COALESCE(c.cx, l.xd) AS cx, COALESCE(c.cy, l.y) AS cy
@@ -1148,7 +1153,7 @@ object TimeSeries {
         |rec AS (
         |  SELECT g, CAST(0 AS BIGINT) AS k, xus AS selxus, xd AS selxd,
         |    y AS sely
-        |  FROM pts WHERE i = 1
+        |  FROM pts WHERE i = 1 AND n > 22
         |  UNION ALL
         |  SELECT r.g, r.k + 1, p.xus, p.xd, p.y
         |  FROM rec r JOIN cand p ON p.g = r.g AND p.b = r.k
@@ -1167,7 +1172,9 @@ object TimeSeries {
         |SELECT event_type, k, x_us, y FROM (
         |  SELECT g AS event_type, k, selxus AS x_us, sely AS y FROM rec
         |  UNION ALL
-        |  SELECT g, CAST(21 AS BIGINT), xus, y FROM lastp)
+        |  SELECT g, CAST(21 AS BIGINT), xus, y FROM lastp
+        |  UNION ALL
+        |  SELECT g, k, xus, y FROM short)
         |ORDER BY event_type, k""".stripMargin,
 
     // the same exact-decimal rolling moments, rank-based median/MAD and

@@ -430,36 +430,51 @@ object VectorOps {
     * window shuffle), probe each query's 2 nearest cells, exact-score only
     * inside them with the probes broadcast (the corpus never shuffles).
     * Returns (q_id, rnk, c_id, sim), rnk ≤ 5. */
-  private def ivfTopK(e: DataFrame): DataFrame = {
-    val cents = e
-      .select(col("label"), posexplode(col("emb")).as(Seq("pos", "val")))
-      .groupBy(col("label"), col("pos"))
-      .agg(round(avg(col("val")), 6).as("cv"))
-      .groupBy(col("label"))
-      .agg(expr("transform(sort_array(collect_list(struct(pos, cv))), x -> x.cv)")
-        .as("cvec"))
-      .select(col("label").as("clabel"), col("cvec"),
-        expr("sqrt(graft_dot(cvec, cvec))").as("cnorm"))
-    def withCellSims(df: DataFrame): DataFrame = df
-      .crossJoin(broadcast(cents))
-      .withColumn("csim",
-        round(expr("graft_dot(emb, cvec)") / (col("norm") * col("cnorm")), 6))
-    // corpus → nearest cell: max(struct(csim, -label)) == highest sim,
-    // ties to the lowest label — one aggregate, map-side combinable
-    val cells = withCellSims(fanout(e))
+  /** Per-label coarse centroids (clabel, cvec, cnorm) — dims rounded to
+    * 6 dp so both engines rank cell similarities identically. */
+  private def cellCentroids(e: DataFrame): DataFrame = e
+    .select(col("label"), posexplode(col("emb")).as(Seq("pos", "val")))
+    .groupBy(col("label"), col("pos"))
+    .agg(round(avg(col("val")), 6).as("cv"))
+    .groupBy(col("label"))
+    .agg(expr("transform(sort_array(collect_list(struct(pos, cv))), x -> x.cv)")
+      .as("cvec"))
+    .select(col("label").as("clabel"), col("cvec"),
+      expr("sqrt(graft_dot(cvec, cvec))").as("cnorm"))
+
+  /** Cosine similarity of every df row against every (broadcast) cell. */
+  private def cellSims(df: DataFrame, cents: DataFrame): DataFrame = df
+    .crossJoin(broadcast(cents))
+    .withColumn("csim",
+      round(expr("graft_dot(emb, cvec)") / (col("norm") * col("cnorm")), 6))
+
+  /** Corpus → nearest cell: max(struct(csim, -label)) == highest sim,
+    * ties to the lowest label — one aggregate, map-side combinable. */
+  private def coarseAssign(e: DataFrame, cents: DataFrame): DataFrame =
+    cellSims(fanout(e), cents)
       .groupBy(col("vec_id"))
       .agg(max(struct(col("csim"), (-col("clabel")).as("negl"))).as("best"),
         first(col("emb")).as("emb"), first(col("norm")).as("norm"))
       .select(col("vec_id"), col("emb"), col("norm"),
         (-col("best.negl")).as("cell"))
-    // queries → 2 nearest cells (tiny set: filtered before the window)
+
+  /** Queries (vec_id % 100 = 0) → `nprobe` nearest cells (tiny set:
+    * filtered before the window). */
+  private def cellProbes(e: DataFrame, cents: DataFrame,
+      nprobe: Int): DataFrame = {
     val wProbe = Window.partitionBy(col("vec_id"))
       .orderBy(col("csim").desc, col("clabel"))
-    val probes = withCellSims(e.filter(expr("vec_id % 100 = 0")))
+    cellSims(e.filter(expr("vec_id % 100 = 0")), cents)
       .withColumn("crn", row_number().over(wProbe))
-      .filter(col("crn") <= 2)
+      .filter(col("crn") <= nprobe)
       .select(col("vec_id").as("q_id"), col("emb").as("qe"),
         col("norm").as("qn"), col("clabel").as("cell"))
+  }
+
+  private def ivfTopK(e: DataFrame): DataFrame = {
+    val cents = cellCentroids(e)
+    val cells = coarseAssign(e, cents)
+    val probes = cellProbes(e, cents, 2)
     val wTop = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id"))
     cells.join(broadcast(probes), Seq("cell"))
       .filter(col("vec_id") =!= col("q_id"))

@@ -253,41 +253,83 @@ object GasStream {
   /** foreachBatch INCREMENTAL UPSERT — the streaming MERGE/SCD1 sink
     * ("keep the latest reading per key"): every micro-batch reduces to its
     * per-field argmax-by-time row, merges with the current keyed state
-    * (union → one more argmax reduce) and atomically replaces it
-    * (write-to-temp + directory swap — plain parquet has no transactional
-    * MERGE; against Delta/Iceberg the same foreachBatch body becomes a
-    * real MERGE INTO and the swap disappears). The reduce —
-    * `max(struct(_time, _value))` per key — is associative and
-    * commutative, so the final state is INDEPENDENT of how files split
-    * into micro-batches; state size is O(keys), never stream length. */
+    * (union → one more argmax reduce) and commits a NEW VERSIONED state
+    * directory `v<batchId>` (plain parquet has no transactional MERGE;
+    * against Delta/Iceberg the same foreachBatch body becomes a real
+    * MERGE INTO and the versioning disappears). Versioning makes the
+    * at-least-once foreachBatch contract safe: a batch always READS the
+    * newest version with id < its own batchId, so a crash-and-replay of
+    * batch B (even one that half-wrote `vB`) re-merges against the exact
+    * pre-B state instead of whatever a destructive swap left behind; the
+    * half-written `vB` is discarded and rewritten. Only versions older
+    * than the read source are garbage-collected, so the directory holds
+    * at most two versions at rest. The reduce — `max(struct(_time,
+    * _value))` per key — is associative and commutative, so the final
+    * state is INDEPENDENT of how files split into micro-batches; state
+    * size is O(keys), never stream length. */
   def upsertLatest(long: DataFrame, statePath: String,
-      checkpoint: String): StreamingQuery = {
+      checkpoint: String): StreamingQuery =
+    long.select(col("_field"), col("_time"), col("_value"))
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        upsertMergeBatch(batch, statePath, batchId)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** One [[upsertLatest]] micro-batch merge — exposed so the at-least-once
+    * replay contract is directly testable: calling it twice with the same
+    * (batch, batchId) yields the same committed state as calling it once. */
+  private[graft] def upsertMergeBatch(batch: DataFrame, statePath: String,
+      batchId: Long): Unit = {
     def reduce(df: DataFrame): DataFrame =
       df.groupBy(col("_field"))
         .agg(max(struct(col("_time"), col("_value"))).as("b"))
         .select(col("_field"), col("b._time").as("_time"),
           col("b._value").as("_value"))
-    long.select(col("_field"), col("_time"), col("_value"))
-      .writeStream
-      .outputMode(OutputMode.Append)
-      .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val spark = batch.sparkSession
-        val stateDir = new java.io.File(statePath)
-        val merged = reduce(
-          if (stateDir.exists) reduce(batch).unionByName(spark.read.parquet(statePath))
-          else batch)
-        val tmp = statePath + ".tmp"
-        merged.write.mode("overwrite").parquet(tmp) // materialize BEFORE the swap
-        def rmTree(f: java.io.File): Unit = {
-          if (f.isDirectory) f.listFiles().foreach(rmTree)
-          f.delete(); ()
-        }
-        if (stateDir.exists) rmTree(stateDir)
-        if (!new java.io.File(tmp).renameTo(stateDir))
-          sys.error(s"state swap failed: $tmp -> $statePath")
-      }
-      .trigger(Trigger.AvailableNow())
-      .start()
+    val spark = batch.sparkSession
+    val root = new java.io.File(statePath)
+    root.mkdirs()
+    def rmTree(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmTree)
+      f.delete(); ()
+    }
+    // Pre-batch state = newest committed version STRICTLY below this
+    // batchId (a replay of batch B must not read B's own half-result).
+    val versions = committedVersions(root)
+    val prev = versions.filter(_ < batchId).sorted.lastOption
+    val target = new java.io.File(root, s"v$batchId")
+    if (target.exists) rmTree(target) // leftover from a failed attempt
+    val merged = reduce(prev match {
+      case Some(p) => reduce(batch)
+        .unionByName(spark.read.parquet(new java.io.File(root, s"v$p").getPath))
+      case None => batch
+    })
+    merged.write.mode("overwrite").parquet(target.getPath)
+    // GC: anything older than the version we just read from can never
+    // be needed again (replays only re-run batchIds >= this one).
+    for (p <- prev; v <- versions if v < p) rmTree(new java.io.File(root, s"v$v"))
+  }
+
+  /** Committed state versions under an [[upsertLatest]] root — a version is
+    * committed once parquet's own job commit drops `_SUCCESS` in it. */
+  private def committedVersions(root: java.io.File): Seq[Long] = {
+    val fs = Option(root.listFiles()).getOrElse(Array.empty)
+    fs.toSeq.collect {
+      case f if f.isDirectory && f.getName.startsWith("v") &&
+        f.getName.drop(1).forall(_.isDigit) &&
+        new java.io.File(f, "_SUCCESS").exists => f.getName.drop(1).toLong
+    }
+  }
+
+  /** Path of the newest committed state version under an [[upsertLatest]]
+    * root — what a reader of the upsert sink should scan. */
+  def latestUpsertState(statePath: String): String = {
+    val root = new java.io.File(statePath)
+    val vs = committedVersions(root)
+    require(vs.nonEmpty, s"no committed upsert state under $statePath")
+    new java.io.File(root, s"v${vs.max}").getPath
   }
 }

@@ -37,4 +37,41 @@ class GasStreamSpec extends SparkSpec {
     q3.awaitTermination()
     assert(spark.read.parquet(store).count() == 8 * 19 + 6 * 19)
   }
+
+  test("upsert state versioning: replayed batch re-merges against pre-batch state") {
+    import org.apache.spark.sql.functions._
+    val work = Files.createTempDirectory("graft-upsert-replay")
+    val state = work.resolve("state").toString
+    def batchDf(rows: (String, Long, Double)*) =
+      spark.createDataFrame(rows).toDF("_field", "_time", "_value")
+    def stateRows() = spark.read
+      .parquet(GasStream.latestUpsertState(state))
+      .orderBy(col("_field")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+
+    val b0 = batchDf(("co", 10L, 1.0), ("co", 20L, 2.0), ("no2", 5L, 9.0))
+    val b1 = batchDf(("co", 15L, 3.0), ("no2", 50L, 4.0))
+    GasStream.upsertMergeBatch(b0, state, 0L)
+    GasStream.upsertMergeBatch(b1, state, 1L)
+    val expected = Seq(("co", 20L, 2.0), ("no2", 50L, 4.0))
+    assert(stateRows() == expected)
+
+    // at-least-once replay of batch 1 (crash after commit, retry): the
+    // replay reads v0 — the pre-batch state — and recommits the same v1
+    GasStream.upsertMergeBatch(b1, state, 1L)
+    assert(stateRows() == expected)
+
+    // crash MID-batch: a half-written v2 (no _SUCCESS) is invisible to
+    // readers and discarded by the retry, which still reads v1
+    val half = new java.io.File(state, "v2")
+    half.mkdirs()
+    Files.write(half.toPath.resolve("part-garbage.parquet"), Array[Byte](1, 2))
+    assert(stateRows() == expected) // latest committed is still v1
+    GasStream.upsertMergeBatch(batchDf(("co", 99L, 7.0)), state, 2L)
+    assert(stateRows() == Seq(("co", 99L, 7.0), ("no2", 50L, 4.0)))
+
+    // GC bounds the directory: at most the read-source + newest versions
+    val vs = new java.io.File(state).listFiles().map(_.getName).sorted.toSeq
+    assert(vs == Seq("v1", "v2"))
+  }
 }

@@ -157,6 +157,27 @@ class MediaCodecsSpec extends AnyFunSuite {
       5, 5, 5, 12, 12, 12))
   }
 
+  test("PNG parse rejects a preset-dictionary zlib stream instead of spinning") {
+    // zlib with FDICT set: Inflater returns 0 with needsDictionary=true and
+    // needsInput=false — an unguarded inflate loop never terminates here
+    val raw = Array[Byte](
+      0, 10, 20, 30, 40, 50, 60,
+      0, 5, 5, 5, 7, 7, 7)
+    val dict = Array[Byte](10, 20, 30)
+    val d = new java.util.zip.Deflater()
+    d.setDictionary(dict)
+    d.setInput(raw); d.finish()
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](1024)
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end()
+    val ihdr = be32(2) ++ be32(2) ++ Array[Byte](8, 2, 0, 0, 0)
+    val bytes = pngSig ++ chunk("IHDR", ihdr) ++
+      chunk("IDAT", out.toByteArray) ++ chunk("IEND", Array.emptyByteArray)
+    val e = intercept[IllegalArgumentException](MediaCodecs.Png.parse(bytes))
+    assert(e.getMessage.contains("preset-dictionary"))
+  }
+
   test("PNG parse rejects a corrupted chunk CRC") {
     val bytes = handPng
     bytes(bytes.length - 5) = (bytes(bytes.length - 5) ^ 0x01).toByte // IEND CRC
