@@ -421,6 +421,98 @@ object VectorOps {
         .filter(col("rnk") <= 5)
         .select(col("q_id"), col("rnk"), col("c_id"), col("sim"))
         .orderBy(col("q_id"), col("rnk"))
+    }),
+
+    // IVF-PQ — the composition FAISS ships as its default billion-scale
+    // index (IVFPQ): the IVF coarse quantizer (v05's per-label centroids)
+    // prunes the search to nprobe=2 cells, and inside a cell vectors exist
+    // only as PQ codes of their RESIDUAL (vector − cell centroid) — the
+    // residual distribution is tighter than the raw corpus, so the same
+    // 16×4-bit codebook quantizes it with less error than v12's direct PQ.
+    // ADC-scores queries against centroid + dequantized residual, then
+    // exact-reranks the top-C=50. Scale shape: centroids and the 256-row
+    // codebook are one-row/tiny broadcasts (never a driver collect);
+    // residual computation, encoding and ADC scoring are map-side; the
+    // only shuffles are the PQ training aggregate, the per-vector argmin
+    // (corpus × 16 rows) and the per-query top-C partial aggregate. At
+    // rest a vector costs 16 bytes + a cell id; the probed-cell scan reads
+    // codes only, and candidates outside the probe cells are never touched
+    // — bandwidth per query is |cells probed| × 16 B/vector.
+    "v13_ivfpq_topk" -> ((s, dir) => {
+      graft.functions.VectorFunctions.register(s)
+      val e = emb(s, dir)
+      val (m, d, k) = (16, 4, 16)
+      def l2(a: String, b: String) =
+        s"round(aggregate(zip_with($a, $b, (x, y) -> (x - y) * (x - y)), " +
+          s"cast(0 as double), (acc, v) -> acc + v), 6)"
+      val cents = cellCentroids(e)
+      // residual vs the assigned cell's centroid, dims rounded to 6 dp so
+      // both engines train/encode from byte-identical inputs
+      val resid = coarseAssign(e, cents)
+        .join(broadcast(cents), col("cell") === col("clabel"))
+        .withColumn("res", expr("zip_with(emb, cvec, (x, c) -> round(x - c, 6))"))
+        .select(col("vec_id"), col("cell"), col("res"))
+      // PQ training on residual subvectors — v12's one-Lloyd-step recipe
+      val subs = resid.select(col("vec_id"), posexplode(expr(
+        s"transform(sequence(0, ${m - 1}), s -> slice(res, s * $d + 1, $d))"))
+        .as(Seq("sub", "sv")))
+      val seeds = subs.filter(col("vec_id") < k)
+        .select(col("vec_id").cast("int").as("cid"), col("sub"),
+          col("sv").as("cv"))
+      val assigned = subs.join(broadcast(seeds), Seq("sub"))
+        .withColumn("dist", expr(l2("sv", "cv")))
+        .groupBy(col("vec_id"), col("sub"))
+        .agg(min(struct(col("dist"), col("cid"))).as("best"),
+          first(col("sv")).as("sv"))
+        .select(col("sub"), col("best.cid").as("cid"),
+          posexplode(col("sv")).as(Seq("pos", "x")))
+      val refined = assigned
+        .groupBy(col("sub"), col("cid"), col("pos"))
+        .agg(round(avg(col("x")), 6).as("mu"))
+        .groupBy(col("sub"), col("cid"))
+        .agg(expr("transform(array_sort(collect_list(struct(pos, mu))), t -> t.mu)")
+          .as("cv"))
+      val cbRow = seeds.select(col("sub"), col("cid"), col("cv").as("cv0"))
+        .join(refined, Seq("sub", "cid"), "left_outer")
+        .select(col("sub"), col("cid"), coalesce(col("cv"), col("cv0")).as("cv"))
+        .groupBy(col("sub"))
+        .agg(expr("transform(array_sort(collect_list(struct(cid, cv))), t -> struct(t.cid as cid, t.cv as cv))")
+          .as("cents"))
+        .agg(expr("transform(array_sort(collect_list(struct(sub, cents))), t -> t.cents)")
+          .as("cb"))
+      // encode the residual, reconstruct as centroid + dequantized residual
+      val dqExpr =
+        s"""flatten(transform(sequence(0, ${m - 1}), s ->
+           |  element_at(array_sort(transform(element_at(cb, s + 1), c ->
+           |    struct(${l2(s"slice(res, s * $d + 1, $d)", "c.cv")} as dd,
+           |           c.cid as cid, c.cv as cv))), 1).cv))""".stripMargin
+      val coded = resid.crossJoin(broadcast(cbRow))
+        .withColumn("dqr", expr(dqExpr))
+        .join(broadcast(cents), col("cell") === col("clabel"))
+        .withColumn("recon", expr("zip_with(cvec, dqr, (c, r) -> c + r)"))
+        .withColumn("rn", expr("sqrt(graft_dot(recon, recon))"))
+        .select(col("vec_id"), col("cell"), col("recon"), col("rn"))
+      // ADC inside the probed cells only, then exact rerank of the top-C
+      val probes = cellProbes(e, cents, 2)
+      val topC = udaf(new graft.functions.TopKAggregator(50))
+      val cand = coded.join(broadcast(probes), Seq("cell"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("asim",
+          round(expr("graft_dot(qe, recon)") / (col("qn") * col("rn")), 6))
+        .groupBy(col("q_id"))
+        .agg(topC(col("vec_id"), col("asim")).as("top"))
+        .select(col("q_id"), explode(expr("transform(top, s -> s.c_id)")).as("c_id"))
+      val qs = e.filter(expr("vec_id % 100 = 0"))
+        .select(col("vec_id").as("q_id"), col("emb").as("qe"), col("norm").as("qn"))
+      val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id"))
+      e.join(broadcast(cand), col("vec_id") === col("c_id"))
+        .join(broadcast(qs), Seq("q_id"))
+        .withColumn("sim",
+          round(expr("graft_dot(qe, emb)") / (col("qn") * col("norm")), 6))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 5)
+        .select(col("q_id"), col("rnk"), col("c_id"), col("sim"))
+        .orderBy(col("q_id"), col("rnk"))
     })
   )
 
@@ -954,6 +1046,107 @@ object VectorOps {
         |  SELECT q_id, c_id FROM (
         |    SELECT q_id, c_id, ROW_NUMBER() OVER (PARTITION BY q_id
         |      ORDER BY asim DESC, c_id) AS r FROM cand) WHERE r <= 50),
+        |rr AS (
+        |  SELECT t.q_id, t.c_id,
+        |    round(list_dot_product(qq.qe, c.emb) / (qq.qn * c.norm), 6) AS sim
+        |  FROM topc t JOIN q qq ON qq.q_id = t.q_id JOIN e c ON c.vec_id = t.c_id)
+        |SELECT q_id, CAST(rnk AS BIGINT) AS rnk, c_id, sim FROM (
+        |  SELECT q_id, c_id, sim, ROW_NUMBER() OVER (PARTITION BY q_id
+        |    ORDER BY sim DESC, c_id) AS rnk FROM rr)
+        |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
+
+    // end-to-end IVFPQ replay: v05's cell assignment/probes + v12's PQ
+    // train/encode, run on RESIDUALS, reconstruct centroid + dq(residual),
+    // ADC inside probed cells, exact rerank of the top-50
+    "v13_ivfpq_topk" ->
+      """WITH e AS (
+        |  SELECT vec_id, label, embedding::DOUBLE[] AS emb,
+        |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+        |  FROM embeddings),
+        |cd AS (
+        |  SELECT label, sub AS pos, ROUND(AVG(val), 6) AS cv
+        |  FROM (SELECT label, unnest(embedding::DOUBLE[]) AS val,
+        |          generate_subscripts(embedding, 1) AS sub FROM embeddings)
+        |  GROUP BY label, sub),
+        |cent AS (
+        |  SELECT label AS clabel, cvec, sqrt(list_dot_product(cvec, cvec)) AS cnorm
+        |  FROM (SELECT label, list(cv ORDER BY pos) AS cvec FROM cd GROUP BY label)),
+        |sims AS (
+        |  SELECT vec_id, emb, norm, clabel,
+        |    ROUND(list_dot_product(emb, cvec) / (norm * cnorm), 6) AS csim
+        |  FROM e, cent),
+        |assign AS (
+        |  SELECT vec_id, emb, norm, clabel AS cell FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+        |      ORDER BY csim DESC, clabel) AS crn FROM sims)
+        |  WHERE crn = 1),
+        |resid AS (
+        |  SELECT a.vec_id, a.cell,
+        |    list_transform(range(1, 65), i ->
+        |      round(a.emb[CAST(i AS INT)] - c.cvec[CAST(i AS INT)], 6)) AS res
+        |  FROM assign a JOIN cent c ON c.clabel = a.cell),
+        |subs AS (
+        |  SELECT vec_id, s.sub,
+        |    res[CAST(s.sub * 4 + 1 AS INT) : CAST(s.sub * 4 + 4 AS INT)] AS sv
+        |  FROM resid, (SELECT unnest(range(0, 16)) AS sub) s),
+        |seeds AS (SELECT CAST(vec_id AS INT) AS cid, sub, sv AS cv
+        |          FROM subs WHERE vec_id < 16),
+        |d0 AS (
+        |  SELECT v.vec_id, v.sub, c.cid, v.sv,
+        |    round(list_sum(list_transform(range(1, 5), i ->
+        |      (v.sv[CAST(i AS INT)] - c.cv[CAST(i AS INT)])
+        |      * (v.sv[CAST(i AS INT)] - c.cv[CAST(i AS INT)]))), 6) AS dist
+        |  FROM subs v JOIN seeds c USING (sub)),
+        |a0 AS (
+        |  SELECT vec_id, sub, cid, sv FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+        |      ORDER BY dist, cid) AS rn FROM d0) WHERE rn = 1),
+        |rf AS (
+        |  SELECT sub, cid, pos, round(AVG(x), 6) AS mu FROM (
+        |    SELECT sub, cid, unnest(sv) AS x, generate_subscripts(sv, 1) AS pos
+        |    FROM a0)
+        |  GROUP BY sub, cid, pos),
+        |rfc AS (SELECT sub, cid, list(mu ORDER BY pos) AS cv FROM rf
+        |        GROUP BY sub, cid),
+        |cb AS (
+        |  SELECT s.sub, s.cid, COALESCE(r.cv, s.cv) AS cv
+        |  FROM seeds s LEFT JOIN rfc r ON r.sub = s.sub AND r.cid = s.cid),
+        |d1 AS (
+        |  SELECT v.vec_id, v.sub, c.cid, c.cv,
+        |    round(list_sum(list_transform(range(1, 5), i ->
+        |      (v.sv[CAST(i AS INT)] - c.cv[CAST(i AS INT)])
+        |      * (v.sv[CAST(i AS INT)] - c.cv[CAST(i AS INT)]))), 6) AS dist
+        |  FROM subs v JOIN cb c USING (sub)),
+        |enc AS (
+        |  SELECT vec_id, sub, cv FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+        |      ORDER BY dist, cid) AS rn FROM d1) WHERE rn = 1),
+        |recon0 AS (
+        |  SELECT vec_id, flatten(list(cv ORDER BY sub)) AS dqr FROM enc
+        |  GROUP BY vec_id),
+        |recon AS (
+        |  SELECT r.vec_id, a.cell,
+        |    list_transform(range(1, 65), i ->
+        |      c.cvec[CAST(i AS INT)] + r.dqr[CAST(i AS INT)]) AS rc
+        |  FROM recon0 r JOIN assign a USING (vec_id)
+        |  JOIN cent c ON c.clabel = a.cell),
+        |cdx AS (SELECT vec_id, cell, rc,
+        |          sqrt(list_dot_product(rc, rc)) AS rn FROM recon),
+        |probes AS (
+        |  SELECT vec_id AS q_id, emb AS qe, norm AS qn, clabel AS cell FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+        |      ORDER BY csim DESC, clabel) AS crn FROM sims WHERE vec_id % 100 = 0)
+        |  WHERE crn <= 2),
+        |cand AS (
+        |  SELECT q_id, vec_id AS c_id,
+        |    round(list_dot_product(qe, rc) / (qn * rn), 6) AS asim
+        |  FROM cdx JOIN probes USING (cell) WHERE vec_id <> q_id),
+        |topc AS (
+        |  SELECT q_id, c_id FROM (
+        |    SELECT q_id, c_id, ROW_NUMBER() OVER (PARTITION BY q_id
+        |      ORDER BY asim DESC, c_id) AS r FROM cand) WHERE r <= 50),
+        |q AS (SELECT vec_id AS q_id, emb AS qe, norm AS qn FROM e
+        |      WHERE vec_id % 100 = 0),
         |rr AS (
         |  SELECT t.q_id, t.c_id,
         |    round(list_dot_product(qq.qe, c.emb) / (qq.qn * c.norm), 6) AS sim
