@@ -1,0 +1,56 @@
+package graft.operators
+
+import java.math.{BigDecimal => JBigDecimal, RoundingMode}
+
+/** CUSUM (cumulative-sum) changepoint detection — Page (1954), the
+  * standard sequential drift detector a monitoring pipeline pages on:
+  * track one-sided cumulative deviations from a target mean μ with slack
+  * k, alarm when either side crosses threshold h, reset after an alarm so
+  * multiple regime shifts in one series each fire once.
+  *
+  *   S⁺ᵢ = max(0, S⁺ᵢ₋₁ + (xᵢ − μ − k))   (upward shifts)
+  *   S⁻ᵢ = max(0, S⁻ᵢ₋₁ + (μ − xᵢ − k))   (downward shifts)
+  *   alarmᵢ = S⁺ᵢ > h ∨ S⁻ᵢ > h;  alarm ⇒ both sides restart from 0
+  *
+  * The max(0, ·) clamp has no closed form (unlike the EMA, which ts21
+  * unrolls), so the recursion runs as a per-series sequential kernel
+  * inside `flatMapGroups` — data-parallel across series, sequential
+  * within, the same shape as [[Lttb]]. Cross-engine determinism: every
+  * recursion step is rounded to 6 dp (`round6`, matching SQL `round(x,
+  * 6)`), and the step delta `x − μ − k` is one fixed left-associated IEEE
+  * tree — the DuckDB oracle replays the recursion step-for-step with
+  * `WITH RECURSIVE`.
+  */
+object Cusum {
+
+  private def round6(x: Double): Double =
+    new JBigDecimal(x).setScale(6, RoundingMode.HALF_UP).doubleValue
+
+  /** One input point: (ts µs, tiebreak id, x). */
+  final case class Point(tsUs: Long, id: Long, x: Double)
+
+  /** One output row: the detector state AFTER consuming the point. */
+  final case class State(tsUs: Long, id: Long, x: Double,
+      sp: Double, sn: Double, alarm: Boolean)
+
+  /** Run the detector over one series. `pts` must be sorted by (tsUs, id);
+    * μ, k, h are the (already-rounded) per-series parameters. */
+  def run(pts: Array[Point], mu: Double, k: Double, h: Double): Seq[State] = {
+    val out = Seq.newBuilder[State]
+    var sp = 0.0
+    var sn = 0.0
+    var alarm = false
+    var i = 0
+    while (i < pts.length) {
+      val p = pts(i)
+      val bp = if (alarm) 0.0 else sp
+      val bn = if (alarm) 0.0 else sn
+      sp = round6(math.max(0.0, bp + round6(p.x - mu - k)))
+      sn = round6(math.max(0.0, bn + round6(mu - p.x - k)))
+      alarm = sp > h || sn > h
+      out += State(p.tsUs, p.id, p.x, sp, sn, alarm)
+      i += 1
+    }
+    out.result()
+  }
+}

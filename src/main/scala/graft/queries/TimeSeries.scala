@@ -717,6 +717,54 @@ object TimeSeries {
           round(col("z_rob_raw"), 6).as("z_robust"),
           (abs(col("z_rob_raw")) > 3.5).as("robust_flag"))
         .orderBy(col("event_type"), col("ts_us"), col("event_id"))
+    }),
+
+    // CUSUM changepoint detection (Page 1954) — ts25 flags point outliers;
+    // CUSUM catches sustained LEVEL SHIFTS those z-scores miss, because
+    // small per-point deviations accumulate until a side crosses h. Tuned
+    // the textbook way from per-series exact-decimal moments: slack
+    // k = σ/2, threshold h = 4σ, target μ = series mean. The clamped
+    // recursion has no closed form, so it runs as a per-series sequential
+    // kernel ([[graft.operators.Cusum]]) inside flatMapGroups —
+    // data-parallel across series keys like the LTTB kernel. Scale shape:
+    // one shuffle on the series key; the parameter frame is |series| rows
+    // joined back by broadcast. The DuckDB oracle replays the recursion
+    // step-for-step (WITH RECURSIVE), including the post-alarm reset.
+    "ts26_cusum_changepoint" -> ((s, dir) => {
+      val sp = s
+      import sp.implicits._
+      val base = ev(s, dir).select(col("event_type"),
+        unix_micros(col("ts")).as("ts_us"), col("event_id"), col("value"))
+      // per-series μ/σ from exact decimal moments, then ONE fixed IEEE
+      // tree per parameter (both engines compute byte-identical doubles)
+      val params = base
+        .withColumn("xd", col("value").cast("decimal(18,6)"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("xd")).as("sx"),
+          sum((col("xd") * col("xd")).cast("decimal(38,12)")).as("sxx"))
+        .withColumn("mu", round(col("sx").cast("double") / col("n"), 6))
+        .withColumn("sigma", round(sqrt(greatest(lit(0.0),
+          col("sxx").cast("double") / col("n") -
+            (col("sx").cast("double") / col("n")) *
+            (col("sx").cast("double") / col("n")))), 6))
+        .select(col("event_type"), col("mu"),
+          round(lit(0.5) * col("sigma"), 6).as("kk"),
+          round(lit(4.0) * col("sigma"), 6).as("h"))
+      base.join(broadcast(params), Seq("event_type"))
+        .select(col("event_type"), col("ts_us"), col("event_id"),
+          col("value"), col("mu"), col("kk"), col("h"))
+        .as[(String, Long, Long, Double, Double, Double, Double)]
+        .groupByKey(_._1)
+        .flatMapGroups { (g, it) =>
+          val rows = it.toArray
+          val pts = rows.map(r => graft.operators.Cusum.Point(r._2, r._3, r._4))
+            .sortBy(p => (p.tsUs, p.id))
+          val (mu, kk, h) = (rows(0)._5, rows(0)._6, rows(0)._7)
+          graft.operators.Cusum.run(pts, mu, kk, h).iterator
+            .map(st => (g, st.tsUs, st.id, st.x, st.sp, st.sn, st.alarm))
+        }
+        .toDF("event_type", "ts_us", "event_id", "value", "sp", "sn", "alarm")
+        .orderBy(col("event_type"), col("ts_us"), col("event_id"))
     })
   )
 
@@ -1228,7 +1276,51 @@ object TimeSeries {
         |SELECT event_type, ts_us, event_id, value,
         |  ROUND(zr, 6) AS z_roll, ABS(zr) > 3.0 AS roll_flag,
         |  ROUND(zb, 6) AS z_robust, ABS(zb) > 3.5 AS robust_flag
-        |FROM scored ORDER BY event_type, ts_us, event_id""".stripMargin
+        |FROM scored ORDER BY event_type, ts_us, event_id""".stripMargin,
+
+    // step-for-step CUSUM replay: same exact-decimal parameter moments,
+    // same per-step round(…, 6) recursion incl. the post-alarm reset —
+    // the alarm predicate is re-derived from (sp, sn, h) at each hop
+    "ts26_cusum_changepoint" ->
+      """WITH RECURSIVE
+        |pts AS (
+        |  SELECT event_type AS g, epoch_us(ts) AS ts_us, event_id, value AS x,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+        |      ORDER BY ts, event_id) AS BIGINT) AS i
+        |  FROM events),
+        |st AS (
+        |  SELECT event_type AS g, COUNT(*) AS n,
+        |    SUM(CAST(value AS DECIMAL(18,6))) AS sx,
+        |    SUM(CAST(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))
+        |        AS DECIMAL(38,12))) AS sxx
+        |  FROM events GROUP BY event_type),
+        |sg AS (
+        |  SELECT g, ROUND(CAST(sx AS DOUBLE) / n, 6) AS mu,
+        |    ROUND(sqrt(greatest(0, CAST(sxx AS DOUBLE) / n
+        |      - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n))), 6) AS sigma
+        |  FROM st),
+        |pr AS (SELECT g, mu, ROUND(0.5 * sigma, 6) AS kk,
+        |              ROUND(4.0 * sigma, 6) AS h FROM sg),
+        |rec AS (
+        |  SELECT p.g, p.i, p.ts_us, p.event_id, p.x,
+        |    ROUND(greatest(0, ROUND(p.x - r.mu - r.kk, 6)), 6) AS sp,
+        |    ROUND(greatest(0, ROUND(r.mu - p.x - r.kk, 6)), 6) AS sn
+        |  FROM pts p JOIN pr r USING (g) WHERE p.i = 1
+        |  UNION ALL
+        |  SELECT p.g, p.i, p.ts_us, p.event_id, p.x,
+        |    ROUND(greatest(0,
+        |      (CASE WHEN q.sp > r.h OR q.sn > r.h THEN 0 ELSE q.sp END)
+        |      + ROUND(p.x - r.mu - r.kk, 6)), 6),
+        |    ROUND(greatest(0,
+        |      (CASE WHEN q.sp > r.h OR q.sn > r.h THEN 0 ELSE q.sn END)
+        |      + ROUND(r.mu - p.x - r.kk, 6)), 6)
+        |  FROM rec q
+        |  JOIN pts p ON p.g = q.g AND p.i = q.i + 1
+        |  JOIN pr r ON r.g = p.g)
+        |SELECT q.g AS event_type, q.ts_us, q.event_id, q.x AS value,
+        |  q.sp, q.sn, (q.sp > r.h OR q.sn > r.h) AS alarm
+        |FROM rec q JOIN pr r USING (g)
+        |ORDER BY event_type, ts_us, event_id""".stripMargin
   )
 
   /** The ts21 closed-form EMA kernel as a DuckDB CTE pair (`<out>_pairs`,
