@@ -765,6 +765,45 @@ object TimeSeries {
         }
         .toDF("event_type", "ts_us", "event_id", "value", "sp", "sn", "alarm")
         .orderBy(col("event_type"), col("ts_us"), col("event_id"))
+    }),
+
+    // Autocorrelation function (ACF, lags 1–10) — the seasonality
+    // diagnostic that JUSTIFIES ts23's period-7 decomposition: a weekly
+    // cycle shows as a peak at lag 7. Standard estimator: r_L =
+    // Σ(xᵢ−μ)(xᵢ₊L−μ) / Σ(xᵢ−μ)², μ and the denominator over the full
+    // series. All ten lags come from ONE window pass (ten lead() columns
+    // share the series sort), so the plan is one shuffle on the series
+    // key; terms are rounded to 12 dp and summed as exact decimals, so
+    // the aggregate is order-independent under any partitioning.
+    "ts27_acf" -> ((s, dir) => {
+      val base = ev(s, dir).select(col("event_type").as("g"),
+        unix_micros(col("ts")).as("ts_us"), col("event_id"), col("value"))
+      val stats = base.withColumn("xd", col("value").cast("decimal(18,6)"))
+        .groupBy(col("g"))
+        .agg(count(lit(1)).as("n"), sum(col("xd")).as("sx"))
+        .select(col("g"), round(col("sx").cast("double") / col("n"), 6).as("mu"))
+      val w = Window.partitionBy(col("g")).orderBy(col("ts_us"), col("event_id"))
+      val centered = base.join(broadcast(stats), Seq("g"))
+        .withColumn("dx", col("value") - col("mu"))
+      val leads = (1 to 10).map(l =>
+        struct(lit(l).as("lag"), lead(col("dx"), l).over(w).as("dy")))
+      val nums = centered.withColumn("ls", array(leads: _*))
+        .select(col("g"), col("dx"), explode(col("ls")).as("p"))
+        .filter(col("p.dy").isNotNull)
+        .select(col("g"), col("p.lag").as("lag"),
+          expr("cast(round(dx * p.dy, 12) as decimal(28,12))").as("num_term"))
+        .groupBy(col("g"), col("lag"))
+        .agg(sum(col("num_term")).as("num"), count(lit(1)).as("n_pairs"))
+      val dens = centered
+        .select(col("g"),
+          expr("cast(round(dx * dx, 12) as decimal(28,12))").as("den_term"))
+        .groupBy(col("g")).agg(sum(col("den_term")).as("den"))
+      nums.join(broadcast(dens), Seq("g"))
+        .select(col("g").as("event_type"), col("lag").cast("long").as("lag"),
+          round(col("num").cast("double") / col("den").cast("double"), 6)
+            .as("acf"),
+          col("n_pairs"))
+        .orderBy(col("event_type"), col("lag"))
     })
   )
 
@@ -1320,7 +1359,40 @@ object TimeSeries {
         |SELECT q.g AS event_type, q.ts_us, q.event_id, q.x AS value,
         |  q.sp, q.sn, (q.sp > r.h OR q.sn > r.h) AS alarm
         |FROM rec q JOIN pr r USING (g)
-        |ORDER BY event_type, ts_us, event_id""".stripMargin
+        |ORDER BY event_type, ts_us, event_id""".stripMargin,
+
+    // same centered series by row-number self-join at each lag, same
+    // 12-dp-rounded terms summed as exact decimals
+    "ts27_acf" ->
+      """WITH pts AS (
+        |  SELECT event_type AS g, value,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type
+        |      ORDER BY ts, event_id) AS i
+        |  FROM events),
+        |st AS (
+        |  SELECT event_type AS g, COUNT(*) AS n,
+        |    SUM(CAST(value AS DECIMAL(18,6))) AS sx
+        |  FROM events GROUP BY event_type),
+        |mu AS (SELECT g, ROUND(CAST(sx AS DOUBLE) / n, 6) AS mu FROM st),
+        |d AS (SELECT p.g, p.i, p.value - m.mu AS dx
+        |      FROM pts p JOIN mu m USING (g)),
+        |den AS (
+        |  SELECT g, SUM(CAST(ROUND(dx * dx, 12) AS DECIMAL(28,12))) AS den
+        |  FROM d GROUP BY g),
+        |lags AS (SELECT unnest(range(1, 11)) AS lag),
+        |num AS (
+        |  SELECT a.g, l.lag,
+        |    SUM(CAST(ROUND(a.dx * b.dx, 12) AS DECIMAL(28,12))) AS num,
+        |    COUNT(*) AS n_pairs
+        |  FROM d a
+        |  JOIN lags l ON true
+        |  JOIN d b ON b.g = a.g AND b.i = a.i + l.lag
+        |  GROUP BY a.g, l.lag)
+        |SELECT n.g AS event_type, CAST(n.lag AS BIGINT) AS lag,
+        |  ROUND(CAST(n.num AS DOUBLE) / CAST(dn.den AS DOUBLE), 6) AS acf,
+        |  n_pairs
+        |FROM num n JOIN den dn USING (g)
+        |ORDER BY event_type, lag""".stripMargin
   )
 
   /** The ts21 closed-form EMA kernel as a DuckDB CTE pair (`<out>_pairs`,
