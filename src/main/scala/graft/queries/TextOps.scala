@@ -610,6 +610,44 @@ object TextOps {
           col("source").as("anchor_source"), col("neg_source"),
           (col("source") === col("neg_source")).as("same_source"))
         .orderBy(col("doc_id"), col("j"))
+    }),
+
+    // Chunk-level dedup REWRITE — the C4/RefinedWeb cleanup step tx17 only
+    // MEASURES: drop every repeated 10-token chunk from the corpus except
+    // its global first occurrence (lowest (doc_id, idx)), and reassemble
+    // each document from its surviving chunks. Unlike tx01 (whole-doc) and
+    // tx11 (near-dup doc drop), this rewrites INSIDE documents — the
+    // operation that strips boilerplate headers/footers at training-data
+    // scale. The tail chunk (<10 tokens) participates too, so the rewrite
+    // covers every token. Scale shape: chunk explode is narrow; the
+    // global first-occurrence is ONE hash-keyed min-struct aggregate
+    // (map-side combinable) joined back on the chunk hash; reassembly is
+    // one groupBy doc_id with an array_sort — two shuffles total, both on
+    // uniform md5 keys, no skew. Output length: clean_n_chars shows the
+    // bytes the rewrite saves.
+    "tx24_chunk_dedup_rewrite" -> ((s, dir) => {
+      val chunks = fanout(docs(s, dir))
+        .selectExpr("doc_id", s"$tokExpr AS tk")
+        .where(expr("size(tk) >= 1"))
+        .select(col("doc_id"), posexplode(expr(
+          """transform(sequence(1, (size(tk) + 9) div 10),
+            |  i -> concat_ws(' ', slice(tk, (i-1)*10 + 1, 10)))""".stripMargin))
+          .as(Seq("idx", "chunk")))
+        .withColumn("h", md5(col("chunk").cast("binary")))
+      val firsts = chunks.groupBy(col("h"))
+        .agg(min(struct(col("doc_id"), col("idx"))).as("first"))
+      chunks.join(firsts, "h")
+        .withColumn("keep",
+          col("doc_id") === col("first.doc_id") && col("idx") === col("first.idx"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+          concat_ws(" ", expr(
+            """transform(array_sort(collect_list(
+              |  CASE WHEN keep THEN struct(idx, chunk) END)), t -> t.chunk)""".stripMargin))
+            .as("clean_text"))
+        .withColumn("clean_n_chars", length(col("clean_text")).cast("long"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -1002,6 +1040,26 @@ object TextOps {
         |SELECT x.doc_id, x.j, x.neg_id, x.source AS anchor_source,
         |  d2.source AS neg_source, x.source = d2.source AS same_source
         |FROM x JOIN documents d2 ON d2.doc_id = x.neg_id
-        |ORDER BY x.doc_id, x.j""".stripMargin
+        |ORDER BY x.doc_id, x.j""".stripMargin,
+
+    // same 10-token chunking (incl. the tail chunk), keep = global first
+    // occurrence by (doc_id, idx), reassemble in idx order
+    "tx24_chunk_dedup_rewrite" ->
+      s"""WITH tk AS (SELECT doc_id, $dTok AS tk FROM documents),
+         |i0 AS (SELECT doc_id, tk,
+         |         unnest(generate_series(1, (len(tk) + 9) // 10)) AS i
+         |       FROM tk WHERE len(tk) >= 1),
+         |ch AS (SELECT doc_id, CAST(i - 1 AS INT) AS idx,
+         |         array_to_string(tk[(i-1)*10+1 : (i-1)*10+10], ' ') AS chunk
+         |       FROM i0),
+         |k AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(chunk)
+         |        ORDER BY doc_id, idx) = 1 AS keep FROM ch)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+         |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  COALESCE(string_agg(chunk, ' ' ORDER BY idx) FILTER (WHERE keep),
+         |           '') AS clean_text,
+         |  CAST(length(COALESCE(string_agg(chunk, ' ' ORDER BY idx)
+         |    FILTER (WHERE keep), '')) AS BIGINT) AS clean_n_chars
+         |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 }
