@@ -23,8 +23,13 @@ import java.math.{BigDecimal => JBigDecimal, RoundingMode}
   */
 object Cusum {
 
+  // JBigDecimal.valueOf (toString-shortest), NOT new JBigDecimal(x): SQL
+  // round() in both engines rounds the decimal shortest representation,
+  // and the exact-binary expansion disagrees with it one ulp below a
+  // half-way point — the oracle replays with SQL ROUND, so the kernel
+  // must round identically
   private def round6(x: Double): Double =
-    new JBigDecimal(x).setScale(6, RoundingMode.HALF_UP).doubleValue
+    JBigDecimal.valueOf(x).setScale(6, RoundingMode.HALF_UP).doubleValue
 
   /** One input point: (ts µs, tiebreak id, x). */
   final case class Point(tsUs: Long, id: Long, x: Double)

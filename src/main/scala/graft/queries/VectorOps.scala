@@ -513,6 +513,39 @@ object VectorOps {
         .filter(col("rnk") <= 5)
         .select(col("q_id"), col("rnk"), col("c_id"), col("sim"))
         .orderBy(col("q_id"), col("rnk"))
+    }),
+
+    // MMR diversified top-k — v01 returns the 5 MOST similar, which for a
+    // corpus with near-duplicates means 5 copies of the same thing; MMR
+    // (Carbonell & Goldstein 1998) re-ranks the top-20 candidate pool so
+    // each pick maximizes λ·relevance − (1−λ)·redundancy-to-already-picked
+    // (λ = 0.7). The distributed part is the expensive part (top-20
+    // scoring via the same broadcast + partial-top-k plan as v01); the
+    // greedy re-rank is a per-query kernel over ≤20 candidates
+    // ([[graft.operators.Mmr]]) — parallel across queries, O(k·20)
+    // within. The oracle unrolls the 5 greedy steps as chained CTEs with
+    // the identical rounding and lowest-id tie-break.
+    "v14_mmr_diversify" -> ((s, dir) => {
+      graft.functions.VectorFunctions.register(s)
+      val sp = s
+      import sp.implicits._
+      val e = emb(s, dir)
+      val qs = e.filter(expr("vec_id % 100 = 0"))
+        .select(col("vec_id").as("q_id"), col("emb").as("qe"), col("norm").as("qn"))
+      val cand = cosineTopK(e, qs, 20).select(col("q_id"), col("c_id"), col("sim"))
+      cand
+        .join(e.select(col("vec_id").as("c_id"), col("emb"), col("norm")), "c_id")
+        .select(col("q_id"), col("c_id"), col("sim"), col("emb"), col("norm"))
+        .as[(Long, Long, Double, Seq[Double], Double)]
+        .groupByKey(_._1)
+        .flatMapGroups { (q, it) =>
+          val cands = it.map(t =>
+            graft.operators.Mmr.Cand(t._2, t._3, t._4.toArray, t._5)).toSeq
+          graft.operators.Mmr.run(cands, 5, 0.7).iterator
+            .map(p => (q, p.step, p.id, p.sim, p.mmr))
+        }
+        .toDF("q_id", "step", "c_id", "sim", "mmr")
+        .orderBy(col("q_id"), col("step"))
     })
   )
 
@@ -1154,6 +1187,100 @@ object VectorOps {
         |SELECT q_id, CAST(rnk AS BIGINT) AS rnk, c_id, sim FROM (
         |  SELECT q_id, c_id, sim, ROW_NUMBER() OVER (PARTITION BY q_id
         |    ORDER BY sim DESC, c_id) AS rnk FROM rr)
-        |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
+        |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
+
+    // greedy MMR unrolled: top-20 pool, pairwise sims among pool members,
+    // then 5 chained argmax steps (score rounded to 6 dp, ties to the
+    // lowest id) — div at step s = greatest over the s-1 picks so far
+    "v14_mmr_diversify" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS emb,
+        |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, emb AS qe, norm AS qn FROM e
+        |      WHERE vec_id % 100 = 0),
+        |p AS (
+        |  SELECT q_id, vec_id,
+        |    ROUND(list_dot_product(qe, emb) / (qn * norm), 6) AS sim
+        |  FROM e, q WHERE vec_id <> q_id),
+        |cw AS (
+        |  SELECT q_id, vec_id AS c_id, sim FROM (
+        |    SELECT q_id, vec_id, sim, ROW_NUMBER() OVER (PARTITION BY q_id
+        |      ORDER BY sim DESC, vec_id) AS rnk FROM p) WHERE rnk <= 20),
+        |ce AS (SELECT w.q_id, w.c_id, e.emb, e.norm
+        |       FROM cw w JOIN e ON e.vec_id = w.c_id),
+        |ps AS (
+        |  SELECT a.q_id, a.c_id AS ca, b.c_id AS cb,
+        |    ROUND(list_dot_product(a.emb, b.emb) / (a.norm * b.norm), 6) AS sim
+        |  FROM ce a JOIN ce b ON b.q_id = a.q_id AND b.c_id <> a.c_id),
+        |s1 AS (
+        |  SELECT q_id, c_id AS sel1, sim AS sim1 FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+        |      ORDER BY sim DESC, c_id) AS rn FROM cw) WHERE rn = 1),
+        |sc2 AS (
+        |  SELECT c.q_id, c.c_id, c.sim,
+        |    CAST(ROUND(0.7 * CAST(c.sim AS DECIMAL(18,6))
+        |      - 0.3 * CAST(p1.sim AS DECIMAL(18,6)), 6) AS DOUBLE) AS mmr
+        |  FROM cw c JOIN s1 USING (q_id)
+        |  JOIN ps p1 ON p1.q_id = c.q_id AND p1.ca = c.c_id AND p1.cb = s1.sel1
+        |  WHERE c.c_id <> s1.sel1),
+        |s2 AS (
+        |  SELECT q_id, c_id AS sel2, sim AS sim2, mmr AS mmr2 FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+        |      ORDER BY mmr DESC, c_id) AS rn FROM sc2) WHERE rn = 1),
+        |sc3 AS (
+        |  SELECT c.q_id, c.c_id, c.sim,
+        |    CAST(ROUND(0.7 * CAST(c.sim AS DECIMAL(18,6))
+        |      - 0.3 * CAST(greatest(p1.sim, p2.sim) AS DECIMAL(18,6)), 6)
+        |      AS DOUBLE) AS mmr
+        |  FROM cw c JOIN s1 USING (q_id) JOIN s2 USING (q_id)
+        |  JOIN ps p1 ON p1.q_id = c.q_id AND p1.ca = c.c_id AND p1.cb = s1.sel1
+        |  JOIN ps p2 ON p2.q_id = c.q_id AND p2.ca = c.c_id AND p2.cb = s2.sel2
+        |  WHERE c.c_id NOT IN (s1.sel1, s2.sel2)),
+        |s3 AS (
+        |  SELECT q_id, c_id AS sel3, sim AS sim3, mmr AS mmr3 FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+        |      ORDER BY mmr DESC, c_id) AS rn FROM sc3) WHERE rn = 1),
+        |sc4 AS (
+        |  SELECT c.q_id, c.c_id, c.sim,
+        |    CAST(ROUND(0.7 * CAST(c.sim AS DECIMAL(18,6))
+        |      - 0.3 * CAST(greatest(p1.sim, p2.sim, p3.sim) AS DECIMAL(18,6)), 6)
+        |      AS DOUBLE) AS mmr
+        |  FROM cw c JOIN s1 USING (q_id) JOIN s2 USING (q_id) JOIN s3 USING (q_id)
+        |  JOIN ps p1 ON p1.q_id = c.q_id AND p1.ca = c.c_id AND p1.cb = s1.sel1
+        |  JOIN ps p2 ON p2.q_id = c.q_id AND p2.ca = c.c_id AND p2.cb = s2.sel2
+        |  JOIN ps p3 ON p3.q_id = c.q_id AND p3.ca = c.c_id AND p3.cb = s3.sel3
+        |  WHERE c.c_id NOT IN (s1.sel1, s2.sel2, s3.sel3)),
+        |s4 AS (
+        |  SELECT q_id, c_id AS sel4, sim AS sim4, mmr AS mmr4 FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+        |      ORDER BY mmr DESC, c_id) AS rn FROM sc4) WHERE rn = 1),
+        |sc5 AS (
+        |  SELECT c.q_id, c.c_id, c.sim,
+        |    CAST(ROUND(0.7 * CAST(c.sim AS DECIMAL(18,6))
+        |      - 0.3 * CAST(greatest(p1.sim, p2.sim, p3.sim, p4.sim)
+        |                   AS DECIMAL(18,6)), 6) AS DOUBLE) AS mmr
+        |  FROM cw c JOIN s1 USING (q_id) JOIN s2 USING (q_id)
+        |  JOIN s3 USING (q_id) JOIN s4 USING (q_id)
+        |  JOIN ps p1 ON p1.q_id = c.q_id AND p1.ca = c.c_id AND p1.cb = s1.sel1
+        |  JOIN ps p2 ON p2.q_id = c.q_id AND p2.ca = c.c_id AND p2.cb = s2.sel2
+        |  JOIN ps p3 ON p3.q_id = c.q_id AND p3.ca = c.c_id AND p3.cb = s3.sel3
+        |  JOIN ps p4 ON p4.q_id = c.q_id AND p4.ca = c.c_id AND p4.cb = s4.sel4
+        |  WHERE c.c_id NOT IN (s1.sel1, s2.sel2, s3.sel3, s4.sel4)),
+        |s5 AS (
+        |  SELECT q_id, c_id AS sel5, sim AS sim5, mmr AS mmr5 FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+        |      ORDER BY mmr DESC, c_id) AS rn FROM sc5) WHERE rn = 1)
+        |SELECT q_id, CAST(step AS BIGINT) AS step, c_id, sim, mmr FROM (
+        |  SELECT q_id, 1 AS step, sel1 AS c_id, sim1 AS sim, sim1 AS mmr FROM s1
+        |  UNION ALL
+        |  SELECT q_id, 2, sel2, sim2, mmr2 FROM s2
+        |  UNION ALL
+        |  SELECT q_id, 3, sel3, sim3, mmr3 FROM s3
+        |  UNION ALL
+        |  SELECT q_id, 4, sel4, sim4, mmr4 FROM s4
+        |  UNION ALL
+        |  SELECT q_id, 5, sel5, sim5, mmr5 FROM s5)
+        |ORDER BY q_id, step""".stripMargin
   )
 }
