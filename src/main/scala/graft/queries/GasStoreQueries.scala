@@ -154,6 +154,47 @@ object GasStoreQueries {
     spark.read.parquet(path)
   }
 
+  /** gs13's sink: the stream-stream LEFT OUTER interval join — gs08's
+    * pairing, but CO readings with NO valid humidity reading (≥ 55 %r.h.)
+    * in the preceding 10 minutes emit with NULL context instead of
+    * vanishing, the "reading lacks sensor context" alert a monitoring
+    * pipeline needs. Outer rows are watermark-gated: Spark holds an
+    * unmatched left row until the watermark proves no future right match
+    * can arrive, then emits it with nulls in the final (no-data) batch —
+    * so at end-of-stream, unmatched rows newer than
+    * min(max aₜ, max valid bₜ) − 30 min stay withheld. That cutoff is the
+    * same watermark CONTRACT gs07 pins, and the oracle replays it
+    * explicitly. State stays rate × (watermark + interval), as in gs08. */
+  private val builtOuterJoin = new java.util.WeakHashMap[SparkSession, String]()
+  private def streamOuterJoin(spark: SparkSession): DataFrame = {
+    val path = builtOuterJoin.synchronized {
+      Option(builtOuterJoin.get(spark)).getOrElse {
+        val work = Files.createTempDirectory("graft-gas-ojoin")
+        deleteOnExit(work)
+        val long = graft.store.LongStore.unpivot(
+          graft.transform.GasTransform(
+            graft.streaming.GasStream.readStream(spark, fixtureDir))
+            .withColumnRenamed("file_name", "_src")).drop("_src")
+        graft.streaming.GasStream
+          .pairedReadings(long, "CO (ppm)", "Humidity (%r.h.)",
+            watermark = "30 minutes", withinMinutes = 10,
+            joinType = "left_outer", bMin = Some(55.0))
+          .select(col("a_time"), col("a_value"), col("b_time"), col("b_value"))
+          .writeStream
+          .format("parquet")
+          .option("path", s"$work/out")
+          .option("checkpointLocation", s"$work/ckpt")
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+          .awaitTermination()
+        builtOuterJoin.put(spark, s"$work/out")
+        s"$work/out"
+      }
+    }
+    spark.read.parquet(path)
+  }
+
   /** gs09's sink: streaming EXACTLY-ONCE dedup under duplicate delivery —
     * the same day files are read by TWO independent file sources unioned
     * into one stream (every point arrives twice, the redelivery/replay
@@ -393,6 +434,21 @@ object GasStoreQueries {
           col("total_a"), col("total_b"))
         .orderBy(col("h_us"))),
 
+    // live stream-stream LEFT OUTER interval join, rolled up hourly:
+    // matched rows count their valid-humidity context, unmatched CO
+    // readings surface as n_unmatched with NULL context
+    "gs13_stream_outer_join" -> ((s, _) =>
+      streamOuterJoin(s)
+        .groupBy(date_trunc("hour", col("a_time")).as("h"))
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("b_value")).as("n_matched"),
+          sum(when(col("b_value").isNull, 1L).otherwise(0L)).as("n_unmatched"),
+          sumExact(col("a_value")).as("total_a"),
+          sumExact(coalesce(col("b_value"), lit(0.0))).as("total_b"))
+        .select(unix_micros(col("h")).as("h_us"), col("n_rows"),
+          col("n_matched"), col("n_unmatched"), col("total_a"), col("total_b"))
+        .orderBy(col("h_us"))),
+
     "gs07_stream_sliding_mean" -> ((s, _) =>
       slidingAgg(s)
         .filter(col("_field") === "CO (ppm)")
@@ -523,6 +579,37 @@ object GasStoreQueries {
          |  CAST(SUM(CAST(a_value AS DECIMAL(18,6))) AS DOUBLE) AS total_a,
          |  CAST(SUM(CAST(b_value AS DECIMAL(18,6))) AS DOUBLE) AS total_b
          |FROM j GROUP BY 1 ORDER BY h_us""".stripMargin,
+
+    // gs08's interval join as LEFT OUTER: matched pairs plus the
+    // unmatched CO rows the watermark has sealed — the cutoff
+    // min(max a, max valid b) − 30 min is replayed explicitly
+    "gs13_stream_outer_join" ->
+      s"""$prelude,
+         |a AS (SELECT _time AS a_time, "CO (ppm)" AS a_value FROM raw),
+         |b AS (SELECT _time AS b_time, "Humidity (%r.h.)" AS b_value FROM raw
+         |      WHERE "Humidity (%r.h.)" >= 55.0),
+         |j AS (SELECT a.a_time, a.a_value, b.b_time, b.b_value FROM a JOIN b
+         |      ON b_time BETWEEN a_time - INTERVAL 10 MINUTE AND a_time),
+         |wm AS (SELECT least((SELECT MAX(a_time) FROM a),
+         |                    (SELECT MAX(b_time) FROM b))
+         |         - INTERVAL 30 MINUTE AS w),
+         |un AS (SELECT a.a_time, a.a_value, CAST(NULL AS TIMESTAMP) AS b_time,
+         |         CAST(NULL AS DOUBLE) AS b_value
+         |       FROM a, wm
+         |       WHERE NOT EXISTS (SELECT 1 FROM b
+         |         WHERE b.b_time BETWEEN a.a_time - INTERVAL 10 MINUTE
+         |           AND a.a_time)
+         |         AND a.a_time <= wm.w),
+         |allr AS (SELECT * FROM j UNION ALL SELECT * FROM un)
+         |SELECT epoch_us(date_trunc('hour', a_time)) AS h_us,
+         |  COUNT(*) AS n_rows,
+         |  COUNT(b_value) AS n_matched,
+         |  CAST(SUM(CASE WHEN b_value IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_unmatched,
+         |  CAST(SUM(CAST(a_value AS DECIMAL(18,6))) AS DOUBLE) AS total_a,
+         |  CAST(SUM(CAST(COALESCE(b_value, 0) AS DECIMAL(18,6))) AS DOUBLE)
+         |    AS total_b
+         |FROM allr GROUP BY 1 ORDER BY h_us""".stripMargin,
 
     // per-field argmax over the raw CSVs — the final upserted state must
     // equal it however the files split into micro-batches (tie-break

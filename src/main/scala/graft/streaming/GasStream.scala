@@ -112,7 +112,8 @@ object GasStream {
     * distance, so Spark evicts join state older than watermark + interval:
     * state is bounded by rate × window, not stream lifetime. */
   def pairedReadings(long: DataFrame, fieldA: String, fieldB: String,
-      watermark: String, withinMinutes: Int): DataFrame = {
+      watermark: String, withinMinutes: Int, joinType: String = "inner",
+      bMin: Option[Double] = None): DataFrame = {
     // Spark requires an equality predicate on stream-stream joins; the
     // measurement is the natural co-partitioning key of the long model
     // (and the shuffle key, so a measurement's readings meet on one node)
@@ -120,13 +121,19 @@ object GasStream {
       .withWatermark("_time", watermark)
       .select(col("_measurement"), col("_time").as("a_time"),
         col("_value").as("a_value"))
-    val b = long.filter(col("_field") === fieldB)
+    // the optional validity filter runs BEFORE the watermark node, so the
+    // b stream (and its watermark stats) is the stream of VALID readings
+    val bRows = bMin.foldLeft(long.filter(col("_field") === fieldB)) {
+      (df, m) => df.filter(col("_value") >= m)
+    }
+    val b = bRows
       .withWatermark("_time", watermark)
       .select(col("_measurement").as("b_measurement"),
         col("_time").as("b_time"), col("_value").as("b_value"))
     a.join(b, expr(
       s"""_measurement = b_measurement AND
-         |b_time BETWEEN a_time - INTERVAL $withinMinutes MINUTES AND a_time""".stripMargin))
+         |b_time BETWEEN a_time - INTERVAL $withinMinutes MINUTES AND a_time""".stripMargin),
+      joinType)
       .drop("b_measurement")
   }
 
