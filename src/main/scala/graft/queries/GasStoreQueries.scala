@@ -195,6 +195,47 @@ object GasStoreQueries {
     spark.read.parquet(path)
   }
 
+  /** gs14's sink: streaming SESSION WINDOWS (`session_window`, 2 h gap) in
+    * append mode — the built-in merging-session aggregation next to the
+    * custom `flatMapGroupsWithState` machine (`GasStream.closedSessions`):
+    * readings merge into a session while gaps stay under 2 h (sessions
+    * span micro-batches AND day files), and a session emits once the
+    * watermark passes its end (last event + gap). At end-of-stream,
+    * sessions ending after min/max-event − 30 min stay withheld — the
+    * same replayable watermark contract as gs07/gs13. State is one row
+    * per OPEN session per field, never stream length. */
+  private val builtSessions = new java.util.WeakHashMap[SparkSession, String]()
+  private def streamSessions(spark: SparkSession): DataFrame = {
+    val path = builtSessions.synchronized {
+      Option(builtSessions.get(spark)).getOrElse {
+        val work = Files.createTempDirectory("graft-gas-sessions")
+        deleteOnExit(work)
+        val long = graft.store.LongStore.unpivot(
+          graft.transform.GasTransform(
+            graft.streaming.GasStream.readStream(spark, fixtureDir))
+            .withColumnRenamed("file_name", "_src")).drop("_src")
+        long.withWatermark("_time", "30 minutes")
+          .groupBy(session_window(col("_time"), "2 hours"), col("_field"))
+          .agg(count(lit(1)).as("n_points"),
+            sum(sumExactCol(col("_value"))).as("total"))
+          .select(col("session_window.start").as("_start"),
+            col("session_window.end").as("_end"), col("_field"),
+            col("n_points"), col("total"))
+          .writeStream
+          .format("parquet")
+          .option("path", s"$work/out")
+          .option("checkpointLocation", s"$work/ckpt")
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+          .awaitTermination()
+        builtSessions.put(spark, s"$work/out")
+        s"$work/out"
+      }
+    }
+    spark.read.parquet(path)
+  }
+
   /** gs09's sink: streaming EXACTLY-ONCE dedup under duplicate delivery —
     * the same day files are read by TWO independent file sources unioned
     * into one stream (every point arrives twice, the redelivery/replay
@@ -449,6 +490,16 @@ object GasStoreQueries {
           col("n_matched"), col("n_unmatched"), col("total_a"), col("total_b"))
         .orderBy(col("h_us"))),
 
+    // closed streaming sessions (built-in session_window), watermark-
+    // withheld tail replayed by the oracle; sessions genuinely span the
+    // two day files (the 10 s overnight gap merges them)
+    "gs14_stream_sessions" -> ((s, _) =>
+      streamSessions(s)
+        .select(unix_micros(col("_start")).as("start_us"),
+          unix_micros(col("_end")).as("end_us"), col("_field"),
+          col("n_points"), col("total").cast("double").as("total"))
+        .orderBy(col("_field"), col("start_us"))),
+
     "gs07_stream_sliding_mean" -> ((s, _) =>
       slidingAgg(s)
         .filter(col("_field") === "CO (ppm)")
@@ -579,6 +630,35 @@ object GasStoreQueries {
          |  CAST(SUM(CAST(a_value AS DECIMAL(18,6))) AS DOUBLE) AS total_a,
          |  CAST(SUM(CAST(b_value AS DECIMAL(18,6))) AS DOUBLE) AS total_b
          |FROM j GROUP BY 1 ORDER BY h_us""".stripMargin,
+
+    // island detection per field (new session when the gap >= 2 h),
+    // window end = last event + gap, watermark cutoff replayed
+    "gs14_stream_sessions" ->
+      s"""$prelude,
+         |u AS (
+         |  UNPIVOT (SELECT * EXCLUDE ("Time (s)", filename) FROM raw)
+         |  ON COLUMNS(* EXCLUDE (_time)) INTO NAME _field VALUE _value),
+         |d AS (
+         |  SELECT _field, _time, _value,
+         |    CASE WHEN lag(_time) OVER w IS NULL
+         |         OR _time - lag(_time) OVER w >= INTERVAL 2 HOUR
+         |    THEN 1 ELSE 0 END AS new_s
+         |  FROM u WINDOW w AS (PARTITION BY _field ORDER BY _time)),
+         |s AS (
+         |  SELECT _field, _time, _value,
+         |    SUM(new_s) OVER (PARTITION BY _field ORDER BY _time
+         |      ROWS UNBOUNDED PRECEDING) AS sid
+         |  FROM d),
+         |g AS (
+         |  SELECT _field, sid, MIN(_time) AS st,
+         |    MAX(_time) + INTERVAL 2 HOUR AS en, COUNT(*) AS n_points,
+         |    CAST(SUM(CAST(_value AS DECIMAL(18,6))) AS DOUBLE) AS total
+         |  FROM s GROUP BY _field, sid),
+         |wm AS (SELECT MAX(_time) - INTERVAL 30 MINUTE AS w FROM u)
+         |SELECT epoch_us(st) AS start_us, epoch_us(en) AS end_us, _field,
+         |  n_points, total
+         |FROM g, wm WHERE en <= wm.w
+         |ORDER BY _field, start_us""".stripMargin,
 
     // gs08's interval join as LEFT OUTER: matched pairs plus the
     // unmatched CO rows the watermark has sealed — the cutoff
