@@ -804,6 +804,53 @@ object TimeSeries {
             .as("acf"),
           col("n_pairs"))
         .orderBy(col("event_type"), col("lag"))
+    }),
+
+    // Cross-correlation — ts27 asks "does a series repeat itself?"; ts28
+    // asks "does series A LEAD series B?" (the ops question behind
+    // cause-effect dashboards): Pearson r between A's hourly-mean series
+    // and B's shifted by lag ∈ [−3, +3] hours, for every unordered type
+    // pair (corr(A,B,L) = corr(B,A,−L), so ordered pairs add nothing).
+    // Alignment keys on INTEGER epoch-hours (no interval arithmetic to
+    // diverge); bucket means are 6-dp-rounded from exact-decimal sums, so
+    // the per-(pair, lag) moment sums are exact decimals and the final r
+    // is ONE fixed IEEE tree both engines evaluate identically. Scale
+    // shape: the bucket frame is |types| × |hours| rows — aggregation
+    // compresses first, so the lag join runs on the TINY frame.
+    "ts28_cross_correlation" -> ((s, dir) => {
+      val b = ev(s, dir)
+        .groupBy(col("event_type"),
+          (unix_micros(date_trunc("hour", col("ts"))) / lit(3600000000L))
+            .as("hi"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,6)")).as("sx"))
+        .select(col("event_type"),  col("hi"),
+          round(col("sx").cast("double") / col("n"), 6).as("m"))
+      val a = b.select(col("event_type").as("ta"), col("hi").as("ha"),
+        col("m").as("xa"))
+      val bb = b.select(col("event_type").as("tb"), col("hi").as("hb"),
+        col("m").as("xb"))
+      val lagDf = s.range(-3, 4).toDF("lag")
+      val mom = a.crossJoin(broadcast(lagDf))
+        .join(bb, col("ta") < col("tb") && col("hb") === col("ha") + col("lag"))
+        .groupBy(col("ta"), col("tb"), col("lag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("xa").cast("decimal(18,6)")).as("sx"),
+          sum(col("xb").cast("decimal(18,6)")).as("sy"),
+          sum(expr("cast(round(xa * xb, 12) as decimal(28,12))")).as("sxy"),
+          sum(expr("cast(round(xa * xa, 12) as decimal(28,12))")).as("sxx"),
+          sum(expr("cast(round(xb * xb, 12) as decimal(28,12))")).as("syy"))
+      mom
+        .withColumn("vx", col("n").cast("double") * col("sxx").cast("double")
+          - col("sx").cast("double") * col("sx").cast("double"))
+        .withColumn("vy", col("n").cast("double") * col("syy").cast("double")
+          - col("sy").cast("double") * col("sy").cast("double"))
+        .select(col("ta"), col("tb"), col("lag"), col("n").as("n_overlap"),
+          round(when(col("vx") > 0.0 && col("vy") > 0.0,
+            (col("n").cast("double") * col("sxy").cast("double")
+              - col("sx").cast("double") * col("sy").cast("double"))
+              / sqrt(col("vx") * col("vy"))), 6).as("xcorr"))
+        .orderBy(col("ta"), col("tb"), col("lag"))
     })
   )
 
@@ -1392,7 +1439,43 @@ object TimeSeries {
         |  ROUND(CAST(n.num AS DOUBLE) / CAST(dn.den AS DOUBLE), 6) AS acf,
         |  n_pairs
         |FROM num n JOIN den dn USING (g)
-        |ORDER BY event_type, lag""".stripMargin
+        |ORDER BY event_type, lag""".stripMargin,
+
+    // same integer epoch-hour alignment, same exact-decimal moment sums,
+    // same single IEEE tree for r
+    "ts28_cross_correlation" ->
+      """WITH b AS (
+        |  SELECT event_type,
+        |    epoch_us(date_trunc('hour', ts)) // 3600000000 AS hi,
+        |    ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+        |          / COUNT(*), 6) AS m
+        |  FROM events GROUP BY event_type, hi),
+        |lags AS (SELECT unnest(range(-3, 4)) AS lag),
+        |mom AS (
+        |  SELECT a.event_type AS ta, c.event_type AS tb, l.lag,
+        |    COUNT(*) AS n,
+        |    SUM(CAST(a.m AS DECIMAL(18,6))) AS sx,
+        |    SUM(CAST(c.m AS DECIMAL(18,6))) AS sy,
+        |    SUM(CAST(ROUND(a.m * c.m, 12) AS DECIMAL(28,12))) AS sxy,
+        |    SUM(CAST(ROUND(a.m * a.m, 12) AS DECIMAL(28,12))) AS sxx,
+        |    SUM(CAST(ROUND(c.m * c.m, 12) AS DECIMAL(28,12))) AS syy
+        |  FROM b a
+        |  JOIN lags l ON true
+        |  JOIN b c ON a.event_type < c.event_type AND c.hi = a.hi + l.lag
+        |  GROUP BY ta, tb, l.lag),
+        |v AS (
+        |  SELECT *,
+        |    CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS vx,
+        |    CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS vy
+        |  FROM mom)
+        |SELECT ta, tb, CAST(lag AS BIGINT) AS lag, n AS n_overlap,
+        |  ROUND(CASE WHEN vx > 0.0 AND vy > 0.0 THEN
+        |    (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / sqrt(vx * vy)
+        |  END, 6) AS xcorr
+        |FROM v ORDER BY ta, tb, lag""".stripMargin
   )
 
   /** The ts21 closed-form EMA kernel as a DuckDB CTE pair (`<out>_pairs`,
