@@ -851,7 +851,36 @@ object TimeSeries {
               - col("sx").cast("double") * col("sy").cast("double"))
               / sqrt(col("vx") * col("vy"))), 6).as("xcorr"))
         .orderBy(col("ta"), col("tb"), col("lag"))
-    })
+    }),
+
+    // OHLC/VWAP bar downsampling — the financial-market shape of the
+    // Grafana aggregateWindow family (ts03 keeps one statistic per bucket;
+    // candlestick panels need FIVE: open/high/low/close + volume-weighted
+    // mean). open/close are `min_by`/`max_by` keyed on (ts, event_id) — a
+    // total order, so ties on ts can't make the bar nondeterministic — and
+    // both ride the SAME partial+final hash aggregate as the min/max/sum
+    // columns: one shuffle keyed on (event_type, day), no sort, no window.
+    // VWAP weighs price by the `props.k` quantity with exact-decimal
+    // price×qty sums (value has 2 decimals, k is an integer — DECIMAL(28,6)
+    // is exact) so the aggregation order can't move the 6th decimal.
+    "ts29_ohlc_bars" -> ((s, dir) =>
+      ev(s, dir)
+        .withColumn("day", to_date(col("ts")))
+        .withColumn("qty", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(
+          min_by(col("value"), struct(col("ts"), col("event_id"))).as("open"),
+          max(col("value")).as("high"),
+          min(col("value")).as("low"),
+          max_by(col("value"), struct(col("ts"), col("event_id"))).as("close"),
+          count(lit(1)).as("n_trades"),
+          sum(col("qty")).as("volume"),
+          sum(expr("cast(round(value * qty, 6) as decimal(28,6))")).as("pv"))
+        .select(col("event_type"), col("day"), col("open"), col("high"),
+          col("low"), col("close"), col("n_trades"), col("volume"),
+          round(col("pv").cast("double") / col("volume").cast("double"), 6)
+            .as("vwap"))
+        .orderBy(col("event_type"), col("day")))
   )
 
   /** Closed-form EMA over a keyed indexed series (g, i, x) — ts21's kernel
@@ -1475,7 +1504,24 @@ object TimeSeries {
         |    (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
         |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / sqrt(vx * vy)
         |  END, 6) AS xcorr
-        |FROM v ORDER BY ta, tb, lag""".stripMargin
+        |FROM v ORDER BY ta, tb, lag""".stripMargin,
+
+    "ts29_ohlc_bars" ->
+      """SELECT event_type, CAST(ts AS DATE) AS day,
+        |  first(value ORDER BY ts, event_id) AS open,
+        |  MAX(value) AS high,
+        |  MIN(value) AS low,
+        |  last(value ORDER BY ts, event_id) AS close,
+        |  COUNT(*) AS n_trades,
+        |  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS volume,
+        |  ROUND(CAST(SUM(CAST(ROUND(
+        |      value * CAST(json_extract_string(props, '$.k') AS BIGINT), 6)
+        |    AS DECIMAL(28,6))) AS DOUBLE)
+        |    / CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+        |           AS DOUBLE), 6) AS vwap
+        |FROM events
+        |GROUP BY event_type, day
+        |ORDER BY event_type, day""".stripMargin
   )
 
   /** The ts21 closed-form EMA kernel as a DuckDB CTE pair (`<out>_pairs`,
