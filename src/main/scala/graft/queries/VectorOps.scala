@@ -546,8 +546,120 @@ object VectorOps {
         }
         .toDF("q_id", "step", "c_id", "sim", "mmr")
         .orderBy(col("q_id"), col("step"))
+    }),
+
+    // FULL LLOYD K-MEANS — the distributed clustering primitive the other
+    // vector ops only approximate (v05's cells are label groups, v12/v13
+    // train their PQ codebooks with a single Lloyd step): k=8 spherical
+    // k-means (cosine assignment, dim-wise-mean update) run for TWO full
+    // iterations from deterministic seeds (vec_id < 8), then a final
+    // assignment. Output = the iterated centroids (cluster × dim rows)
+    // plus each cluster's population and mean within-cluster similarity —
+    // the convergence diagnostics a curation pipeline actually monitors.
+    //
+    // Scale shape per iteration: centroids are a k-row broadcast; the
+    // n×k similarity frame reduces by ONE map-side-combinable max-struct
+    // aggregate (assignment — no window shuffle); the update is ONE
+    // (cluster, dim)-keyed hash aggregate. Nothing is ever driver-side and
+    // nothing grows super-linearly: cost = iters × n × k × dim map work
+    // plus iters × 2 bounded shuffles. Empty cells keep their previous
+    // centroid (v12's rule). Assignment similarities are 6-dp-rounded with
+    // lowest-id tie-break, and centroid means are 6-dp-rounded, so every
+    // iteration is bit-identical across engines and partitionings — the
+    // DuckDB oracle replays seeds → assign → update → assign → update →
+    // final assign end-to-end.
+    "v15_kmeans" -> ((s, dir) => {
+      graft.functions.VectorFunctions.register(s)
+      val e = emb(s, dir)
+      val c2 = kmeansCentroids(e, iters = 2)
+      val af = kmeansAssign(e, c2)
+      val stats = af.groupBy(col("cid"))
+        .agg(count(lit(1)).as("n_members"),
+          round(sum(col("csim").cast("decimal(18,6)")).cast("double")
+            / count(lit(1)), 6).as("avg_sim"))
+      c2.select(col("cid"), posexplode(col("cvec")).as(Seq("pos", "centroid")))
+        .join(stats, Seq("cid"), "left")
+        .select(col("cid").as("cluster"), col("pos").cast("long").as("pos"),
+          col("centroid"), coalesce(col("n_members"), lit(0L)).as("n_members"),
+          col("avg_sim"))
+        .orderBy(col("cluster"), col("pos"))
+    }),
+
+    // SEMANTIC DEDUP, SemDeDup-shaped (Abbas et al. 2023, public): cluster
+    // the corpus with k-means (v15's iterated centroids), then find
+    // near-duplicates ONLY within each cluster — pairwise cosine is
+    // confined to cells, so pair work is Σ|cell|², never corpus² — and
+    // collapse them to transitive groups (ConnectedComponents, tx14/v10's
+    // kernel), keeping the lowest id per group. The contrast with v10 is
+    // the candidate mechanism: v10 bounds pair work by LSH BUCKETS, this
+    // bounds it by CLUSTER CELLS — the two public answers to the same
+    // O(n²) problem, and the cell variant is the one that reuses an index
+    // a curation pipeline already has (its k-means cluster map). At scale
+    // k grows with n to hold |cell| ≈ n/k constant, keeping within-cell
+    // pair enumeration linear; the cross-cluster misses that boundedness
+    // costs are the method's documented trade.
+    "v16_semantic_dedup" -> ((s, dir) => {
+      graft.functions.VectorFunctions.register(s)
+      val e = emb(s, dir)
+      val af = kmeansAssign(e, kmeansCentroids(e, iters = 2))
+        .join(e.select(col("vec_id"), col("emb"), col("norm")), Seq("vec_id"))
+      val a = af.select(col("cid"), col("vec_id").as("vec_a"),
+        col("emb").as("emb_a"), col("norm").as("norm_a"))
+      val b = af.select(col("cid"), col("vec_id").as("vec_b"),
+        col("emb").as("emb_b"), col("norm").as("norm_b"))
+      val pairs = a.join(b, Seq("cid")).filter(col("vec_a") < col("vec_b"))
+        .withColumn("sim", round(expr("graft_dot(emb_a, emb_b)")
+          / (col("norm_a") * col("norm_b")), 6))
+        .filter(col("sim") >= 0.4)
+        .select(col("vec_a").as("src"), col("vec_b").as("dst"))
+      val comp = graft.operators.ConnectedComponents.minLabel(pairs)
+      af.select(col("vec_id"), col("cid"))
+        .join(comp.select(col("id").as("vec_id"), col("label")), Seq("vec_id"), "left")
+        .withColumn("canonical_id", coalesce(col("label"), col("vec_id")))
+        .withColumn("is_kept", col("canonical_id") === col("vec_id"))
+        .select(col("vec_id"), col("cid").as("cluster"), col("canonical_id"),
+          col("is_kept"))
+        .orderBy(col("vec_id"))
     })
   )
+
+  /** One Lloyd iteration: assign every vector to its nearest centroid
+    * (max-struct aggregate — map-side combinable, no window), then replace
+    * each centroid with the 6-dp-rounded dim-wise mean of its members;
+    * cells that lost every member keep their previous centroid. */
+  private def kmeansIter(e: DataFrame, cent: DataFrame): DataFrame = {
+    val means = kmeansAssign(e, cent)
+      .join(e.select(col("vec_id"), col("emb")), Seq("vec_id"))
+      .select(col("cid"), posexplode(col("emb")).as(Seq("pos", "val")))
+      .groupBy(col("cid"), col("pos"))
+      .agg(round(avg(col("val")), 6).as("cv"))
+      .groupBy(col("cid"))
+      .agg(expr("transform(sort_array(collect_list(struct(pos, cv))), x -> x.cv)")
+        .as("nvec"))
+    cent.select(col("cid"), col("cvec").as("pvec"))
+      .join(means, Seq("cid"), "left")
+      .select(col("cid"), coalesce(col("nvec"), col("pvec")).as("cvec"))
+      .withColumn("cnorm", expr("sqrt(graft_dot(cvec, cvec))"))
+  }
+
+  /** Deterministic seeds (vec_id < 8) iterated `iters` Lloyd steps. */
+  private def kmeansCentroids(e: DataFrame, iters: Int): DataFrame = {
+    val seeds = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("emb").as("cvec"))
+      .withColumn("cnorm", expr("sqrt(graft_dot(cvec, cvec))"))
+    (1 to iters).foldLeft(seeds)((c, _) => kmeansIter(e, c))
+  }
+
+  /** Nearest-centroid assignment: (vec_id, cid, csim), highest 6-dp cosine,
+    * ties to the lowest cluster id — one max-struct aggregate. */
+  private def kmeansAssign(e: DataFrame, cent: DataFrame): DataFrame =
+    fanout(e).crossJoin(broadcast(cent))
+      .withColumn("csim",
+        round(expr("graft_dot(emb, cvec)") / (col("norm") * col("cnorm")), 6))
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("csim"), (-col("cid")).as("negc"))).as("best"))
+      .select(col("vec_id"), (-col("best.negc")).as("cid"),
+        col("best.csim").as("csim"))
 
   /** IVF (inverted-file) top-5: coarse-quantize by per-label centroids
     * (rounded → engine-independent), assign each corpus vector to its
@@ -1281,6 +1393,81 @@ object VectorOps {
         |  SELECT q_id, 4, sel4, sim4, mmr4 FROM s4
         |  UNION ALL
         |  SELECT q_id, 5, sel5, sim5, mmr5 FROM s5)
-        |ORDER BY q_id, step""".stripMargin
+        |ORDER BY q_id, step""".stripMargin,
+
+    "v15_kmeans" ->
+      s"""WITH $kmeansSql,
+         |st AS (SELECT cid, COUNT(*) AS n_members,
+         |    ROUND(CAST(SUM(CAST(csim AS DECIMAL(18,6))) AS DOUBLE)
+         |      / COUNT(*), 6) AS avg_sim
+         |  FROM af GROUP BY cid),
+         |fin AS (SELECT cid, unnest(cvec) AS centroid,
+         |    generate_subscripts(cvec, 1) AS pos FROM c2)
+         |SELECT f.cid AS cluster, CAST(f.pos - 1 AS BIGINT) AS pos, f.centroid,
+         |  CAST(coalesce(st.n_members, 0) AS BIGINT) AS n_members, st.avg_sim
+         |FROM fin f LEFT JOIN st ON f.cid = st.cid
+         |ORDER BY cluster, pos""".stripMargin,
+
+    // v15's k-means replay + within-cluster pair enumeration + the same
+    // WITH RECURSIVE reachability closure as v10/tx14
+    "v16_semantic_dedup" ->
+      s"""WITH RECURSIVE $kmeansSql,
+         |pr AS (
+         |  SELECT a.vec_id AS src, b.vec_id AS dst
+         |  FROM af a JOIN af b ON a.cid = b.cid AND a.vec_id < b.vec_id
+         |  JOIN e ea ON ea.vec_id = a.vec_id
+         |  JOIN e eb ON eb.vec_id = b.vec_id
+         |  WHERE ROUND(list_dot_product(ea.emb, eb.emb)
+         |          / (ea.norm * eb.norm), 6) >= 0.4),
+         |sym AS (SELECT src, dst FROM pr UNION ALL SELECT dst, src FROM pr),
+         |verts AS (SELECT DISTINCT src AS id FROM sym),
+         |reach(id, r) AS (
+         |  SELECT id, id FROM verts
+         |  UNION
+         |  SELECT sm.src, reach.r FROM sym sm JOIN reach ON sm.dst = reach.id),
+         |comp AS (SELECT id, MIN(r) AS label FROM reach GROUP BY id)
+         |SELECT af.vec_id, af.cid AS cluster,
+         |  COALESCE(comp.label, af.vec_id) AS canonical_id,
+         |  COALESCE(comp.label, af.vec_id) = af.vec_id AS is_kept
+         |FROM af LEFT JOIN comp ON comp.id = af.vec_id
+         |ORDER BY af.vec_id""".stripMargin
   )
+
+  /** Shared DuckDB replay of the v15/v16 k-means: seeds (vec_id < 8) →
+    * two Lloyd iterations (assign → 6-dp mean update, empty cells keep
+    * their centroid) → final assignment `af(vec_id, cid, csim)`. The
+    * text is CTE bodies only (no WITH), so callers can prepend RECURSIVE. */
+  private def kmeansSql: String = {
+    def step(i: Int, prev: String) =
+      s"""s$i AS (
+         |  SELECT vec_id, cid,
+         |    ROUND(list_dot_product(emb, cvec)
+         |      / (norm * sqrt(list_dot_product(cvec, cvec))), 6) AS csim
+         |  FROM e, $prev),
+         |a$i AS (SELECT vec_id, cid FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |      ORDER BY csim DESC, cid) AS rn FROM s$i) WHERE rn = 1),
+         |m$i AS (SELECT cid, pos, ROUND(AVG(val), 6) AS cv FROM (
+         |    SELECT a.cid, unnest(e.emb) AS val,
+         |      generate_subscripts(e.emb, 1) AS pos
+         |    FROM a$i a JOIN e ON e.vec_id = a.vec_id) GROUP BY cid, pos),
+         |c$i AS (SELECT p.cid, coalesce(n.nv, p.cvec) AS cvec FROM $prev p
+         |    LEFT JOIN (SELECT cid, list(cv ORDER BY pos) AS nv FROM m$i
+         |               GROUP BY cid) n ON p.cid = n.cid)""".stripMargin
+    s"""e AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS emb,
+       |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+       |  FROM embeddings),
+       |c0 AS (SELECT vec_id AS cid, emb AS cvec FROM e WHERE vec_id < 8),
+       |${step(1, "c0")},
+       |${step(2, "c1")},
+       |sf AS (
+       |  SELECT vec_id, cid,
+       |    ROUND(list_dot_product(emb, cvec)
+       |      / (norm * sqrt(list_dot_product(cvec, cvec))), 6) AS csim
+       |  FROM e, c2),
+       |af AS (SELECT vec_id, cid, csim FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+       |      ORDER BY csim DESC, cid) AS rn FROM sf) WHERE rn = 1)""".stripMargin
+  }
 }
