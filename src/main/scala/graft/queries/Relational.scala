@@ -755,6 +755,36 @@ object Relational {
         .filter(col("dist") <= 1)
         .distinct()
         .orderBy(col("q_id"), col("p_partkey"))
+    }),
+
+    // -- DYNAMIC PARTITION PRUNING (star-schema scan elimination at
+    // runtime): the fact side is a HIVE-PARTITIONED lineitem store (one
+    // directory per ship month — the layout every date-partitioned lake
+    // table uses) joined to a dimension whose qualifying months are only
+    // known AFTER its filter runs. Static pruning can't help (the pushed
+    // predicate is on the DIM), so Catalyst injects the dim's build-side
+    // values as a `dynamicpruningexpression` partition filter on the fact
+    // scan: at 100 TB the fact reads 3 of 83 month directories instead of
+    // the whole table — the single biggest scan saver in star joins, and
+    // it composes with the broadcast join (the pruning subquery REUSES the
+    // join's broadcast, costing nothing extra). PlanAuditSpec pins the
+    // plan shape so the feature can't silently regress; the oracle
+    // computes the same join over the raw table, pinning the partitioned
+    // rewrite lossless.
+    "q39_dynamic_partition_pruning" -> ((s, dir) => {
+      val months = t(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT" &&
+          col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+        .select(to_date(date_trunc("month", col("o_orderdate"))).as("mon"))
+        .distinct()
+      s.read.parquet(monthPartitionedLineitem(s, dir))
+        .join(broadcast(months), col("ship_mon") === col("mon"))
+        .groupBy(col("mon"))
+        .agg(count(lit(1)).as("n"),
+          sumExact(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .as("revenue"))
+        .orderBy(col("mon"))
     })
   )
 
@@ -782,6 +812,29 @@ object Relational {
           .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
           .write.mode("overwrite").orc(s"$work/customer")
         s"$work/customer"
+      })
+    }
+
+  /** Hive-partitioned (by ship month) copy of lineitem, memoized per
+    * (session, dir). Package-private so PlanAuditSpec can audit the DPP
+    * plan over the exact store the registered query reads. */
+  private val monthPartBuilt =
+    new java.util.WeakHashMap[SparkSession, collection.mutable.Map[String, String]]()
+  private[graft] def monthPartitionedLineitem(s: SparkSession, dir: String): String =
+    monthPartBuilt.synchronized {
+      val perDir = Option(monthPartBuilt.get(s)).getOrElse {
+        val m = collection.mutable.Map.empty[String, String]
+        monthPartBuilt.put(s, m)
+        m
+      }
+      perDir.getOrElseUpdate(dir, {
+        val work = java.nio.file.Files.createTempDirectory("graft-monthpart")
+        graft.util.TempDirs.deleteOnExit(work)
+        t(s, dir, "lineitem")
+          .withColumn("ship_mon", to_date(date_trunc("month", col("l_shipdate"))))
+          .write.mode("overwrite").partitionBy("ship_mon")
+          .parquet(s"$work/lineitem")
+        s"$work/lineitem"
       })
     }
 
@@ -1239,6 +1292,22 @@ object Relational {
         |  CAST(levenshtein(q_name, p_name) AS BIGINT) AS dist
         |FROM probes, part
         |WHERE levenshtein(q_name, p_name) <= 1
-        |ORDER BY q_id, p_partkey""".stripMargin
+        |ORDER BY q_id, p_partkey""".stripMargin,
+
+    // the same star join over the RAW table — equality pins the
+    // month-partitioned rewrite lossless
+    "q39_dynamic_partition_pruning" ->
+      """WITH m AS (
+        |  SELECT DISTINCT CAST(date_trunc('month', o_orderdate) AS DATE) AS mon
+        |  FROM orders
+        |  WHERE o_orderpriority = '1-URGENT'
+        |    AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |    AND o_orderdate < TIMESTAMP '1996-04-01')
+        |SELECT m.mon, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+        |    AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |FROM lineitem l
+        |JOIN m ON CAST(date_trunc('month', l.l_shipdate) AS DATE) = m.mon
+        |GROUP BY m.mon ORDER BY m.mon""".stripMargin
   )
 }

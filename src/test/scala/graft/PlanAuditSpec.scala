@@ -185,6 +185,19 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q39: dim filter dynamically prunes the partitioned fact scan") {
+    // The registered query joins a month-partitioned lineitem store to a
+    // filtered dim; the fact scan must carry a dynamicpruningexpression
+    // partition filter (fed by the join's own broadcast) so only the
+    // qualifying month directories are read — the star-schema scan
+    // eliminator the 100 TB story depends on.
+    val p = planString(q("q39_dynamic_partition_pruning"))
+    assert(p.contains("dynamicpruningexpression"),
+      s"no dynamic partition pruning on the fact scan:\n$p")
+    assert(p.contains("PartitionFilters"),
+      s"fact scan has no partition filters at all:\n$p")
+  }
+
   test("q36: z-order grid prunes more files than either single-dimension sort") {
     import org.apache.spark.sql.functions.{col, input_file_name, lit, max, min}
     // sf0.01: the registered predicate box (users 40-59 × Jan 10-13) is
