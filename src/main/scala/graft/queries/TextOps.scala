@@ -648,6 +648,58 @@ object TextOps {
             .as("clean_text"))
         .withColumn("clean_n_chars", length(col("clean_text")).cast("long"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Interpolated BIGRAM LM scoring — the step up from tx21's unigram
+    // perplexity filter toward the n-gram LM filters real pipelines run
+    // (CCNet/KenLM-style): every adjacent token pair is scored
+    // p = λ·p(w2|w1) + (1−λ)·p(w2), λ = 0.7, with both probability tables
+    // estimated from the corpus itself; a document's quality signal is the
+    // average negative log-likelihood of its bigrams (repetitive/templated
+    // text scores LOW nll, incoherent token soup scores HIGH). The
+    // interpolation is what makes the score total: a bigram unseen under
+    // w1 still backs off to the unigram term.
+    //
+    // Scale shape: ONE doc_id-keyed window builds the bigram stream; count
+    // tables are plain hash aggregates keyed on tokens (vocab-sized);
+    // attaching them back is token-keyed shuffle joins — everything linear
+    // in corpus tokens, no quadratic stage, no driver state. Numerics:
+    // each bigram's p is one fixed IEEE tree, ln(p) is 6-dp-rounded into
+    // exact-decimal per-doc sums (tx21's discipline), so partitioning
+    // can't move a hash.
+    "tx25_bigram_logprob" -> ((s, dir) => {
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      val toks = fanout(docs(s, dir))
+        .select(col("doc_id"), posexplode(expr(tokExpr)).as(Seq("pos", "w1")))
+        .filter(col("w1") =!= "")
+      val big = toks.withColumn("w2", lead(col("w1"), 1).over(w))
+        .filter(col("w2").isNotNull)
+        .select(col("doc_id"), col("w1"), col("w2"))
+      val bc = big.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("bc"))
+      val pc = bc.groupBy(col("w1")).agg(sum(col("bc")).as("pc"))
+      val uc = toks.groupBy(col("w1").as("w2u")).agg(count(lit(1)).as("uc"))
+      val tot = uc.agg(sum(col("uc")).as("total"))
+      big.join(bc, Seq("w1", "w2"))
+        .join(pc, Seq("w1"))
+        .join(uc, col("w2") === col("w2u"))
+        .crossJoin(broadcast(tot))
+        .withColumn("p",
+          lit(0.7) * (col("bc").cast("double") / col("pc").cast("double"))
+            + lit(0.3) * (col("uc").cast("double") / col("total").cast("double")))
+        .withColumn("term", round(log(col("p")), 6).cast("decimal(18,6)"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("term")).as("sum_term"))
+        // the final mean is computed in exact INTEGER micro-nats with
+        // explicit half-up rounding: sum_term/n lands on 7th-decimal
+        // half-way points where the engines' double round() disagrees
+        // (observed on this corpus — the v14 rounding law)
+        .withColumn("x", (-col("sum_term") * lit(1000000)).cast("long"))
+        .withColumn("avg_micro",
+          expr("(2 * x + n_bigrams) div (2 * n_bigrams)"))
+        .select(col("doc_id"), col("n_bigrams"),
+          (col("avg_micro").cast("double") / 1000000.0).as("avg_nll"))
+        .withColumn("flagged", col("avg_nll") >= 3.5)
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -1060,6 +1112,39 @@ object TextOps {
          |           '') AS clean_text,
          |  CAST(length(COALESCE(string_agg(chunk, ' ' ORDER BY idx)
          |    FILTER (WHERE keep), '')) AS BIGINT) AS clean_n_chars
-         |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin
+         |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "tx25_bigram_logprob" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, pos, w1 FROM (
+         |    SELECT doc_id, unnest(arr) AS w1, generate_subscripts(arr, 1) AS pos
+         |    FROM (SELECT doc_id, $dTok AS arr FROM documents))
+         |  WHERE w1 <> ''),
+         |b0 AS (
+         |  SELECT doc_id, w1,
+         |    lead(w1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+         |  FROM toks),
+         |b2 AS (SELECT doc_id, w1, w2 FROM b0 WHERE w2 IS NOT NULL),
+         |bc AS (SELECT w1, w2, COUNT(*) AS bc FROM b2 GROUP BY w1, w2),
+         |pc AS (SELECT w1, SUM(bc) AS pc FROM bc GROUP BY w1),
+         |uc AS (SELECT w1 AS w2u, COUNT(*) AS uc FROM toks GROUP BY w1),
+         |tot AS (SELECT SUM(uc) AS total FROM uc),
+         |terms AS (
+         |  SELECT b2.doc_id,
+         |    CAST(ROUND(ln(
+         |      0.7 * (CAST(bc.bc AS DOUBLE) / CAST(pc.pc AS DOUBLE))
+         |      + 0.3 * (CAST(uc.uc AS DOUBLE) / CAST(tot.total AS DOUBLE))), 6)
+         |      AS DECIMAL(18,6)) AS term
+         |  FROM b2 JOIN bc USING (w1, w2) JOIN pc USING (w1)
+         |  JOIN uc ON b2.w2 = uc.w2u, tot),
+         |d0 AS (SELECT doc_id, COUNT(*) AS n_bigrams,
+         |    CAST(-SUM(term) * 1000000 AS BIGINT) AS x
+         |  FROM terms GROUP BY doc_id),
+         |d AS (SELECT doc_id, n_bigrams,
+         |    CAST((2 * x + n_bigrams) // (2 * n_bigrams) AS DOUBLE)
+         |      / 1000000.0 AS avg_nll
+         |  FROM d0)
+         |SELECT doc_id, n_bigrams, avg_nll, avg_nll >= 3.5 AS flagged
+         |FROM d ORDER BY doc_id""".stripMargin
   )
 }
