@@ -38,6 +38,20 @@ object Cusum {
   final case class State(tsUs: Long, id: Long, x: Double,
       sp: Double, sn: Double, alarm: Boolean)
 
+  /** One recursion step: detector sides (and alarm flag) BEFORE the point
+    * → (S⁺, S⁻, alarm) AFTER it. Shared verbatim by the batch kernel
+    * ([[run]]) and the streaming keyed-state twin
+    * ([[graft.streaming.GasStream.cusumStream]]), so "stream ≡ batch" is
+    * true by construction, not by parallel maintenance. */
+  def step(sp0: Double, sn0: Double, alarm0: Boolean, x: Double,
+      mu: Double, k: Double, h: Double): (Double, Double, Boolean) = {
+    val bp = if (alarm0) 0.0 else sp0
+    val bn = if (alarm0) 0.0 else sn0
+    val sp = round6(math.max(0.0, bp + round6(x - mu - k)))
+    val sn = round6(math.max(0.0, bn + round6(mu - x - k)))
+    (sp, sn, sp > h || sn > h)
+  }
+
   /** Run the detector over one series. `pts` must be sorted by (tsUs, id);
     * μ, k, h are the (already-rounded) per-series parameters. */
   def run(pts: Array[Point], mu: Double, k: Double, h: Double): Seq[State] = {
@@ -48,11 +62,8 @@ object Cusum {
     var i = 0
     while (i < pts.length) {
       val p = pts(i)
-      val bp = if (alarm) 0.0 else sp
-      val bn = if (alarm) 0.0 else sn
-      sp = round6(math.max(0.0, bp + round6(p.x - mu - k)))
-      sn = round6(math.max(0.0, bn + round6(mu - p.x - k)))
-      alarm = sp > h || sn > h
+      val next = step(sp, sn, alarm, p.x, mu, k, h)
+      sp = next._1; sn = next._2; alarm = next._3
       out += State(p.tsUs, p.id, p.x, sp, sn, alarm)
       i += 1
     }

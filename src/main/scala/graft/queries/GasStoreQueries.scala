@@ -307,6 +307,43 @@ object GasStoreQueries {
     spark.read.parquet(path)
   }
 
+  /** gs15's sink: the STREAMING CUSUM drift detector
+    * ([[graft.streaming.GasStream.cusumStream]]) — Page's sequential
+    * changepoint recursion carried as keyed state, run end-to-end over
+    * the live long stream for two fields with production-style FIXED
+    * parameters (μ=50, k=5, h=60 — configuration, not estimated from the
+    * unbounded stream). The DuckDB oracle replays the identical clamped
+    * recursion (ts26's WITH RECURSIVE shape) over the raw CSVs, so the
+    * stateful detector — state carry-over between micro-batches, in-batch
+    * event-time ordering, clamp/alarm/reset arithmetic — is hash-verified
+    * point-by-point. */
+  private val builtCusum = new java.util.WeakHashMap[SparkSession, String]()
+  private def streamCusum(spark: SparkSession): DataFrame = {
+    val path = builtCusum.synchronized {
+      Option(builtCusum.get(spark)).getOrElse {
+        val work = Files.createTempDirectory("graft-gas-cusum")
+        deleteOnExit(work)
+        val long = graft.store.LongStore.unpivot(
+          graft.transform.GasTransform(
+            graft.streaming.GasStream.readStream(spark, fixtureDir))
+            .withColumnRenamed("file_name", "_src")).drop("_src")
+          .filter(col("_field").isin("CO (ppm)", "Humidity (%r.h.)"))
+        graft.streaming.GasStream.cusumStream(long, mu = 50.0, k = 5.0, h = 60.0)
+          .writeStream
+          .format("parquet")
+          .option("path", s"$work/out")
+          .option("checkpointLocation", s"$work/ckpt")
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+          .awaitTermination()
+        builtCusum.put(spark, s"$work/out")
+        s"$work/out"
+      }
+    }
+    spark.read.parquet(path)
+  }
+
   /** gs11's sink: STREAM-STATIC enrichment join — every point of the live
     * long stream picks up its field's metadata (kind/unit/scale) from a
     * static dimension by broadcast join, the canonical "enrich the stream
@@ -490,6 +527,14 @@ object GasStoreQueries {
           col("n_matched"), col("n_unmatched"), col("total_a"), col("total_b"))
         .orderBy(col("h_us"))),
 
+    // streaming CUSUM detector readings (sp/sn already 6-dp-rounded by
+    // the kernel at every step — emitted as-is)
+    "gs15_stream_cusum" -> ((s, _) =>
+      streamCusum(s)
+        .select(col("_field"), col("ts_us"), col("value"), col("sp"),
+          col("sn"), col("alarm"))
+        .orderBy(col("_field"), col("ts_us"))),
+
     // closed streaming sessions (built-in session_window), watermark-
     // withheld tail replayed by the oracle; sessions genuinely span the
     // two day files (the 10 s overnight gap merges them)
@@ -617,6 +662,41 @@ object GasStoreQueries {
          |    0.2 * o.value + (1 - 0.2) * r.ema
          |  FROM ord o JOIN rec r ON o._field = r._field AND o.n = r.n + 1)
          |SELECT _field, ts_us, value, ROUND(ema, 6) AS ema, n
+         |FROM rec ORDER BY _field, ts_us""".stripMargin,
+
+    // the streaming CUSUM recursion replayed step-for-step (ts26's
+    // clamped WITH RECURSIVE shape, fixed μ=50 k=5 h=60): per-step
+    // 6-dp rounds, alarm-reset carried from the previous row — identical
+    // IEEE/rounding sequence, so the hash matches without tolerance
+    "gs15_stream_cusum" ->
+      s"""${prelude.replace("WITH raw AS", "WITH RECURSIVE raw AS")},
+         |pts AS (
+         |  SELECT 'CO (ppm)' AS _field, epoch_us(_time) AS ts_us,
+         |    "CO (ppm)" AS value FROM raw
+         |  UNION ALL
+         |  SELECT 'Humidity (%r.h.)', epoch_us(_time), "Humidity (%r.h.)"
+         |  FROM raw),
+         |ord AS (
+         |  SELECT _field, ts_us, value,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY _field ORDER BY ts_us)
+         |      AS BIGINT) AS n
+         |  FROM pts),
+         |rec AS (
+         |  SELECT _field, ts_us, value, n,
+         |    ROUND(greatest(0, ROUND(value - 50 - 5, 6)), 6) AS sp,
+         |    ROUND(greatest(0, ROUND(50 - value - 5, 6)), 6) AS sn
+         |  FROM ord WHERE n = 1
+         |  UNION ALL
+         |  SELECT o._field, o.ts_us, o.value, o.n,
+         |    ROUND(greatest(0,
+         |      (CASE WHEN r.sp > 60 OR r.sn > 60 THEN 0 ELSE r.sp END)
+         |      + ROUND(o.value - 50 - 5, 6)), 6),
+         |    ROUND(greatest(0,
+         |      (CASE WHEN r.sp > 60 OR r.sn > 60 THEN 0 ELSE r.sn END)
+         |      + ROUND(50 - o.value - 5, 6)), 6)
+         |  FROM rec r JOIN ord o ON o._field = r._field AND o.n = r.n + 1)
+         |SELECT _field, ts_us, value, sp, sn,
+         |  (sp > 60 OR sn > 60) AS alarm
          |FROM rec ORDER BY _field, ts_us""".stripMargin,
 
     "gs08_stream_pair_join" ->

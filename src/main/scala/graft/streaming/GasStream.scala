@@ -257,6 +257,58 @@ object GasStream {
       .toDF()
   }
 
+  /** Per-key CUSUM detector state: both cumulative sides, the alarm flag,
+    * and the last applied event time (monotone guard, as in EMA). */
+  case class CusumState(sp: Double, sn: Double, alarm: Boolean, lastUs: Long)
+
+  /** One detector reading emitted per applied input point. */
+  case class CusumPoint(_field: String, ts_us: Long, value: Double,
+      sp: Double, sn: Double, alarm: Boolean)
+
+  /** Streaming CUSUM changepoint detection — the UNBOUNDED-series form of
+    * ts26's batch kernel, and the archetypal "page the on-call when the
+    * sensor drifts" streaming job: Page's one-sided cumulative sums are
+    * TWO doubles + a flag of keyed state per series, advanced by the SAME
+    * [[graft.operators.Cusum.step]] the batch kernel runs (stream ≡ batch
+    * by construction). Unlike ts26, which estimates μ/k/h from the full
+    * series — a luxury an infinite stream doesn't have — the detector
+    * takes its target mean and thresholds as configuration, exactly how
+    * production CUSUM monitors are deployed (parameters from a training
+    * window, detection online). Ordering semantics are emaStream's:
+    * event-time order within a batch, monotone guard across batches
+    * (a straggler older than the last applied point is dropped —
+    * re-running a sequential detector backwards is not meaningful). */
+  def cusumStream(long: DataFrame, mu: Double, k: Double,
+      h: Double): DataFrame = {
+    import long.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    long.select(col("_field"), col("_time"), col("_value"))
+      .as[(String, java.sql.Timestamp, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[CusumState, CusumPoint](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (field: String, rows: Iterator[(String, java.sql.Timestamp, Double)],
+            state: GroupState[CusumState]) =>
+          var st = state.getOption
+            .getOrElse(CusumState(0.0, 0.0, alarm = false, Long.MinValue))
+          val out = Seq.newBuilder[CusumPoint]
+          def micros(t: java.sql.Timestamp): Long =
+            Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+          rows.toSeq.sortBy(r => micros(r._2)).foreach { case (_, t, v) =>
+            val us = micros(t)
+            if (us >= st.lastUs) { // monotone guard: drop stale stragglers
+              val (sp, sn, alarm) =
+                graft.operators.Cusum.step(st.sp, st.sn, st.alarm, v, mu, k, h)
+              st = CusumState(sp, sn, alarm, us)
+              out += CusumPoint(field, us, v, sp, sn, alarm)
+            }
+          }
+          if (st.lastUs != Long.MinValue) state.update(st)
+          out.result().iterator
+      }
+      .toDF()
+  }
+
   /** foreachBatch INCREMENTAL UPSERT — the streaming MERGE/SCD1 sink
     * ("keep the latest reading per key"): every micro-batch reduces to its
     * per-field argmax-by-time row, merges with the current keyed state

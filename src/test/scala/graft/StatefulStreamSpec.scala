@@ -251,4 +251,43 @@ class StatefulStreamSpec extends SparkSpec {
     assert(!got.exists(_._3 == 999.0), "stale straggler was applied")
     assert(got.count(_._1 == "B") == 1 && got.find(_._1 == "B").get._4 == 7.0)
   }
+
+  test("streaming CUSUM equals the batch kernel across batches, incl. alarm reset") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val long = input.toDF().toDF("_time", "_field", "_value")
+
+    // μ=10, k=1, h=5: x=20 drives S⁺ to 9 > 5 (alarm), the next point
+    // must restart from 0 — and the alarm fires in a LATER batch than the
+    // points that built up the sum, so reset state crosses the boundary
+    val q = GasStream.cusumStream(long, mu = 10.0, k = 1.0, h = 5.0)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("cusum").start()
+
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    input.addData(
+      (ts("2016-10-07 00:01:00"), "A", 12.0),
+      (ts("2016-10-07 00:02:00"), "A", 13.0))
+    q.processAllAvailable()
+    input.addData(
+      (ts("2016-10-07 00:03:00"), "A", 20.0), // S⁺ = 1+2+9 = 12 → alarm
+      (ts("2016-10-07 00:04:00"), "A", 12.0)) // post-reset: S⁺ = 1
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.sql("SELECT ts_us, value, sp, sn, alarm FROM cusum ORDER BY ts_us")
+      .collect().map(r => (r.getDouble(1), r.getDouble(2), r.getDouble(3),
+        r.getBoolean(4)))
+    val pts = Array(
+      graft.operators.Cusum.Point(1L, 1L, 12.0),
+      graft.operators.Cusum.Point(2L, 2L, 13.0),
+      graft.operators.Cusum.Point(3L, 3L, 20.0),
+      graft.operators.Cusum.Point(4L, 4L, 12.0))
+    val want = graft.operators.Cusum.run(pts, 10.0, 1.0, 5.0)
+      .map(s => (s.x, s.sp, s.sn, s.alarm))
+    assert(got.toSeq == want,
+      s"stream $got vs batch kernel $want")
+    assert(got(2)._4 && !got(3)._4 && got(3)._2 == 1.0,
+      s"alarm/reset sequence wrong: $got")
+  }
 }
