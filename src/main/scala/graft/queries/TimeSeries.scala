@@ -880,7 +880,53 @@ object TimeSeries {
           col("low"), col("close"), col("n_trades"), col("volume"),
           round(col("pv").cast("double") / col("volume").cast("double"), 6)
             .as("vwap"))
-        .orderBy(col("event_type"), col("day")))
+        .orderBy(col("event_type"), col("day"))),
+
+    // 1-D local-level Kalman filter — the optimal-denoiser upgrade of
+    // ts21's fixed-α EMA: the smoothing weight is the Kalman GAIN,
+    // re-derived per step from the running state variance (high trust
+    // early, steady-state later). Noise parameters the textbook way from
+    // per-series exact-decimal moments: R = series variance, Q = R/10
+    // (signal drifts an order of magnitude slower than it's observed).
+    // The predict→gain→update recursion has no closed form, so it runs as
+    // a per-series sequential kernel ([[graft.operators.Kalman]]) inside
+    // flatMapGroups — data-parallel across series keys, ONE shuffle on
+    // the series key; the parameter frame is |series| rows broadcast
+    // back. Every step-assignment is 6-dp-rounded, so the DuckDB WITH
+    // RECURSIVE replay reproduces the doubles bit-for-bit.
+    "ts30_kalman_filter" -> ((s, dir) => {
+      val sp = s
+      import sp.implicits._
+      val base = ev(s, dir).select(col("event_type"),
+        unix_micros(col("ts")).as("ts_us"), col("event_id"), col("value"))
+      val params = base
+        .withColumn("xd", col("value").cast("decimal(18,6)"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("xd")).as("sx"),
+          sum((col("xd") * col("xd")).cast("decimal(38,12)")).as("sxx"))
+        .withColumn("rr", round(greatest(lit(1e-6),
+          col("sxx").cast("double") / col("n") -
+            (col("sx").cast("double") / col("n")) *
+            (col("sx").cast("double") / col("n"))), 6))
+        .select(col("event_type"), col("rr"),
+          round(col("rr") / lit(10.0), 6).as("qq"))
+      base.join(broadcast(params), Seq("event_type"))
+        .select(col("event_type"), col("ts_us"), col("event_id"),
+          col("value"), col("qq"), col("rr"))
+        .as[(String, Long, Long, Double, Double, Double)]
+        .groupByKey(_._1)
+        .flatMapGroups { (g, it) =>
+          val rows = it.toArray
+          val pts = rows.map(r => graft.operators.Kalman.Point(r._2, r._3, r._4))
+            .sortBy(p => (p.tsUs, p.id))
+          val (qq, rr) = (rows(0)._5, rows(0)._6)
+          graft.operators.Kalman.run(pts, qq, rr).iterator
+            .map(st => (g, st.tsUs, st.id, st.z, st.xHat, st.p, st.kGain))
+        }
+        .toDF("event_type", "ts_us", "event_id", "value", "x_hat", "p_var",
+          "k_gain")
+        .orderBy(col("event_type"), col("ts_us"), col("event_id"))
+    })
   )
 
   /** Closed-form EMA over a keyed indexed series (g, i, x) — ts21's kernel
@@ -1521,7 +1567,52 @@ object TimeSeries {
         |           AS DOUBLE), 6) AS vwap
         |FROM events
         |GROUP BY event_type, day
-        |ORDER BY event_type, day""".stripMargin
+        |ORDER BY event_type, day""".stripMargin,
+
+    // step-for-step Kalman replay: same exact-decimal parameter moments
+    // (R = variance clamped at 1e-6, Q = R/10), same 6-dp-rounded
+    // predict→gain→update recursion; init x₁ = z₁, P₁ = R, K₁ = 1
+    "ts30_kalman_filter" ->
+      """WITH RECURSIVE
+        |pts AS (
+        |  SELECT event_type AS g, epoch_us(ts) AS ts_us, event_id, value AS z,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+        |      ORDER BY ts, event_id) AS BIGINT) AS i
+        |  FROM events),
+        |st AS (
+        |  SELECT event_type AS g, COUNT(*) AS n,
+        |    SUM(CAST(value AS DECIMAL(18,6))) AS sx,
+        |    SUM(CAST(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))
+        |        AS DECIMAL(38,12))) AS sxx
+        |  FROM events GROUP BY event_type),
+        |pr AS (
+        |  SELECT g,
+        |    ROUND(greatest(1e-6, CAST(sxx AS DOUBLE) / n
+        |      - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n)), 6) AS rr,
+        |    ROUND(ROUND(greatest(1e-6, CAST(sxx AS DOUBLE) / n
+        |      - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n)), 6)
+        |      / 10.0, 6) AS qq
+        |  FROM st),
+        |rec AS (
+        |  SELECT p.g, p.i, p.ts_us, p.event_id, p.z,
+        |    ROUND(p.z, 6) AS x, ROUND(r.rr, 6) AS pv,
+        |    CAST(1.0 AS DOUBLE) AS kg
+        |  FROM pts p JOIN pr r USING (g) WHERE p.i = 1
+        |  UNION ALL
+        |  SELECT p.g, p.i, p.ts_us, p.event_id, p.z,
+        |    ROUND(q.x + ROUND(
+        |      ROUND(ROUND(q.pv + r.qq, 6) / (ROUND(q.pv + r.qq, 6) + r.rr), 6)
+        |      * ROUND(p.z - q.x, 6), 6), 6),
+        |    ROUND((1.0 -
+        |      ROUND(ROUND(q.pv + r.qq, 6) / (ROUND(q.pv + r.qq, 6) + r.rr), 6))
+        |      * ROUND(q.pv + r.qq, 6), 6),
+        |    ROUND(ROUND(q.pv + r.qq, 6) / (ROUND(q.pv + r.qq, 6) + r.rr), 6)
+        |  FROM rec q
+        |  JOIN pts p ON p.g = q.g AND p.i = q.i + 1
+        |  JOIN pr r ON r.g = p.g)
+        |SELECT g AS event_type, ts_us, event_id, z AS value,
+        |  x AS x_hat, pv AS p_var, kg AS k_gain
+        |FROM rec ORDER BY event_type, ts_us, event_id""".stripMargin
   )
 
   /** The ts21 closed-form EMA kernel as a DuckDB CTE pair (`<out>_pairs`,
