@@ -926,6 +926,40 @@ object TimeSeries {
         .toDF("event_type", "ts_us", "event_id", "value", "x_hat", "p_var",
           "k_gain")
         .orderBy(col("event_type"), col("ts_us"), col("event_id"))
+    }),
+
+    // M4 visual downsampling (Jugel et al., VLDB 2014) — the OTHER chart
+    // downsampler: where LTTB (ts24) picks perceptually-salient points via
+    // a sequential kernel, M4 is pixel-EXACT for line charts (keeping
+    // min/max/first/last per pixel column reproduces every lit pixel) and,
+    // crucially for scale, it is a PURE HASH AGGREGATE — no sort, no
+    // sequential pass, one shuffle on (series, bucket), map-side partials
+    // do most of the work. Buckets are w=100 equal time-slices of each
+    // series' [min, max] span computed in ALL-INTEGER µs arithmetic
+    // ((ts−t0)·w div span — exact, no FP boundary drift); first/last are
+    // min_by/max_by on the (ts, event_id) total order.
+    "ts31_m4_downsample" -> ((s, dir) => {
+      val w = 100
+      val base = ev(s, dir).select(col("event_type"),
+        unix_micros(col("ts")).as("ts_us"), col("event_id"), col("value"))
+      val spans = base.groupBy(col("event_type"))
+        .agg(min(col("ts_us")).as("t0"), max(col("ts_us")).as("t1"))
+      base.join(broadcast(spans), Seq("event_type"))
+        .withColumn("bucket",
+          expr(s"least(CAST(${w - 1} AS BIGINT), " +
+            s"(ts_us - t0) * ${w} div (t1 - t0 + 1))"))
+        .groupBy(col("event_type"), col("bucket"))
+        .agg(
+          min(col("value")).as("v_min"),
+          max(col("value")).as("v_max"),
+          min_by(col("value"), struct(col("ts_us"), col("event_id")))
+            .as("v_first"),
+          max_by(col("value"), struct(col("ts_us"), col("event_id")))
+            .as("v_last"),
+          min(col("ts_us")).as("t_first"),
+          max(col("ts_us")).as("t_last"),
+          count(lit(1)).as("n"))
+        .orderBy(col("event_type"), col("bucket"))
     })
   )
 
@@ -1612,7 +1646,30 @@ object TimeSeries {
         |  JOIN pr r ON r.g = p.g)
         |SELECT g AS event_type, ts_us, event_id, z AS value,
         |  x AS x_hat, pv AS p_var, kg AS k_gain
-        |FROM rec ORDER BY event_type, ts_us, event_id""".stripMargin
+        |FROM rec ORDER BY event_type, ts_us, event_id""".stripMargin,
+
+    // same all-integer bucket arithmetic; first/last by (ts, event_id)
+    "ts31_m4_downsample" ->
+      """WITH pts AS (
+        |  SELECT event_type, epoch_us(ts) AS ts_us, event_id, value
+        |  FROM events),
+        |sp AS (
+        |  SELECT event_type, MIN(ts_us) AS t0, MAX(ts_us) AS t1
+        |  FROM pts GROUP BY event_type),
+        |b AS (
+        |  SELECT p.event_type, p.ts_us, p.event_id, p.value,
+        |    least(99, (p.ts_us - s.t0) * 100 // (s.t1 - s.t0 + 1)) AS bucket
+        |  FROM pts p JOIN sp s USING (event_type))
+        |SELECT event_type, bucket,
+        |  MIN(value) AS v_min,
+        |  MAX(value) AS v_max,
+        |  first(value ORDER BY ts_us, event_id) AS v_first,
+        |  last(value ORDER BY ts_us, event_id) AS v_last,
+        |  MIN(ts_us) AS t_first,
+        |  MAX(ts_us) AS t_last,
+        |  COUNT(*) AS n
+        |FROM b GROUP BY event_type, bucket
+        |ORDER BY event_type, bucket""".stripMargin
   )
 
   /** The ts21 closed-form EMA kernel as a DuckDB CTE pair (`<out>_pairs`,

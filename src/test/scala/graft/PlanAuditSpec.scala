@@ -144,6 +144,22 @@ class PlanAuditSpec extends SparkSpec {
     assert(countShuffles(p) <= 4, s"too many shuffles:\n$p")
   }
 
+  test("ts31: M4 downsampling is a pure hash aggregate — no Window, no per-series sort") {
+    // M4's scale contract vs LTTB: min/max/first/last per pixel bucket
+    // ride ONE partial+final hash aggregate (min_by/max_by carry the
+    // (ts, id) order), so the plan must contain no Window operator and no
+    // sort below the aggregate; the only sort is the final presentation
+    // orderBy. Span lookup joins back by broadcast.
+    val df = q("ts31_m4_downsample")
+    df.collect()
+    val p = planString(df).split("== Initial Plan ==").head
+    assert(!p.contains("Window"), s"M4 plan grew a window pass:\n$p")
+    assert(p.contains("HashAggregate"), s"no hash aggregate:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"span join not broadcast:\n$p")
+    assert(countShuffles(p) <= 3,
+      s"more shuffles than span-agg + bucket-agg + presentation sort:\n$p")
+  }
+
   test("runtime bloom filter from a selective dim prunes the fact scan of a shuffle join") {
     // At 100 TB a fact-fact shuffle join whose other side carries a
     // selective predicate should not shuffle the unfiltered fact: Spark's
