@@ -620,6 +620,56 @@ object VectorOps {
         .select(col("vec_id"), col("cid").as("cluster"), col("canonical_id"),
           col("is_kept"))
         .orderBy(col("vec_id"))
+    }),
+
+    // BINARY (sign) QUANTIZATION + Hamming prefilter — the fifth ANN
+    // pillar (LSH / IVF / SQ8 / PQ / binary), and the one modern vector
+    // stores reach for first at 100 TB: a 64-dim float vector compresses
+    // to 64 BITS (32× vs float32), and candidate generation is popcount
+    // on XOR — no floats, no multiplies, pure ALU. The sign bits pack
+    // into TWO 32-bit halves (lo = dims 0–31, hi = 32–63) so the packed
+    // words stay positive in both engines (bit 63 of a single BIGINT
+    // would wrap signed). Hamming similarity (64 − ham)/64 is an exact
+    // dyadic rational (≤ 6 decimals), so ranking is FP-drift-free by
+    // construction. Top-C=30 Hamming survivors per query rerank at full
+    // precision — v11's asymmetric-rerank shape with a 32×-smaller
+    // candidate index. Scale: codes are map-side; the only shuffles are
+    // the per-query top-C partial aggregate and the broadcast rerank.
+    "v17_binary_topk" -> ((s, dir) => {
+      graft.functions.VectorFunctions.register(s)
+      val e = emb(s, dir)
+      val packLo =
+        "aggregate(transform(slice(emb, 1, 32), (x, i) -> " +
+          "IF(x > 0D, shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT))), " +
+          "CAST(0 AS BIGINT), (acc, b) -> acc + b)"
+      val packHi =
+        "aggregate(transform(slice(emb, 33, 32), (x, i) -> " +
+          "IF(x > 0D, shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT))), " +
+          "CAST(0 AS BIGINT), (acc, b) -> acc + b)"
+      val coded = e.select(col("vec_id"), col("emb"), col("norm"),
+        expr(packLo).as("lo"), expr(packHi).as("hi"))
+      val qs = coded.filter(expr("vec_id % 100 = 0"))
+        .select(col("vec_id").as("q_id"), col("emb").as("qe"),
+          col("norm").as("qn"), col("lo").as("qlo"), col("hi").as("qhi"))
+      val topC = udaf(new graft.functions.TopKAggregator(30))
+      val cand = fanout(coded.select(col("vec_id"), col("lo"), col("hi")))
+        .crossJoin(broadcast(qs.select(col("q_id"), col("qlo"), col("qhi"))))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("ham",
+          expr("bit_count(lo ^ qlo) + bit_count(hi ^ qhi)"))
+        .withColumn("hsim", (lit(64) - col("ham")).cast("double") / lit(64.0))
+        .groupBy(col("q_id"))
+        .agg(topC(col("vec_id"), col("hsim")).as("top"))
+        .select(col("q_id"), explode(expr("transform(top, s -> s.c_id)")).as("c_id"))
+      val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id"))
+      e.join(broadcast(cand), col("vec_id") === col("c_id"))
+        .join(broadcast(qs.select(col("q_id"), col("qe"), col("qn"))), Seq("q_id"))
+        .withColumn("sim",
+          round(expr("graft_dot(qe, emb)") / (col("qn") * col("norm")), 6))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 5)
+        .select(col("q_id"), col("rnk"), col("c_id"), col("sim"))
+        .orderBy(col("q_id"), col("rnk"))
     })
   )
 
@@ -1430,7 +1480,51 @@ object VectorOps {
          |  COALESCE(comp.label, af.vec_id) AS canonical_id,
          |  COALESCE(comp.label, af.vec_id) = af.vec_id AS is_kept
          |FROM af LEFT JOIN comp ON comp.id = af.vec_id
-         |ORDER BY af.vec_id""".stripMargin
+         |ORDER BY af.vec_id""".stripMargin,
+
+    // full replay of the binary-quantization pipeline: sign-bit pack into
+    // the same two 32-bit halves → XOR/popcount Hamming → top-30 by
+    // ((64−ham)/64 DESC, c_id) → exact cosine rerank. Hamming similarity
+    // is an exact dyadic rational, so no ROUND is needed anywhere in the
+    // candidate stage.
+    "v17_binary_topk" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS emb,
+        |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+        |  FROM embeddings),
+        |bits AS (
+        |  SELECT vec_id, unnest(embedding::DOUBLE[]) AS x,
+        |    generate_subscripts(embedding, 1) AS i
+        |  FROM embeddings),
+        |codes AS (
+        |  SELECT vec_id,
+        |    SUM(CASE WHEN x > 0 AND i <= 32
+        |        THEN (1::BIGINT << CAST(i - 1 AS INT)) ELSE 0 END)::BIGINT AS lo,
+        |    SUM(CASE WHEN x > 0 AND i > 32
+        |        THEN (1::BIGINT << CAST(i - 33 AS INT)) ELSE 0 END)::BIGINT AS hi
+        |  FROM bits GROUP BY vec_id),
+        |q AS (SELECT c.vec_id AS q_id, e.emb AS qe, e.norm AS qn,
+        |        c.lo AS qlo, c.hi AS qhi
+        |      FROM codes c JOIN e ON e.vec_id = c.vec_id
+        |      WHERE c.vec_id % 100 = 0),
+        |cand AS (
+        |  SELECT q_id, c.vec_id AS c_id,
+        |    (64 - (bit_count(xor(c.lo, qlo)) + bit_count(xor(c.hi, qhi))))
+        |      / 64.0 AS hsim
+        |  FROM codes c, q WHERE c.vec_id <> q_id),
+        |top30 AS (
+        |  SELECT q_id, c_id FROM (
+        |    SELECT q_id, c_id, ROW_NUMBER() OVER (PARTITION BY q_id
+        |      ORDER BY hsim DESC, c_id) AS r FROM cand)
+        |  WHERE r <= 30),
+        |rr AS (
+        |  SELECT t.q_id, t.c_id,
+        |    round(list_dot_product(qq.qe, c.emb) / (qq.qn * c.norm), 6) AS sim
+        |  FROM top30 t JOIN q qq ON qq.q_id = t.q_id JOIN e c ON c.vec_id = t.c_id)
+        |SELECT q_id, CAST(rnk AS BIGINT) AS rnk, c_id, sim FROM (
+        |  SELECT q_id, c_id, sim, ROW_NUMBER() OVER (PARTITION BY q_id
+        |    ORDER BY sim DESC, c_id) AS rnk FROM rr)
+        |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
   )
 
   /** Shared DuckDB replay of the v15/v16 k-means: seeds (vec_id < 8) →
