@@ -292,6 +292,78 @@ object Multimodal {
     }
   }
 
+  /** Average-hash of one decoded image: 64 bits packed as two 32-bit
+    * halves (bit 63 of one word would wrap signed in SQL engines). */
+  case class AHash(media_id: Long, lo: Long, hi: Long)
+
+  /** NEAR-DUP BMP fixture: 16×16 images in FAMILIES — base pattern keyed
+    * on m%8, plus a strength-128 perturbation of the first (m/8)%5 pixels
+    * of the SAMPLED 8×8 grid (even x, even y), so same-family variants
+    * differ by a few aHash bits and cross-family images differ by many.
+    * Channel formula (closed-form for the oracle): with q = j/3,
+    * y = q/16, x = q%16, p = (y/2)*8 + x/2:
+    *   value(m, j) = ((m%8)*37 + j*13
+    *                  + [y even ∧ x even ∧ p < (m/8)%5] · 128) mod 256 */
+  def syntheticNearDupBmps(docs: DataFrame): Dataset[Container] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.map { m =>
+        val channels = Array.tabulate(16 * 16 * 3) { j =>
+          val q = j / 3
+          val y = q / 16
+          val x = q % 16
+          val pert =
+            if (y % 2 == 0 && x % 2 == 0 && (y / 2) * 8 + x / 2 < (m / 8) % 5)
+              128L
+            else 0L
+          (((m % 8) * 37 + j * 13 + pert) % 256).toInt
+        }
+        Container(m, MediaCodecs.Bmp.write(16, 16, channels))
+      }
+    }
+  }
+
+  /** PERCEPTUAL HASH (aHash) through the real BMP parser — the image
+    * analogue of SimHash text dedup: nearest-neighbour resize to the 8×8
+    * grid (source pixel ⌊x2·w/8⌋, ⌊y2·h/8⌋), per-pixel gray SUM r+g+b
+    * (never divided — stays an exact integer), bit p set iff
+    * 64·gray(p) > Σ gray (strictly above the mean, cross-multiplied so no
+    * division ever happens). All-integer, so the DuckDB oracle replays the
+    * 64 bits arithmetically from the channel formula without parsing a
+    * byte. Scale shape: one mapPartitions pass over payloads; each image
+    * reduces to TWO longs — the downstream dedup join never sees pixels. */
+  def imageAHash(media: Dataset[Container]): Dataset[AHash] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { c =>
+        val b = c.payload
+        if (b.length >= 2 && b(0) == 'B' && b(1) == 'M') {
+          val img = MediaCodecs.Bmp.parse(b)
+          val gray = new Array[Long](64)
+          var p = 0
+          while (p < 64) {
+            val x = (p % 8) * img.width / 8
+            val y = (p / 8) * img.height / 8
+            val base = (y * img.width + x) * 3
+            gray(p) = img.channels(base).toLong + img.channels(base + 1) +
+              img.channels(base + 2)
+            p += 1
+          }
+          val total = gray.sum
+          var lo = 0L; var hi = 0L
+          p = 0
+          while (p < 64) {
+            if (64L * gray(p) > total) {
+              if (p < 32) lo |= 1L << p else hi |= 1L << (p - 32)
+            }
+            p += 1
+          }
+          Some(AHash(c.media_id, lo, hi))
+        } else None
+      }
+    }
+  }
+
   /** Partition-parallel REAL decode: sniff the container magic, parse with
     * the genuine header/chunk parser, emit flat features. Any parse slip —
     * row order, padding, chunk offsets, sample sign — changes checksum or

@@ -129,7 +129,41 @@ object MultimodalQueries {
           Multimodal.syntheticPngs(fanout(Tables.table(s, dir, "documents"))
             .filter(col("doc_id") % 3 === 0)))
         .toDF()
-        .orderBy(col("media_id")))
+        .orderBy(col("media_id"))),
+
+    // PERCEPTUAL-HASH IMAGE DEDUP — the multimodal leg of the dedup
+    // family (tx01 exact, tx05 MinHash, tx08 SimHash, v16 semantic):
+    // real BMPs decode to a 64-bit aHash (8×8 strict-above-mean grid,
+    // all-integer — see [[Multimodal.imageAHash]]), then near-dup pairs
+    // come from 4×16-bit BAND BLOCKING: ham ≤ 3 over 4 bands pigeonholes
+    // at least one band identical, so the band join finds EVERY
+    // qualifying pair — the oracle's all-pairs replay would catch a
+    // missed one as a hash mismatch. Scale shape: images reduce to two
+    // longs map-side; the only shuffle is the (band, value) join — the
+    // SimHash plan, never O(n²) on payloads.
+    "mm08_phash_dedup" -> ((s, dir) => {
+      val hashes = Multimodal.imageAHash(
+          Multimodal.syntheticNearDupBmps(fanout(Tables.table(s, dir, "documents"))
+            .filter(col("doc_id") % 2 === 0)))
+        .toDF()
+      val banded = hashes.select(col("media_id"), col("lo"), col("hi"),
+          posexplode(array(
+            expr("lo & 65535"), expr("shiftrightunsigned(lo, 16) & 65535"),
+            expr("hi & 65535"), expr("shiftrightunsigned(hi, 16) & 65535")))
+            .as(Seq("band", "bval")))
+      val a = banded.select(col("band"), col("bval"),
+        col("media_id").as("media_a"), col("lo").as("lo_a"), col("hi").as("hi_a"))
+      val b = banded.select(col("band"), col("bval"),
+        col("media_id").as("media_b"), col("lo").as("lo_b"), col("hi").as("hi_b"))
+      a.join(b, Seq("band", "bval"))
+        .filter(col("media_a") < col("media_b"))
+        .select(col("media_a"), col("media_b"),
+          expr("bit_count(lo_a ^ lo_b) + bit_count(hi_a ^ hi_b)").cast("long")
+            .as("ham"))
+        .distinct()
+        .filter(col("ham") <= 3)
+        .orderBy(col("media_a"), col("media_b"))
+    })
   )
 
   val oracle: Map[String, String] = Map(
@@ -314,6 +348,38 @@ object MultimodalQueries {
         |    (acc, v) -> (acc*31 + v) % 1000000007) AS checksum,
         |  CAST(list_sum(list_transform(range(0, w*h*3),
         |    j -> (media_id*37 + j*11) % 256)) AS DOUBLE) / (w*h*3) AS mean_val
-        |FROM m ORDER BY media_id""".stripMargin
+        |FROM m ORDER BY media_id""".stripMargin,
+
+    // arithmetic replay of the whole aHash dedup: sampled pixel p of image
+    // m has source channels j = 3·(32·(p/8) + 2·(p%8)) + c, value
+    // ((m%8)·37 + j·13 + [p < (m/8)%5]·128) mod 256; bit p iff
+    // 64·gray(p) > Σgray (the cross-multiplied strict mean threshold);
+    // then ALL pairs at ham ≤ 3 — if the engine's band blocking ever
+    // missed a qualifying pair, this all-pairs ground truth flips the hash
+    "mm08_phash_dedup" ->
+      """WITH ms AS (
+        |  SELECT doc_id AS m FROM documents WHERE doc_id % 2 = 0),
+        |g AS (
+        |  SELECT m, p,
+        |    list_sum(list_transform(range(3), c ->
+        |      ((m % 8) * 37 + (3 * (32 * (p // 8) + 2 * (p % 8)) + c) * 13
+        |       + CASE WHEN p < (m // 8) % 5 THEN 128 ELSE 0 END) % 256))
+        |      AS gray
+        |  FROM ms, (SELECT unnest(range(64)) AS p)),
+        |h AS (
+        |  SELECT m,
+        |    SUM(CASE WHEN p < 32 AND 64 * gray > tot
+        |        THEN (1::BIGINT << CAST(p AS INT)) ELSE 0 END)::BIGINT AS lo,
+        |    SUM(CASE WHEN p >= 32 AND 64 * gray > tot
+        |        THEN (1::BIGINT << CAST(p - 32 AS INT)) ELSE 0 END)::BIGINT AS hi
+        |  FROM (SELECT m, p, gray, SUM(gray) OVER (PARTITION BY m) AS tot
+        |        FROM g)
+        |  GROUP BY m)
+        |SELECT a.m AS media_a, b.m AS media_b,
+        |  CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi))
+        |    AS BIGINT) AS ham
+        |FROM h a JOIN h b ON a.m < b.m
+        |WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3
+        |ORDER BY media_a, media_b""".stripMargin
   )
 }
