@@ -700,6 +700,63 @@ object TextOps {
           (col("avg_micro").cast("double") / 1000000.0).as("avg_nll"))
         .withColumn("flagged", col("avg_nll") >= 3.5)
         .orderBy(col("doc_id"))
+    }),
+
+    // EXACT SUBSTRING dedup (Lee et al. 2021, "Deduplicating Training Data
+    // Makes Language Models Better") — the span-granular upgrade of tx24's
+    // fixed-chunk rewrite: tx24 can only drop aligned 10-token blocks; a
+    // duplicated passage STRADDLING a chunk boundary survives it. Here
+    // every OVERLAPPING 5-token window is hashed, windows whose hash
+    // occurs ≥2 times anywhere in the corpus (cross-doc or within-doc)
+    // mark their 5 positions, and marked positions merge into maximal
+    // duplicated SPANS (gaps-and-islands); clean_text drops exactly the
+    // covered tokens. Scale shape: the gram stream is linear in corpus
+    // tokens (one gram per position) and shuffles on the hash key only;
+    // coverage explode is ≤5× positions, deduped before the islands
+    // window; reassembly is tx24's per-doc collect_list. No quadratic
+    // stage — the O(n²) suffix comparison of the paper collapses into the
+    // hash-equality join.
+    "tx26_substring_dedup" -> ((s, dir) => {
+      val k = 5
+      val toks = fanout(docs(s, dir))
+        .selectExpr("doc_id", s"$tokExpr AS tk")
+        .withColumn("n", expr("size(tk)").cast("long"))
+      val grams = toks.filter(col("n") >= k)
+        .select(col("doc_id"), posexplode(expr(
+          s"""transform(sequence(1, cast(size(tk) - ${k - 1} as int)),
+             |  i -> concat_ws(' ', slice(tk, i, $k)))""".stripMargin))
+          .as(Seq("p0", "gram")))
+        .select(col("doc_id"), (col("p0") + 1).cast("long").as("i"),
+          md5(col("gram").cast("binary")).as("h"))
+      val dupHashes = grams.groupBy(col("h"))
+        .agg(count(lit(1)).as("c")).filter(col("c") > 1).select(col("h"))
+      val dupStarts = grams.join(dupHashes, Seq("h"), "left_semi")
+      val covered = dupStarts
+        .select(col("doc_id"), explode(expr(s"sequence(i, i + ${k - 1})")).as("t"))
+        .distinct()
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("t"))
+      val spanStats = covered
+        .withColumn("grp", col("t") - row_number().over(w))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_covered"),
+          countDistinct(col("grp")).as("n_spans"))
+      val dupCount = dupStarts.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_dup_grams"))
+      val clean = toks
+        .select(col("doc_id"), posexplode(col("tk")).as(Seq("t0", "tok")))
+        .select(col("doc_id"), (col("t0") + 1).cast("long").as("t"), col("tok"))
+        .join(covered, Seq("doc_id", "t"), "left_anti")
+        .groupBy(col("doc_id"))
+        .agg(concat_ws(" ", expr(
+          "transform(array_sort(collect_list(struct(t, tok))), x -> x.tok)"))
+          .as("clean_text"))
+      toks.select(col("doc_id"), col("n").as("n_tokens"))
+        .join(dupCount, Seq("doc_id"), "left")
+        .join(spanStats, Seq("doc_id"), "left")
+        .join(clean, Seq("doc_id"), "left")
+        .na.fill(0L, Seq("n_dup_grams", "n_covered", "n_spans"))
+        .withColumn("clean_text", coalesce(col("clean_text"), lit("")))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -1145,6 +1202,46 @@ object TextOps {
          |      / 1000000.0 AS avg_nll
          |  FROM d0)
          |SELECT doc_id, n_bigrams, avg_nll, avg_nll >= 3.5 AS flagged
-         |FROM d ORDER BY doc_id""".stripMargin
+         |FROM d ORDER BY doc_id""".stripMargin,
+
+    // full replay of the span dedup: same overlapping 5-gram md5 stream,
+    // ≥2-occurrence hashes, position coverage, gaps-and-islands span
+    // merge, and uncovered-token reassembly
+    "tx26_substring_dedup" ->
+      s"""WITH tk AS (SELECT doc_id, $dTok AS tk FROM documents),
+         |base AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n, tk FROM tk),
+         |g AS (
+         |  SELECT doc_id, i, md5(array_to_string(tk[i : i + 4], ' ')) AS h
+         |  FROM (SELECT doc_id, tk,
+         |          unnest(generate_series(1, len(tk) - 4)) AS i
+         |        FROM base WHERE n >= 5)),
+         |dh AS (SELECT h FROM g GROUP BY h HAVING COUNT(*) > 1),
+         |ds AS (SELECT doc_id, i FROM g JOIN dh USING (h)),
+         |cov AS (SELECT DISTINCT doc_id, t FROM
+         |  (SELECT doc_id, unnest(generate_series(i, i + 4)) AS t FROM ds)),
+         |isl AS (SELECT doc_id, t,
+         |    t - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY t) AS grp
+         |  FROM cov),
+         |sp AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_covered,
+         |    CAST(COUNT(DISTINCT grp) AS BIGINT) AS n_spans
+         |  FROM isl GROUP BY doc_id),
+         |dc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_grams
+         |  FROM ds GROUP BY doc_id),
+         |tp AS (SELECT doc_id, unnest(tk) AS tok,
+         |    CAST(generate_subscripts(tk, 1) AS BIGINT) AS t FROM base),
+         |cl AS (SELECT tp.doc_id,
+         |    string_agg(tok, ' ' ORDER BY tp.t) AS clean_text
+         |  FROM tp LEFT JOIN cov ON cov.doc_id = tp.doc_id AND cov.t = tp.t
+         |  WHERE cov.t IS NULL GROUP BY tp.doc_id)
+         |SELECT b.doc_id, b.n AS n_tokens,
+         |  COALESCE(dc.n_dup_grams, 0) AS n_dup_grams,
+         |  COALESCE(sp.n_covered, 0) AS n_covered,
+         |  COALESCE(sp.n_spans, 0) AS n_spans,
+         |  COALESCE(cl.clean_text, '') AS clean_text
+         |FROM base b
+         |LEFT JOIN dc USING (doc_id)
+         |LEFT JOIN sp USING (doc_id)
+         |LEFT JOIN cl ON cl.doc_id = b.doc_id
+         |ORDER BY b.doc_id""".stripMargin
   )
 }
