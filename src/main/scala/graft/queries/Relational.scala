@@ -785,6 +785,37 @@ object Relational {
           sumExact(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
             .as("revenue"))
         .orderBy(col("mon"))
+    }),
+
+    // RUNTIME BLOOM-FILTER pushdown (Spark's InjectRuntimeFilter) — q39
+    // prunes PARTITIONS a filtered dim can't reach; this prunes ROWS: in a
+    // fact-fact shuffle join where one side carries a selective predicate,
+    // Catalyst builds a bloom filter from the filtered side's join keys
+    // and applies `might_contain` BELOW the other side's Exchange, so
+    // non-qualifying rows die before they are hashed, serialized and
+    // shuffled — at 100 TB that is the difference between shuffling 2%
+    // and 100% of lineitem. The query runs on a CHILD SESSION
+    // (`newSession`: same SparkContext + data, isolated SQLConf) so the
+    // conf that stages the demonstration — broadcast off to force the
+    // shuffle join, the application-side size floor dropped to admit the
+    // test-scale table — never leaks into other registered queries'
+    // plans. PlanAuditSpec asserts `might_contain` on THIS registered
+    // query; the oracle checks the filter is semantically invisible.
+    "q40_bloom_filter_join" -> ((s, dir) => {
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      s2.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      t(s2, dir, "lineitem")
+        .join(t(s2, dir, "orders")
+          .filter(col("o_orderpriority") === "1-URGENT"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"),
+          sumExact(col("l_quantity")).as("sum_qty"),
+          countDistinct(col("o_orderkey")).as("n_orders"))
+        .orderBy(col("o_orderpriority"))
     })
   )
 
@@ -1308,6 +1339,16 @@ object Relational {
         |    AS DECIMAL(18,6))) AS DOUBLE) AS revenue
         |FROM lineitem l
         |JOIN m ON CAST(date_trunc('month', l.l_shipdate) AS DATE) = m.mon
-        |GROUP BY m.mon ORDER BY m.mon""".stripMargin
+        |GROUP BY m.mon ORDER BY m.mon""".stripMargin,
+
+    // the bloom filter must be semantically invisible: plain join + agg
+    "q40_bloom_filter_join" ->
+      """SELECT o_orderpriority,
+        |  COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+        |  COUNT(DISTINCT o_orderkey) AS n_orders
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
   )
 }

@@ -201,6 +201,22 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q40: the registered bloom-filter query carries might_contain below the fact exchange") {
+    // q40 stages the conf on a child session internally; this audits the
+    // REGISTERED query exactly as the driver runs it.
+    val p = planString(q("q40_bloom_filter_join"))
+    assert(p.contains("might_contain"),
+      s"no bloom filter injected on the registered q40:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+      s"q40 is not a shuffle join — the demonstration premise broke:\n$p")
+  }
+
+  test("q40's child-session conf does not leak into the parent session") {
+    q("q40_bloom_filter_join").queryExecution.executedPlan
+    assert(spark.conf.get("spark.sql.autoBroadcastJoinThreshold") != "-1",
+      "q40 mutated the shared session's broadcast threshold")
+  }
+
   test("q39: dim filter dynamically prunes the partitioned fact scan") {
     // The registered query joins a month-partitioned lineitem store to a
     // filtered dim; the fact scan must carry a dynamicpruningexpression
