@@ -292,6 +292,44 @@ object Multimodal {
     }
   }
 
+  /** One resampled audio clip: exact integer aggregates over the
+    * rate-converted PCM (any float is derived downstream). */
+  case class ResampledAudio(media_id: Long, src_rate: Long, dst_rate: Long,
+      n_in: Long, n_out: Long, sum_val: Long, sum_sq: Long, peak: Long)
+
+  /** AUDIO RESAMPLING through the real WAV parser — the audio analogue of
+    * [[imageThumbnails]] (decode → RATE-CONVERT → features): each clip is
+    * nearest-neighbour-resampled from its container's fmt-chunk rate to
+    * `dstRate`: output sample j takes source sample ⌊j·srcRate/dstRate⌋,
+    * output length ⌊n·dstRate/srcRate⌋ — all-integer index arithmetic, so
+    * the oracle replays the mapping and the signed-i16 sample formula
+    * without parsing a byte. Scale shape: mapPartitions over payloads;
+    * each clip reduces to one 8-long feature row regardless of duration. */
+  def resampleAudio(media: Dataset[Container], dstRate: Int): Dataset[ResampledAudio] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { c =>
+        val b = c.payload
+        if (b.length >= 4 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
+            b(3) == 'F') {
+          val audio = MediaCodecs.Wav.parse(b)
+          val n = audio.samples.length
+          val nOut = (n.toLong * dstRate / audio.sampleRate).toInt
+          var sum = 0L; var sq = 0L; var peak = 0L
+          var j = 0
+          while (j < nOut) {
+            val s = audio.samples((j.toLong * audio.sampleRate / dstRate).toInt)
+            sum += s; sq += s.toLong * s
+            peak = math.max(peak, math.abs(s.toLong))
+            j += 1
+          }
+          Some(ResampledAudio(c.media_id, audio.sampleRate.toLong,
+            dstRate.toLong, n.toLong, nOut.toLong, sum, sq, peak))
+        } else None
+      }
+    }
+  }
+
   /** Average-hash of one decoded image: 64 bits packed as two 32-bit
     * halves (bit 63 of one word would wrap signed in SQL engines). */
   case class AHash(media_id: Long, lo: Long, hi: Long)

@@ -344,6 +344,48 @@ object GasStoreQueries {
     spark.read.parquet(path)
   }
 
+  /** gs16's sink: streaming per-window TOP-K — the "worst readings this
+    * hour" dashboard tile, and the proof the engine's typed
+    * [[graft.functions.TopKAggregator]] is a first-class STREAMING
+    * aggregate: the same partial top-k buffers that merge map-side in
+    * batch (v01) merge in the state store across micro-batches here, so
+    * state per (window, field) is K (ts, value) structs — never the
+    * window's points — and the append-mode watermark contract (window
+    * end ≤ max event time − 30 min) is gs07's, replayed explicitly by
+    * the oracle. Ranking is (value DESC, ts ASC) — the aggregator's
+    * (sim DESC, c_id ASC) order with c_id = event-time micros — so the
+    * emitted top-3 is deterministic and hash-comparable. */
+  private val builtTopK = new java.util.WeakHashMap[SparkSession, String]()
+  private def streamTopK(spark: SparkSession): DataFrame = {
+    val path = builtTopK.synchronized {
+      Option(builtTopK.get(spark)).getOrElse {
+        val work = Files.createTempDirectory("graft-gas-topk")
+        deleteOnExit(work)
+        val long = graft.store.LongStore.unpivot(
+          graft.transform.GasTransform(
+            graft.streaming.GasStream.readStream(spark, fixtureDir))
+            .withColumnRenamed("file_name", "_src")).drop("_src")
+          .filter(col("_field").isin("CO (ppm)", "Temperature (C)"))
+        val topk = udaf(new graft.functions.TopKAggregator(3))
+        long.withWatermark("_time", "30 minutes")
+          .groupBy(window(col("_time"), "1 hour"), col("_field"))
+          .agg(topk(unix_micros(col("_time")), col("_value")).as("top"))
+          .select(col("window.start").as("_bucket"), col("_field"), col("top"))
+          .writeStream
+          .format("parquet")
+          .option("path", s"$work/out")
+          .option("checkpointLocation", s"$work/ckpt")
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+          .awaitTermination()
+        builtTopK.put(spark, s"$work/out")
+        s"$work/out"
+      }
+    }
+    spark.read.parquet(path)
+  }
+
   /** gs11's sink: STREAM-STATIC enrichment join — every point of the live
     * long stream picks up its field's metadata (kind/unit/scale) from a
     * static dimension by broadcast join, the canonical "enrich the stream
@@ -534,6 +576,17 @@ object GasStoreQueries {
         .select(col("_field"), col("ts_us"), col("value"), col("sp"),
           col("sn"), col("alarm"))
         .orderBy(col("_field"), col("ts_us"))),
+
+    // streaming per-window top-3 readings (typed TopKAggregator as the
+    // window aggregate), watermark-sealed windows only
+    "gs16_stream_window_topk" -> ((s, _) =>
+      streamTopK(s)
+        .select(unix_micros(col("_bucket")).as("b_us"), col("_field"),
+          posexplode(col("top")).as(Seq("i", "t")))
+        .select(col("b_us"), col("_field"),
+          (col("i") + 1).cast("long").as("rnk"),
+          col("t.c_id").as("ts_us"), col("t.sim").as("value"))
+        .orderBy(col("b_us"), col("_field"), col("rnk"))),
 
     // closed streaming sessions (built-in session_window), watermark-
     // withheld tail replayed by the oracle; sessions genuinely span the
@@ -808,6 +861,30 @@ object GasStoreQueries {
          |    AS DOUBLE) AS total_scaled
          |FROM u JOIN dim USING (_field)
          |GROUP BY kind, unit ORDER BY kind, unit""".stripMargin,
+
+    // per-(hour, field) top-3 by (value DESC, ts ASC) — the aggregator's
+    // (sim DESC, c_id ASC) order — with gs07's watermark cutoff replayed
+    "gs16_stream_window_topk" ->
+      s"""$prelude,
+         |pts AS (
+         |  SELECT _time, 'CO (ppm)' AS _field, "CO (ppm)" AS _value,
+         |    date_trunc('hour', _time) AS ws
+         |  FROM raw
+         |  UNION ALL
+         |  SELECT _time, 'Temperature (C)', "Temperature (C)",
+         |    date_trunc('hour', _time)
+         |  FROM raw),
+         |mx AS (SELECT MAX(_time) AS mx FROM pts),
+         |r AS (
+         |  SELECT ws, _field, epoch_us(_time) AS ts_us, _value,
+         |    ROW_NUMBER() OVER (PARTITION BY ws, _field
+         |      ORDER BY _value DESC, _time) AS rnk
+         |  FROM pts)
+         |SELECT epoch_us(ws) AS b_us, _field, CAST(rnk AS BIGINT) AS rnk,
+         |  ts_us, _value AS value
+         |FROM r, mx
+         |WHERE rnk <= 3 AND ws + INTERVAL 1 HOUR <= mx - INTERVAL 30 MINUTE
+         |ORDER BY b_us, _field, rnk""".stripMargin,
 
     "gs07_stream_sliding_mean" ->
       s"""$prelude,

@@ -131,6 +131,23 @@ object MultimodalQueries {
         .toDF()
         .orderBy(col("media_id"))),
 
+    // AUDIO RESAMPLING through the real WAV parser: each clip rate-
+    // converts 16 kHz → 6 kHz by nearest-neighbour index mapping
+    // (⌊j·src/dst⌋ — deliberately a non-integer ratio so the mapping
+    // exercises the floor arithmetic, not just stride-2 decimation) and
+    // reduces to exact integer features; rms is the only float, one
+    // shared division+sqrt tree. The oracle replays the index mapping and
+    // the signed-i16 sample formula arithmetically.
+    "mm09_audio_resample" -> ((s, dir) =>
+      Multimodal.resampleAudio(
+          Multimodal.syntheticContainers(fanout(Tables.table(s, dir, "documents"))
+            .filter(col("doc_id") % 2 === 1)),
+          dstRate = 6000)
+        .toDF()
+        .withColumn("rms",
+          round(sqrt(col("sum_sq").cast("double") / col("n_out").cast("double")), 6))
+        .orderBy(col("media_id"))),
+
     // PERCEPTUAL-HASH IMAGE DEDUP — the multimodal leg of the dedup
     // family (tx01 exact, tx05 MinHash, tx08 SimHash, v16 semantic):
     // real BMPs decode to a 64-bit aHash (8×8 strict-above-mean grid,
@@ -349,6 +366,31 @@ object MultimodalQueries {
         |  CAST(list_sum(list_transform(range(0, w*h*3),
         |    j -> (media_id*37 + j*11) % 256)) AS DOUBLE) / (w*h*3) AS mean_val
         |FROM m ORDER BY media_id""".stripMargin,
+
+    // replay of mm09: WAV m has n = 32 + m%64 samples of
+    // (m*131 + i*17) mod 65536 as signed i16; resampled index map
+    // src = 8j//3, n_out = 3n//8
+    "mm09_audio_resample" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id, 32 + doc_id % 64 AS n
+        |  FROM documents WHERE doc_id % 2 = 1),
+        |o AS (SELECT media_id, n, 3 * n // 8 AS n_out FROM m),
+        |s AS (
+        |  SELECT media_id, n, n_out,
+        |    (media_id * 131 + (8 * j // 3) * 17) % 65536 AS u
+        |  FROM (SELECT media_id, n, n_out, unnest(range(n_out)) AS j FROM o)),
+        |v AS (SELECT media_id, n, n_out,
+        |        CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS v
+        |      FROM s)
+        |SELECT media_id,
+        |  CAST(16000 AS BIGINT) AS src_rate, CAST(6000 AS BIGINT) AS dst_rate,
+        |  CAST(n AS BIGINT) AS n_in, CAST(n_out AS BIGINT) AS n_out,
+        |  CAST(SUM(v) AS BIGINT) AS sum_val,
+        |  CAST(SUM(v * v) AS BIGINT) AS sum_sq,
+        |  CAST(MAX(abs(v)) AS BIGINT) AS peak,
+        |  ROUND(sqrt(CAST(SUM(v * v) AS DOUBLE) / CAST(n_out AS DOUBLE)), 6)
+        |    AS rms
+        |FROM v GROUP BY media_id, n, n_out ORDER BY media_id""".stripMargin,
 
     // arithmetic replay of the whole aHash dedup: sampled pixel p of image
     // m has source channels j = 3·(32·(p/8) + 2·(p%8)) + c, value

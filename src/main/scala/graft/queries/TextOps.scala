@@ -757,6 +757,40 @@ object TextOps {
         .na.fill(0L, Seq("n_dup_grams", "n_covered", "n_spans"))
         .withColumn("clean_text", coalesce(col("clean_text"), lit("")))
         .orderBy(col("doc_id"))
+    }),
+
+    // N-GRAM NOVELTY scoring — the "information gain" dedup diagnostic
+    // (what does doc d add that the corpus BEFORE it didn't have?): every
+    // 3-gram occurrence is novel iff d is the LOWEST doc_id anywhere in
+    // the corpus containing that gram — i.e. dedup-ordered first
+    // ownership, the per-doc contribution curve curriculum/mixing
+    // decisions read. A doc whose novelty falls below 0.3 is flagged as
+    // derivative (most of its content exists earlier in the corpus).
+    // Scale shape: the gram stream is linear in corpus tokens; first
+    // ownership is ONE min-aggregate keyed on the gram hash; attaching it
+    // back is the same hash-keyed shuffle — no pairwise stage at all
+    // (novelty needs no pair enumeration, unlike tx05/tx08).
+    "tx27_ngram_novelty" -> ((s, dir) => {
+      val k = 3
+      val grams = fanout(docs(s, dir))
+        .selectExpr("doc_id", s"$tokExpr AS tk")
+        .filter(expr(s"size(tk) >= $k"))
+        .select(col("doc_id"), explode(expr(
+          s"""transform(sequence(1, cast(size(tk) - ${k - 1} as int)),
+             |  i -> concat_ws(' ', slice(tk, i, $k)))""".stripMargin))
+          .as("gram"))
+        .select(col("doc_id"), md5(col("gram").cast("binary")).as("h"))
+      val firstDoc = grams.groupBy(col("h"))
+        .agg(min(col("doc_id")).as("first_doc"))
+      grams.join(firstDoc, Seq("h"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+            .as("n_novel"))
+        .withColumn("novelty",
+          round(col("n_novel").cast("double") / col("n_grams").cast("double"), 6))
+        .withColumn("derivative", col("novelty") < 0.3)
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -1242,6 +1276,27 @@ object TextOps {
          |LEFT JOIN dc USING (doc_id)
          |LEFT JOIN sp USING (doc_id)
          |LEFT JOIN cl ON cl.doc_id = b.doc_id
-         |ORDER BY b.doc_id""".stripMargin
+         |ORDER BY b.doc_id""".stripMargin,
+
+    // same 3-gram stream; first ownership = min doc_id per gram hash
+    "tx27_ngram_novelty" ->
+      s"""WITH tk AS (SELECT doc_id, $dTok AS tk FROM documents),
+         |g AS (
+         |  SELECT doc_id, md5(array_to_string(tk[i : i + 2], ' ')) AS h
+         |  FROM (SELECT doc_id, tk,
+         |          unnest(generate_series(1, len(tk) - 2)) AS i
+         |        FROM tk WHERE len(tk) >= 3)),
+         |fd AS (SELECT h, MIN(doc_id) AS first_doc FROM g GROUP BY h),
+         |a AS (
+         |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+         |    CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_novel
+         |  FROM g JOIN fd USING (h) GROUP BY doc_id)
+         |SELECT doc_id, n_grams, n_novel,
+         |  ROUND(CAST(n_novel AS DOUBLE) / CAST(n_grams AS DOUBLE), 6)
+         |    AS novelty,
+         |  ROUND(CAST(n_novel AS DOUBLE) / CAST(n_grams AS DOUBLE), 6) < 0.3
+         |    AS derivative
+         |FROM a ORDER BY doc_id""".stripMargin
   )
 }

@@ -670,6 +670,39 @@ object VectorOps {
         .filter(col("rnk") <= 5)
         .select(col("q_id"), col("rnk"), col("c_id"), col("sim"))
         .orderBy(col("q_id"), col("rnk"))
+    }),
+
+    // FILTERED vector search — the metadata-predicate + ANN combination
+    // every production vector store must get right (tenant / language /
+    // permission filters): each query retrieves top-5 ONLY among corpus
+    // vectors sharing its label. The filter is PRE-applied — it replaces
+    // v01's crossJoin with an equi-join on the label key — not
+    // post-applied to an unfiltered top-k, which silently returns < k
+    // results when the filter is selective (the classic post-filter
+    // correctness bug; here k is guaranteed wherever the stratum has ≥ k
+    // members). Scale shape: the label join means each corpus row is
+    // scored only against its stratum's queries — selectivity CUTS work
+    // instead of wasting it — and the per-query top-k rides the same
+    // partial TopKAggregator as v01 (shuffle carries
+    // O(queries × partitions × k), never candidates).
+    "v18_filtered_topk" -> ((s, dir) => {
+      graft.functions.VectorFunctions.register(s)
+      val e = emb(s, dir)
+      val qs = e.filter(expr("vec_id % 100 = 0"))
+        .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+          col("emb").as("qe"), col("norm").as("qn"))
+      val topk = udaf(new graft.functions.TopKAggregator(5))
+      fanout(e)
+        .join(broadcast(qs), col("label") === col("q_label"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("sim",
+          round(expr("graft_dot(qe, emb)") / (col("qn") * col("norm")), 6))
+        .groupBy(col("q_id"))
+        .agg(topk(col("vec_id"), col("sim")).as("top"))
+        .select(col("q_id"), posexplode(col("top")).as(Seq("i", "s")))
+        .select(col("q_id"), (col("i") + 1).cast("long").as("rnk"),
+          col("s.c_id").as("c_id"), col("s.sim").as("sim"))
+        .orderBy(col("q_id"), col("rnk"))
     })
   )
 
@@ -1524,7 +1557,27 @@ object VectorOps {
         |SELECT q_id, CAST(rnk AS BIGINT) AS rnk, c_id, sim FROM (
         |  SELECT q_id, c_id, sim, ROW_NUMBER() OVER (PARTITION BY q_id
         |    ORDER BY sim DESC, c_id) AS rnk FROM rr)
-        |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
+        |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
+
+    // label-constrained exact top-5: the same v01 ranking inside each
+    // query's label stratum
+    "v18_filtered_topk" ->
+      """WITH e AS (
+        |  SELECT vec_id, label, embedding::DOUBLE[] AS emb,
+        |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, label AS q_label, emb AS qe, norm AS qn
+        |      FROM e WHERE vec_id % 100 = 0),
+        |p AS (
+        |  SELECT q_id, vec_id,
+        |    ROUND(list_dot_product(qe, emb) / (qn * norm), 6) AS sim
+        |  FROM e JOIN q ON e.label = q.q_label AND e.vec_id <> q.q_id),
+        |r AS (
+        |  SELECT q_id, vec_id, sim,
+        |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rnk
+        |  FROM p)
+        |SELECT q_id, CAST(rnk AS BIGINT) AS rnk, vec_id AS c_id, sim
+        |FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
   )
 
   /** Shared DuckDB replay of the v15/v16 k-means: seeds (vec_id < 8) →
