@@ -637,39 +637,28 @@ object VectorOps {
     // the per-query top-C partial aggregate and the broadcast rerank.
     "v17_binary_topk" -> ((s, dir) => {
       graft.functions.VectorFunctions.register(s)
+      binaryTopK(emb(s, dir)).orderBy(col("q_id"), col("rnk"))
+    }),
+
+    // binary-quantization quality measurement, symmetric to v04 (LSH) and
+    // v06 (IVF): fraction of the exact brute-force top-5 (v01's ground
+    // truth) the sign-bit path recovers, with its cost column (n_cand =
+    // 30 candidates/query exact-scored — the rerank budget dial). This
+    // completes the recall row of the five-pillar ANN matrix.
+    "v19_binary_recall" -> ((s, dir) => {
+      graft.functions.VectorFunctions.register(s)
       val e = emb(s, dir)
-      val packLo =
-        "aggregate(transform(slice(emb, 1, 32), (x, i) -> " +
-          "IF(x > 0D, shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT))), " +
-          "CAST(0 AS BIGINT), (acc, b) -> acc + b)"
-      val packHi =
-        "aggregate(transform(slice(emb, 33, 32), (x, i) -> " +
-          "IF(x > 0D, shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT))), " +
-          "CAST(0 AS BIGINT), (acc, b) -> acc + b)"
-      val coded = e.select(col("vec_id"), col("emb"), col("norm"),
-        expr(packLo).as("lo"), expr(packHi).as("hi"))
-      val qs = coded.filter(expr("vec_id % 100 = 0"))
+      val qs = e.filter(expr("vec_id % 100 = 0"))
         .select(col("vec_id").as("q_id"), col("emb").as("qe"),
-          col("norm").as("qn"), col("lo").as("qlo"), col("hi").as("qhi"))
-      val topC = udaf(new graft.functions.TopKAggregator(30))
-      val cand = fanout(coded.select(col("vec_id"), col("lo"), col("hi")))
-        .crossJoin(broadcast(qs.select(col("q_id"), col("qlo"), col("qhi"))))
-        .filter(col("vec_id") =!= col("q_id"))
-        .withColumn("ham",
-          expr("bit_count(lo ^ qlo) + bit_count(hi ^ qhi)"))
-        .withColumn("hsim", (lit(64) - col("ham")).cast("double") / lit(64.0))
-        .groupBy(col("q_id"))
-        .agg(topC(col("vec_id"), col("hsim")).as("top"))
-        .select(col("q_id"), explode(expr("transform(top, s -> s.c_id)")).as("c_id"))
-      val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id"))
-      e.join(broadcast(cand), col("vec_id") === col("c_id"))
-        .join(broadcast(qs.select(col("q_id"), col("qe"), col("qn"))), Seq("q_id"))
-        .withColumn("sim",
-          round(expr("graft_dot(qe, emb)") / (col("qn") * col("norm")), 6))
-        .withColumn("rnk", row_number().over(w).cast("long"))
-        .filter(col("rnk") <= 5)
-        .select(col("q_id"), col("rnk"), col("c_id"), col("sim"))
-        .orderBy(col("q_id"), col("rnk"))
+          col("norm").as("qn"))
+      val exact = cosineTopK(e, qs, 5).select(col("q_id"), col("c_id"))
+      val approx = binaryTopK(e).select(col("q_id"), col("c_id"))
+      val hit = approx.join(exact, Seq("q_id", "c_id"), "left_semi")
+      exact.agg(count(lit(1)).as("n_exact"))
+        .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+        .crossJoin(qs.agg((count(lit(1)) * 30).as("n_cand")))
+        .withColumn("recall_at_5",
+          round(col("n_hit").cast("double") / col("n_exact"), 6))
     }),
 
     // FILTERED vector search — the metadata-predicate + ANN combination
@@ -705,6 +694,43 @@ object VectorOps {
         .orderBy(col("q_id"), col("rnk"))
     })
   )
+
+  /** v17's binary-quantization pipeline (sign-bit pack → XOR/popcount
+    * Hamming top-30 → exact rerank top-5) over `e`, shared with the v19
+    * recall measurement. Queries are the vec_id % 100 = 0 sample. */
+  private def binaryTopK(e: DataFrame): DataFrame = {
+    val packLo =
+      "aggregate(transform(slice(emb, 1, 32), (x, i) -> " +
+        "IF(x > 0D, shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT))), " +
+        "CAST(0 AS BIGINT), (acc, b) -> acc + b)"
+    val packHi =
+      "aggregate(transform(slice(emb, 33, 32), (x, i) -> " +
+        "IF(x > 0D, shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT))), " +
+        "CAST(0 AS BIGINT), (acc, b) -> acc + b)"
+    val coded = e.select(col("vec_id"), col("emb"), col("norm"),
+      expr(packLo).as("lo"), expr(packHi).as("hi"))
+    val qs = coded.filter(expr("vec_id % 100 = 0"))
+      .select(col("vec_id").as("q_id"), col("emb").as("qe"),
+        col("norm").as("qn"), col("lo").as("qlo"), col("hi").as("qhi"))
+    val topC = udaf(new graft.functions.TopKAggregator(30))
+    val cand = fanout(coded.select(col("vec_id"), col("lo"), col("hi")))
+      .crossJoin(broadcast(qs.select(col("q_id"), col("qlo"), col("qhi"))))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("ham",
+        expr("bit_count(lo ^ qlo) + bit_count(hi ^ qhi)"))
+      .withColumn("hsim", (lit(64) - col("ham")).cast("double") / lit(64.0))
+      .groupBy(col("q_id"))
+      .agg(topC(col("vec_id"), col("hsim")).as("top"))
+      .select(col("q_id"), explode(expr("transform(top, s -> s.c_id)")).as("c_id"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id"))
+    e.join(broadcast(cand), col("vec_id") === col("c_id"))
+      .join(broadcast(qs.select(col("q_id"), col("qe"), col("qn"))), Seq("q_id"))
+      .withColumn("sim",
+        round(expr("graft_dot(qe, emb)") / (col("qn") * col("norm")), 6))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 5)
+      .select(col("q_id"), col("rnk"), col("c_id"), col("sim"))
+  }
 
   /** One Lloyd iteration: assign every vector to its nearest centroid
     * (max-struct aggregate — map-side combinable, no window), then replace
@@ -1558,6 +1584,61 @@ object VectorOps {
         |  SELECT q_id, c_id, sim, ROW_NUMBER() OVER (PARTITION BY q_id
         |    ORDER BY sim DESC, c_id) AS rnk FROM rr)
         |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
+
+    // recall of the v17 pipeline against v01's exact ground truth
+    "v19_binary_recall" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS emb,
+        |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, emb AS qe, norm AS qn FROM e
+        |      WHERE vec_id % 100 = 0),
+        |px AS (
+        |  SELECT q_id, vec_id,
+        |    ROUND(list_dot_product(qe, emb) / (qn * norm), 6) AS sim
+        |  FROM e, q WHERE vec_id <> q_id),
+        |ex AS (
+        |  SELECT q_id, vec_id AS c_id FROM (
+        |    SELECT q_id, vec_id, ROW_NUMBER() OVER (PARTITION BY q_id
+        |      ORDER BY sim DESC, vec_id) AS rnk FROM px)
+        |  WHERE rnk <= 5),
+        |bits AS (
+        |  SELECT vec_id, unnest(embedding::DOUBLE[]) AS x,
+        |    generate_subscripts(embedding, 1) AS i
+        |  FROM embeddings),
+        |codes AS (
+        |  SELECT vec_id,
+        |    SUM(CASE WHEN x > 0 AND i <= 32
+        |        THEN (1::BIGINT << CAST(i - 1 AS INT)) ELSE 0 END)::BIGINT AS lo,
+        |    SUM(CASE WHEN x > 0 AND i > 32
+        |        THEN (1::BIGINT << CAST(i - 33 AS INT)) ELSE 0 END)::BIGINT AS hi
+        |  FROM bits GROUP BY vec_id),
+        |qc AS (SELECT c.vec_id AS q_id, c.lo AS qlo, c.hi AS qhi
+        |       FROM codes c WHERE c.vec_id % 100 = 0),
+        |cand AS (
+        |  SELECT q_id, c.vec_id AS c_id,
+        |    (64 - (bit_count(xor(c.lo, qlo)) + bit_count(xor(c.hi, qhi))))
+        |      / 64.0 AS hsim
+        |  FROM codes c, qc WHERE c.vec_id <> q_id),
+        |top30 AS (
+        |  SELECT q_id, c_id FROM (
+        |    SELECT q_id, c_id, ROW_NUMBER() OVER (PARTITION BY q_id
+        |      ORDER BY hsim DESC, c_id) AS r FROM cand)
+        |  WHERE r <= 30),
+        |rr AS (
+        |  SELECT t.q_id, t.c_id,
+        |    round(list_dot_product(qq.qe, c.emb) / (qq.qn * c.norm), 6) AS sim
+        |  FROM top30 t JOIN q qq ON qq.q_id = t.q_id JOIN e c ON c.vec_id = t.c_id),
+        |b5 AS (
+        |  SELECT q_id, c_id FROM (
+        |    SELECT q_id, c_id, ROW_NUMBER() OVER (PARTITION BY q_id
+        |      ORDER BY sim DESC, c_id) AS rnk FROM rr)
+        |  WHERE rnk <= 5)
+        |SELECT (SELECT COUNT(*) FROM ex) AS n_exact,
+        |  (SELECT COUNT(*) FROM b5 SEMI JOIN ex USING (q_id, c_id)) AS n_hit,
+        |  (SELECT COUNT(*) * 30 FROM q) AS n_cand,
+        |  ROUND((SELECT COUNT(*) FROM b5 SEMI JOIN ex USING (q_id, c_id))
+        |    / CAST((SELECT COUNT(*) FROM ex) AS DOUBLE), 6) AS recall_at_5""".stripMargin,
 
     // label-constrained exact top-5: the same v01 ranking inside each
     // query's label stratum
