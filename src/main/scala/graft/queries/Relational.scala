@@ -826,6 +826,33 @@ object Relational {
           sumExact(col("l_quantity")).as("sum_qty"),
           countDistinct(col("o_orderkey")).as("n_orders"))
         .orderBy(col("o_orderpriority"))
+    }),
+
+    // PARQUET AGGREGATE PUSHDOWN — the scan eliminator for metadata-shaped
+    // queries: COUNT/MIN/MAX over a parquet table are already materialized
+    // in every row-group footer, so the DSv2 scan answers them from
+    // statistics without decoding a single data page — at 100 TB, a
+    // full-table MIN/MAX/COUNT becomes a footer walk (thousands of ~8 KB
+    // reads) instead of a 100 TB scan. Spark gates this behind the V2
+    // parquet path + `parquet.aggregatePushdown`; both are staged on a
+    // child session (q40's isolation discipline). No filters, no
+    // grouping — exactly the shape the footer stats can answer (a WHERE
+    // or GROUP BY would fall back to a normal scan, which is why this
+    // query has neither), and numeric/integral columns only: one
+    // timestamp MIN/MAX in the list disables pushdown for the WHOLE
+    // aggregate (observed: `PushedAggregation: []`), so the shipdate
+    // bounds live in other queries. PlanAuditSpec asserts
+    // `PushedAggregation` in the scan; the oracle pins the numbers.
+    "q41_agg_pushdown" -> ((s, dir) => {
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.sources.useV1SourceList", "")
+      s2.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+      s2.read.parquet(s"$dir/lineitem.parquet")
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("l_quantity")).as("min_qty"),
+          max(col("l_quantity")).as("max_qty"),
+          min(col("l_orderkey")).as("min_key"),
+          max(col("l_orderkey")).as("max_key"))
     })
   )
 
@@ -1359,6 +1386,13 @@ object Relational {
         |  COUNT(DISTINCT o_orderkey) AS n_orders
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_orderpriority = '1-URGENT'
-        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    // footer statistics must agree with the data they summarize
+    "q41_agg_pushdown" ->
+      """SELECT COUNT(*) AS n_rows,
+        |  MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty,
+        |  MIN(l_orderkey) AS min_key, MAX(l_orderkey) AS max_key
+        |FROM lineitem""".stripMargin
   )
 }

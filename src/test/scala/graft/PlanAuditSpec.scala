@@ -217,6 +217,13 @@ class PlanAuditSpec extends SparkSpec {
       "q40 mutated the shared session's broadcast threshold")
   }
 
+  test("q41: COUNT/MIN/MAX answer from parquet footer statistics, not data pages") {
+    val p = planString(q("q41_agg_pushdown"))
+    assert(p.contains("PushedAggregation: [COUNT(*)") ||
+      p.contains("PushedAggregation: [MIN("),
+      s"aggregates not pushed to the parquet scan:\n$p")
+  }
+
   test("q39: dim filter dynamically prunes the partitioned fact scan") {
     // The registered query joins a month-partitioned lineitem store to a
     // filtered dim; the fact scan must carry a dynamicpruningexpression
