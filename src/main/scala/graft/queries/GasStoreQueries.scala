@@ -386,6 +386,39 @@ object GasStoreQueries {
     spark.read.parquet(path)
   }
 
+  /** gs17's sink: the STREAMING STATE-RUN HISTORY
+    * ([[graft.streaming.GasStream.stateRuns]]) — closed status-bucket
+    * intervals (SCD2-style validity rows) emitted as each series changes
+    * band, run end-to-end over the live long stream. The oracle replays
+    * gaps-and-islands over the raw CSVs and drops each series' final
+    * (still-open) island — the withheld-tail contract. */
+  private val builtRuns = new java.util.WeakHashMap[SparkSession, String]()
+  private def streamRuns(spark: SparkSession): DataFrame = {
+    val path = builtRuns.synchronized {
+      Option(builtRuns.get(spark)).getOrElse {
+        val work = Files.createTempDirectory("graft-gas-runs")
+        deleteOnExit(work)
+        val long = graft.store.LongStore.unpivot(
+          graft.transform.GasTransform(
+            graft.streaming.GasStream.readStream(spark, fixtureDir))
+            .withColumnRenamed("file_name", "_src")).drop("_src")
+          .filter(col("_field").isin("CO (ppm)", "Humidity (%r.h.)"))
+        graft.streaming.GasStream.stateRuns(long)
+          .writeStream
+          .format("parquet")
+          .option("path", s"$work/out")
+          .option("checkpointLocation", s"$work/ckpt")
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+          .awaitTermination()
+        builtRuns.put(spark, s"$work/out")
+        s"$work/out"
+      }
+    }
+    spark.read.parquet(path)
+  }
+
   /** gs11's sink: STREAM-STATIC enrichment join — every point of the live
     * long stream picks up its field's metadata (kind/unit/scale) from a
     * static dimension by broadcast join, the canonical "enrich the stream
@@ -576,6 +609,13 @@ object GasStoreQueries {
         .select(col("_field"), col("ts_us"), col("value"), col("sp"),
           col("sn"), col("alarm"))
         .orderBy(col("_field"), col("ts_us"))),
+
+    // closed streaming status runs (SCD2-style validity intervals)
+    "gs17_stream_state_runs" -> ((s, _) =>
+      streamRuns(s)
+        .select(col("_field"), col("status"), col("start_us"), col("end_us"),
+          col("n_points"))
+        .orderBy(col("_field"), col("start_us"))),
 
     // streaming per-window top-3 readings (typed TopKAggregator as the
     // window aggregate), watermark-sealed windows only
@@ -861,6 +901,34 @@ object GasStoreQueries {
          |    AS DOUBLE) AS total_scaled
          |FROM u JOIN dim USING (_field)
          |GROUP BY kind, unit ORDER BY kind, unit""".stripMargin,
+
+    // gaps-and-islands over the raw CSVs; each series' final island is
+    // still open in the stream and therefore dropped
+    "gs17_stream_state_runs" ->
+      s"""$prelude,
+         |pts AS (
+         |  SELECT 'CO (ppm)' AS _field, epoch_us(_time) AS ts_us,
+         |    CAST(floor("CO (ppm)" / 10.0) AS BIGINT) AS status
+         |  FROM raw
+         |  UNION ALL
+         |  SELECT 'Humidity (%r.h.)', epoch_us(_time),
+         |    CAST(floor("Humidity (%r.h.)" / 10.0) AS BIGINT)
+         |  FROM raw),
+         |r AS (
+         |  SELECT _field, ts_us, status,
+         |    ROW_NUMBER() OVER (PARTITION BY _field ORDER BY ts_us)
+         |    - ROW_NUMBER() OVER (PARTITION BY _field, status ORDER BY ts_us)
+         |      AS grp
+         |  FROM pts),
+         |g AS (
+         |  SELECT _field, status, MIN(ts_us) AS start_us, MAX(ts_us) AS end_us,
+         |    COUNT(*) AS n_points
+         |  FROM r GROUP BY _field, status, grp),
+         |mx AS (SELECT _field, MAX(start_us) AS mxs FROM g GROUP BY _field)
+         |SELECT g._field, g.status, g.start_us, g.end_us, g.n_points
+         |FROM g JOIN mx USING (_field)
+         |WHERE g.start_us <> mx.mxs
+         |ORDER BY g._field, g.start_us""".stripMargin,
 
     // per-(hour, field) top-3 by (value DESC, ts ASC) — the aggregator's
     // (sim DESC, c_id ASC) order — with gs07's watermark cutoff replayed

@@ -309,6 +309,60 @@ object GasStream {
       .toDF()
   }
 
+  /** Per-key run state: the currently-open status run (bucket, bounds,
+    * count) — the whole SCD2 "current row" in four longs. */
+  case class RunState(status: Long, startUs: Long, lastUs: Long, n: Long)
+
+  /** One CLOSED status run — a finished validity interval. */
+  case class ClosedRun(_field: String, status: Long, start_us: Long,
+      end_us: Long, n_points: Long)
+
+  /** Streaming STATE-RUN HISTORY — the streaming twin of ts17's
+    * gaps-and-islands state durations, and the SCD2 shape of gs12's SCD1
+    * upsert: each series tracks its current status bucket
+    * (⌊value/10⌋ — the "which alert band is this sensor in" quantizer);
+    * when a point lands in a DIFFERENT bucket, the open run closes and is
+    * EMITTED as a finished validity interval (status, start, end,
+    * n_points), and a new run opens. State is one 4-long run per series —
+    * the streaming history table costs O(|series|) memory however long
+    * the stream runs. The final still-open run is withheld by
+    * construction (nothing ever closes it), which the oracle replays by
+    * dropping each series' last island. Ordering semantics are
+    * emaStream's: event-time order within a batch, monotone guard across
+    * batches (stale stragglers drop — a closed interval is immutable
+    * history). */
+  def stateRuns(long: DataFrame): DataFrame = {
+    import long.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    long.select(col("_field"), col("_time"), col("_value"))
+      .as[(String, java.sql.Timestamp, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[RunState, ClosedRun](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (field: String, rows: Iterator[(String, java.sql.Timestamp, Double)],
+            state: GroupState[RunState]) =>
+          def micros(t: java.sql.Timestamp): Long =
+            Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+          var st = state.getOption.orNull
+          val out = Seq.newBuilder[ClosedRun]
+          rows.toSeq.sortBy(r => micros(r._2)).foreach { case (_, t, v) =>
+            val us = micros(t)
+            val b = math.floor(v / 10.0).toLong
+            if (st == null) st = RunState(b, us, us, 1L)
+            else if (us >= st.lastUs) {
+              if (b == st.status) st = st.copy(lastUs = us, n = st.n + 1)
+              else {
+                out += ClosedRun(field, st.status, st.startUs, st.lastUs, st.n)
+                st = RunState(b, us, us, 1L)
+              }
+            }
+          }
+          if (st != null) state.update(st)
+          out.result().iterator
+      }
+      .toDF()
+  }
+
   /** foreachBatch INCREMENTAL UPSERT — the streaming MERGE/SCD1 sink
     * ("keep the latest reading per key"): every micro-batch reduces to its
     * per-field argmax-by-time row, merges with the current keyed state

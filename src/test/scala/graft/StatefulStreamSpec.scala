@@ -252,6 +252,40 @@ class StatefulStreamSpec extends SparkSpec {
     assert(got.count(_._1 == "B") == 1 && got.find(_._1 == "B").get._4 == 7.0)
   }
 
+  test("state-run history closes a run opened in an EARLIER batch; open tail withheld") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val long = input.toDF().toDF("_time", "_field", "_value")
+    val q = GasStream.stateRuns(long)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("runs").start()
+
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // batch 1: two points in bucket 1 — run stays open across the boundary
+    input.addData(
+      (ts("2016-10-07 00:01:00"), "A", 12.0),
+      (ts("2016-10-07 00:02:00"), "A", 15.0))
+    q.processAllAvailable()
+    assert(spark.sql("SELECT * FROM runs").count() == 0,
+      "open run emitted before any status change")
+    // batch 2: bucket change closes it; then another change; tail open
+    input.addData(
+      (ts("2016-10-07 00:03:00"), "A", 27.0),  // closes bucket-1 run
+      (ts("2016-10-07 00:04:00"), "A", 31.0),  // closes bucket-2 run
+      (ts("2016-10-07 00:05:00"), "A", 33.0))  // open bucket-3 tail
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.sql(
+      "SELECT status, start_us, end_us, n_points FROM runs ORDER BY start_us")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    def us(s: String) = ts(s).getTime * 1000L
+    assert(got.toSeq == Seq(
+      (1L, us("2016-10-07 00:01:00"), us("2016-10-07 00:02:00"), 2L),
+      (2L, us("2016-10-07 00:03:00"), us("2016-10-07 00:03:00"), 1L)),
+      s"closed runs wrong: ${got.toSeq}")
+  }
+
   test("streaming CUSUM equals the batch kernel across batches, incl. alarm reset") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(java.sql.Timestamp, String, Double)]
