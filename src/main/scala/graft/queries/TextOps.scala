@@ -39,7 +39,11 @@ object TextOps {
     * seed 0..15 → 16× shingle rows → two groupBys) this shuffles 16× fewer
     * rows. The 4 band rows per doc are fanned out only AFTER aggregation,
     * where cardinality is |docs|, not |shingles|. */
-  private def bandSignatures(d: DataFrame, shingleWords: Int): DataFrame = {
+  /** 16-component MinHash signature per doc (sig0..sig15): min md5 over
+    * the doc's distinct `shingleWords`-token shingles, salted per
+    * component. Shared by the banding (tx05/tx11/…) and the estimator-
+    * accuracy measurement (tx28). */
+  private def minhashSigs(d: DataFrame, shingleWords: Int): DataFrame = {
     val parts = (0 until shingleWords)
       .map(o => if (o == 0) "element_at(tk, i)" else s"element_at(tk, i + $o)")
       .mkString(", ")
@@ -49,7 +53,11 @@ object TextOps {
         s"explode(array_distinct(transform(sequence(1, size(tk) - ${shingleWords - 1}), i -> concat_ws(' ', $parts)))) AS shingle")
     val minCols = (0 until 16).map(j =>
       min(expr(s"md5(cast(concat('$j', ':', shingle) as binary))")).as(s"sig$j"))
-    val sigs = shingles.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
+    shingles.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
+  }
+
+  private def bandSignatures(d: DataFrame, shingleWords: Int): DataFrame = {
+    val sigs = minhashSigs(d, shingleWords)
     // band b = md5('jj:sig_j | ...') over j = 4b..4b+3; the lpad'ed two-digit
     // j prefix makes lexicographic order == j order, so the concat below is
     // byte-identical to sort_array(collect_list(...)) in the old layout.
@@ -791,6 +799,45 @@ object TextOps {
           round(col("n_novel").cast("double") / col("n_grams").cast("double"), 6))
         .withColumn("derivative", col("novelty") < 0.3)
         .orderBy(col("doc_id"))
+    }),
+
+    // MINHASH ESTIMATOR ACCURACY — the sketch-quality verdict for the
+    // tx05/tx11 dedup family (the discipline q19/q25 set for HLL and
+    // t-digest): on tx06's deterministic pair sample, the per-pair
+    // MinHash estimate (matching components / 16 — an exact dyadic, no
+    // FP drift) sits next to the TRUE shingle Jaccard, with the absolute
+    // error as a column. This is what tells an operator whether 16
+    // components are enough before turning the banding dial on a new
+    // corpus. Scale shape: signatures are the same linear aggregates as
+    // tx05; the pair frame is the bounded diagnostic sample, never the
+    // corpus.
+    "tx28_minhash_accuracy" -> ((s, dir) => {
+      val sigArr = minhashSigs(fanout(docs(s, dir)), shingleWords = 3)
+        .select(col("doc_id"),
+          array((0 until 16).map(j => col(s"sig$j")): _*).as("sg"))
+      val sh = fanout(docs(s, dir))
+        .selectExpr("doc_id", s"$tokExpr AS tk")
+        .where(expr("size(tk) >= 3"))
+        .selectExpr("doc_id",
+          "array_distinct(transform(sequence(1, size(tk) - 2), i -> concat_ws(' ', element_at(tk, i), element_at(tk, i + 1), element_at(tk, i + 2)))) AS sh")
+      val withSig = sh.join(sigArr, Seq("doc_id"))
+      val a = withSig.filter(expr("doc_id % 37 = 0"))
+        .select(col("doc_id").as("doc_a"), col("sh").as("sh_a"), col("sg").as("sg_a"))
+      val b = withSig.filter(expr("doc_id % 41 = 0"))
+        .select(col("doc_id").as("doc_b"), col("sh").as("sh_b"), col("sg").as("sg_b"))
+      a.crossJoin(broadcast(b))
+        .filter(col("doc_a") < col("doc_b"))
+        .withColumn("n_match", expr(
+          "aggregate(zip_with(sg_a, sg_b, (x, y) -> IF(x = y, 1L, 0L)), 0L, (acc, v) -> acc + v)"))
+        .withColumn("est", col("n_match").cast("double") / lit(16.0))
+        .withColumn("n_inter", expr("size(array_intersect(sh_a, sh_b))").cast("long"))
+        .withColumn("n_union",
+          (expr("size(sh_a)") + expr("size(sh_b)")).cast("long") - col("n_inter"))
+        .withColumn("jaccard", round(col("n_inter").cast("double") / col("n_union"), 6))
+        .withColumn("abs_err", round(abs(col("est") - col("jaccard")), 6))
+        .select(col("doc_a"), col("doc_b"), col("n_match"), col("est"),
+          col("jaccard"), col("abs_err"))
+        .orderBy(col("doc_a"), col("doc_b"))
     })
   )
 
@@ -1297,6 +1344,42 @@ object TextOps {
          |    AS novelty,
          |  ROUND(CAST(n_novel AS DOUBLE) / CAST(n_grams AS DOUBLE), 6) < 0.3
          |    AS derivative
-         |FROM a ORDER BY doc_id""".stripMargin
+         |FROM a ORDER BY doc_id""".stripMargin,
+
+    // same 16 salted-md5 minhash components (tx05's hs CTE) compared
+    // position-wise; true Jaccard from tx06's shingle sets
+    "tx28_minhash_accuracy" ->
+      s"""WITH toks AS (SELECT doc_id, $dTok AS tk FROM documents),
+         |shl AS (
+         |  SELECT DISTINCT doc_id,
+         |    unnest(list_transform(range(1, len(tk) - 1), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS shingle
+         |  FROM toks WHERE len(tk) >= 3),
+         |hs AS (
+         |  SELECT doc_id, j, MIN(md5(j::VARCHAR || ':' || shingle)) AS sig
+         |  FROM shl, range(0, 16) t(j) GROUP BY doc_id, j),
+         |sg AS (SELECT doc_id, list(sig ORDER BY j) AS sg FROM hs GROUP BY doc_id),
+         |ss AS (
+         |  SELECT doc_id,
+         |    list_distinct(list_transform(range(1, len(tk) - 1), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
+         |  FROM toks WHERE len(tk) >= 3),
+         |p AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    CAST(len(list_filter(range(1, 17),
+         |      i -> sa.sg[CAST(i AS INT)] = sb.sg[CAST(i AS INT)])) AS BIGINT)
+         |      AS n_match,
+         |    len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS n_inter,
+         |    len(a.sh) + len(b.sh)
+         |      - len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS n_union
+         |  FROM ss a
+         |  JOIN ss b ON a.doc_id % 37 = 0 AND b.doc_id % 41 = 0
+         |    AND a.doc_id < b.doc_id
+         |  JOIN sg sa ON sa.doc_id = a.doc_id
+         |  JOIN sg sb ON sb.doc_id = b.doc_id)
+         |SELECT doc_a, doc_b, n_match,
+         |  CAST(n_match AS DOUBLE) / 16.0 AS est,
+         |  ROUND(CAST(n_inter AS DOUBLE) / n_union, 6) AS jaccard,
+         |  ROUND(abs(CAST(n_match AS DOUBLE) / 16.0
+         |    - ROUND(CAST(n_inter AS DOUBLE) / n_union, 6)), 6) AS abs_err
+         |FROM p ORDER BY doc_a, doc_b""".stripMargin
   )
 }
