@@ -960,6 +960,41 @@ object TimeSeries {
           max(col("ts_us")).as("t_last"),
           count(lit(1)).as("n"))
         .orderBy(col("event_type"), col("bucket"))
+    }),
+
+    // ALERT RULES with a FOR-duration (the Grafana/Prometheus alerting
+    // contract the reference's dashboards imply): "alert when value > 50
+    // FOR 3 consecutive points" — the pending period suppresses one-point
+    // blips (exactly what raw threshold filters get wrong). An episode is
+    // a maximal run of above-threshold points with length ≥ 3; it FIRES
+    // at its 3rd point (end of the pending window) and CLEARS after its
+    // last. Pure gaps-and-islands: two row_numbers on ONE series-key sort
+    // → island group; per-island position picks the firing point — a
+    // single shuffle, no sequential kernel needed because the rule is a
+    // pure function of the run, not a recursion.
+    "ts32_alert_rules" -> ((s, dir) => {
+      val wAll = Window.partitionBy(col("event_type"))
+        .orderBy(col("ts_us"), col("event_id"))
+      // islands of CONSECUTIVE above-threshold points need global
+      // positions: rank the full series, keep survivors' (rn - rs)
+      val all = ev(s, dir).select(col("event_type"),
+        unix_micros(col("ts")).as("ts_us"), col("event_id"), col("value"))
+        .withColumn("rn", row_number().over(wAll))
+        .filter(col("value") > 50.0)
+      val isl = all.withColumn("rs", row_number().over(wAll))
+        .withColumn("grp", col("rn") - col("rs"))
+      val wIsland = Window.partitionBy(col("event_type"), col("grp"))
+        .orderBy(col("ts_us"), col("event_id"))
+      isl.withColumn("pos", row_number().over(wIsland))
+        .groupBy(col("event_type"), col("grp"))
+        .agg(count(lit(1)).as("n_points"),
+          min(when(col("pos") === 3, col("ts_us"))).as("fire_us"),
+          max(col("ts_us")).as("clear_us"),
+          max(col("value")).as("peak"))
+        .filter(col("n_points") >= 3)
+        .select(col("event_type"), col("fire_us"), col("clear_us"),
+          col("n_points"), col("peak"))
+        .orderBy(col("event_type"), col("fire_us"))
     })
   )
 
@@ -1669,7 +1704,31 @@ object TimeSeries {
         |  MAX(ts_us) AS t_last,
         |  COUNT(*) AS n
         |FROM b GROUP BY event_type, bucket
-        |ORDER BY event_type, bucket""".stripMargin
+        |ORDER BY event_type, bucket""".stripMargin,
+
+    // same islands: global rank minus survivor rank; fire at pos 3
+    "ts32_alert_rules" ->
+      """WITH pts AS (
+        |  SELECT event_type, epoch_us(ts) AS ts_us, event_id, value,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type
+        |      ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |c AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+        |    ORDER BY ts_us, event_id) AS rs
+        |  FROM pts WHERE value > 50),
+        |i AS (
+        |  SELECT *, rn - rs AS grp,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type, rn - rs
+        |      ORDER BY ts_us, event_id) AS pos
+        |  FROM c)
+        |SELECT event_type,
+        |  MIN(CASE WHEN pos = 3 THEN ts_us END) AS fire_us,
+        |  MAX(ts_us) AS clear_us,
+        |  COUNT(*) AS n_points,
+        |  MAX(value) AS peak
+        |FROM i GROUP BY event_type, grp HAVING COUNT(*) >= 3
+        |ORDER BY event_type, fire_us""".stripMargin
   )
 
   /** The ts21 closed-form EMA kernel as a DuckDB CTE pair (`<out>_pairs`,

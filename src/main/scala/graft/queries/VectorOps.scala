@@ -640,6 +640,43 @@ object VectorOps {
       binaryTopK(emb(s, dir)).orderBy(col("q_id"), col("rnk"))
     }),
 
+    // NEAREST-CENTROID CLASSIFICATION evaluation — the "is this embedding
+    // space any good" diagnostic every labeled corpus gets before heavier
+    // models: assign each vector to its highest-cosine label centroid
+    // (v02's exact 6-dp centroids) and report the per-label confusion
+    // diagonal. Assignment is the IVF coarse-quantizer aggregate (10
+    // map-side dot products → one max-struct groupBy, ties to the lowest
+    // label), so the plan is two hash aggregates and a broadcast — no
+    // window, no pairwise stage. Self-inclusion (a vector contributes to
+    // its own label's centroid) is the standard resubstitution estimate;
+    // the oracle replays it identically.
+    "v20_centroid_classify" -> ((s, dir) => {
+      graft.functions.VectorFunctions.register(s)
+      val e = emb(s, dir)
+      val cent = e.select(col("label"), posexplode(col("emb")).as(Seq("pos", "v")))
+        .groupBy(col("label"), col("pos"))
+        .agg(round(avg(col("v")), 6).as("cv"))
+        .groupBy(col("label"))
+        .agg(expr("transform(sort_array(collect_list(struct(pos, cv))), x -> x.cv)")
+          .as("cvec"))
+        .withColumn("cnorm", expr("sqrt(graft_dot(cvec, cvec))"))
+      val assigned = fanout(e).crossJoin(broadcast(cent.select(
+          col("label").as("clabel"), col("cvec"), col("cnorm"))))
+        .withColumn("csim",
+          round(expr("graft_dot(emb, cvec)") / (col("norm") * col("cnorm")), 6))
+        .groupBy(col("vec_id"), col("label"))
+        .agg(max(struct(col("csim"), (-col("clabel")).cast("long").as("negc")))
+          .as("best"))
+        .select(col("vec_id"), col("label"),
+          (-col("best.negc")).cast("int").as("pred"))
+      assigned.groupBy(col("label"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("pred") === col("label"), 1L).otherwise(0L)).as("n_correct"))
+        .withColumn("accuracy",
+          round(col("n_correct").cast("double") / col("n"), 6))
+        .orderBy(col("label"))
+    }),
+
     // binary-quantization quality measurement, symmetric to v04 (LSH) and
     // v06 (IVF): fraction of the exact brute-force top-5 (v01's ground
     // truth) the sign-bit path recovers, with its cost column (n_cand =
@@ -1584,6 +1621,38 @@ object VectorOps {
         |  SELECT q_id, c_id, sim, ROW_NUMBER() OVER (PARTITION BY q_id
         |    ORDER BY sim DESC, c_id) AS rnk FROM rr)
         |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
+
+    // centroids → argmax assignment (ties to lowest label) → diagonal
+    "v20_centroid_classify" ->
+      """WITH e AS (
+        |  SELECT vec_id, label, embedding::DOUBLE[] AS emb,
+        |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+        |  FROM embeddings),
+        |cm AS (
+        |  SELECT label, pos, ROUND(AVG(v), 6) AS cv FROM (
+        |    SELECT label, unnest(embedding::DOUBLE[]) AS v,
+        |      generate_subscripts(embedding, 1) AS pos
+        |    FROM embeddings)
+        |  GROUP BY label, pos),
+        |c AS (
+        |  SELECT label AS clabel, list(cv ORDER BY pos) AS cvec FROM cm
+        |  GROUP BY label),
+        |sc AS (
+        |  SELECT e.vec_id, e.label, c.clabel,
+        |    ROUND(list_dot_product(e.emb, c.cvec)
+        |      / (e.norm * sqrt(list_dot_product(c.cvec, c.cvec))), 6) AS csim
+        |  FROM e, c),
+        |a AS (
+        |  SELECT vec_id, label, clabel AS pred FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+        |      ORDER BY csim DESC, clabel) AS rk FROM sc)
+        |  WHERE rk = 1)
+        |SELECT label, COUNT(*) AS n,
+        |  CAST(SUM(CASE WHEN pred = label THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_correct,
+        |  ROUND(CAST(SUM(CASE WHEN pred = label THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / COUNT(*), 6) AS accuracy
+        |FROM a GROUP BY label ORDER BY label""".stripMargin,
 
     // recall of the v17 pipeline against v01's exact ground truth
     "v19_binary_recall" ->
