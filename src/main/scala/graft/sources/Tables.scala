@@ -11,10 +11,13 @@ import org.apache.spark.sql.functions._
   * `.explain("formatted")`). Callers filter/select on the returned frame and
   * rely on pushdown; nothing is cached or collected here.
   *
-  * `events.ts` is physically INT64 TIMESTAMP(NANOS) parquet, which Spark's
-  * vectorized reader does not map to TimestampType. We read it as a long
-  * (legacy `nanosAsLong`) and integer-divide to microseconds. DuckDB applies
-  * the same ns→µs truncation when it casts, so oracle comparisons agree.
+  * `events.ts` has shipped in two physical forms across testdata
+  * generations: INT64 TIMESTAMP(NANOS) (which Spark's vectorized reader only
+  * maps via legacy `nanosAsLong` + a ns→µs integer divide) and plain
+  * TIMESTAMP(MICROS) (read natively, as TIMESTAMP_NTZ when the writer left
+  * isAdjustedToUTC unset). The loader branches on the actual read schema so
+  * both generations normalize to the same session-TZ(UTC) TimestampType
+  * column; DuckDB truncates/reads identically, so oracle comparisons agree.
   */
 object Tables {
   val all: Seq[String] = Seq(
@@ -31,9 +34,15 @@ object Tables {
           synchronized {
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
           }
-        spark.read
-          .parquet(s"$sfDir/events.parquet")
-          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        val raw = spark.read.parquet(s"$sfDir/events.parquet")
+        raw.schema("ts").dataType match {
+          case org.apache.spark.sql.types.LongType =>
+            raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          case org.apache.spark.sql.types.TimestampType => raw
+          case _ => // TIMESTAMP_NTZ: session TZ is UTC, cast is value-identity
+            raw.withColumn(
+              "ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+        }
       case n =>
         spark.read.parquet(s"$sfDir/$n.parquet")
     }
