@@ -838,7 +838,89 @@ object TextOps {
         .select(col("doc_a"), col("doc_b"), col("n_match"), col("est"),
           col("jaccard"), col("abs_err"))
         .orderBy(col("doc_a"), col("doc_b"))
-    })
+    }),
+
+    // DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+    // Language Models via Importance Resampling"): hashed-bigram bag-of-
+    // words features, per-bucket log-ratio between a TARGET distribution
+    // (here: docs from source 'src0') and the RAW crawl, per-doc weight =
+    // Σ n_b · log(p_target(b)/p_raw(b)). Scale shape: the feature space is
+    // CLOSED (64 buckets) — the two global histograms collapse map-side
+    // into 64 rows, broadcast back, and the per-doc weight is ONE
+    // doc_id-keyed hash aggregate. No shuffle ever carries more than
+    // |docs| × 64 rows; at 100 TB the histogram stage is a constant-size
+    // aggregate. Determinism: counts are integers, each bucket's log-ratio
+    // is one ln of one IEEE quotient of exact-integer products rounded to
+    // 6 dp (the tx21/tx25 discipline), and the per-doc sum is exact
+    // decimal arithmetic — bit-identical in DuckDB.
+    "tx29_dsir_importance" -> ((s, dir) => {
+      val bgExpr = s"transform(sequence(1, size(tk) - 1), " +
+        "i -> concat_ws(' ', element_at(tk, i), element_at(tk, i + 1)))"
+      val db = fanout(docs(s, dir))
+        .selectExpr("doc_id", "source", s"$tokExpr AS tk")
+        .where(expr("size(tk) >= 2"))
+        .selectExpr("doc_id", "source", s"explode($bgExpr) AS bg")
+        .withColumn("bucket",
+          expr("cast(conv(substr(md5(cast(bg as binary)), 1, 2), 16, 10) as int) % 64"))
+        .groupBy(col("doc_id"), col("source"), col("bucket"))
+        .agg(count(lit(1)).as("nb"))
+      val rawB = db.groupBy(col("bucket")).agg(sum(col("nb")).as("raw"))
+      val tgtB = db.filter(col("source") === "src0")
+        .groupBy(col("bucket")).agg(sum(col("nb")).as("tgt"))
+      val tots = rawB.agg(sum(col("raw")).as("tot_r"))
+        .crossJoin(tgtB.agg(sum(col("tgt")).as("tot_t")))
+      val lr = rawB.join(tgtB, Seq("bucket"), "left")
+        .withColumn("tgt", coalesce(col("tgt"), lit(0L)))
+        .crossJoin(broadcast(tots))
+        .withColumn("lr",
+          round(log(((col("tgt") + 1) * (col("tot_r") + 64)).cast("double") /
+            ((col("raw") + 1) * (col("tot_t") + 64)).cast("double")), 6)
+            .cast("decimal(18,6)"))
+        .select(col("bucket"), col("lr"))
+      db.join(broadcast(lr), Seq("bucket"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("nb")).as("n_bigrams"), sum(col("nb") * col("lr")).as("w"))
+        .select(col("doc_id"), col("n_bigrams"),
+          col("w").cast("double").as("log_weight"), (col("w") > 0).as("selected"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Gopher-style quality rule battery (Rae et al. 2021, appendix A1.1):
+    // the standard pre-training document filters as an AND of per-doc
+    // boolean rules — word-count bounds, mean-word-length bounds, ≥2
+    // distinct stopwords, ≥80% alphabetic words, most-common-token share
+    // ≤20%. Every rule is an INTEGER cross-multiplication (3·n ≤ L, not
+    // L/n ≥ 3.0), so the verdicts are bit-exact with zero float ops.
+    // Scale shape: pure per-row expressions over the token array — one
+    // narrow map stage, no shuffle at all before the output sort.
+    "tx30_gopher_rules" -> ((s, dir) =>
+      fanout(docs(s, dir))
+        .selectExpr("doc_id", s"$tokExpr AS tk")
+        .withColumn("n_words", expr("size(tk)").cast("long"))
+        .withColumn("sum_word_len",
+          expr("aggregate(tk, 0L, (acc, t) -> acc + length(t))"))
+        .withColumn("n_stopwords",
+          expr(s"size(filter(array$stopList, sw -> array_contains(tk, sw)))").cast("long"))
+        .withColumn("n_alpha",
+          expr("size(filter(tk, t -> t rlike '[a-z]'))").cast("long"))
+        .withColumn("max_tf",
+          expr("array_max(transform(array_distinct(tk), t -> size(filter(tk, x -> x = t))))").cast("long"))
+        .withColumn("ok_word_count",
+          col("n_words") >= 50 && col("n_words") <= 100000)
+        .withColumn("ok_word_len",
+          lit(3) * col("n_words") <= col("sum_word_len") &&
+            col("sum_word_len") <= lit(10) * col("n_words"))
+        .withColumn("ok_stopwords", col("n_stopwords") >= 2)
+        .withColumn("ok_alpha", lit(5) * col("n_alpha") >= lit(4) * col("n_words"))
+        .withColumn("ok_top_token", lit(5) * col("max_tf") <= col("n_words"))
+        .withColumn("keep",
+          col("ok_word_count") && col("ok_word_len") && col("ok_stopwords") &&
+            col("ok_alpha") && col("ok_top_token"))
+        .select(col("doc_id"), col("n_words"), col("sum_word_len"),
+          col("n_stopwords"), col("n_alpha"), col("max_tf"),
+          col("ok_word_count"), col("ok_word_len"), col("ok_stopwords"),
+          col("ok_alpha"), col("ok_top_token"), col("keep"))
+        .orderBy(col("doc_id")))
   )
 
   /** Fixed BPE merge vocabulary, in rank order. Valid by construction: every
@@ -1380,6 +1462,61 @@ object TextOps {
          |  ROUND(CAST(n_inter AS DOUBLE) / n_union, 6) AS jaccard,
          |  ROUND(abs(CAST(n_match AS DOUBLE) / 16.0
          |    - ROUND(CAST(n_inter AS DOUBLE) / n_union, 6)), 6) AS abs_err
-         |FROM p ORDER BY doc_a, doc_b""".stripMargin
+         |FROM p ORDER BY doc_a, doc_b""".stripMargin,
+
+    // full replay: hashed-bigram buckets, target/raw histograms with add-1
+    // smoothing, 6-dp-rounded per-bucket log-ratio, exact decimal doc sum
+    "tx29_dsir_importance" ->
+      s"""WITH toks AS (SELECT doc_id, source, $dTok AS tk FROM documents),
+         |bg AS (
+         |  SELECT doc_id, source,
+         |    unnest(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])) AS bg
+         |  FROM toks WHERE len(tk) >= 2),
+         |db AS (
+         |  SELECT doc_id, source,
+         |    CAST(((strpos('0123456789abcdef', substr(md5(bg), 1, 1)) - 1) * 16
+         |      + (strpos('0123456789abcdef', substr(md5(bg), 2, 1)) - 1)) % 64 AS INT) AS bucket,
+         |    COUNT(*) AS nb
+         |  FROM bg GROUP BY doc_id, source, 3),
+         |rawb AS (SELECT bucket, SUM(nb) AS raw FROM db GROUP BY bucket),
+         |tgtb AS (SELECT bucket, SUM(nb) AS tgt FROM db WHERE source = 'src0' GROUP BY bucket),
+         |tots AS (SELECT (SELECT SUM(raw) FROM rawb) AS tot_r,
+         |                (SELECT SUM(tgt) FROM tgtb) AS tot_t),
+         |lr AS (
+         |  SELECT rawb.bucket,
+         |    CAST(ROUND(ln(CAST((COALESCE(tgt, 0) + 1) * (tot_r + 64) AS DOUBLE)
+         |      / CAST((raw + 1) * (tot_t + 64) AS DOUBLE)), 6) AS DECIMAL(18,6)) AS lr
+         |  FROM rawb LEFT JOIN tgtb ON rawb.bucket = tgtb.bucket, tots),
+         |d AS (
+         |  SELECT doc_id, CAST(SUM(nb) AS BIGINT) AS n_bigrams, SUM(nb * lr) AS w
+         |  FROM db JOIN lr USING (bucket) GROUP BY doc_id)
+         |SELECT doc_id, n_bigrams, CAST(w AS DOUBLE) AS log_weight, w > 0 AS selected
+         |FROM d ORDER BY doc_id""".stripMargin,
+
+    // integer cross-multiplication replay of every rule
+    "tx30_gopher_rules" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, $dTok AS tk FROM documents),
+         |m AS (
+         |  SELECT doc_id,
+         |    CAST(len(tk) AS BIGINT) AS n_words,
+         |    CAST(list_sum(list_transform(tk, t -> length(t))) AS BIGINT) AS sum_word_len,
+         |    CAST(len(list_filter(['the', 'a', 'of', 'and', 'to', 'in', 'is'],
+         |      sw -> list_contains(tk, sw))) AS BIGINT) AS n_stopwords,
+         |    CAST(len(list_filter(tk, t -> regexp_matches(t, '[a-z]'))) AS BIGINT) AS n_alpha,
+         |    CAST(list_max(list_transform(list_distinct(tk),
+         |      t -> len(list_filter(tk, x -> x = t)))) AS BIGINT) AS max_tf
+         |  FROM d)
+         |SELECT doc_id, n_words, sum_word_len, n_stopwords, n_alpha, max_tf,
+         |  n_words >= 50 AND n_words <= 100000 AS ok_word_count,
+         |  3 * n_words <= sum_word_len AND sum_word_len <= 10 * n_words AS ok_word_len,
+         |  n_stopwords >= 2 AS ok_stopwords,
+         |  5 * n_alpha >= 4 * n_words AS ok_alpha,
+         |  5 * max_tf <= n_words AS ok_top_token,
+         |  n_words >= 50 AND n_words <= 100000
+         |    AND 3 * n_words <= sum_word_len AND sum_word_len <= 10 * n_words
+         |    AND n_stopwords >= 2 AND 5 * n_alpha >= 4 * n_words
+         |    AND 5 * max_tf <= n_words AS keep
+         |FROM m ORDER BY doc_id""".stripMargin
   )
 }

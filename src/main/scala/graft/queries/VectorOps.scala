@@ -729,6 +729,23 @@ object VectorOps {
         .select(col("q_id"), (col("i") + 1).cast("long").as("rnk"),
           col("s.c_id").as("c_id"), col("s.sim").as("sim"))
         .orderBy(col("q_id"), col("rnk"))
+    }),
+
+    // Graph centrality over the similarity graph: integer-arithmetic
+    // PageRank (3 damped power iterations) on v03's LSH near-neighbour
+    // pair list — ranks similarity hubs for canonical-representative
+    // selection / influence-weighted sampling. See
+    // [[graft.operators.PageRank]] for the determinism (all-integer mass)
+    // and scale (CC-style checkpointed edge loop) arguments; the edge
+    // construction is the same linear-scale LSH pipeline as v03, never
+    // O(n²).
+    "v21_pagerank" -> ((s, dir) => {
+      graft.functions.VectorFunctions.register(s)
+      val edges = lshPairs(emb(s, dir))
+        .select(col("vec_a").as("src"), col("vec_b").as("dst"))
+      graft.operators.PageRank.integerRanks(edges, iters = 3)
+        .select(col("id").as("vec_id"), col("deg"), col("rank"))
+        .orderBy(col("vec_id"))
     })
   )
 
@@ -1727,8 +1744,49 @@ object VectorOps {
         |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rnk
         |  FROM p)
         |SELECT q_id, CAST(rnk AS BIGINT) AS rnk, vec_id AS c_id, sim
-        |FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
+        |FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
+
+    "v21_pagerank" -> pageRankSql
   )
+
+  /** Full replay of v21: v03's LSH edge list (same signature/band/score
+    * CTEs), symmetrized, then 3 unrolled integer PageRank iterations —
+    * floor-division shares, damped-integer update, bit-exact by
+    * construction. */
+  private def pageRankSql: String = {
+    def iter(i: Int, prev: String) =
+      s"""i$i AS (
+         |  SELECT ed.dst AS id, CAST(SUM(r.rank // r.deg) AS BIGINT) AS inflow
+         |  FROM ed JOIN $prev r ON ed.src = r.id GROUP BY ed.dst),
+         |r$i AS (
+         |  SELECT deg.id, deg.deg,
+         |    150000000000 + (85 * COALESCE(inflow, 0)) // 100 AS rank
+         |  FROM deg LEFT JOIN i$i ON deg.id = i$i.id)""".stripMargin
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS emb,
+       |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+       |  FROM embeddings),
+       |s AS (SELECT vec_id, emb, norm,
+       |  CAST(list_sum(list_transform(range(0, 16), i ->
+       |    CASE WHEN list_sum(list_transform(range(0, 64), j ->
+       |      emb[CAST(j + 1 AS INT)] * ((73856093::BIGINT * (i + 1) * (j + 7)) % 2001 - 1000)))
+       |    >= 0 THEN (1 << CAST(i AS INT)) ELSE 0 END)) AS INT) AS sig FROM e),
+       |bands AS (SELECT vec_id, b, (sig >> CAST(4 * b AS INT)) & 15 AS bv
+       |          FROM s, range(0, 4) t(b)),
+       |p AS (SELECT DISTINCT a.vec_id AS vec_a, c.vec_id AS vec_b
+       |      FROM bands a JOIN bands c ON a.b = c.b AND a.bv = c.bv AND a.vec_id < c.vec_id),
+       |x AS (SELECT vec_a, vec_b
+       |      FROM p JOIN e ea ON ea.vec_id = vec_a JOIN e eb ON eb.vec_id = vec_b
+       |      WHERE round(list_dot_product(ea.emb, eb.emb) / (ea.norm * eb.norm), 6) >= 0.3),
+       |ed AS (SELECT vec_a AS src, vec_b AS dst FROM x
+       |       UNION ALL SELECT vec_b, vec_a FROM x),
+       |deg AS (SELECT src AS id, COUNT(*) AS deg FROM ed GROUP BY src),
+       |r0 AS (SELECT id, deg, CAST(1000000000000 AS BIGINT) AS rank FROM deg),
+       |${iter(1, "r0")},
+       |${iter(2, "r1")},
+       |${iter(3, "r2")}
+       |SELECT id AS vec_id, deg, rank FROM r3 ORDER BY vec_id""".stripMargin
+  }
 
   /** Shared DuckDB replay of the v15/v16 k-means: seeds (vec_id < 8) →
     * two Lloyd iterations (assign → 6-dp mean update, empty cells keep
