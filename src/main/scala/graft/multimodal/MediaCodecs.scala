@@ -336,4 +336,202 @@ object MediaCodecs {
       PngImage(width, height, rgb)
     }
   }
+
+  /** One decoded animation frame: palette-index pixels in raster order
+    * (the writer's palette is the identity grayscale ramp, so an index IS
+    * the intensity), plus the frame's GCE delay in centiseconds. */
+  final case class GifFrame(left: Int, top: Int, width: Int, height: Int,
+      delayCs: Int, pixels: Array[Int])
+
+  /** Decoded animation: logical screen size + frames in stream order. */
+  final case class GifAnim(width: Int, height: Int, frames: Seq[GifFrame])
+
+  /** GIF89a, 8-bit global palette, multi-frame (animated) — the VIDEO-
+    * shaped container: frame extraction means a real block walk (extension
+    * blocks must be skipped by their sub-block chain, not fixed offsets)
+    * and a real LZW decompressor (variable-width codes LSB-first, CLEAR /
+    * EOI handling, the KwKwK self-reference case, code-width growth).
+    *
+    * The writer emits genuinely-valid streams the cheap way every GIF
+    * encoder is allowed to: literal codes with periodic CLEARs (classic
+    * "uncompressed GIF"), a NETSCAPE looping application extension (so
+    * parsers must skip an app extension, not just GCEs), and per-frame
+    * Graphic Control Extensions carrying distinct delays. The parser is a
+    * full LZW decoder, NOT a literal-stream shortcut — it handles
+    * compressed streams from any conforming encoder. */
+  object Gif {
+
+    private def u16(bytes: Array[Byte], at: Int): Int =
+      (bytes(at) & 0xff) | ((bytes(at + 1) & 0xff) << 8)
+
+    /** Serialize frames of 8-bit palette indices (= grayscale intensities)
+      * into an animated GIF89a. `frames` = (delayCs, pixels); every frame
+      * is full-screen at (0,0). */
+    def write(width: Int, height: Int, frames: Seq[(Int, Array[Int])]): Array[Byte] = {
+      require(frames.nonEmpty, "need at least one frame")
+      val out = new java.io.ByteArrayOutputStream()
+      out.write("GIF89a".getBytes("US-ASCII"))
+      def w16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+      w16(width); w16(height)
+      out.write(0xf7) // GCT present, 8-bit colour resolution, 256 entries
+      out.write(0)    // background index
+      out.write(0)    // aspect ratio
+      var i = 0
+      while (i < 256) { out.write(i); out.write(i); out.write(i); i += 1 }
+      // NETSCAPE2.0 looping app extension — parsers must walk sub-blocks
+      out.write(0x21); out.write(0xff); out.write(11)
+      out.write("NETSCAPE2.0".getBytes("US-ASCII"))
+      out.write(3); out.write(1); w16(0); out.write(0)
+      frames.foreach { case (delayCs, pixels) =>
+        require(pixels.length == width * height, "frame size mismatch")
+        out.write(0x21); out.write(0xf9); out.write(4) // GCE
+        out.write(0)                                   // no disposal/transparency
+        w16(delayCs); out.write(0); out.write(0)
+        out.write(0x2c)                                // image descriptor
+        w16(0); w16(0); w16(width); w16(height)
+        out.write(0)                                   // no LCT, not interlaced
+        out.write(8)                                   // LZW min code size
+        val lzw = encodeLzw(pixels)
+        var off = 0
+        while (off < lzw.length) {
+          val n = math.min(255, lzw.length - off)
+          out.write(n); out.write(lzw, off, n)
+          off += n
+        }
+        out.write(0) // block terminator
+      }
+      out.write(0x3b) // trailer
+      out.toByteArray
+    }
+
+    /** Literal-code LZW at fixed 9-bit width: CLEAR, then each pixel as
+      * its own code, re-CLEARing every 200 codes so the dictionary never
+      * reaches the 512-entry width-growth point (sidestepping the
+      * early/late-change encoder ambiguity — decoders of either
+      * convention read this stream identically). */
+    private def encodeLzw(pixels: Array[Int]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      var acc = 0L
+      var nBits = 0
+      def emit(code: Int): Unit = {
+        acc |= code.toLong << nBits
+        nBits += 9
+        while (nBits >= 8) {
+          out.write((acc & 0xff).toInt); acc >>= 8; nBits -= 8
+        }
+      }
+      emit(256) // CLEAR
+      var n = 0
+      pixels.foreach { p =>
+        if (n == 200) { emit(256); n = 0 }
+        emit(p); n += 1
+      }
+      emit(257) // EOI
+      if (nBits > 0) out.write((acc & 0xff).toInt)
+      out.toByteArray
+    }
+
+    /** Full variable-width LZW decode (any conforming GIF stream). */
+    private def decodeLzw(data: Array[Byte], minCodeSize: Int,
+        expected: Int): Array[Int] = {
+      val clear = 1 << minCodeSize
+      val eoi = clear + 1
+      val out = new Array[Int](expected)
+      var n = 0
+      val dict = new scala.collection.mutable.ArrayBuffer[Array[Int]](4096)
+      var width = 0
+      def reset(): Unit = {
+        dict.clear()
+        var c = 0
+        while (c < clear) { dict += Array(c); c += 1 }
+        dict += null; dict += null // CLEAR, EOI slots
+        width = minCodeSize + 1
+      }
+      reset()
+      var prev: Array[Int] = null
+      var acc = 0L
+      var nBits = 0
+      var pos = 0
+      var done = false
+      while (!done) {
+        while (nBits < width && pos < data.length) {
+          acc |= (data(pos) & 0xffL) << nBits
+          nBits += 8; pos += 1
+        }
+        require(nBits >= width, "LZW stream truncated")
+        val code = (acc & ((1L << width) - 1)).toInt
+        acc >>= width; nBits -= width
+        if (code == clear) { reset(); prev = null }
+        else if (code == eoi) done = true
+        else {
+          val entry =
+            if (code < dict.length && dict(code) != null) dict(code)
+            else if (code == dict.length && prev != null)
+              prev :+ prev(0) // the KwKwK case
+            else throw new IllegalArgumentException(s"bad LZW code $code")
+          require(n + entry.length <= expected, "LZW output overrun")
+          System.arraycopy(entry, 0, out, n, entry.length)
+          n += entry.length
+          if (prev != null && dict.length < 4096) {
+            dict += prev :+ entry(0)
+            if (dict.length == (1 << width) && width < 12) width += 1
+          }
+          prev = entry
+        }
+      }
+      require(n == expected, s"decoded $n of $expected pixels")
+      out
+    }
+
+    /** Block-walk + LZW-decode every frame. Extensions (GCE, application,
+      * comment, plain-text) are skipped by their length-prefixed sub-block
+      * chains; the GCE's delay is captured for the following frame. */
+    def parse(bytes: Array[Byte]): GifAnim = {
+      val magic = new String(bytes, 0, 6, "US-ASCII")
+      require(magic == "GIF89a" || magic == "GIF87a", s"bad GIF magic $magic")
+      val width = u16(bytes, 6)
+      val height = u16(bytes, 8)
+      val packed = bytes(10) & 0xff
+      var pos = 13
+      if ((packed & 0x80) != 0) pos += 3 * (1 << ((packed & 7) + 1))
+      val frames = Seq.newBuilder[GifFrame]
+      var pendingDelay = 0
+      var done = false
+      while (!done) {
+        (bytes(pos) & 0xff) match {
+          case 0x3b => done = true
+          case 0x21 => // extension: label + sub-block chain
+            val label = bytes(pos + 1) & 0xff
+            pos += 2
+            if (label == 0xf9) pendingDelay = u16(bytes, pos + 2)
+            while ((bytes(pos) & 0xff) != 0) pos += 1 + (bytes(pos) & 0xff)
+            pos += 1
+          case 0x2c =>
+            val left = u16(bytes, pos + 1)
+            val top = u16(bytes, pos + 3)
+            val fw = u16(bytes, pos + 5)
+            val fh = u16(bytes, pos + 7)
+            val fPacked = bytes(pos + 9) & 0xff
+            require((fPacked & 0x40) == 0, "interlaced GIF not supported")
+            pos += 10
+            if ((fPacked & 0x80) != 0) pos += 3 * (1 << ((fPacked & 7) + 1))
+            val minCodeSize = bytes(pos) & 0xff
+            pos += 1
+            val lzw = new java.io.ByteArrayOutputStream()
+            while ((bytes(pos) & 0xff) != 0) {
+              val len = bytes(pos) & 0xff
+              lzw.write(bytes, pos + 1, len)
+              pos += 1 + len
+            }
+            pos += 1
+            frames += GifFrame(left, top, fw, fh, pendingDelay,
+              decodeLzw(lzw.toByteArray, minCodeSize, fw * fh))
+            pendingDelay = 0
+          case other =>
+            throw new IllegalArgumentException(f"unknown GIF block 0x$other%02x")
+        }
+      }
+      GifAnim(width, height, frames.result())
+    }
+  }
 }

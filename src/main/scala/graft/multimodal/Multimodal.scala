@@ -435,4 +435,58 @@ object Multimodal {
       }
     }
   }
+
+  /** One extracted animation frame reduced to features: exact integer
+    * checksum + count, mean as the single derived float. */
+  case class GifFrameFeatures(media_id: Long, frame_idx: Long, width: Long,
+      height: Long, delay_cs: Long, checksum: Long, mean_val: Double)
+
+  /** Animated-GIF fixture (closed-form for the oracle): GIF m has
+    * 1 + m%3 full-screen frames of (2 + m%4) × (2 + m%3) pixels; frame f
+    * pixel p = (m*31 + f*17 + p*7) mod 256 (grayscale palette index);
+    * frame delay = 4 + (m+f)%7 centiseconds. */
+  def syntheticGifs(docs: DataFrame): Dataset[Container] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.map { m =>
+        val w = (2 + m % 4).toInt
+        val h = (2 + m % 3).toInt
+        val frames = (0 until (1 + m % 3).toInt).map { f =>
+          ((4 + (m + f) % 7).toInt,
+            Array.tabulate(w * h)(p => ((m * 31 + f * 17 + p * 7) % 256).toInt))
+        }
+        Container(m, MediaCodecs.Gif.write(w, h, frames))
+      }
+    }
+  }
+
+  /** VIDEO-shaped frame extraction: block-walk + real LZW decode of every
+    * frame ([[MediaCodecs.Gif]]), one feature row per frame. A slip in
+    * the sub-block chain skip, the code-width handling or the dictionary
+    * growth lands in checksum/mean and flips the oracle compare. The
+    * frame fan-out happens ON the executors (mapPartitions emits one row
+    * per frame), so a million-clip corpus decodes embarrassingly parallel
+    * with no shuffle before the per-frame rows exist. */
+  def gifFrames(media: Dataset[Container]): Dataset[GifFrameFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { c =>
+        val anim = MediaCodecs.Gif.parse(c.payload)
+        anim.frames.iterator.zipWithIndex.map { case (fr, idx) =>
+          var sum = 0L
+          var chk = 0L
+          var i = 0
+          while (i < fr.pixels.length) {
+            val v = fr.pixels(i)
+            sum += v
+            chk = (chk * 31 + v) % 1000000007L
+            i += 1
+          }
+          GifFrameFeatures(c.media_id, idx.toLong, fr.width.toLong,
+            fr.height.toLong, fr.delayCs.toLong, chk,
+            sum.toDouble / fr.pixels.length)
+        }
+      }
+    }
+  }
 }

@@ -307,6 +307,41 @@ object GasStoreQueries {
     spark.read.parquet(path)
   }
 
+  /** gs18's sink: the STREAMING DERIVATIVE
+    * ([[graft.streaming.GasStream.rateStream]]) — ts09's per-series
+    * instantaneous rate as keyed state, run end-to-end over the live long
+    * stream for two fields. The DuckDB oracle replays the identical
+    * unrounded-IEEE lag arithmetic over the raw CSVs, so the stateful
+    * operator — state carry-over between micro-batches, the strict
+    * monotone guard, the first-point seed — is hash-verified
+    * point-by-point. */
+  private val builtRate = new java.util.WeakHashMap[SparkSession, String]()
+  private def streamRate(spark: SparkSession): DataFrame = {
+    val path = builtRate.synchronized {
+      Option(builtRate.get(spark)).getOrElse {
+        val work = Files.createTempDirectory("graft-gas-rate")
+        deleteOnExit(work)
+        val long = graft.store.LongStore.unpivot(
+          graft.transform.GasTransform(
+            graft.streaming.GasStream.readStream(spark, fixtureDir))
+            .withColumnRenamed("file_name", "_src")).drop("_src")
+          .filter(col("_field").isin("CO (ppm)", "Humidity (%r.h.)"))
+        graft.streaming.GasStream.rateStream(long)
+          .writeStream
+          .format("parquet")
+          .option("path", s"$work/out")
+          .option("checkpointLocation", s"$work/ckpt")
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+          .awaitTermination()
+        builtRate.put(spark, s"$work/out")
+        s"$work/out"
+      }
+    }
+    spark.read.parquet(path)
+  }
+
   /** gs15's sink: the STREAMING CUSUM drift detector
     * ([[graft.streaming.GasStream.cusumStream]]) — Page's sequential
     * changepoint recursion carried as keyed state, run end-to-end over
@@ -610,6 +645,13 @@ object GasStoreQueries {
           col("sn"), col("alarm"))
         .orderBy(col("_field"), col("ts_us"))),
 
+    // streaming per-series instantaneous rate (unrounded IEEE, ts09's
+    // arithmetic carried as keyed state)
+    "gs18_stream_rate" -> ((s, _) =>
+      streamRate(s)
+        .select(col("_field"), col("ts_us"), col("value"), col("rate_per_s"))
+        .orderBy(col("_field"), col("ts_us"))),
+
     // closed streaming status runs (SCD2-style validity intervals)
     "gs17_stream_state_runs" -> ((s, _) =>
       streamRuns(s)
@@ -791,6 +833,27 @@ object GasStoreQueries {
          |SELECT _field, ts_us, value, sp, sn,
          |  (sp > 60 OR sn > 60) AS alarm
          |FROM rec ORDER BY _field, ts_us""".stripMargin,
+
+    // ts09's lag-window rate replayed over the raw CSVs: same unrounded
+    // subtraction / µs-to-s division / quotient IEEE sequence, first
+    // point per series dropped (it only seeds state)
+    "gs18_stream_rate" ->
+      s"""$prelude,
+         |pts AS (
+         |  SELECT 'CO (ppm)' AS _field, epoch_us(_time) AS ts_us,
+         |    "CO (ppm)" AS value FROM raw
+         |  UNION ALL
+         |  SELECT 'Humidity (%r.h.)', epoch_us(_time), "Humidity (%r.h.)"
+         |  FROM raw),
+         |l AS (
+         |  SELECT _field, ts_us, value,
+         |    lag(value) OVER (PARTITION BY _field ORDER BY ts_us) AS pv,
+         |    lag(ts_us) OVER (PARTITION BY _field ORDER BY ts_us) AS pt
+         |  FROM pts)
+         |SELECT _field, ts_us, value,
+         |  (value - pv) / (CAST(ts_us - pt AS DOUBLE) / 1000000.0) AS rate_per_s
+         |FROM l WHERE pt IS NOT NULL AND ts_us > pt
+         |ORDER BY _field, ts_us""".stripMargin,
 
     "gs08_stream_pair_join" ->
       s"""$prelude,

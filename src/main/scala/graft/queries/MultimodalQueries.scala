@@ -180,7 +180,23 @@ object MultimodalQueries {
         .distinct()
         .filter(col("ham") <= 3)
         .orderBy(col("media_a"), col("media_b"))
-    })
+    }),
+
+    // VIDEO-shaped FRAME EXTRACTION: real animated GIF89a containers
+    // (multi-frame, NETSCAPE looping extension, per-frame GCE delays)
+    // synthesized and decoded on the executors through a full LZW
+    // decompressor — variable-width codes, CLEAR/EOI, KwKwK, dictionary
+    // width growth ([[graft.multimodal.MediaCodecs.Gif]]). One feature
+    // row per frame; the oracle replays the pixel formula only, so a slip
+    // in the block walk, sub-block chains or LZW state flips
+    // checksum/mean red. Frame fan-out happens map-side on the executors
+    // — no shuffle before per-frame rows exist.
+    "mm10_gif_frames" -> ((s, dir) =>
+      Multimodal.gifFrames(
+          Multimodal.syntheticGifs(fanout(Tables.table(s, dir, "documents"))
+            .filter(col("doc_id") % 4 === 2)))
+        .toDF()
+        .orderBy(col("media_id"), col("frame_idx")))
   )
 
   val oracle: Map[String, String] = Map(
@@ -422,6 +438,30 @@ object MultimodalQueries {
         |    AS BIGINT) AS ham
         |FROM h a JOIN h b ON a.m < b.m
         |WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3
-        |ORDER BY media_a, media_b""".stripMargin
+        |ORDER BY media_a, media_b""".stripMargin,
+
+    // replay of mm10: GIF m has 1 + m%3 frames of (2 + m%4) × (2 + m%3)
+    // pixels, frame f pixel p = (m*31 + f*17 + p*7) % 256, delay
+    // 4 + (m+f)%7 cs — the oracle sees only the formula; the container
+    // framing and LZW stream live entirely in the engine's round trip
+    "mm10_gif_frames" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id, 2 + doc_id % 4 AS w, 2 + doc_id % 3 AS h,
+        |    1 + doc_id % 3 AS nf
+        |  FROM documents WHERE doc_id % 4 = 2),
+        |f AS (
+        |  SELECT media_id, w, h, CAST(fi AS BIGINT) AS frame_idx
+        |  FROM m, LATERAL unnest(range(0, nf)) t(fi))
+        |SELECT media_id, frame_idx,
+        |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |  CAST(4 + (media_id + frame_idx) % 7 AS BIGINT) AS delay_cs,
+        |  list_reduce(list_prepend(0::BIGINT,
+        |    list_transform(range(0, w*h),
+        |      p -> (media_id*31 + frame_idx*17 + p*7) % 256)),
+        |    (acc, v) -> (acc*31 + v) % 1000000007) AS checksum,
+        |  CAST(list_sum(list_transform(range(0, w*h),
+        |    p -> (media_id*31 + frame_idx*17 + p*7) % 256)) AS DOUBLE) / (w*h)
+        |    AS mean_val
+        |FROM f ORDER BY media_id, frame_idx""".stripMargin
   )
 }

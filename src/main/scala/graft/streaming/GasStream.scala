@@ -309,6 +309,54 @@ object GasStream {
       .toDF()
   }
 
+  /** Per-key rate state: the last applied observation. */
+  case class RateState(lastUs: Long, lastValue: Double)
+
+  /** One instantaneous rate per applied point after the first. */
+  case class RatePoint(_field: String, ts_us: Long, value: Double,
+      rate_per_s: Double)
+
+  /** Streaming DERIVATIVE — the UNBOUNDED-series form of ts09's lag-window
+    * rate (Flux `derivative(unit: 1s)`): per series the instantaneous rate
+    * between consecutive observations, carried as ONE (ts, value) record
+    * of keyed state — an infinite stream costs O(keys) state where the
+    * batch form needs a sort-window over history. Numerics are EXACTLY
+    * ts09's: dv, dt_us/1e6 and the quotient are each a single
+    * correctly-rounded IEEE op, left unrounded, so the DuckDB lag replay
+    * is bit-identical. Ordering semantics are emaStream's (event-time
+    * order within a batch, monotone guard across batches), with a STRICT
+    * guard: a same-timestamp point would mean dt = 0 — no rate exists —
+    * so it neither emits nor advances state. The first point per series
+    * seeds state silently, mirroring ts09's dt IS NOT NULL filter. */
+  def rateStream(long: DataFrame): DataFrame = {
+    import long.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    long.select(col("_field"), col("_time"), col("_value"))
+      .as[(String, java.sql.Timestamp, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[RateState, RatePoint](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (field: String, rows: Iterator[(String, java.sql.Timestamp, Double)],
+            state: GroupState[RateState]) =>
+          var st = state.getOption.getOrElse(RateState(Long.MinValue, 0.0))
+          val out = Seq.newBuilder[RatePoint]
+          def micros(t: java.sql.Timestamp): Long =
+            Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+          rows.toSeq.sortBy(r => micros(r._2)).foreach { case (_, t, v) =>
+            val us = micros(t)
+            if (us > st.lastUs) { // strict: dt = 0 has no defined rate
+              if (st.lastUs != Long.MinValue)
+                out += RatePoint(field, us, v,
+                  (v - st.lastValue) / ((us - st.lastUs).toDouble / 1000000.0))
+              st = RateState(us, v)
+            }
+          }
+          if (st.lastUs != Long.MinValue) state.update(st)
+          out.result().iterator
+      }
+      .toDF()
+  }
+
   /** Per-key run state: the currently-open status run (bucket, bounds,
     * count) — the whole SCD2 "current row" in four longs. */
   case class RunState(status: Long, startUs: Long, lastUs: Long, n: Long)

@@ -239,4 +239,115 @@ class ContainerPipelineSpec extends SparkSpec {
       assert(f.mean_val == vals.sum.toDouble / vals.length)
     }
   }
+
+  test("Spark GIF frame extraction matches the generating formula end-to-end") {
+    val docs = spark.range(0, 12).selectExpr("id AS doc_id")
+    val feats = Multimodal.gifFrames(Multimodal.syntheticGifs(docs))
+      .collect().sortBy(f => (f.media_id, f.frame_idx))
+    assert(feats.length == (0L until 12L).map(m => 1 + m % 3).sum)
+    feats.foreach { f =>
+      val m = f.media_id; val fi = f.frame_idx
+      val w = 2 + m % 4; val h = 2 + m % 3
+      assert(f.width == w && f.height == h)
+      assert(f.delay_cs == 4 + (m + fi) % 7)
+      val vals = (0L until w * h).map(p => (m * 31 + fi * 17 + p * 7) % 256)
+      assert(f.checksum == vals.foldLeft(0L)((a, v) => (a * 31 + v) % 1000000007L))
+      assert(f.mean_val == vals.sum.toDouble / vals.length)
+    }
+  }
+}
+
+/** Pins [[MediaCodecs.Gif]]: write/parse round-trips, and hand-assembled
+  * COMPRESSED LZW streams the literal-code writer never produces — the
+  * KwKwK self-reference case and dictionary code-width growth — so the
+  * decoder is proven a real LZW decompressor, not a literal-stream
+  * shortcut that happens to round-trip its own writer. */
+class GifCodecSpec extends AnyFunSuite {
+  import MediaCodecs.Gif
+
+  test("GIF write/parse round-trips frames, sizes and delays") {
+    for (w <- 2 to 5; h <- 2 to 4; nf <- 1 to 3) {
+      val frames = (0 until nf).map { f =>
+        (f * 3 + 1, Array.tabulate(w * h)(p => (f * 91 + p * 53) % 256))
+      }
+      val anim = Gif.parse(Gif.write(w, h, frames))
+      assert(anim.width == w && anim.height == h && anim.frames.length == nf)
+      anim.frames.zipWithIndex.foreach { case (fr, f) =>
+        assert(fr.width == w && fr.height == h && fr.delayCs == f * 3 + 1)
+        assert(fr.pixels.toSeq == frames(f)._2.toSeq, s"w=$w h=$h f=$f")
+      }
+    }
+  }
+
+  test("GIF round-trip covers >512-pixel frames (dictionary past one CLEAR span)") {
+    val w = 40; val h = 20
+    val px = Array.tabulate(w * h)(p => (p * 7 + 3) % 256)
+    val anim = Gif.parse(Gif.write(w, h, Seq((0, px))))
+    assert(anim.frames.head.pixels.toSeq == px.toSeq)
+  }
+
+  /** Minimal GIF wrapper around raw LZW image bytes (4-entry palette,
+    * one w×1 frame, no extensions). */
+  private def wrap(lzw: Array[Byte], w: Int, minCodeSize: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("GIF89a".getBytes("US-ASCII"))
+    def w16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    w16(w); w16(1)
+    out.write(0x81); out.write(0); out.write(0) // 4-entry GCT
+    (0 until 4).foreach { i => out.write(i); out.write(i); out.write(i) }
+    out.write(0x2c); w16(0); w16(0); w16(w); w16(1); out.write(0)
+    out.write(minCodeSize)
+    var off = 0
+    while (off < lzw.length) {
+      val n = math.min(255, lzw.length - off)
+      out.write(n); out.write(lzw, off, n)
+      off += n
+    }
+    out.write(0); out.write(0x3b)
+    out.toByteArray
+  }
+
+  /** LSB-first variable-width code packer (the GIF bit order). */
+  private def pack(codes: Seq[(Int, Int)]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var acc = 0L; var nBits = 0
+    codes.foreach { case (code, width) =>
+      acc |= code.toLong << nBits; nBits += width
+      while (nBits >= 8) { out.write((acc & 0xff).toInt); acc >>= 8; nBits -= 8 }
+    }
+    if (nBits > 0) out.write((acc & 0xff).toInt)
+    out.toByteArray
+  }
+
+  test("LZW decoder handles the KwKwK self-reference case") {
+    // pixels 'aaaa' (a = 0) compressed by a REAL LZW encoder with
+    // minCodeSize 2 (clear 4, eoi 5): CLEAR, 0, 6, 0, EOI — code 6 is
+    // consumed before its dictionary entry exists (cScSc), forcing the
+    // prev + prev[0] reconstruction.
+    val lzw = pack(Seq((4, 3), (0, 3), (6, 3), (0, 3), (5, 3)))
+    val anim = Gif.parse(wrap(lzw, w = 4, minCodeSize = 2))
+    assert(anim.frames.head.pixels.toSeq == Seq(0, 0, 0, 0))
+  }
+
+  test("LZW decoder grows the code width when the dictionary fills") {
+    // 300 literal 8-bit pixels after ONE CLEAR: the decoder adds an entry
+    // per code after the first, so entry 512 arrives mid-stream and codes
+    // switch from 9 to 10 bits exactly there. The packer simulates the
+    // encoder side of the same convention.
+    val px = Array.tabulate(300)(i => (i * 11 + 5) % 256)
+    val codes = Seq.newBuilder[(Int, Int)]
+    codes += ((256, 9))
+    var dictSize = 258
+    var width = 9
+    px.zipWithIndex.foreach { case (p, i) =>
+      codes += ((p, width))
+      if (i > 0) { // dictionary adds start with the second code
+        dictSize += 1
+        if (dictSize == (1 << width)) width += 1
+      }
+    }
+    codes += ((257, width))
+    val anim = Gif.parse(wrap(pack(codes.result()), w = 300, minCodeSize = 8))
+    assert(anim.frames.head.pixels.toSeq == px.toSeq)
+  }
 }
