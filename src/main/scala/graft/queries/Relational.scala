@@ -722,6 +722,31 @@ object Relational {
           max(col("event_id")).as("max_event"))
         .orderBy(col("event_type"))),
 
+    // -- SCHEMA EVOLUTION across parquet generations (the long-lived-table
+    // reality: columns get added and retired, old files are never
+    // rewritten): a store whose gen=1 files carry (key, cust, totalprice)
+    // and gen=2 files (key, cust, orderstatus, orderpriority) is read as
+    // ONE table via mergeSchema — absent columns surface as NULLs, the
+    // partition column identifies the generation. At 100 TB the merged
+    // read costs one footer-schema union at planning time; data files are
+    // untouched (the alternative — rewriting history on every schema
+    // change — is a full-table write). The aggregate exercises both
+    // directions of absence (legacy rows lack status, new rows lack
+    // price); the oracle replays the generation split as a UNION-BY-NAME
+    // over the original table, so a merge slip (column misalignment, a
+    // dropped generation, wrong NULLing) flips counts or sums red.
+    "q42_schema_evolution" -> ((s, dir) =>
+      s.read.option("mergeSchema", "true").parquet(evolvedOrders(s, dir))
+        .groupBy(col("gen"), coalesce(col("o_orderstatus"), lit("<legacy>"))
+          .as("status"))
+        .agg(count(lit(1)).as("n"),
+          count(col("o_totalprice")).as("n_priced"),
+          sumExact(coalesce(col("o_totalprice"), lit(0.0))).as("total_price"),
+          count(col("o_orderpriority")).as("n_prioritized"),
+          min(col("o_orderkey")).as("min_key"),
+          max(col("o_orderkey")).as("max_key"))
+        .orderBy(col("gen"), col("status"))),
+
     // -- FUZZY JOIN / record linkage (entity resolution without a shared
     // key): probe strings — every 10th part name with one deterministically
     // chosen character deleted — are matched back to the dimension at edit
@@ -880,6 +905,34 @@ object Relational {
           .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
           .write.mode("overwrite").orc(s"$work/customer")
         s"$work/customer"
+      })
+    }
+
+  /** Two-generation orders store for q42: gen=1 files carry the LEGACY
+    * column set (key, cust, totalprice), gen=2 the EVOLVED one (key, cust,
+    * orderstatus, orderpriority) — written as separate parquet writes
+    * under one partitioned root, memoized per (session, dir). */
+  private val evolvedBuilt =
+    new java.util.WeakHashMap[SparkSession, collection.mutable.Map[String, String]]()
+  private def evolvedOrders(s: SparkSession, dir: String): String =
+    evolvedBuilt.synchronized {
+      val perDir = Option(evolvedBuilt.get(s)).getOrElse {
+        val m = collection.mutable.Map.empty[String, String]
+        evolvedBuilt.put(s, m)
+        m
+      }
+      perDir.getOrElseUpdate(dir, {
+        val work = java.nio.file.Files.createTempDirectory("graft-evolve")
+        graft.util.TempDirs.deleteOnExit(work)
+        val o = t(s, dir, "orders")
+        o.filter(col("o_orderkey") % 2 === 0)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+          .write.mode("overwrite").parquet(s"$work/store/gen=1")
+        o.filter(col("o_orderkey") % 2 === 1)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+            col("o_orderpriority"))
+          .write.mode("overwrite").parquet(s"$work/store/gen=2")
+        s"$work/store"
       })
     }
 
@@ -1345,6 +1398,27 @@ object Relational {
         |  CAST(SUM(CAST("value" AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
         |  MIN(event_id) AS min_event, MAX(event_id) AS max_event
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // the generation split replayed as UNION BY NAME over the original
+    // table — a merge slip (misaligned columns, wrong NULLing, a dropped
+    // generation) cannot reproduce these counts and sums
+    "q42_schema_evolution" ->
+      """WITH g1 AS (
+        |  SELECT 1 AS gen, o_orderkey, o_custkey, o_totalprice,
+        |    NULL::VARCHAR AS o_orderstatus, NULL::VARCHAR AS o_orderpriority
+        |  FROM orders WHERE o_orderkey % 2 = 0),
+        |g2 AS (
+        |  SELECT 2 AS gen, o_orderkey, o_custkey, NULL::DOUBLE AS o_totalprice,
+        |    o_orderstatus, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 2 = 1),
+        |u AS (SELECT * FROM g1 UNION ALL BY NAME SELECT * FROM g2)
+        |SELECT gen, COALESCE(o_orderstatus, '<legacy>') AS status,
+        |  COUNT(*) AS n, COUNT(o_totalprice) AS n_priced,
+        |  CAST(SUM(CAST(COALESCE(o_totalprice, 0.0) AS DECIMAL(18,6))) AS DOUBLE)
+        |    AS total_price,
+        |  COUNT(o_orderpriority) AS n_prioritized,
+        |  MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+        |FROM u GROUP BY gen, status ORDER BY gen, status""".stripMargin,
 
     // the UNBLOCKED ground truth: same probes, but candidates from a full
     // cross join — if the engine's dual prefix/suffix blocking missed any

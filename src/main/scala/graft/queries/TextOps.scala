@@ -69,6 +69,41 @@ object TextOps {
     sigs.selectExpr("doc_id", s"inline(array(${bandStructs.mkString(", ")}))")
   }
 
+  /** Shared DSIR weight pipeline (tx29/tx31): hashed-bigram 64-bucket
+    * features, target ('src0') vs raw histogram log-ratios (6-dp decimal),
+    * per-doc weight w = Σ n_b · lr_b as an EXACT decimal. The feature
+    * space is closed, so the global stage is a constant-size (64-row)
+    * aggregate broadcast back — no shuffle exceeds |docs| × 64 rows at
+    * any corpus size. */
+  private def dsirWeights(s: SparkSession, dir: String): DataFrame = {
+    val bgExpr = s"transform(sequence(1, size(tk) - 1), " +
+      "i -> concat_ws(' ', element_at(tk, i), element_at(tk, i + 1)))"
+    val db = fanout(docs(s, dir))
+      .selectExpr("doc_id", "source", s"$tokExpr AS tk")
+      .where(expr("size(tk) >= 2"))
+      .selectExpr("doc_id", "source", s"explode($bgExpr) AS bg")
+      .withColumn("bucket",
+        expr("cast(conv(substr(md5(cast(bg as binary)), 1, 2), 16, 10) as int) % 64"))
+      .groupBy(col("doc_id"), col("source"), col("bucket"))
+      .agg(count(lit(1)).as("nb"))
+    val rawB = db.groupBy(col("bucket")).agg(sum(col("nb")).as("raw"))
+    val tgtB = db.filter(col("source") === "src0")
+      .groupBy(col("bucket")).agg(sum(col("nb")).as("tgt"))
+    val tots = rawB.agg(sum(col("raw")).as("tot_r"))
+      .crossJoin(tgtB.agg(sum(col("tgt")).as("tot_t")))
+    val lr = rawB.join(tgtB, Seq("bucket"), "left")
+      .withColumn("tgt", coalesce(col("tgt"), lit(0L)))
+      .crossJoin(broadcast(tots))
+      .withColumn("lr",
+        round(log(((col("tgt") + 1) * (col("tot_r") + 64)).cast("double") /
+          ((col("raw") + 1) * (col("tot_t") + 64)).cast("double")), 6)
+          .cast("decimal(18,6)"))
+      .select(col("bucket"), col("lr"))
+    db.join(broadcast(lr), Seq("bucket"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("nb")).as("n_bigrams"), sum(col("nb") * col("lr")).as("w"))
+  }
+
   val queries: Map[String, Q] = Map(
     // exact dedup by content hash: keep lowest doc_id per identical text
     "tx01_exact_dedup" -> ((s, dir) =>
@@ -853,36 +888,35 @@ object TextOps {
     // is one ln of one IEEE quotient of exact-integer products rounded to
     // 6 dp (the tx21/tx25 discipline), and the per-doc sum is exact
     // decimal arithmetic — bit-identical in DuckDB.
-    "tx29_dsir_importance" -> ((s, dir) => {
-      val bgExpr = s"transform(sequence(1, size(tk) - 1), " +
-        "i -> concat_ws(' ', element_at(tk, i), element_at(tk, i + 1)))"
-      val db = fanout(docs(s, dir))
-        .selectExpr("doc_id", "source", s"$tokExpr AS tk")
-        .where(expr("size(tk) >= 2"))
-        .selectExpr("doc_id", "source", s"explode($bgExpr) AS bg")
-        .withColumn("bucket",
-          expr("cast(conv(substr(md5(cast(bg as binary)), 1, 2), 16, 10) as int) % 64"))
-        .groupBy(col("doc_id"), col("source"), col("bucket"))
-        .agg(count(lit(1)).as("nb"))
-      val rawB = db.groupBy(col("bucket")).agg(sum(col("nb")).as("raw"))
-      val tgtB = db.filter(col("source") === "src0")
-        .groupBy(col("bucket")).agg(sum(col("nb")).as("tgt"))
-      val tots = rawB.agg(sum(col("raw")).as("tot_r"))
-        .crossJoin(tgtB.agg(sum(col("tgt")).as("tot_t")))
-      val lr = rawB.join(tgtB, Seq("bucket"), "left")
-        .withColumn("tgt", coalesce(col("tgt"), lit(0L)))
-        .crossJoin(broadcast(tots))
-        .withColumn("lr",
-          round(log(((col("tgt") + 1) * (col("tot_r") + 64)).cast("double") /
-            ((col("raw") + 1) * (col("tot_t") + 64)).cast("double")), 6)
-            .cast("decimal(18,6)"))
-        .select(col("bucket"), col("lr"))
-      db.join(broadcast(lr), Seq("bucket"))
-        .groupBy(col("doc_id"))
-        .agg(sum(col("nb")).as("n_bigrams"), sum(col("nb") * col("lr")).as("w"))
+    "tx29_dsir_importance" -> ((s, dir) =>
+      dsirWeights(s, dir)
         .select(col("doc_id"), col("n_bigrams"),
           col("w").cast("double").as("log_weight"), (col("w") > 0).as("selected"))
-        .orderBy(col("doc_id"))
+        .orderBy(col("doc_id"))),
+
+    // The RESAMPLING step DSIR's weights exist for (Xie et al. 2023 §2;
+    // Vieira 2014's Gumbel-top-k): draw a fixed-size corpus WITHOUT
+    // replacement with probability ∝ softmax(log-weight) by perturbing
+    // each doc's log-weight with deterministic Gumbel noise
+    // g = −ln(−ln(u)) — u an exact dyadic from the doc's md5, the tx20
+    // reproducible-uniform discipline — and keeping the top-k keys. This
+    // is THE distributed weighted-sampling shape: keys are map-side
+    // per-row arithmetic and the only coordination is one
+    // TakeOrderedAndProject top-k (no global sort, no sequential urn
+    // walk). The rank window runs AFTER the limit, on k rows.
+    "tx31_gumbel_sample" -> ((s, dir) => {
+      val keyed = dsirWeights(s, dir)
+        .withColumn("u",
+          (expr("cast(conv(substr(md5(cast(concat('smp:', doc_id) as binary)), 1, 6), 16, 10) as bigint)")
+            .cast("double") + lit(0.5)) / lit(16777216.0))
+        .withColumn("gumbel", -log(-log(col("u"))))
+        .withColumn("skey", round(col("w").cast("double") + col("gumbel"), 6))
+      keyed.orderBy(col("skey").desc, col("doc_id")).limit(64)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("skey").desc, col("doc_id"))).cast("long"))
+        .select(col("rank"), col("doc_id"), col("n_bigrams"),
+          col("w").cast("double").as("log_weight"), col("skey"))
+        .orderBy(col("rank"))
     }),
 
     // Gopher-style quality rule battery (Rae et al. 2021, appendix A1.1):
@@ -934,6 +968,33 @@ object TextOps {
 
   private val dTok = raw"regexp_split_to_array(trim(lower(text)), '\s+')"
   private val dStop = "('the', 'a', 'of', 'and', 'to', 'in', 'is')"
+
+  /** Shared DuckDB replay of [[dsirWeights]] — CTE bodies only (no WITH),
+    * ending in `d(doc_id, n_bigrams, w)`. */
+  private def dsirSql: String =
+    s"""toks AS (SELECT doc_id, source, $dTok AS tk FROM documents),
+       |bg AS (
+       |  SELECT doc_id, source,
+       |    unnest(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])) AS bg
+       |  FROM toks WHERE len(tk) >= 2),
+       |db AS (
+       |  SELECT doc_id, source,
+       |    CAST(((strpos('0123456789abcdef', substr(md5(bg), 1, 1)) - 1) * 16
+       |      + (strpos('0123456789abcdef', substr(md5(bg), 2, 1)) - 1)) % 64 AS INT) AS bucket,
+       |    COUNT(*) AS nb
+       |  FROM bg GROUP BY doc_id, source, 3),
+       |rawb AS (SELECT bucket, SUM(nb) AS raw FROM db GROUP BY bucket),
+       |tgtb AS (SELECT bucket, SUM(nb) AS tgt FROM db WHERE source = 'src0' GROUP BY bucket),
+       |tots AS (SELECT (SELECT SUM(raw) FROM rawb) AS tot_r,
+       |                (SELECT SUM(tgt) FROM tgtb) AS tot_t),
+       |lr AS (
+       |  SELECT rawb.bucket,
+       |    CAST(ROUND(ln(CAST((COALESCE(tgt, 0) + 1) * (tot_r + 64) AS DOUBLE)
+       |      / CAST((raw + 1) * (tot_t + 64) AS DOUBLE)), 6) AS DECIMAL(18,6)) AS lr
+       |  FROM rawb LEFT JOIN tgtb ON rawb.bucket = tgtb.bucket, tots),
+       |d AS (
+       |  SELECT doc_id, CAST(SUM(nb) AS BIGINT) AS n_bigrams, SUM(nb * lr) AS w
+       |  FROM db JOIN lr USING (bucket) GROUP BY doc_id)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "tx01_exact_dedup" ->
@@ -1467,31 +1528,29 @@ object TextOps {
     // full replay: hashed-bigram buckets, target/raw histograms with add-1
     // smoothing, 6-dp-rounded per-bucket log-ratio, exact decimal doc sum
     "tx29_dsir_importance" ->
-      s"""WITH toks AS (SELECT doc_id, source, $dTok AS tk FROM documents),
-         |bg AS (
-         |  SELECT doc_id, source,
-         |    unnest(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])) AS bg
-         |  FROM toks WHERE len(tk) >= 2),
-         |db AS (
-         |  SELECT doc_id, source,
-         |    CAST(((strpos('0123456789abcdef', substr(md5(bg), 1, 1)) - 1) * 16
-         |      + (strpos('0123456789abcdef', substr(md5(bg), 2, 1)) - 1)) % 64 AS INT) AS bucket,
-         |    COUNT(*) AS nb
-         |  FROM bg GROUP BY doc_id, source, 3),
-         |rawb AS (SELECT bucket, SUM(nb) AS raw FROM db GROUP BY bucket),
-         |tgtb AS (SELECT bucket, SUM(nb) AS tgt FROM db WHERE source = 'src0' GROUP BY bucket),
-         |tots AS (SELECT (SELECT SUM(raw) FROM rawb) AS tot_r,
-         |                (SELECT SUM(tgt) FROM tgtb) AS tot_t),
-         |lr AS (
-         |  SELECT rawb.bucket,
-         |    CAST(ROUND(ln(CAST((COALESCE(tgt, 0) + 1) * (tot_r + 64) AS DOUBLE)
-         |      / CAST((raw + 1) * (tot_t + 64) AS DOUBLE)), 6) AS DECIMAL(18,6)) AS lr
-         |  FROM rawb LEFT JOIN tgtb ON rawb.bucket = tgtb.bucket, tots),
-         |d AS (
-         |  SELECT doc_id, CAST(SUM(nb) AS BIGINT) AS n_bigrams, SUM(nb * lr) AS w
-         |  FROM db JOIN lr USING (bucket) GROUP BY doc_id)
+      s"""WITH $dsirSql
          |SELECT doc_id, n_bigrams, CAST(w AS DOUBLE) AS log_weight, w > 0 AS selected
          |FROM d ORDER BY doc_id""".stripMargin,
+
+    // the same weights perturbed by the replayed Gumbel noise
+    // (u from 6 md5 nibbles, g = -ln(-ln(u))), top-64 keys kept
+    "tx31_gumbel_sample" ->
+      s"""WITH $dsirSql,
+         |keyed AS (
+         |  SELECT doc_id, n_bigrams, CAST(w AS DOUBLE) AS log_weight,
+         |    ROUND(CAST(w AS DOUBLE) + (-ln(-ln(
+         |      (CAST(list_sum(list_transform(range(0, 6), i ->
+         |        CAST(strpos('0123456789abcdef',
+         |          substr(md5('smp:' || doc_id), CAST(i + 1 AS INT), 1)) - 1
+         |        AS BIGINT) << CAST(4 * (5 - i) AS INT))) AS DOUBLE) + 0.5)
+         |      / 16777216.0))), 6) AS skey
+         |  FROM d),
+         |top AS (
+         |  SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY skey DESC, doc_id)
+         |    AS BIGINT) AS rank
+         |  FROM keyed)
+         |SELECT rank, doc_id, n_bigrams, log_weight, skey
+         |FROM top WHERE rank <= 64 ORDER BY rank""".stripMargin,
 
     // integer cross-multiplication replay of every rule
     "tx30_gopher_rules" ->

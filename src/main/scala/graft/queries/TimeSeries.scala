@@ -995,6 +995,68 @@ object TimeSeries {
         .select(col("event_type"), col("fire_us"), col("clear_us"),
           col("n_points"), col("peak"))
         .orderBy(col("event_type"), col("fire_us"))
+    }),
+
+    // CLASSICAL additive decomposition x = trend + seasonal + resid over
+    // the hourly series (period 24): trend is the textbook 2×24 CENTERED
+    // moving average (two offset 24-row sums, halved — the standard
+    // even-period construction), seasonal is the hour-of-day mean of the
+    // detrended series re-centered to sum ~0, resid is what's left. Where
+    // ts23 fits a FORECAST (seasonal index + double smoothing), this is
+    // the decomposition VIEW itself — the first thing an analyst plots.
+    // Scale shape: one hourly hash-aggregate, two frames over the same
+    // sort (ONE shuffle on the series key — rank/window machinery shares
+    // the partition), a 24-row-per-series seasonal aggregate broadcast
+    // back. Numerics: the ÷48 trend and the two seasonal means are
+    // computed in exact INTEGER micro-units with explicit half-up
+    // (tx25's discipline) — these quotients land exactly ON half-micro
+    // points where the engines' double round() diverges (observed on
+    // this corpus); the means ride a +10000 offset so the half-up
+    // division stays in positive integers (Spark `div` truncates,
+    // DuckDB `//` floors — they agree only for non-negatives).
+    // Differences of micro-grid values are micro-grid, so the remaining
+    // round() calls sit maximally far from any boundary.
+    "ts33_decompose" -> ((s, dir) => {
+      val hourly = ev(s, dir)
+        .groupBy(col("event_type").as("g"), date_trunc("hour", col("ts")).as("h"))
+        .agg(round(avgExact(col("value")), 6).as("x"))
+        .withColumn("h_us", unix_micros(col("h")))
+        .withColumn("p", hour(col("h")).cast("long"))
+      val w1 = Window.partitionBy(col("g")).orderBy(col("h_us"))
+        .rowsBetween(-12, 11)
+      val w2 = Window.partitionBy(col("g")).orderBy(col("h_us"))
+        .rowsBetween(-11, 12)
+      val tr = hourly
+        .withColumn("sA", sum(sumExactCol(col("x"))).over(w1))
+        .withColumn("nA", count(lit(1)).over(w1))
+        .withColumn("sB", sum(sumExactCol(col("x"))).over(w2))
+        .withColumn("nB", count(lit(1)).over(w2))
+        .filter(col("nA") === 24 && col("nB") === 24) // full windows only
+        .withColumn("trend",
+          expr("(2 * cast((sA + sB) * 1000000 as bigint) + 48) div 96")
+            .cast("double") / 1e6)
+        .withColumn("detr", round(col("x") - col("trend"), 6))
+      val pm = tr.groupBy(col("g"), col("p"))
+        .agg(count(lit(1)).as("n"),
+          sum(sumExactCol(col("detr") + lit(10000.0))).as("sd"))
+        .withColumn("pmu",
+          expr("(2 * cast(sd * 1000000 as bigint) + n) div (2 * n)")
+            .cast("double") / 1e6 - 10000.0)
+        .select(col("g"), col("p"), col("pmu"))
+      val mu = pm.groupBy(col("g"))
+        .agg(count(lit(1)).as("n"),
+          sum(sumExactCol(col("pmu") + lit(10000.0))).as("sm"))
+        .withColumn("gmu",
+          expr("(2 * cast(sm * 1000000 as bigint) + n) div (2 * n)")
+            .cast("double") / 1e6 - 10000.0)
+        .select(col("g"), col("gmu"))
+      val sidx = pm.join(mu, Seq("g"))
+        .select(col("g"), col("p"), round(col("pmu") - col("gmu"), 6).as("sidx"))
+      tr.join(broadcast(sidx), Seq("g", "p"))
+        .withColumn("resid", round(col("detr") - col("sidx"), 6))
+        .select(col("g").as("event_type"), col("h_us"), col("x"),
+          col("trend"), col("sidx"), col("resid"))
+        .orderBy(col("event_type"), col("h_us"))
     })
   )
 
@@ -1728,7 +1790,56 @@ object TimeSeries {
         |  COUNT(*) AS n_points,
         |  MAX(value) AS peak
         |FROM i GROUP BY event_type, grp HAVING COUNT(*) >= 3
-        |ORDER BY event_type, fire_us""".stripMargin
+        |ORDER BY event_type, fire_us""".stripMargin,
+
+    // the same 2×24 centered MA + hour-of-day seasonal replay
+    "ts33_decompose" ->
+      """WITH h0 AS (
+        |  SELECT event_type AS g, date_trunc('hour', ts) AS h,
+        |    ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)
+        |      AS x
+        |  FROM events GROUP BY g, h),
+        |hh AS (SELECT g, epoch_us(h) AS h_us,
+        |       CAST(EXTRACT(hour FROM h) AS BIGINT) AS p, x FROM h0),
+        |t0 AS (
+        |  SELECT *,
+        |    SUM(CAST(x AS DECIMAL(18,6))) OVER (PARTITION BY g ORDER BY h_us
+        |      ROWS BETWEEN 12 PRECEDING AND 11 FOLLOWING) AS sA,
+        |    COUNT(*) OVER (PARTITION BY g ORDER BY h_us
+        |      ROWS BETWEEN 12 PRECEDING AND 11 FOLLOWING) AS nA,
+        |    SUM(CAST(x AS DECIMAL(18,6))) OVER (PARTITION BY g ORDER BY h_us
+        |      ROWS BETWEEN 11 PRECEDING AND 12 FOLLOWING) AS sB,
+        |    COUNT(*) OVER (PARTITION BY g ORDER BY h_us
+        |      ROWS BETWEEN 11 PRECEDING AND 12 FOLLOWING) AS nB
+        |  FROM hh),
+        |t1 AS (
+        |  SELECT g, h_us, p, x,
+        |    CAST((2 * CAST((sA + sB) * 1000000 AS BIGINT) + 48) // 96 AS DOUBLE)
+        |      / 1000000.0 AS trend
+        |  FROM t0 WHERE nA = 24 AND nB = 24),
+        |tr AS (SELECT g, h_us, p, x, trend, ROUND(x - trend, 6) AS detr FROM t1),
+        |pm0 AS (
+        |  SELECT g, p, COUNT(*) AS n,
+        |    CAST(SUM(CAST(detr + 10000.0 AS DECIMAL(18,6))) * 1000000 AS BIGINT)
+        |      AS sd
+        |  FROM tr GROUP BY g, p),
+        |pm AS (SELECT g, p,
+        |    CAST((2 * sd + n) // (2 * n) AS DOUBLE) / 1000000.0 - 10000.0 AS pmu
+        |  FROM pm0),
+        |mu0 AS (
+        |  SELECT g, COUNT(*) AS n,
+        |    CAST(SUM(CAST(pmu + 10000.0 AS DECIMAL(18,6))) * 1000000 AS BIGINT)
+        |      AS sm
+        |  FROM pm GROUP BY g),
+        |mu AS (SELECT g,
+        |    CAST((2 * sm + n) // (2 * n) AS DOUBLE) / 1000000.0 - 10000.0 AS gmu
+        |  FROM mu0),
+        |sx AS (SELECT pm.g, pm.p, ROUND(pmu - gmu, 6) AS sidx
+        |       FROM pm JOIN mu ON mu.g = pm.g)
+        |SELECT tr.g AS event_type, tr.h_us, tr.x, tr.trend, sx.sidx,
+        |  ROUND(tr.detr - sx.sidx, 6) AS resid
+        |FROM tr JOIN sx ON sx.g = tr.g AND sx.p = tr.p
+        |ORDER BY event_type, h_us""".stripMargin
   )
 
   /** The ts21 closed-form EMA kernel as a DuckDB CTE pair (`<out>_pairs`,
