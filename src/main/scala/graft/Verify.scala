@@ -18,11 +18,18 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Failures are caught per query so one broken plan can't zero the whole
+    // dump — but they must be LOUD: round 6 lost all 38 events-table
+    // queries to a silent analysis failure (the dump simply lacked their
+    // dirs and the correctness gate graded what remained). The manifest
+    // below records every failure next to the results.
+    val failures = collection.mutable.ArrayBuffer.empty[(String, String)]
     SparkEntry.queries.filter(_._1.startsWith(prefix)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failures += name -> String.valueOf(e.getMessage)
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -40,6 +47,12 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val failJson = failures.sortBy(_._1)
+      .map { case (k, v) => s"${q(k)}: ${q(v.take(500))}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/verify_failures.json"), failJson)
+    if (failures.nonEmpty)
+      System.err.println(s"[verify] ${failures.size} QUERIES FAILED: " +
+        failures.map(_._1).mkString(", "))
     spark.stop()
   }
 }

@@ -460,6 +460,45 @@ object Multimodal {
     }
   }
 
+  /** Per-clip keyframe verdict: the frame with the largest L1 pixel
+    * change vs its predecessor (exact integers; single-frame clips keep
+    * frame 0 with zero energy). */
+  case class Keyframe(media_id: Long, n_frames: Long, key_frame: Long,
+      max_diff: Long)
+
+  /** SCENE-CHANGE keyframe selection — the standard "which frame do I
+    * thumbnail / embed" reduction over a video-shaped container: decode
+    * all frames, score each against its predecessor by exact integer L1
+    * pixel distance, keep the argmax (ties → earliest frame). Everything
+    * happens inside ONE mapPartitions pass per clip — frames never leave
+    * the executor, no shuffle exists at all; a 100 TB corpus reduces to
+    * one 4-long row per clip map-side. */
+  def gifKeyframes(media: Dataset[Container]): Dataset[Keyframe] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { c =>
+        val anim = MediaCodecs.Gif.parse(c.payload)
+        val fs = anim.frames
+        if (fs.length < 2) Keyframe(c.media_id, fs.length.toLong, 0L, 0L)
+        else {
+          var bestF = 1L
+          var bestD = -1L
+          var f = 1
+          while (f < fs.length) {
+            val a = fs(f - 1).pixels
+            val b = fs(f).pixels
+            var d = 0L
+            var i = 0
+            while (i < b.length) { d += math.abs(b(i) - a(i)); i += 1 }
+            if (d > bestD) { bestD = d; bestF = f.toLong }
+            f += 1
+          }
+          Keyframe(c.media_id, fs.length.toLong, bestF, bestD)
+        }
+      }
+    }
+  }
+
   /** VIDEO-shaped frame extraction: block-walk + real LZW decode of every
     * frame ([[MediaCodecs.Gif]]), one feature row per frame. A slip in
     * the sub-block chain skip, the code-width handling or the dictionary

@@ -40,7 +40,7 @@ object Kalman {
   final case class State(tsUs: Long, id: Long, z: Double,
       xHat: Double, p: Double, kGain: Double)
 
-  private def round6(x: Double): Double =
+  private[graft] def round6(x: Double): Double =
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 
   /** One predict→gain→update step: (x, P) before the observation →

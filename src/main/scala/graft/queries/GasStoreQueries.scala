@@ -307,6 +307,41 @@ object GasStoreQueries {
     spark.read.parquet(path)
   }
 
+  /** gs19's sink: the STREAMING KALMAN FILTER
+    * ([[graft.streaming.GasStream.kalmanStream]]) — ts30's local-level
+    * filter as keyed state sharing the batch kernel's `step`, with
+    * production-style FIXED noise parameters (Q=0.5, R=4 —
+    * configuration, not estimated from the unbounded stream). The DuckDB
+    * oracle replays the identical per-step-rounded recursion over the raw
+    * CSVs, hash-verifying state carry-over, in-batch event-time ordering
+    * and the gain arithmetic point-by-point. */
+  private val builtKalman = new java.util.WeakHashMap[SparkSession, String]()
+  private def streamKalman(spark: SparkSession): DataFrame = {
+    val path = builtKalman.synchronized {
+      Option(builtKalman.get(spark)).getOrElse {
+        val work = Files.createTempDirectory("graft-gas-kalman")
+        deleteOnExit(work)
+        val long = graft.store.LongStore.unpivot(
+          graft.transform.GasTransform(
+            graft.streaming.GasStream.readStream(spark, fixtureDir))
+            .withColumnRenamed("file_name", "_src")).drop("_src")
+          .filter(col("_field").isin("CO (ppm)", "Humidity (%r.h.)"))
+        graft.streaming.GasStream.kalmanStream(long, q = 0.5, r = 4.0)
+          .writeStream
+          .format("parquet")
+          .option("path", s"$work/out")
+          .option("checkpointLocation", s"$work/ckpt")
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+          .awaitTermination()
+        builtKalman.put(spark, s"$work/out")
+        s"$work/out"
+      }
+    }
+    spark.read.parquet(path)
+  }
+
   /** gs18's sink: the STREAMING DERIVATIVE
     * ([[graft.streaming.GasStream.rateStream]]) — ts09's per-series
     * instantaneous rate as keyed state, run end-to-end over the live long
@@ -652,6 +687,14 @@ object GasStoreQueries {
         .select(col("_field"), col("ts_us"), col("value"), col("rate_per_s"))
         .orderBy(col("_field"), col("ts_us"))),
 
+    // streaming Kalman estimates (per-step 6-dp rounds by the shared
+    // kernel — emitted as-is)
+    "gs19_stream_kalman" -> ((s, _) =>
+      streamKalman(s)
+        .select(col("_field"), col("ts_us"), col("value"), col("x_hat"),
+          col("p_var"), col("k_gain"))
+        .orderBy(col("_field"), col("ts_us"))),
+
     // closed streaming status runs (SCD2-style validity intervals)
     "gs17_stream_state_runs" -> ((s, _) =>
       streamRuns(s)
@@ -832,6 +875,40 @@ object GasStoreQueries {
          |  FROM rec r JOIN ord o ON o._field = r._field AND o.n = r.n + 1)
          |SELECT _field, ts_us, value, sp, sn,
          |  (sp > 60 OR sn > 60) AS alarm
+         |FROM rec ORDER BY _field, ts_us""".stripMargin,
+
+    // the streaming Kalman recursion replayed step-for-step (ts30's
+    // per-assignment-rounded WITH RECURSIVE shape, fixed Q=0.5 R=4):
+    // identical IEEE/rounding sequence, so the hash matches exactly
+    "gs19_stream_kalman" ->
+      s"""${prelude.replace("WITH raw AS", "WITH RECURSIVE raw AS")},
+         |pts AS (
+         |  SELECT 'CO (ppm)' AS _field, epoch_us(_time) AS ts_us,
+         |    "CO (ppm)" AS value FROM raw
+         |  UNION ALL
+         |  SELECT 'Humidity (%r.h.)', epoch_us(_time), "Humidity (%r.h.)"
+         |  FROM raw),
+         |ord AS (
+         |  SELECT _field, ts_us, value,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY _field ORDER BY ts_us)
+         |      AS BIGINT) AS n
+         |  FROM pts),
+         |rec AS (
+         |  SELECT _field, ts_us, value, n,
+         |    ROUND(value, 6) AS x, CAST(4.0 AS DOUBLE) AS pv,
+         |    CAST(1.0 AS DOUBLE) AS kg
+         |  FROM ord WHERE n = 1
+         |  UNION ALL
+         |  SELECT o._field, o.ts_us, o.value, o.n,
+         |    ROUND(q.x + ROUND(
+         |      ROUND(ROUND(q.pv + 0.5, 6) / (ROUND(q.pv + 0.5, 6) + 4.0), 6)
+         |      * ROUND(o.value - q.x, 6), 6), 6),
+         |    ROUND((1.0 -
+         |      ROUND(ROUND(q.pv + 0.5, 6) / (ROUND(q.pv + 0.5, 6) + 4.0), 6))
+         |      * ROUND(q.pv + 0.5, 6), 6),
+         |    ROUND(ROUND(q.pv + 0.5, 6) / (ROUND(q.pv + 0.5, 6) + 4.0), 6)
+         |  FROM rec q JOIN ord o ON o._field = q._field AND o.n = q.n + 1)
+         |SELECT _field, ts_us, value, x AS x_hat, pv AS p_var, kg AS k_gain
          |FROM rec ORDER BY _field, ts_us""".stripMargin,
 
     // ts09's lag-window rate replayed over the raw CSVs: same unrounded

@@ -196,7 +196,20 @@ object MultimodalQueries {
           Multimodal.syntheticGifs(fanout(Tables.table(s, dir, "documents"))
             .filter(col("doc_id") % 4 === 2)))
         .toDF()
-        .orderBy(col("media_id"), col("frame_idx")))
+        .orderBy(col("media_id"), col("frame_idx"))),
+
+    // SCENE-CHANGE keyframe selection over the same animated clips:
+    // per-clip argmax of the exact integer L1 frame-to-frame pixel
+    // distance, computed entirely inside one mapPartitions pass (frames
+    // never leave the executor — zero shuffles). The oracle replays the
+    // pixel formula's pairwise distances, so a decode slip OR a wrong
+    // argmax/tie-break flips the verdict red.
+    "mm11_gif_keyframes" -> ((s, dir) =>
+      Multimodal.gifKeyframes(
+          Multimodal.syntheticGifs(fanout(Tables.table(s, dir, "documents"))
+            .filter(col("doc_id") % 4 === 2)))
+        .toDF()
+        .orderBy(col("media_id")))
   )
 
   val oracle: Map[String, String] = Map(
@@ -462,6 +475,32 @@ object MultimodalQueries {
         |  CAST(list_sum(list_transform(range(0, w*h),
         |    p -> (media_id*31 + frame_idx*17 + p*7) % 256)) AS DOUBLE) / (w*h)
         |    AS mean_val
-        |FROM f ORDER BY media_id, frame_idx""".stripMargin
+        |FROM f ORDER BY media_id, frame_idx""".stripMargin,
+
+    // replay of mm11: pairwise L1 distances from the same pixel formula,
+    // argmax with earliest-frame tie-break; single-frame clips keep
+    // frame 0 at zero energy
+    "mm11_gif_keyframes" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id, 2 + doc_id % 4 AS w, 2 + doc_id % 3 AS h,
+        |    1 + doc_id % 3 AS nf
+        |  FROM documents WHERE doc_id % 4 = 2),
+        |d AS (
+        |  SELECT media_id, nf, CAST(fi AS BIGINT) AS fi,
+        |    CAST(list_sum(list_transform(range(0, w*h), p ->
+        |      abs((media_id*31 + fi*17 + p*7) % 256
+        |        - (media_id*31 + (fi-1)*17 + p*7) % 256))) AS BIGINT) AS diff
+        |  FROM m, LATERAL unnest(range(1, nf)) t(fi)),
+        |r AS (
+        |  SELECT media_id, nf, fi, diff,
+        |    ROW_NUMBER() OVER (PARTITION BY media_id
+        |      ORDER BY diff DESC, fi) AS rn
+        |  FROM d)
+        |SELECT media_id, CAST(nf AS BIGINT) AS n_frames,
+        |  fi AS key_frame, diff AS max_diff
+        |FROM r WHERE rn = 1
+        |UNION ALL
+        |SELECT media_id, 1, 0, 0 FROM m WHERE nf = 1
+        |ORDER BY media_id""".stripMargin
   )
 }

@@ -309,6 +309,56 @@ object GasStream {
       .toDF()
   }
 
+  /** Per-key Kalman state: estimate + variance + the monotone guard. */
+  case class KalmanStreamState(x: Double, p: Double, lastUs: Long, n: Long)
+
+  /** One filtered reading per applied input point. */
+  case class KalmanPoint(_field: String, ts_us: Long, value: Double,
+      x_hat: Double, p_var: Double, k_gain: Double)
+
+  /** Streaming KALMAN FILTER — the UNBOUNDED-series form of ts30's
+    * local-level filter, completing the batch↔stream twin set (EMA ≡
+    * gs10, CUSUM ≡ gs15): the predict→gain→update recursion advanced by
+    * the SAME [[graft.operators.Kalman.step]] the batch kernel runs
+    * (stream ≡ batch by construction), carried as two doubles of keyed
+    * state. Where ts30 estimates Q/R from the full series — a luxury an
+    * infinite stream doesn't have — the streaming filter takes them as
+    * configuration, exactly as gs15 takes its detector thresholds.
+    * Ordering semantics are emaStream's (event-time order within a batch,
+    * monotone guard across batches). */
+  def kalmanStream(long: DataFrame, q: Double, r: Double): DataFrame = {
+    import long.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    long.select(col("_field"), col("_time"), col("_value"))
+      .as[(String, java.sql.Timestamp, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[KalmanStreamState, KalmanPoint](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (field: String, rows: Iterator[(String, java.sql.Timestamp, Double)],
+            state: GroupState[KalmanStreamState]) =>
+          var st = state.getOption
+            .getOrElse(KalmanStreamState(0.0, 0.0, Long.MinValue, 0L))
+          val out = Seq.newBuilder[KalmanPoint]
+          def micros(t: java.sql.Timestamp): Long =
+            Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+          rows.toSeq.sortBy(r0 => micros(r0._2)).foreach { case (_, t, v) =>
+            val us = micros(t)
+            if (us >= st.lastUs) { // monotone guard: drop stale stragglers
+              val (x, p, k) =
+                if (st.n == 0L)
+                  (graft.operators.Kalman.round6(v),
+                    graft.operators.Kalman.round6(r), 1.0)
+                else graft.operators.Kalman.step(st.x, st.p, v, q, r)
+              st = KalmanStreamState(x, p, us, st.n + 1)
+              out += KalmanPoint(field, us, v, x, p, k)
+            }
+          }
+          if (st.n > 0L) state.update(st)
+          out.result().iterator
+      }
+      .toDF()
+  }
+
   /** Per-key rate state: the last applied observation. */
   case class RateState(lastUs: Long, lastValue: Double)
 

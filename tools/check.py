@@ -25,6 +25,12 @@ for t in TABLES:
     con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SFDIR}/{t}.parquet'")
 
 oracle = json.load(open(f"{OUT}/oracle_sql.json"))
+try:
+    _vf = json.load(open(f"{OUT}/verify_failures.json"))
+    for _name, _err in sorted(_vf.items()):
+        print(f"DUMP-FAILED {_name}: {_err[:200]}")
+except FileNotFoundError:
+    pass
 # optional 3rd arg: only check queries with this name prefix (matches
 # graft.Verify's prefix arg for single-query iteration)
 PREFIX = sys.argv[3] if len(sys.argv) > 3 else ""
