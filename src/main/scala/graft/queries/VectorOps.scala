@@ -732,16 +732,22 @@ object VectorOps {
     }),
 
     // Graph centrality over the similarity graph: integer-arithmetic
-    // PageRank (3 damped power iterations) on v03's LSH near-neighbour
-    // pair list — ranks similarity hubs for canonical-representative
-    // selection / influence-weighted sampling. See
-    // [[graft.operators.PageRank]] for the determinism (all-integer mass)
-    // and scale (CC-style checkpointed edge loop) arguments; the edge
-    // construction is the same linear-scale LSH pipeline as v03, never
-    // O(n²).
+    // PageRank (3 damped power iterations) on the LSH near-neighbour pair
+    // list — ranks similarity hubs for canonical-representative selection
+    // / influence-weighted sampling. Edges come from the PRODUCTION
+    // 60-plane/15-band dial (v07's: recall 0.936 vs the 16/4 config's
+    // 0.512 — a centrality graph missing half its edges ranks the wrong
+    // hubs). Edge-build scaling inherits the v09/v10 analysis verbatim
+    // (PLANS.md): linear-at-scale exactly when the embedding space has a
+    // similarity gap, with band width density-scaled to corpus size; the
+    // RANK LOOP itself is scale-clean regardless — 3 rounds of one
+    // |V|-row join+agg each against the checkpointed edge leaf, strictly
+    // lighter than tx14's measured-sub-linear CC loop. See
+    // [[graft.operators.PageRank]] for the all-integer determinism
+    // argument.
     "v21_pagerank" -> ((s, dir) => {
       graft.functions.VectorFunctions.register(s)
-      val edges = lshPairs(emb(s, dir))
+      val edges = lshPairs(emb(s, dir), planes = 60, bands = 15, width = 4)
         .select(col("vec_a").as("src"), col("vec_b").as("dst"))
       graft.operators.PageRank.integerRanks(edges, iters = 3)
         .select(col("id").as("vec_id"), col("deg"), col("rank"))
@@ -1749,8 +1755,9 @@ object VectorOps {
     "v21_pagerank" -> pageRankSql
   )
 
-  /** Full replay of v21: v03's LSH edge list (same signature/band/score
-    * CTEs), symmetrized, then 3 unrolled integer PageRank iterations —
+  /** Full replay of v21: the production 60-plane/15-band LSH edge list
+    * (v07's dial — same signature/band/score CTEs as v09 sans probes),
+    * symmetrized, then 3 unrolled integer PageRank iterations —
     * floor-division shares, damped-integer update, bit-exact by
     * construction. */
   private def pageRankSql: String = {
@@ -1767,12 +1774,12 @@ object VectorOps {
        |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
        |  FROM embeddings),
        |s AS (SELECT vec_id, emb, norm,
-       |  CAST(list_sum(list_transform(range(0, 16), i ->
+       |  CAST(list_sum(list_transform(range(0, 60), i ->
        |    CASE WHEN list_sum(list_transform(range(0, 64), j ->
        |      emb[CAST(j + 1 AS INT)] * ((73856093::BIGINT * (i + 1) * (j + 7)) % 2001 - 1000)))
-       |    >= 0 THEN (1 << CAST(i AS INT)) ELSE 0 END)) AS INT) AS sig FROM e),
+       |    >= 0 THEN (1::BIGINT << CAST(i AS INT)) ELSE 0 END)) AS BIGINT) AS sig FROM e),
        |bands AS (SELECT vec_id, b, (sig >> CAST(4 * b AS INT)) & 15 AS bv
-       |          FROM s, range(0, 4) t(b)),
+       |          FROM s, range(0, 15) t(b)),
        |p AS (SELECT DISTINCT a.vec_id AS vec_a, c.vec_id AS vec_b
        |      FROM bands a JOIN bands c ON a.b = c.b AND a.bv = c.bv AND a.vec_id < c.vec_id),
        |x AS (SELECT vec_a, vec_b
