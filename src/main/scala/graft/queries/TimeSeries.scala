@@ -1057,6 +1057,44 @@ object TimeSeries {
         .select(col("g").as("event_type"), col("h_us"), col("x"),
           col("trend"), col("sidx"), col("resid"))
         .orderBy(col("event_type"), col("h_us"))
+    }),
+
+    // FORECAST BACKTEST — the evaluation half every forecaster (ts22/ts23)
+    // needs: per series, the mean absolute error of the PERSISTENCE
+    // forecast (x̂ᵢ = xᵢ₋₁) and the SEASONAL-NAIVE forecast (x̂ᵢ = xᵢ₋₇,
+    // MASE's scaling denominator per Hyndman & Koehler 2006), evaluated
+    // on the common i > 7 support, plus their ratio (< 1 ⟺ weekly
+    // seasonality carries real signal). Scale shape: one daily
+    // hash-aggregate, two lags on ONE series-key sort, one tiny final
+    // aggregate. Numerics: |grid − grid| errors are grid-exact decimals;
+    // both MAEs are integer-micro half-up quotients (positive, so no
+    // div/floor offset needed); the ratio is one IEEE division of two
+    // exact integers, NULL when the naive error is zero.
+    "ts34_forecast_backtest" -> ((s, dir) => {
+      val w = Window.partitionBy(col("g")).orderBy(col("day"))
+      val daily = ev(s, dir)
+        .groupBy(col("event_type").as("g"), to_date(col("ts")).as("day"))
+        .agg(round(avgExact(col("value")), 6).as("x"))
+        .withColumn("i", row_number().over(w).cast("long"))
+        .withColumn("lag1", lag(col("x"), 1).over(w))
+        .withColumn("lag7", lag(col("x"), 7).over(w))
+        .filter(col("i") > 7)
+        .withColumn("ep", abs(col("x") - col("lag1")))
+        .withColumn("es", abs(col("x") - col("lag7")))
+      daily.groupBy(col("g").as("event_type"))
+        .agg(count(lit(1)).as("n_eval"),
+          sum(sumExactCol(col("ep"))).as("sp"),
+          sum(sumExactCol(col("es"))).as("ss"))
+        .withColumn("pm",
+          expr("(2 * cast(sp * 1000000 as bigint) + n_eval) div (2 * n_eval)"))
+        .withColumn("sm",
+          expr("(2 * cast(ss * 1000000 as bigint) + n_eval) div (2 * n_eval)"))
+        .select(col("event_type"), col("n_eval"),
+          (col("pm").cast("double") / 1e6).as("mae_persist"),
+          (col("sm").cast("double") / 1e6).as("mae_snaive"),
+          expr("cast(pm as double) / cast(nullif(sm, 0L) as double)")
+            .as("mase_ratio"))
+        .orderBy(col("event_type"))
     })
   )
 
@@ -1839,7 +1877,39 @@ object TimeSeries {
         |SELECT tr.g AS event_type, tr.h_us, tr.x, tr.trend, sx.sidx,
         |  ROUND(tr.detr - sx.sidx, 6) AS resid
         |FROM tr JOIN sx ON sx.g = tr.g AND sx.p = tr.p
-        |ORDER BY event_type, h_us""".stripMargin
+        |ORDER BY event_type, h_us""".stripMargin,
+
+    // the same lag-1/lag-7 error arithmetic in integer micro-units
+    "ts34_forecast_backtest" ->
+      """WITH d0 AS (
+        |  SELECT event_type AS g, CAST(ts AS DATE) AS day,
+        |    ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)
+        |      AS x
+        |  FROM events GROUP BY g, day),
+        |d AS (
+        |  SELECT g, day, x,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY g ORDER BY day) AS BIGINT) AS i,
+        |    lag(x, 1) OVER (PARTITION BY g ORDER BY day) AS lag1,
+        |    lag(x, 7) OVER (PARTITION BY g ORDER BY day) AS lag7
+        |  FROM d0),
+        |er AS (
+        |  SELECT g, abs(x - lag1) AS ep, abs(x - lag7) AS es
+        |  FROM d WHERE i > 7),
+        |ag AS (
+        |  SELECT g, COUNT(*) AS n_eval,
+        |    CAST(SUM(CAST(ep AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS spm,
+        |    CAST(SUM(CAST(es AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS ssm
+        |  FROM er GROUP BY g),
+        |mm AS (
+        |  SELECT g, n_eval,
+        |    (2 * spm + n_eval) // (2 * n_eval) AS pm,
+        |    (2 * ssm + n_eval) // (2 * n_eval) AS sm
+        |  FROM ag)
+        |SELECT g AS event_type, n_eval,
+        |  CAST(pm AS DOUBLE) / 1000000.0 AS mae_persist,
+        |  CAST(sm AS DOUBLE) / 1000000.0 AS mae_snaive,
+        |  CAST(pm AS DOUBLE) / CAST(nullif(sm, 0) AS DOUBLE) AS mase_ratio
+        |FROM mm ORDER BY event_type""".stripMargin
   )
 
   /** The ts21 closed-form EMA kernel as a DuckDB CTE pair (`<out>_pairs`,

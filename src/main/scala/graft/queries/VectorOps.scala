@@ -752,6 +752,42 @@ object VectorOps {
       graft.operators.PageRank.integerRanks(edges, iters = 3)
         .select(col("id").as("vec_id"), col("deg"), col("rank"))
         .orderBy(col("vec_id"))
+    }),
+
+    // k-NN majority-vote classification eval — the neighbour-based twin
+    // of v20's centroid classifier (together: the two standard
+    // label-quality diagnostics for an embedding space). Each query's
+    // exact top-5 (v01's partial-top-k aggregate — shuffle carries
+    // O(queries × partitions × k), never candidates) votes by label;
+    // ties break to the smallest label. The vote join carries the
+    // queries×5 top list as the BROADCAST side against the narrow
+    // (id, label) projection — corpus payloads never move. Output is
+    // v20's per-label confusion-diagonal shape, so the two classifiers
+    // are directly comparable.
+    "v22_knn_classify" -> ((s, dir) => {
+      graft.functions.VectorFunctions.register(s)
+      val e = emb(s, dir)
+      val qs = e.filter(expr("vec_id % 100 = 0"))
+        .select(col("vec_id").as("q_id"), col("label").as("true_label"),
+          col("emb").as("qe"), col("norm").as("qn"))
+      val top = cosineTopK(e, qs.select(col("q_id"), col("qe"), col("qn")), 5)
+      val votes = e.select(col("vec_id").as("c_id"), col("label").as("c_label"))
+        .join(broadcast(top.select(col("q_id"), col("c_id"))), "c_id")
+        .groupBy(col("q_id"), col("c_label"))
+        .agg(count(lit(1)).as("nv"))
+      val pred = votes.groupBy(col("q_id"))
+        .agg(max(struct(col("nv"), (-col("c_label")).cast("long").as("negl")))
+          .as("b"))
+        .select(col("q_id"), (-col("b.negl")).cast("int").as("pred"))
+      qs.select(col("q_id"), col("true_label"))
+        .join(pred, "q_id")
+        .groupBy(col("true_label").as("label"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("pred") === col("true_label"), 1L).otherwise(0L))
+            .as("n_correct"))
+        .withColumn("accuracy",
+          round(col("n_correct").cast("double") / col("n"), 6))
+        .orderBy(col("label"))
     })
   )
 
@@ -1752,7 +1788,37 @@ object VectorOps {
         |SELECT q_id, CAST(rnk AS BIGINT) AS rnk, vec_id AS c_id, sim
         |FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
 
-    "v21_pagerank" -> pageRankSql
+    "v21_pagerank" -> pageRankSql,
+
+    // exact top-5 replay (v01's ranking) + per-query label vote with the
+    // (count DESC, label ASC) tie-break, reduced to the confusion diagonal
+    "v22_knn_classify" ->
+      """WITH e AS (
+        |  SELECT vec_id, label, embedding::DOUBLE[] AS emb,
+        |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, label AS tl, emb AS qe, norm AS qn
+        |      FROM e WHERE vec_id % 100 = 0),
+        |p AS (
+        |  SELECT q_id, e.vec_id, e.label AS c_label,
+        |    ROUND(list_dot_product(qe, emb) / (qn * norm), 6) AS sim
+        |  FROM e, q WHERE e.vec_id <> q.q_id),
+        |r AS (
+        |  SELECT q_id, c_label FROM (
+        |    SELECT q_id, c_label,
+        |      ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rnk
+        |    FROM p) WHERE rnk <= 5),
+        |v AS (SELECT q_id, c_label, COUNT(*) AS nv FROM r GROUP BY q_id, c_label),
+        |pr AS (
+        |  SELECT q_id, c_label AS pred FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+        |      ORDER BY nv DESC, c_label) AS rn FROM v) WHERE rn = 1)
+        |SELECT q.tl AS label, COUNT(*) AS n,
+        |  CAST(SUM(CASE WHEN pr.pred = q.tl THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_correct,
+        |  ROUND(CAST(SUM(CASE WHEN pr.pred = q.tl THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / COUNT(*), 6) AS accuracy
+        |FROM q JOIN pr USING (q_id) GROUP BY q.tl ORDER BY label""".stripMargin
   )
 
   /** Full replay of v21: the production 60-plane/15-band LSH edge list
