@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
 
 /** Executable form of PLANS.md: the physical-plan properties the engine's
   * 100 TB story rests on, asserted so they cannot silently regress.
@@ -286,5 +287,44 @@ class PlanAuditSpec extends SparkSpec {
     assert(files(compact) <= 4, "compacted store should be <= 4 files")
     assert(spark.read.parquet(compact).count() ===
       spark.read.parquet(frag).count())
+  }
+
+  test("ts33: both centered-MA frames share ONE series-key sort; seasonal join broadcasts") {
+    val df = q("ts33_decompose")
+    df.collect()
+    val p = planString(df).split("== Initial Plan ==").head
+    // the two offset ROWS frames (−12..11 and −11..12) ride the same
+    // (g, h_us) window ordering — a second series-key exchange would mean
+    // the raw frame is shuffled per frame
+    assert(p.contains("BroadcastHashJoin"), s"seasonal index not broadcast:\n$p")
+    // hourly agg + ONE series window (both frames stack on it) + pm agg +
+    // mu agg + presentation sort = 5; a 6th would mean the raw frame is
+    // re-shuffled per window frame
+    assert(countShuffles(p) <= 5,
+      s"hourly agg + shared window + 2 seasonal aggs + sort exceeded:\n$p")
+  }
+
+  test("v22: the top-5 vote list is the broadcast side — corpus payloads never reshuffle") {
+    graft.functions.VectorFunctions.register(spark)
+    val df = q("v22_knn_classify")
+    df.collect()
+    val p = planString(df).split("== Initial Plan ==").head
+    assert(p.contains("BroadcastHashJoin"), s"vote join not broadcast:\n$p")
+    // objectHashAggregate pairs for the typed top-k partial/final are
+    // expected; what must NOT appear is a sort-merge join on c_id
+    assert(!p.contains("SortMergeJoin"), s"vote join degraded to SMJ:\n$p")
+  }
+
+  test("q42: the merged read covers both generations and prunes through the partition column") {
+    val df = q("q42_schema_evolution")
+    val rows = df.collect()
+    assert(rows.map(_.getInt(0)).toSet == Set(1, 2),
+      "both generations must survive the merged read")
+    // a gen-filtered read must prune to one generation's files
+    val one = SparkEntry.queries("q42_schema_evolution")(spark, sf)
+      .filter(col("gen") === 1)
+    val p = planString(one)
+    assert(p.contains("PartitionFilters: [isnotnull(gen"),
+      s"gen partition filter not pushed:\n$p")
   }
 }
