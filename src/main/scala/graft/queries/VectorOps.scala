@@ -788,6 +788,43 @@ object VectorOps {
         .withColumn("accuracy",
           round(col("n_correct").cast("double") / col("n"), 6))
         .orderBy(col("label"))
+    }),
+
+    // DIMENSION-TRUNCATION recall curve (the Matryoshka/MRL deployment
+    // question: how much of the 64-dim ranking survives searching only
+    // the first 16 / 32 dims?): recall@5 of truncated-dot top-5 vs the
+    // full-dim exact ground truth, one row per truncation. Truncated
+    // search is v01's exact partial-top-k shape with sliced vectors —
+    // at scale the win is proportional bandwidth (a 16-dim scan reads ¼
+    // the bytes; with column-chunked vector storage the slice prunes at
+    // the scan). Output = the dial curve a deployer actually reads.
+    // Measured on THIS fixture: 0.08 @ 16 dims, 0.36 @ 32 (sf0.1) — an
+    // honest negative: uniform-random vectors spread information evenly
+    // across dims, so truncation destroys the ranking. Matryoshka-trained
+    // embeddings concentrate it in the prefix; the curve is the
+    // diagnostic that tells you which kind you're holding.
+    "v23_dim_truncation_recall" -> ((s, dir) => {
+      graft.functions.VectorFunctions.register(s)
+      val e = emb(s, dir)
+      val qs = e.filter(expr("vec_id % 100 = 0"))
+        .select(col("vec_id").as("q_id"), col("emb").as("qe"), col("norm").as("qn"))
+      val exact = cosineTopK(e, qs, 5).select(col("q_id"), col("c_id"))
+      val curves = Seq(16, 32).map { d =>
+        val ec = e.select(col("vec_id"),
+          expr(s"slice(emb, 1, $d)").as("emb"))
+          .withColumn("norm", expr("sqrt(graft_dot(emb, emb))"))
+        val qc = ec.filter(expr("vec_id % 100 = 0"))
+          .select(col("vec_id").as("q_id"), col("emb").as("qe"),
+            col("norm").as("qn"))
+        val approx = cosineTopK(ec, qc, 5).select(col("q_id"), col("c_id"))
+        val hit = approx.join(exact, Seq("q_id", "c_id"), "left_semi")
+        exact.agg(count(lit(1)).as("n_exact"))
+          .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+          .select(lit(d.toLong).as("dims"), col("n_exact"), col("n_hit"),
+            round(col("n_hit").cast("double") / col("n_exact"), 6)
+              .as("recall_at_5"))
+      }
+      curves.reduce(_.union(_)).orderBy(col("dims"))
     })
   )
 
@@ -1818,7 +1855,48 @@ object VectorOps {
         |    AS n_correct,
         |  ROUND(CAST(SUM(CASE WHEN pr.pred = q.tl THEN 1 ELSE 0 END) AS DOUBLE)
         |    / COUNT(*), 6) AS accuracy
-        |FROM q JOIN pr USING (q_id) GROUP BY q.tl ORDER BY label""".stripMargin
+        |FROM q JOIN pr USING (q_id) GROUP BY q.tl ORDER BY label""".stripMargin,
+
+    // both truncations replayed against the full-dim exact top-5
+    "v23_dim_truncation_recall" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS emb,
+        |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, emb AS qe, norm AS qn
+        |      FROM e WHERE vec_id % 100 = 0),
+        |px AS (
+        |  SELECT q_id, e.vec_id,
+        |    ROUND(list_dot_product(qe, emb) / (qn * norm), 6) AS sim
+        |  FROM e, q WHERE e.vec_id <> q.q_id),
+        |ex AS (SELECT q_id, vec_id FROM (
+        |    SELECT q_id, vec_id,
+        |      ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rnk
+        |    FROM px) WHERE rnk <= 5),
+        |dd AS (SELECT CAST(unnest([16, 32]) AS BIGINT) AS dims),
+        |te AS (
+        |  SELECT dims, vec_id, emb[1:CAST(dims AS INT)] AS temb,
+        |    sqrt(list_dot_product(emb[1:CAST(dims AS INT)],
+        |                          emb[1:CAST(dims AS INT)])) AS tnorm
+        |  FROM e, dd),
+        |tq AS (SELECT dims, vec_id AS q_id, temb AS tqe, tnorm AS tqn
+        |       FROM te WHERE vec_id % 100 = 0),
+        |tp AS (
+        |  SELECT t.dims, q_id, t.vec_id,
+        |    ROUND(list_dot_product(tqe, t.temb) / (tqn * t.tnorm), 6) AS sim
+        |  FROM te t JOIN tq ON tq.dims = t.dims AND t.vec_id <> tq.q_id),
+        |tr AS (SELECT dims, q_id, vec_id FROM (
+        |    SELECT dims, q_id, vec_id,
+        |      ROW_NUMBER() OVER (PARTITION BY dims, q_id
+        |        ORDER BY sim DESC, vec_id) AS rnk
+        |    FROM tp) WHERE rnk <= 5),
+        |h AS (SELECT dims, COUNT(*) AS n_hit
+        |      FROM tr SEMI JOIN ex USING (q_id, vec_id) GROUP BY dims)
+        |SELECT dd.dims, (SELECT COUNT(*) FROM ex) AS n_exact,
+        |  CAST(COALESCE(n_hit, 0) AS BIGINT) AS n_hit,
+        |  ROUND(CAST(COALESCE(n_hit, 0) AS DOUBLE)
+        |    / (SELECT COUNT(*) FROM ex), 6) AS recall_at_5
+        |FROM dd LEFT JOIN h USING (dims) ORDER BY dims""".stripMargin
   )
 
   /** Full replay of v21: the production 60-plane/15-band LSH edge list
