@@ -307,6 +307,41 @@ object GasStoreQueries {
     spark.read.parquet(path)
   }
 
+  /** gs20's sink: STREAMING FOR-DURATION ALERTS
+    * ([[graft.streaming.GasStream.alertStream]]) — ts32's pending-period
+    * alert contract as keyed state (fire at the 3rd consecutive
+    * above-50 point, episode emitted when a point drops below), run
+    * end-to-end over the live long stream for two fields. The DuckDB
+    * oracle replays the gaps-and-islands episodes over the raw CSVs and
+    * keeps only episodes a later below-threshold point has CLOSED —
+    * the withheld-open-episode semantics verified exactly. */
+  private val builtAlerts = new java.util.WeakHashMap[SparkSession, String]()
+  private def streamAlerts(spark: SparkSession): DataFrame = {
+    val path = builtAlerts.synchronized {
+      Option(builtAlerts.get(spark)).getOrElse {
+        val work = Files.createTempDirectory("graft-gas-alerts")
+        deleteOnExit(work)
+        val long = graft.store.LongStore.unpivot(
+          graft.transform.GasTransform(
+            graft.streaming.GasStream.readStream(spark, fixtureDir))
+            .withColumnRenamed("file_name", "_src")).drop("_src")
+          .filter(col("_field").isin("CO (ppm)", "Humidity (%r.h.)"))
+        graft.streaming.GasStream.alertStream(long, threshold = 50.0)
+          .writeStream
+          .format("parquet")
+          .option("path", s"$work/out")
+          .option("checkpointLocation", s"$work/ckpt")
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+          .awaitTermination()
+        builtAlerts.put(spark, s"$work/out")
+        s"$work/out"
+      }
+    }
+    spark.read.parquet(path)
+  }
+
   /** gs19's sink: the STREAMING KALMAN FILTER
     * ([[graft.streaming.GasStream.kalmanStream]]) — ts30's local-level
     * filter as keyed state sharing the batch kernel's `step`, with
@@ -695,6 +730,14 @@ object GasStoreQueries {
           col("p_var"), col("k_gain"))
         .orderBy(col("_field"), col("ts_us"))),
 
+    // closed streaming alert episodes (fire at 3rd consecutive point
+    // above 50, clear on the first below; open episodes withheld)
+    "gs20_stream_alerts" -> ((s, _) =>
+      streamAlerts(s)
+        .select(col("_field"), col("fire_us"), col("clear_us"),
+          col("n_points"), col("peak"))
+        .orderBy(col("_field"), col("fire_us"))),
+
     // closed streaming status runs (SCD2-style validity intervals)
     "gs17_stream_state_runs" -> ((s, _) =>
       streamRuns(s)
@@ -876,6 +919,41 @@ object GasStoreQueries {
          |SELECT _field, ts_us, value, sp, sn,
          |  (sp > 60 OR sn > 60) AS alarm
          |FROM rec ORDER BY _field, ts_us""".stripMargin,
+
+    // ts32's islands replay over the raw CSVs, restricted to episodes a
+    // later below-threshold point has closed (the open one is withheld)
+    "gs20_stream_alerts" ->
+      s"""$prelude,
+         |pts AS (
+         |  SELECT 'CO (ppm)' AS _field, epoch_us(_time) AS ts_us,
+         |    "CO (ppm)" AS value FROM raw
+         |  UNION ALL
+         |  SELECT 'Humidity (%r.h.)', epoch_us(_time), "Humidity (%r.h.)"
+         |  FROM raw),
+         |o AS (
+         |  SELECT _field, ts_us, value,
+         |    ROW_NUMBER() OVER (PARTITION BY _field ORDER BY ts_us) AS rn
+         |  FROM pts),
+         |c AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY _field ORDER BY ts_us) AS rs
+         |  FROM o WHERE value > 50),
+         |i AS (
+         |  SELECT *, rn - rs AS grp,
+         |    ROW_NUMBER() OVER (PARTITION BY _field, rn - rs ORDER BY ts_us) AS pos
+         |  FROM c),
+         |ep AS (
+         |  SELECT _field,
+         |    MIN(CASE WHEN pos = 3 THEN ts_us END) AS fire_us,
+         |    MAX(ts_us) AS clear_us,
+         |    COUNT(*) AS n_points,
+         |    MAX(value) AS peak
+         |  FROM i GROUP BY _field, grp HAVING COUNT(*) >= 3)
+         |SELECT e._field, e.fire_us, e.clear_us, e.n_points, e.peak
+         |FROM ep e
+         |WHERE EXISTS (SELECT 1 FROM pts b
+         |              WHERE b._field = e._field AND b.value <= 50
+         |                AND b.ts_us > e.clear_us)
+         |ORDER BY _field, fire_us""".stripMargin,
 
     // the streaming Kalman recursion replayed step-for-step (ts30's
     // per-assignment-rounded WITH RECURSIVE shape, fixed Q=0.5 R=4):

@@ -359,6 +359,62 @@ object GasStream {
       .toDF()
   }
 
+  /** Per-key alert state: the currently-open above-threshold episode. */
+  case class AlertState(n: Long, fireUs: Long, clearUs: Long, peak: Double,
+      lastUs: Long)
+
+  /** One CLOSED alert episode (≥3 consecutive above-threshold points,
+    * ended by a below-threshold observation). */
+  case class AlertEpisode(_field: String, fire_us: Long, clear_us: Long,
+      n_points: Long, peak: Double)
+
+  /** Streaming FOR-DURATION ALERT RULES — the streaming twin of ts32's
+    * Grafana/Prometheus pending-period contract: an alert FIRES at the
+    * 3rd consecutive above-threshold point and CLEARS when a point drops
+    * below; one episode row (fire, clear, count, peak) is emitted the
+    * moment the closing observation arrives. State is one open episode
+    * (4 longs + a double) per series — O(keys) however long the stream
+    * runs. A still-open episode is withheld by construction (nothing has
+    * closed it yet — gs17's discipline), which the oracle replays by
+    * requiring a later below-threshold point. Sub-3-point blips are
+    * discarded silently, exactly ts32's n >= 3 rule. Ordering semantics
+    * are emaStream's (in-batch event-time order, monotone guard). */
+  def alertStream(long: DataFrame, threshold: Double): DataFrame = {
+    import long.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    long.select(col("_field"), col("_time"), col("_value"))
+      .as[(String, java.sql.Timestamp, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[AlertState, AlertEpisode](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (field: String, rows: Iterator[(String, java.sql.Timestamp, Double)],
+            state: GroupState[AlertState]) =>
+          var st = state.getOption
+            .getOrElse(AlertState(0L, 0L, 0L, 0.0, Long.MinValue))
+          val out = Seq.newBuilder[AlertEpisode]
+          def micros(t: java.sql.Timestamp): Long =
+            Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+          rows.toSeq.sortBy(r => micros(r._2)).foreach { case (_, t, v) =>
+            val us = micros(t)
+            if (us >= st.lastUs) { // monotone guard: drop stale stragglers
+              if (v > threshold) {
+                val n = st.n + 1
+                st = AlertState(n,
+                  if (n == 3L) us else st.fireUs, us,
+                  if (n == 1L) v else math.max(st.peak, v), us)
+              } else {
+                if (st.n >= 3L)
+                  out += AlertEpisode(field, st.fireUs, st.clearUs, st.n, st.peak)
+                st = AlertState(0L, 0L, 0L, 0.0, us)
+              }
+            }
+          }
+          state.update(st)
+          out.result().iterator
+      }
+      .toDF()
+  }
+
   /** Per-key rate state: the last applied observation. */
   case class RateState(lastUs: Long, lastValue: Double)
 
