@@ -1095,6 +1095,48 @@ object TimeSeries {
           expr("cast(pm as double) / cast(nullif(sm, 0L) as double)")
             .as("mase_ratio"))
         .orderBy(col("event_type"))
+    }),
+
+    // THEIL–SEN robust trend (Sen 1968): slope = the LOWER MEDIAN of all
+    // pairwise slopes (xⱼ−xᵢ)/(j−i) per series — the outlier-resistant
+    // alternative to least squares (breakdown point 29% vs 0). Intercept
+    // = lower median of the per-point residuals xᵢ − slope·i. Lower
+    // median (rank ⌈m/2⌉) rather than midpoint-average: the picked VALUE
+    // is deterministic under any sort-by-value order and never invents a
+    // half-way float. Each slope/residual is a single IEEE op chain over
+    // grid/int inputs, so both engines rank identical doubles. Scale
+    // shape: Theil–Sen is inherently O(n²) per SERIES — the right input
+    // is a bounded downsampled series (here: ~30 daily points → ~435
+    // pairs per series, one broadcast self-join); unbounded series want
+    // the windowed repeated-median variant, same kernel.
+    "ts35_theilsen_trend" -> ((s, dir) => {
+      val daily = ev(s, dir)
+        .groupBy(col("event_type").as("g"), to_date(col("ts")).as("day"))
+        .agg(round(avgExact(col("value")), 6).as("x"))
+        .withColumn("i", row_number().over(
+          Window.partitionBy(col("g")).orderBy(col("day"))).cast("long"))
+        .select(col("g"), col("i"), col("x"))
+      val a = daily.select(col("g"), col("i").as("ia"), col("x").as("xa"))
+      val b = daily.select(col("g"), col("i").as("ib"), col("x").as("xb"))
+      val slopes = a.join(broadcast(b), Seq("g"))
+        .filter(col("ia") < col("ib"))
+        .withColumn("slope",
+          (col("xb") - col("xa")) / (col("ib") - col("ia")).cast("double"))
+      val wS = Window.partitionBy(col("g")).orderBy(col("slope"))
+      val med = slopes
+        .withColumn("rn", row_number().over(wS).cast("long"))
+        .withColumn("m", count(lit(1)).over(Window.partitionBy(col("g"))))
+        .filter(col("rn") === expr("(m + 1) div 2"))
+        .select(col("g"), col("m").as("n_pairs"), col("slope").as("ts_slope"))
+      val wR = Window.partitionBy(col("g")).orderBy(col("resid"))
+      daily.join(broadcast(med), Seq("g"))
+        .withColumn("resid", col("x") - col("ts_slope") * col("i").cast("double"))
+        .withColumn("rn", row_number().over(wR).cast("long"))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy(col("g"))))
+        .filter(col("rn") === expr("(n + 1) div 2"))
+        .select(col("g").as("event_type"), col("n").as("n_days"),
+          col("n_pairs"), col("ts_slope"), col("resid").as("ts_intercept"))
+        .orderBy(col("event_type"))
     })
   )
 
@@ -1909,7 +1951,42 @@ object TimeSeries {
         |  CAST(pm AS DOUBLE) / 1000000.0 AS mae_persist,
         |  CAST(sm AS DOUBLE) / 1000000.0 AS mae_snaive,
         |  CAST(pm AS DOUBLE) / CAST(nullif(sm, 0) AS DOUBLE) AS mase_ratio
-        |FROM mm ORDER BY event_type""".stripMargin
+        |FROM mm ORDER BY event_type""".stripMargin,
+
+    // pairwise slopes + lower-median selection replayed rank-for-rank
+    "ts35_theilsen_trend" ->
+      """WITH d0 AS (
+        |  SELECT event_type AS g, CAST(ts AS DATE) AS day,
+        |    ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)
+        |      AS x
+        |  FROM events GROUP BY g, day),
+        |d AS (
+        |  SELECT g, x,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY g ORDER BY day) AS BIGINT) AS i
+        |  FROM d0),
+        |p AS (
+        |  SELECT a.g, (b.x - a.x) / CAST(b.i - a.i AS DOUBLE) AS slope
+        |  FROM d a JOIN d b ON a.g = b.g AND a.i < b.i),
+        |ms AS (
+        |  SELECT g, m AS n_pairs, slope AS ts_slope FROM (
+        |    SELECT g, slope,
+        |      CAST(ROW_NUMBER() OVER (PARTITION BY g ORDER BY slope) AS BIGINT)
+        |        AS rn,
+        |      CAST(COUNT(*) OVER (PARTITION BY g) AS BIGINT) AS m
+        |    FROM p) WHERE rn = (m + 1) // 2),
+        |r AS (
+        |  SELECT d.g, ms.n_pairs, ms.ts_slope,
+        |    d.x - ms.ts_slope * CAST(d.i AS DOUBLE) AS resid
+        |  FROM d JOIN ms ON ms.g = d.g)
+        |SELECT g AS event_type, n AS n_days, n_pairs, ts_slope,
+        |  resid AS ts_intercept
+        |FROM (
+        |  SELECT g, n_pairs, ts_slope, resid,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY g ORDER BY resid) AS BIGINT)
+        |      AS rn,
+        |    CAST(COUNT(*) OVER (PARTITION BY g) AS BIGINT) AS n
+        |  FROM r) WHERE rn = (n + 1) // 2
+        |ORDER BY event_type""".stripMargin
   )
 
   /** The ts21 closed-form EMA kernel as a DuckDB CTE pair (`<out>_pairs`,
