@@ -954,7 +954,61 @@ object TextOps {
           col("n_stopwords"), col("n_alpha"), col("max_tf"),
           col("ok_word_count"), col("ok_word_len"), col("ok_stopwords"),
           col("ok_alpha"), col("ok_top_token"), col("keep"))
-        .orderBy(col("doc_id")))
+        .orderBy(col("doc_id"))),
+
+    // The FILTER FUNNEL — the pipeline-health report every corpus team
+    // reads before training: how many documents survive each CUMULATIVE
+    // stage (exact dedup → Gopher rules → quality threshold). Composition,
+    // not new predicates: each stage reuses the exact formula its
+    // standalone query oracles (tx01's min-id keep, tx30's integer rules,
+    // tx03's 6-dp quality score ≥ 0.5). One pass: every stage is a
+    // boolean column, the funnel is a single aggregate of conjunction
+    // counts, unpivoted to ordered report rows. Scale shape: the dedup
+    // stage's content-hash window is the only shuffle; everything after
+    // is map-side bookkeeping over booleans.
+    "tx32_filter_funnel" -> ((s, dir) => {
+      val wHash = Window.partitionBy(md5(col("text").cast("binary")))
+      val flags = fanout(docs(s, dir))
+        .withColumn("is_canonical", col("doc_id") === min(col("doc_id")).over(wHash))
+        .selectExpr("doc_id", "is_canonical", s"$tokExpr AS tk", "text")
+        .withColumn("n_words", expr("size(tk)").cast("long"))
+        .withColumn("sum_word_len",
+          expr("aggregate(tk, 0L, (acc, t) -> acc + length(t))"))
+        .withColumn("n_stopwords",
+          expr(s"size(filter(array$stopList, sw -> array_contains(tk, sw)))").cast("long"))
+        .withColumn("n_alpha",
+          expr("size(filter(tk, t -> t rlike '[a-z]'))").cast("long"))
+        .withColumn("max_tf",
+          expr("array_max(transform(array_distinct(tk), t -> size(filter(tk, x -> x = t))))").cast("long"))
+        .withColumn("gopher_keep",
+          col("n_words") >= 50 && col("n_words") <= 100000 &&
+            lit(3) * col("n_words") <= col("sum_word_len") &&
+            col("sum_word_len") <= lit(10) * col("n_words") &&
+            col("n_stopwords") >= 2 &&
+            lit(5) * col("n_alpha") >= lit(4) * col("n_words") &&
+            lit(5) * col("max_tf") <= col("n_words"))
+        // tx03's score verbatim: stopword OCCURRENCES (not tx30's
+        // distinct-present count) over tokens
+        .withColumn("n_stop_occ",
+          expr(s"size(filter(tk, t -> t IN $stopList))").cast("long"))
+        .withColumn("quality_keep",
+          round(lit(0.4) * (col("n_stop_occ").cast("double") / col("n_words")) +
+            lit(0.6) * least(lit(1.0), col("n_words").cast("double") / lit(100.0)), 6)
+            >= 0.5)
+      flags.agg(
+          count(lit(1)).as("s0"),
+          sum(when(col("is_canonical"), 1L).otherwise(0L)).as("s1"),
+          sum(when(col("is_canonical") && col("gopher_keep"), 1L).otherwise(0L))
+            .as("s2"),
+          sum(when(col("is_canonical") && col("gopher_keep") &&
+            col("quality_keep"), 1L).otherwise(0L)).as("s3"))
+        .selectExpr("""inline(array(
+            named_struct('stage', '0_all',         'n_surviving', s0),
+            named_struct('stage', '1_exact_dedup', 'n_surviving', s1),
+            named_struct('stage', '2_gopher',      'n_surviving', s2),
+            named_struct('stage', '3_quality',     'n_surviving', s3)))""")
+        .orderBy(col("stage"))
+    })
   )
 
   /** Fixed BPE merge vocabulary, in rank order. Valid by construction: every
@@ -1576,6 +1630,49 @@ object TextOps {
          |    AND 3 * n_words <= sum_word_len AND sum_word_len <= 10 * n_words
          |    AND n_stopwords >= 2 AND 5 * n_alpha >= 4 * n_words
          |    AND 5 * max_tf <= n_words AS keep
-         |FROM m ORDER BY doc_id""".stripMargin
+         |FROM m ORDER BY doc_id""".stripMargin,
+
+    // the same cumulative conjunctions replayed as one aggregate
+    "tx32_filter_funnel" ->
+      s"""WITH f AS (
+         |  SELECT doc_id, text, $dTok AS tk,
+         |    doc_id = MIN(doc_id) OVER (PARTITION BY md5(text)) AS is_canonical
+         |  FROM documents),
+         |m AS (
+         |  SELECT is_canonical,
+         |    CAST(len(tk) AS BIGINT) AS n_words,
+         |    CAST(list_sum(list_transform(tk, t -> length(t))) AS BIGINT)
+         |      AS sum_word_len,
+         |    CAST(len(list_filter(['the', 'a', 'of', 'and', 'to', 'in', 'is'],
+         |      sw -> list_contains(tk, sw))) AS BIGINT) AS n_stopwords,
+         |    CAST(len(list_filter(tk, t -> regexp_matches(t, '[a-z]'))) AS BIGINT)
+         |      AS n_alpha,
+         |    CAST(list_max(list_transform(list_distinct(tk),
+         |      t -> len(list_filter(tk, x -> x = t)))) AS BIGINT) AS max_tf,
+         |    CAST(len(list_filter(tk, t -> t IN $dStop)) AS BIGINT) AS n_stop_occ
+         |  FROM f),
+         |g AS (
+         |  SELECT is_canonical,
+         |    n_words >= 50 AND n_words <= 100000
+         |      AND 3 * n_words <= sum_word_len AND sum_word_len <= 10 * n_words
+         |      AND n_stopwords >= 2 AND 5 * n_alpha >= 4 * n_words
+         |      AND 5 * max_tf <= n_words AS gopher_keep,
+         |    ROUND(0.4 * (CAST(n_stop_occ AS DOUBLE) / n_words)
+         |        + 0.6 * LEAST(1.0, CAST(n_words AS DOUBLE) / 100.0), 6) >= 0.5
+         |      AS quality_keep
+         |  FROM m),
+         |agg AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS s0,
+         |    CAST(SUM(CASE WHEN is_canonical THEN 1 ELSE 0 END) AS BIGINT) AS s1,
+         |    CAST(SUM(CASE WHEN is_canonical AND gopher_keep THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS s2,
+         |    CAST(SUM(CASE WHEN is_canonical AND gopher_keep AND quality_keep
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS s3
+         |  FROM g)
+         |SELECT '0_all' AS stage, s0 AS n_surviving FROM agg
+         |UNION ALL SELECT '1_exact_dedup', s1 FROM agg
+         |UNION ALL SELECT '2_gopher', s2 FROM agg
+         |UNION ALL SELECT '3_quality', s3 FROM agg
+         |ORDER BY stage""".stripMargin
   )
 }
