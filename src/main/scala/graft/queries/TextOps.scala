@@ -324,6 +324,33 @@ object TextOps {
         .orderBy(col("doc_id"))
     }),
 
+    // LEAKAGE-FREE train/test split: assigning raw doc ids to splits leaks
+    // whenever two near-duplicates straddle the boundary (the
+    // memorize-train/score-test contamination Lee et al. 2021 measure) —
+    // the correct split UNIT is the near-dup COMPONENT. tx14's
+    // ConnectedComponents label becomes the unit; the 90/10 assignment is
+    // the tx20 reproducible-hash discipline on the COMPONENT id, so every
+    // member of a dup cluster lands on the same side by construction.
+    // Scale: tx14's pipeline + one map-side hash — no new shuffles.
+    "tx33_leakage_free_split" -> ((s, dir) => {
+      val bd = bandSignatures(fanout(docs(s, dir)), shingleWords = 3)
+      val a = bd.select(col("b"), col("band_sig"), col("doc_id").as("doc_a"))
+      val c = bd.select(col("b"), col("band_sig"), col("doc_id").as("doc_b"))
+      val pairs = a.join(c, Seq("b", "band_sig"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .distinct()
+      val comp = graft.operators.ConnectedComponents.minLabel(pairs)
+      docs(s, dir).select(col("doc_id"))
+        .join(comp.select(col("id").as("doc_id"), col("label")), Seq("doc_id"), "left")
+        .withColumn("component", coalesce(col("label"), col("doc_id")))
+        .withColumn("split",
+          when(expr("cast(conv(substr(md5(cast(concat('split:', component) as binary)), 1, 2), 16, 10) as int) % 10 < 9"),
+            "train").otherwise("test"))
+        .select(col("doc_id"), col("component"), col("split"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Gopher-style repetition quality signal: the duplicate-3-gram fraction
     // per document (1 - distinct/total shingles). High values mean looping
     // or boilerplate text — a standard drop rule in LLM-corpus filtering.
@@ -1245,6 +1272,44 @@ object TextOps {
          |  COALESCE(comp.label, d.doc_id) = d.doc_id AS is_kept
          |FROM documents d LEFT JOIN comp ON comp.id = d.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+
+    // tx14's component replay + the split-hash assignment on the
+    // component id — same-cluster-same-side falls out arithmetically
+    "tx33_leakage_free_split" ->
+      s"""WITH RECURSIVE toks AS (SELECT doc_id, $dTok AS tk FROM documents),
+         |sh AS (
+         |  SELECT DISTINCT doc_id,
+         |    unnest(list_transform(range(1, len(tk) - 1), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS shingle
+         |  FROM toks WHERE len(tk) >= 3),
+         |hs AS (
+         |  SELECT doc_id, j, MIN(md5(j::VARCHAR || ':' || shingle)) AS sig
+         |  FROM sh, range(0, 16) t(j) GROUP BY doc_id, j),
+         |bd AS (
+         |  SELECT doc_id, j // 4 AS b,
+         |    md5(string_agg(lpad(j::VARCHAR, 2, '0') || ':' || sig, '|'
+         |        ORDER BY lpad(j::VARCHAR, 2, '0') || ':' || sig)) AS band_sig
+         |  FROM hs GROUP BY doc_id, j // 4),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS src, c.doc_id AS dst
+         |  FROM bd a JOIN bd c ON a.b = c.b AND a.band_sig = c.band_sig
+         |    AND a.doc_id < c.doc_id),
+         |sym AS (SELECT src, dst FROM pairs UNION ALL SELECT dst, src FROM pairs),
+         |verts AS (SELECT DISTINCT src AS id FROM sym),
+         |reach(id, r) AS (
+         |  SELECT id, id FROM verts
+         |  UNION
+         |  SELECT s.src, reach.r FROM sym s JOIN reach ON s.dst = reach.id),
+         |comp AS (SELECT id, MIN(r) AS label FROM reach GROUP BY id),
+         |asg AS (
+         |  SELECT d.doc_id, COALESCE(comp.label, d.doc_id) AS component
+         |  FROM documents d LEFT JOIN comp ON comp.id = d.doc_id)
+         |SELECT doc_id, component,
+         |  CASE WHEN ((strpos('0123456789abcdef',
+         |      substr(md5('split:' || component), 1, 1)) - 1) * 16
+         |    + (strpos('0123456789abcdef',
+         |      substr(md5('split:' || component), 2, 1)) - 1)) % 10 < 9
+         |  THEN 'train' ELSE 'test' END AS split
+         |FROM asg ORDER BY doc_id""".stripMargin,
 
     "tx11_neardup_dedup" ->
       s"""WITH toks AS (SELECT doc_id, $dTok AS tk FROM documents),
