@@ -1016,47 +1016,44 @@ object TimeSeries {
     // DuckDB `//` floors — they agree only for non-negatives).
     // Differences of micro-grid values are micro-grid, so the remaining
     // round() calls sit maximally far from any boundary.
-    "ts33_decompose" -> ((s, dir) => {
-      val hourly = ev(s, dir)
-        .groupBy(col("event_type").as("g"), date_trunc("hour", col("ts")).as("h"))
-        .agg(round(avgExact(col("value")), 6).as("x"))
-        .withColumn("h_us", unix_micros(col("h")))
-        .withColumn("p", hour(col("h")).cast("long"))
-      val w1 = Window.partitionBy(col("g")).orderBy(col("h_us"))
-        .rowsBetween(-12, 11)
-      val w2 = Window.partitionBy(col("g")).orderBy(col("h_us"))
-        .rowsBetween(-11, 12)
-      val tr = hourly
-        .withColumn("sA", sum(sumExactCol(col("x"))).over(w1))
-        .withColumn("nA", count(lit(1)).over(w1))
-        .withColumn("sB", sum(sumExactCol(col("x"))).over(w2))
-        .withColumn("nB", count(lit(1)).over(w2))
-        .filter(col("nA") === 24 && col("nB") === 24) // full windows only
-        .withColumn("trend",
-          expr("(2 * cast((sA + sB) * 1000000 as bigint) + 48) div 96")
-            .cast("double") / 1e6)
-        .withColumn("detr", round(col("x") - col("trend"), 6))
-      val pm = tr.groupBy(col("g"), col("p"))
-        .agg(count(lit(1)).as("n"),
-          sum(sumExactCol(col("detr") + lit(10000.0))).as("sd"))
-        .withColumn("pmu",
-          expr("(2 * cast(sd * 1000000 as bigint) + n) div (2 * n)")
-            .cast("double") / 1e6 - 10000.0)
-        .select(col("g"), col("p"), col("pmu"))
-      val mu = pm.groupBy(col("g"))
-        .agg(count(lit(1)).as("n"),
-          sum(sumExactCol(col("pmu") + lit(10000.0))).as("sm"))
-        .withColumn("gmu",
-          expr("(2 * cast(sm * 1000000 as bigint) + n) div (2 * n)")
-            .cast("double") / 1e6 - 10000.0)
-        .select(col("g"), col("gmu"))
-      val sidx = pm.join(mu, Seq("g"))
-        .select(col("g"), col("p"), round(col("pmu") - col("gmu"), 6).as("sidx"))
-      tr.join(broadcast(sidx), Seq("g", "p"))
-        .withColumn("resid", round(col("detr") - col("sidx"), 6))
+    "ts33_decompose" -> ((s, dir) =>
+      decomposeHourly(s, dir)
         .select(col("g").as("event_type"), col("h_us"), col("x"),
           col("trend"), col("sidx"), col("resid"))
-        .orderBy(col("event_type"), col("h_us"))
+        .orderBy(col("event_type"), col("h_us"))),
+
+    // SEASONAL / TREND STRENGTH (Hyndman & Athanasopoulos FPP3 §4.4's
+    // STL-feature measures): F_s = max(0, 1 − Var(resid)/Var(sidx+resid))
+    // and F_t = max(0, 1 − Var(resid)/Var(trend+resid)) over ts33's
+    // components — ONE aggregate turning the decomposition into the
+    // two numbers a seasonality-detection pipeline actually thresholds.
+    // Variances are computed from exact decimal power sums (values sit on
+    // the 6-dp grid, squares on the 12-dp grid — DECIMAL(38,12) is
+    // lossless) with the single final division/subtraction tree in IEEE,
+    // rounded once.
+    "ts36_seasonal_strength" -> ((s, dir) => {
+      def varCols(c: String) = Seq(
+        sum(col(c).cast("decimal(18,6)")).as(s"s_$c"),
+        sum((col(c).cast("decimal(18,6)") * col(c).cast("decimal(18,6)"))
+          .cast("decimal(38,12)")).as(s"q_$c"))
+      val comp = decomposeHourly(s, dir)
+        .withColumn("sr", round(col("sidx") + col("resid"), 6))
+        .withColumn("tr2", round(col("trend") + col("resid"), 6))
+      comp.groupBy(col("g").as("event_type"))
+        .agg(count(lit(1)).as("n"),
+          (varCols("resid") ++ varCols("sr") ++ varCols("tr2")): _*)
+        .withColumn("var_resid",
+          expr("cast(q_resid as double) / n - (cast(s_resid as double) / n) * (cast(s_resid as double) / n)"))
+        .withColumn("var_sr",
+          expr("cast(q_sr as double) / n - (cast(s_sr as double) / n) * (cast(s_sr as double) / n)"))
+        .withColumn("var_tr",
+          expr("cast(q_tr2 as double) / n - (cast(s_tr2 as double) / n) * (cast(s_tr2 as double) / n)"))
+        .select(col("event_type"), col("n"),
+          round(greatest(lit(0.0), lit(1.0) - col("var_resid") / col("var_sr")), 6)
+            .as("seasonal_strength"),
+          round(greatest(lit(0.0), lit(1.0) - col("var_resid") / col("var_tr")), 6)
+            .as("trend_strength"))
+        .orderBy(col("event_type"))
     }),
 
     // FORECAST BACKTEST — the evaluation half every forecaster (ts22/ts23)
@@ -1144,6 +1141,101 @@ object TimeSeries {
     * shared with ts22's double-smoothing: decay powers fold literal 0.8
     * factors (never `pow`), per-term rounding + exact-decimal sums make the
     * aggregate order-independent. Returns (g, i, ema) unrounded. */
+  /** Shared DuckDB replay of [[decomposeHourly]] — CTE bodies only (no
+    * WITH), ending in `dc(g, h_us, p, x, trend, sidx, resid)`. */
+  private def decomposeSql: String =
+    """h0 AS (
+      |  SELECT event_type AS g, date_trunc('hour', ts) AS h,
+      |    ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)
+      |      AS x
+      |  FROM events GROUP BY g, h),
+      |hh AS (SELECT g, epoch_us(h) AS h_us,
+      |       CAST(EXTRACT(hour FROM h) AS BIGINT) AS p, x FROM h0),
+      |t0 AS (
+      |  SELECT *,
+      |    SUM(CAST(x AS DECIMAL(18,6))) OVER (PARTITION BY g ORDER BY h_us
+      |      ROWS BETWEEN 12 PRECEDING AND 11 FOLLOWING) AS sA,
+      |    COUNT(*) OVER (PARTITION BY g ORDER BY h_us
+      |      ROWS BETWEEN 12 PRECEDING AND 11 FOLLOWING) AS nA,
+      |    SUM(CAST(x AS DECIMAL(18,6))) OVER (PARTITION BY g ORDER BY h_us
+      |      ROWS BETWEEN 11 PRECEDING AND 12 FOLLOWING) AS sB,
+      |    COUNT(*) OVER (PARTITION BY g ORDER BY h_us
+      |      ROWS BETWEEN 11 PRECEDING AND 12 FOLLOWING) AS nB
+      |  FROM hh),
+      |t1 AS (
+      |  SELECT g, h_us, p, x,
+      |    CAST((2 * CAST((sA + sB) * 1000000 AS BIGINT) + 48) // 96 AS DOUBLE)
+      |      / 1000000.0 AS trend
+      |  FROM t0 WHERE nA = 24 AND nB = 24),
+      |tr AS (SELECT g, h_us, p, x, trend, ROUND(x - trend, 6) AS detr FROM t1),
+      |pm0 AS (
+      |  SELECT g, p, COUNT(*) AS n,
+      |    CAST(SUM(CAST(detr + 10000.0 AS DECIMAL(18,6))) * 1000000 AS BIGINT)
+      |      AS sd
+      |  FROM tr GROUP BY g, p),
+      |pm AS (SELECT g, p,
+      |    CAST((2 * sd + n) // (2 * n) AS DOUBLE) / 1000000.0 - 10000.0 AS pmu
+      |  FROM pm0),
+      |mu0 AS (
+      |  SELECT g, COUNT(*) AS n,
+      |    CAST(SUM(CAST(pmu + 10000.0 AS DECIMAL(18,6))) * 1000000 AS BIGINT)
+      |      AS sm
+      |  FROM pm GROUP BY g),
+      |mu AS (SELECT g,
+      |    CAST((2 * sm + n) // (2 * n) AS DOUBLE) / 1000000.0 - 10000.0 AS gmu
+      |  FROM mu0),
+      |sx AS (SELECT pm.g, pm.p, ROUND(pmu - gmu, 6) AS sidx
+      |       FROM pm JOIN mu ON mu.g = pm.g),
+      |dc AS (
+      |  SELECT tr.g, tr.h_us, tr.p, tr.x, tr.trend, sx.sidx,
+      |    ROUND(tr.detr - sx.sidx, 6) AS resid
+      |  FROM tr JOIN sx ON sx.g = tr.g AND sx.p = tr.p)""".stripMargin
+
+  /** ts33/ts36's shared classical decomposition: the hourly series per
+    * type with (x, trend, sidx, resid) columns — 2×24 centered-MA trend,
+    * hour-of-day seasonal recentred to ~0, residual. All quotients in
+    * exact integer micro-units with half-up (see ts33's comment for the
+    * half-micro law and the +10000 div/floor offset). */
+  private def decomposeHourly(s: SparkSession, dir: String): DataFrame = {
+    val hourly = ev(s, dir)
+      .groupBy(col("event_type").as("g"), date_trunc("hour", col("ts")).as("h"))
+      .agg(round(avgExact(col("value")), 6).as("x"))
+      .withColumn("h_us", unix_micros(col("h")))
+      .withColumn("p", hour(col("h")).cast("long"))
+    val w1 = Window.partitionBy(col("g")).orderBy(col("h_us"))
+      .rowsBetween(-12, 11)
+    val w2 = Window.partitionBy(col("g")).orderBy(col("h_us"))
+      .rowsBetween(-11, 12)
+    val tr = hourly
+      .withColumn("sA", sum(sumExactCol(col("x"))).over(w1))
+      .withColumn("nA", count(lit(1)).over(w1))
+      .withColumn("sB", sum(sumExactCol(col("x"))).over(w2))
+      .withColumn("nB", count(lit(1)).over(w2))
+      .filter(col("nA") === 24 && col("nB") === 24) // full windows only
+      .withColumn("trend",
+        expr("(2 * cast((sA + sB) * 1000000 as bigint) + 48) div 96")
+          .cast("double") / 1e6)
+      .withColumn("detr", round(col("x") - col("trend"), 6))
+    val pm = tr.groupBy(col("g"), col("p"))
+      .agg(count(lit(1)).as("n"),
+        sum(sumExactCol(col("detr") + lit(10000.0))).as("sd"))
+      .withColumn("pmu",
+        expr("(2 * cast(sd * 1000000 as bigint) + n) div (2 * n)")
+          .cast("double") / 1e6 - 10000.0)
+      .select(col("g"), col("p"), col("pmu"))
+    val mu = pm.groupBy(col("g"))
+      .agg(count(lit(1)).as("n"),
+        sum(sumExactCol(col("pmu") + lit(10000.0))).as("sm"))
+      .withColumn("gmu",
+        expr("(2 * cast(sm * 1000000 as bigint) + n) div (2 * n)")
+          .cast("double") / 1e6 - 10000.0)
+      .select(col("g"), col("gmu"))
+    val sidx = pm.join(mu, Seq("g"))
+      .select(col("g"), col("p"), round(col("pmu") - col("gmu"), 6).as("sidx"))
+    tr.join(broadcast(sidx), Seq("g", "p"))
+      .withColumn("resid", round(col("detr") - col("sidx"), 6))
+  }
+
   private def emaClosedForm(series: DataFrame): DataFrame = {
     val a = series.select(col("g"), col("i"), col("x").as("xi"))
     val b = series.select(col("g").as("g2"), col("i").as("j"), col("x").as("xj"))
@@ -1874,52 +1966,42 @@ object TimeSeries {
 
     // the same 2×24 centered MA + hour-of-day seasonal replay
     "ts33_decompose" ->
-      """WITH h0 AS (
-        |  SELECT event_type AS g, date_trunc('hour', ts) AS h,
-        |    ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)
-        |      AS x
-        |  FROM events GROUP BY g, h),
-        |hh AS (SELECT g, epoch_us(h) AS h_us,
-        |       CAST(EXTRACT(hour FROM h) AS BIGINT) AS p, x FROM h0),
-        |t0 AS (
-        |  SELECT *,
-        |    SUM(CAST(x AS DECIMAL(18,6))) OVER (PARTITION BY g ORDER BY h_us
-        |      ROWS BETWEEN 12 PRECEDING AND 11 FOLLOWING) AS sA,
-        |    COUNT(*) OVER (PARTITION BY g ORDER BY h_us
-        |      ROWS BETWEEN 12 PRECEDING AND 11 FOLLOWING) AS nA,
-        |    SUM(CAST(x AS DECIMAL(18,6))) OVER (PARTITION BY g ORDER BY h_us
-        |      ROWS BETWEEN 11 PRECEDING AND 12 FOLLOWING) AS sB,
-        |    COUNT(*) OVER (PARTITION BY g ORDER BY h_us
-        |      ROWS BETWEEN 11 PRECEDING AND 12 FOLLOWING) AS nB
-        |  FROM hh),
-        |t1 AS (
-        |  SELECT g, h_us, p, x,
-        |    CAST((2 * CAST((sA + sB) * 1000000 AS BIGINT) + 48) // 96 AS DOUBLE)
-        |      / 1000000.0 AS trend
-        |  FROM t0 WHERE nA = 24 AND nB = 24),
-        |tr AS (SELECT g, h_us, p, x, trend, ROUND(x - trend, 6) AS detr FROM t1),
-        |pm0 AS (
-        |  SELECT g, p, COUNT(*) AS n,
-        |    CAST(SUM(CAST(detr + 10000.0 AS DECIMAL(18,6))) * 1000000 AS BIGINT)
-        |      AS sd
-        |  FROM tr GROUP BY g, p),
-        |pm AS (SELECT g, p,
-        |    CAST((2 * sd + n) // (2 * n) AS DOUBLE) / 1000000.0 - 10000.0 AS pmu
-        |  FROM pm0),
-        |mu0 AS (
-        |  SELECT g, COUNT(*) AS n,
-        |    CAST(SUM(CAST(pmu + 10000.0 AS DECIMAL(18,6))) * 1000000 AS BIGINT)
-        |      AS sm
-        |  FROM pm GROUP BY g),
-        |mu AS (SELECT g,
-        |    CAST((2 * sm + n) // (2 * n) AS DOUBLE) / 1000000.0 - 10000.0 AS gmu
-        |  FROM mu0),
-        |sx AS (SELECT pm.g, pm.p, ROUND(pmu - gmu, 6) AS sidx
-        |       FROM pm JOIN mu ON mu.g = pm.g)
-        |SELECT tr.g AS event_type, tr.h_us, tr.x, tr.trend, sx.sidx,
-        |  ROUND(tr.detr - sx.sidx, 6) AS resid
-        |FROM tr JOIN sx ON sx.g = tr.g AND sx.p = tr.p
-        |ORDER BY event_type, h_us""".stripMargin,
+      s"""WITH $decomposeSql
+         |SELECT g AS event_type, h_us, x, trend, sidx, resid
+         |FROM dc ORDER BY event_type, h_us""".stripMargin,
+
+    // Hyndman's strength measures over the same components: variances
+    // from exact decimal power sums, one IEEE tree each, rounded once
+    "ts36_seasonal_strength" ->
+      s"""WITH $decomposeSql,
+         |c AS (SELECT g, resid, ROUND(sidx + resid, 6) AS sr,
+         |             ROUND(trend + resid, 6) AS tr2 FROM dc),
+         |a AS (
+         |  SELECT g, COUNT(*) AS n,
+         |    SUM(CAST(resid AS DECIMAL(18,6))) AS s_resid,
+         |    SUM(CAST(CAST(resid AS DECIMAL(18,6)) * CAST(resid AS DECIMAL(18,6))
+         |        AS DECIMAL(38,12))) AS q_resid,
+         |    SUM(CAST(sr AS DECIMAL(18,6))) AS s_sr,
+         |    SUM(CAST(CAST(sr AS DECIMAL(18,6)) * CAST(sr AS DECIMAL(18,6))
+         |        AS DECIMAL(38,12))) AS q_sr,
+         |    SUM(CAST(tr2 AS DECIMAL(18,6))) AS s_tr2,
+         |    SUM(CAST(CAST(tr2 AS DECIMAL(18,6)) * CAST(tr2 AS DECIMAL(18,6))
+         |        AS DECIMAL(38,12))) AS q_tr2
+         |  FROM c GROUP BY g)
+         |SELECT g AS event_type, n,
+         |  ROUND(GREATEST(0.0, 1.0 -
+         |    (CAST(q_resid AS DOUBLE) / n
+         |      - (CAST(s_resid AS DOUBLE) / n) * (CAST(s_resid AS DOUBLE) / n))
+         |    / (CAST(q_sr AS DOUBLE) / n
+         |      - (CAST(s_sr AS DOUBLE) / n) * (CAST(s_sr AS DOUBLE) / n))), 6)
+         |    AS seasonal_strength,
+         |  ROUND(GREATEST(0.0, 1.0 -
+         |    (CAST(q_resid AS DOUBLE) / n
+         |      - (CAST(s_resid AS DOUBLE) / n) * (CAST(s_resid AS DOUBLE) / n))
+         |    / (CAST(q_tr2 AS DOUBLE) / n
+         |      - (CAST(s_tr2 AS DOUBLE) / n) * (CAST(s_tr2 AS DOUBLE) / n))), 6)
+         |    AS trend_strength
+         |FROM a ORDER BY event_type""".stripMargin,
 
     // the same lag-1/lag-7 error arithmetic in integer micro-units
     "ts34_forecast_backtest" ->
