@@ -460,6 +460,64 @@ object Multimodal {
     }
   }
 
+  /** One sniffed-and-decoded container reduced to format-tagged features. */
+  case class SniffFeatures(media_id: Long, format: String, n_units: Long,
+      checksum: Long, mean_val: Double)
+
+  /** UNIVERSAL container dispatch — the ingest reality of a crawled media
+    * corpus: nobody hands you a format column, the bytes are the truth.
+    * Sniff the magic (BM / RIFF / \x89PNG / GIF8) and decode through the
+    * matching REAL parser; emit per-container features in one shape so
+    * downstream stats group by the SNIFFED format. Checksums fold the
+    * storage units (channel bytes, u16 samples, palette indices) in
+    * decode order; means are over the semantic values (signed samples for
+    * audio). Pure mapPartitions — a mixed 100 TB corpus dispatches
+    * embarrassingly parallel with zero shuffles. */
+  def sniffDecode(media: Dataset[Container]): Dataset[SniffFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { c =>
+        val b = c.payload
+        def fold(n: Int, value: Int => Int, mean: Int => Int = null)
+            : (Long, Long, Double) = {
+          val mv = if (mean == null) value else mean
+          var chk = 0L; var sum = 0L; var i = 0
+          while (i < n) {
+            chk = (chk * 31 + value(i)) % 1000000007L
+            sum += mv(i)
+            i += 1
+          }
+          (n.toLong, chk, sum.toDouble / n)
+        }
+        val (fmt, n, chk, mean) =
+          if (b.length >= 2 && b(0) == 'B' && b(1) == 'M') {
+            val img = MediaCodecs.Bmp.parse(b)
+            val (n, c2, m) = fold(img.channels.length, img.channels(_))
+            ("bmp", n, c2, m)
+          } else if (b.length >= 4 && b(0) == 'R' && b(1) == 'I' &&
+              b(2) == 'F' && b(3) == 'F') {
+            val audio = MediaCodecs.Wav.parse(b)
+            val (n, c2, m) = fold(audio.samples.length,
+              i => audio.samples(i) & 0xffff, i => audio.samples(i).toInt)
+            ("wav", n, c2, m)
+          } else if (b.length >= 4 && (b(0) & 0xff) == 0x89 && b(1) == 'P') {
+            val img = MediaCodecs.Png.parse(b)
+            val (n, c2, m) = fold(img.rgb.length, img.rgb(_))
+            ("png", n, c2, m)
+          } else if (b.length >= 4 && b(0) == 'G' && b(1) == 'I' &&
+              b(2) == 'F' && b(3) == '8') {
+            val anim = MediaCodecs.Gif.parse(b)
+            val px = anim.frames.iterator.flatMap(_.pixels.iterator).toArray
+            val (n, c2, m) = fold(px.length, px(_))
+            ("gif", n, c2, m)
+          } else
+            throw new IllegalArgumentException(
+              f"unknown container magic 0x${b(0) & 0xff}%02x")
+        SniffFeatures(c.media_id, fmt, n, chk, mean)
+      }
+    }
+  }
+
   /** Per-clip keyframe verdict: the frame with the largest L1 pixel
     * change vs its predecessor (exact integers; single-frame clips keep
     * frame 0 with zero energy). */

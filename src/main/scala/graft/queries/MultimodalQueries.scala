@@ -209,7 +209,21 @@ object MultimodalQueries {
           Multimodal.syntheticGifs(fanout(Tables.table(s, dir, "documents"))
             .filter(col("doc_id") % 4 === 2)))
         .toDF()
-        .orderBy(col("media_id")))
+        .orderBy(col("media_id"))),
+
+    // UNIVERSAL container sniffing over a genuinely MIXED corpus: BMPs,
+    // WAVs, PNGs and animated GIFs interleaved by id class, dispatched by
+    // MAGIC BYTES (no format column exists) through the four real
+    // parsers. The oracle replays each id class's content formula, so a
+    // mis-sniff (wrong parser, wrong branch) changes format/checksum and
+    // flips red. Zero shuffles before the output sort.
+    "mm12_container_sniff" -> ((s, dir) => {
+      val base = fanout(Tables.table(s, dir, "documents"))
+      val mixed = Multimodal.syntheticContainers(base.filter(col("doc_id") % 4 < 2))
+        .union(Multimodal.syntheticPngs(base.filter(col("doc_id") % 4 === 2)))
+        .union(Multimodal.syntheticGifs(base.filter(col("doc_id") % 4 === 3)))
+      Multimodal.sniffDecode(mixed).toDF().orderBy(col("media_id"))
+    })
   )
 
   val oracle: Map[String, String] = Map(
@@ -501,6 +515,60 @@ object MultimodalQueries {
         |FROM r WHERE rn = 1
         |UNION ALL
         |SELECT media_id, 1, 0, 0 FROM m WHERE nf = 1
+        |ORDER BY media_id""".stripMargin,
+
+    // per-id-class formula replay: BMP (m%4=0, syntheticContainers' even
+    // branch), WAV (m%4=1, odd branch, u16 checksum + signed mean), PNG
+    // (m%4=2), GIF (m%4=3, frames flattened in order: value at position k
+    // = formula(f = k // wh, p = k % wh))
+    "mm12_container_sniff" ->
+      """WITH ids AS (SELECT doc_id AS m FROM documents),
+        |bmp AS (
+        |  SELECT m AS media_id, 'bmp' AS format,
+        |    CAST((4+m%5)*(3+m%4)*3 AS BIGINT) AS n_units,
+        |    list_reduce(list_prepend(0::BIGINT,
+        |      list_transform(range(0, (4+m%5)*(3+m%4)*3), j -> (m*31 + j) % 256)),
+        |      (acc, v) -> (acc*31 + v) % 1000000007) AS checksum,
+        |    CAST(list_sum(list_transform(range(0, (4+m%5)*(3+m%4)*3),
+        |      j -> (m*31 + j) % 256)) AS DOUBLE) / ((4+m%5)*(3+m%4)*3) AS mean_val
+        |  FROM ids WHERE m % 4 = 0),
+        |wav AS (
+        |  SELECT m AS media_id, 'wav' AS format,
+        |    CAST(32 + m%64 AS BIGINT) AS n_units,
+        |    list_reduce(list_prepend(0::BIGINT,
+        |      list_transform(range(0, 32 + m%64), i -> (m*131 + i*17) % 65536)),
+        |      (acc, v) -> (acc*31 + v) % 1000000007) AS checksum,
+        |    CAST(list_sum(list_transform(range(0, 32 + m%64), i ->
+        |      CASE WHEN (m*131 + i*17) % 65536 >= 32768
+        |        THEN (m*131 + i*17) % 65536 - 65536
+        |        ELSE (m*131 + i*17) % 65536 END)) AS DOUBLE)
+        |      / (32 + m%64) AS mean_val
+        |  FROM ids WHERE m % 4 = 1),
+        |png AS (
+        |  SELECT m AS media_id, 'png' AS format,
+        |    CAST((3+m%6)*(2+m%5)*3 AS BIGINT) AS n_units,
+        |    list_reduce(list_prepend(0::BIGINT,
+        |      list_transform(range(0, (3+m%6)*(2+m%5)*3), j -> (m*37 + j*11) % 256)),
+        |      (acc, v) -> (acc*31 + v) % 1000000007) AS checksum,
+        |    CAST(list_sum(list_transform(range(0, (3+m%6)*(2+m%5)*3),
+        |      j -> (m*37 + j*11) % 256)) AS DOUBLE)
+        |      / ((3+m%6)*(2+m%5)*3) AS mean_val
+        |  FROM ids WHERE m % 4 = 2),
+        |gif AS (
+        |  SELECT m AS media_id, 'gif' AS format,
+        |    CAST((1+m%3)*(2+m%4)*(2+m%3) AS BIGINT) AS n_units,
+        |    list_reduce(list_prepend(0::BIGINT,
+        |      list_transform(range(0, (1+m%3)*(2+m%4)*(2+m%3)), k ->
+        |        (m*31 + (k // ((2+m%4)*(2+m%3)))*17
+        |          + (k % ((2+m%4)*(2+m%3)))*7) % 256)),
+        |      (acc, v) -> (acc*31 + v) % 1000000007) AS checksum,
+        |    CAST(list_sum(list_transform(range(0, (1+m%3)*(2+m%4)*(2+m%3)), k ->
+        |      (m*31 + (k // ((2+m%4)*(2+m%3)))*17
+        |        + (k % ((2+m%4)*(2+m%3)))*7) % 256)) AS DOUBLE)
+        |      / ((1+m%3)*(2+m%4)*(2+m%3)) AS mean_val
+        |  FROM ids WHERE m % 4 = 3)
+        |SELECT * FROM bmp UNION ALL SELECT * FROM wav
+        |UNION ALL SELECT * FROM png UNION ALL SELECT * FROM gif
         |ORDER BY media_id""".stripMargin
   )
 }
