@@ -79,7 +79,38 @@ object Relational {
       |                AND o.o_orderpriority = '1-URGENT')
       |ORDER BY c.c_custkey""".stripMargin
 
+  /** q43's SQL — ONE text, run verbatim by spark.sql() (recursive CTEs
+    * are new in Spark 4) AND as the DuckDB oracle. BOM-style hierarchy
+    * walk: part p's parent is ⌊p/10⌋ (digit-trim — a synthetic but
+    * well-defined tree on the real key space), each part walks to its
+    * single-digit root; per root: member count, max depth, exact decimal
+    * price total. Integer division is spelled (x − x%10)/10 with an
+    * explicit cast because `div`/`//` spellings differ across engines —
+    * the subtraction makes `/` exact-integer-valued on both. */
+  private val q43Sql: String =
+    """WITH RECURSIVE walk(part, anc, depth, price) AS (
+      |  SELECT p_partkey, p_partkey, CAST(0 AS BIGINT), p_retailprice FROM part
+      |  UNION ALL
+      |  SELECT part, CAST((anc - anc % 10) / 10 AS BIGINT), depth + 1, price
+      |  FROM walk WHERE anc >= 10)
+      |SELECT anc AS root, COUNT(*) AS n_parts, MAX(depth) AS max_depth,
+      |  CAST(SUM(CAST(price AS DECIMAL(18,6))) AS DOUBLE) AS total_price
+      |FROM walk WHERE anc < 10
+      |GROUP BY anc ORDER BY root""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    // -- RECURSIVE CTE (WITH RECURSIVE — new in Spark 4): the iterative
+    // front door next to q29's correlated one. Each part walks its
+    // digit-trim ancestry to a single-digit root — the BOM-explosion /
+    // org-chart shape SQL analysts write, executed by Spark's recursive
+    // union operator with the same text DuckDB runs. Depth is bounded by
+    // the key width (log₁₀), so the recursion is ~6 unions of
+    // narrowing frames, not an unbounded loop.
+    "q43_recursive_hierarchy" -> ((s, dir) => {
+      t(s, dir, "part").createOrReplaceTempView("part")
+      s.sql(q43Sql)
+    }),
+
     // -- aggregation (TPC-H Q1 shape): partial+final hash agg, 6-group output
     "q01_pricing_summary" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
@@ -1209,6 +1240,8 @@ object Relational {
 
     // the exact text spark.sql() runs — shared by construction
     "q29_correlated_subquery" -> q29Sql,
+
+    "q43_recursive_hierarchy" -> q43Sql,
 
     "q30_moment_stats" ->
       """WITH d AS (
