@@ -1431,7 +1431,13 @@ object TimeSeries {
         |    SUM(CAST(value AS DECIMAL(18,6))) AS v
         |  FROM events GROUP BY 1, 2),
         |j AS (
-        |  SELECT CAST(x.v AS DECIMAL(18,6)) AS x, CAST(y.v AS DECIMAL(18,6)) AS y
+        |  -- DECIMAL(19,6), not (18,6): DuckDB multiplies two width-18
+        |  -- decimals on its int64 fast path and range-checks the product
+        |  -- against DECIMAL(18) capacity — hourly sums at sf0.1 overflow
+        |  -- it (x·y ≈ 2.6e18 > 1e18). Width 19 forces the int128 path;
+        |  -- values and exactness are unchanged, so the Spark side
+        |  -- (decimal(18,6) products in Catalyst, always 128-bit) agrees.
+        |  SELECT CAST(x.v AS DECIMAL(19,6)) AS x, CAST(y.v AS DECIMAL(19,6)) AS y
         |  FROM (SELECT * FROM hourly WHERE event_type = 'purchase') x
         |  JOIN (SELECT * FROM hourly WHERE event_type = 'view') y USING (bucket)),
         |m AS (
@@ -1755,7 +1761,7 @@ object TimeSeries {
         |st AS (
         |  SELECT event_type AS g, COUNT(*) AS n,
         |    SUM(CAST(value AS DECIMAL(18,6))) AS sx,
-        |    SUM(CAST(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))
+        |    SUM(CAST(CAST(value AS DECIMAL(19,6)) * CAST(value AS DECIMAL(19,6))
         |        AS DECIMAL(38,12))) AS sxx
         |  FROM events GROUP BY event_type),
         |sg AS (
@@ -1885,7 +1891,7 @@ object TimeSeries {
         |st AS (
         |  SELECT event_type AS g, COUNT(*) AS n,
         |    SUM(CAST(value AS DECIMAL(18,6))) AS sx,
-        |    SUM(CAST(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))
+        |    SUM(CAST(CAST(value AS DECIMAL(19,6)) * CAST(value AS DECIMAL(19,6))
         |        AS DECIMAL(38,12))) AS sxx
         |  FROM events GROUP BY event_type),
         |pr AS (
@@ -1979,13 +1985,13 @@ object TimeSeries {
          |a AS (
          |  SELECT g, COUNT(*) AS n,
          |    SUM(CAST(resid AS DECIMAL(18,6))) AS s_resid,
-         |    SUM(CAST(CAST(resid AS DECIMAL(18,6)) * CAST(resid AS DECIMAL(18,6))
+         |    SUM(CAST(CAST(resid AS DECIMAL(19,6)) * CAST(resid AS DECIMAL(19,6))
          |        AS DECIMAL(38,12))) AS q_resid,
          |    SUM(CAST(sr AS DECIMAL(18,6))) AS s_sr,
-         |    SUM(CAST(CAST(sr AS DECIMAL(18,6)) * CAST(sr AS DECIMAL(18,6))
+         |    SUM(CAST(CAST(sr AS DECIMAL(19,6)) * CAST(sr AS DECIMAL(19,6))
          |        AS DECIMAL(38,12))) AS q_sr,
          |    SUM(CAST(tr2 AS DECIMAL(18,6))) AS s_tr2,
-         |    SUM(CAST(CAST(tr2 AS DECIMAL(18,6)) * CAST(tr2 AS DECIMAL(18,6))
+         |    SUM(CAST(CAST(tr2 AS DECIMAL(19,6)) * CAST(tr2 AS DECIMAL(19,6))
          |        AS DECIMAL(38,12))) AS q_tr2
          |  FROM c GROUP BY g)
          |SELECT g AS event_type, n,
