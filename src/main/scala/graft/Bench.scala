@@ -79,15 +79,56 @@ object Bench {
       (name, secs, ok)
     }
     // a failed query is reported as -1, never as a (fast) success time
+    def entry(k: String, v: Double, ok: Boolean): String =
+      "\"" + k + "\":" + (if (ok) f"$v%.3f" else "-1")
     val qs = results
-      .map { case (k, v, ok) => "\"" + k + "\":" + (if (ok) f"$v%.3f" else "-1") }
+      .map { case (k, v, ok) => entry(k, v, ok) }
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     // the headline total counts successful queries only, matching the
     // per-query entries (a fast crash must not deflate the total)
     val total = results.collect { case (_, v, true) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    val totalS = f"$total%.3f"
+    val fullLine =
+      s"""{"metric":"total","value":$totalS,"unit":"sec","n_queries":${results.size},"queries":$qs,"failed":$failed,"sf":"$sfDir","repeat":$repeat}"""
+    // The complete per-query artifact goes to a FILE: the harness that
+    // records the per-round bench keeps only a ~2000-char tail of the
+    // process output, which decapitates a 166-query JSON line (r7's
+    // BENCH artifact had parsed=null and the first ~96 timings were
+    // unrecoverable). The file is the durable, diffable record.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+        (fullLine + "\n").getBytes("UTF-8"))
+      System.err.println(s"[bench] full artifact written to $outPath")
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
+    }
+    // stdout gets a line guaranteed to FIT the tail window and parse:
+    // full map if small enough, else the slowest queries that fit plus a
+    // pointer to the file artifact.
+    val budget = 1800
+    val stdoutLine =
+      if (fullLine.length <= budget) fullLine
+      else {
+        val slowest = results.filter(_._3).sortBy(-_._2)
+        val head =
+          s"""{"metric":"total","value":$totalS,"unit":"sec","n_queries":${results.size},"failed":$failed,"sf":"$sfDir","full":"$outPath","queries":{"""
+        val tailStr = "}}"
+        val sb = new StringBuilder(head)
+        var first = true
+        slowest.foreach { case (k, v, ok) =>
+          val e = entry(k, v, ok)
+          if (sb.length + e.length + tailStr.length + 1 <= budget) {
+            if (!first) sb.append(',')
+            sb.append(e); first = false
+          }
+        }
+        sb.append(tailStr).toString
+      }
+    println(stdoutLine)
     spark.stop()
   }
 }

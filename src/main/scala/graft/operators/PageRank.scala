@@ -49,6 +49,16 @@ object PageRank {
     directed.unpersist() // upstream (LSH band join, say) ran exactly once
     val deg = sym.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
       .localCheckpoint(true)
+    // Enforce the documented headroom instead of silently wrapping:
+    // worst-case inflow ≤ |V|·scale, and the damping multiply needs
+    // dampNum·inflow inside Long. deg is already checkpointed and
+    // |V|-row, so this count is a cheap driver-side metadata read.
+    val nV = deg.count()
+    require(nV <= Long.MaxValue / scale / dampNum,
+      s"PageRank integer arithmetic would overflow: |V|=$nV exceeds " +
+        s"${Long.MaxValue / scale / dampNum} at scale=$scale, " +
+        s"dampNum=$dampNum — lower `scale` (the ranks only need ~6 " +
+        "significant digits)")
     val base = scale / 100 * (100 - dampNum)
     var ranks = deg.withColumn("rank", lit(scale))
     for (_ <- 1 to iters) {

@@ -180,7 +180,10 @@ object TextOps {
         .withColumn("n_inter", expr("size(array_intersect(sh_a, sh_b))").cast("long"))
         .withColumn("n_union",
           (expr("size(sh_a)") + expr("size(sh_b)")).cast("long") - col("n_inter"))
-        .withColumn("jaccard", round(col("n_inter").cast("double") / col("n_union"), 6))
+        // unrounded integer-ratio division: identical IEEE result on any
+        // engine; round(·,6) would be engine-dependent when v₂(n_union)=7
+        // puts the quotient exactly on a half-way point (ts29 class)
+        .withColumn("jaccard", col("n_inter").cast("double") / col("n_union"))
         .select(col("doc_a"), col("doc_b"), col("n_inter"), col("n_union"), col("jaccard"))
         .orderBy(col("doc_a"), col("doc_b"))
     }),
@@ -365,7 +368,9 @@ object TextOps {
           "cast(size(sh) as long) AS n_shingles",
           "cast(size(array_distinct(sh)) as long) AS n_distinct")
         .withColumn("rep_ratio",
-          round(lit(1.0) - col("n_distinct").cast("double") / col("n_shingles"), 6))
+          // unrounded: 1.0 − p/q over identical doubles is deterministic
+          // cross-engine; the round was the ts29-class half-way hazard
+          lit(1.0) - col("n_distinct").cast("double") / col("n_shingles"))
         .withColumn("drop_repetitive", col("rep_ratio") > 0.2)
         .orderBy(col("doc_id"))),
 
@@ -624,7 +629,10 @@ object TextOps {
         .groupBy(col("doc_id"))
         .agg(sum(col("tf")).as("n_tok"), sum(col("term")).as("sum_term"))
         .select(col("doc_id"), col("n_tok"),
-          round(-col("sum_term").cast("double") / col("n_tok").cast("double"), 6)
+          // unrounded: sum_term is an exact DECIMAL(18,6), so the single
+          // IEEE division is identical cross-engine; rounding it risked
+          // the ts29 half-way class for v₂-aligned token counts
+          (-col("sum_term").cast("double") / col("n_tok").cast("double"))
             .as("avg_nll"))
         .withColumn("flagged", col("avg_nll") >= 8.0)
         .orderBy(col("doc_id"))
@@ -858,7 +866,9 @@ object TextOps {
           sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
             .as("n_novel"))
         .withColumn("novelty",
-          round(col("n_novel").cast("double") / col("n_grams").cast("double"), 6))
+          // unrounded integer ratio — deterministic cross-engine (ts29
+          // half-way class removed)
+          col("n_novel").cast("double") / col("n_grams").cast("double"))
         .withColumn("derivative", col("novelty") < 0.3)
         .orderBy(col("doc_id"))
     }),
@@ -895,8 +905,10 @@ object TextOps {
         .withColumn("n_inter", expr("size(array_intersect(sh_a, sh_b))").cast("long"))
         .withColumn("n_union",
           (expr("size(sh_a)") + expr("size(sh_b)")).cast("long") - col("n_inter"))
-        .withColumn("jaccard", round(col("n_inter").cast("double") / col("n_union"), 6))
-        .withColumn("abs_err", round(abs(col("est") - col("jaccard")), 6))
+        // unrounded: the integer-ratio jaccard and the |dyadic − ratio|
+        // error are single IEEE expressions, identical cross-engine
+        .withColumn("jaccard", col("n_inter").cast("double") / col("n_union"))
+        .withColumn("abs_err", abs(col("est") - col("jaccard")))
         .select(col("doc_a"), col("doc_b"), col("n_match"), col("est"),
           col("jaccard"), col("abs_err"))
         .orderBy(col("doc_a"), col("doc_b"))
@@ -1143,7 +1155,7 @@ object TextOps {
          |  FROM sh a, sh b
          |  WHERE a.doc_id % 37 = 0 AND b.doc_id % 41 = 0 AND a.doc_id < b.doc_id)
          |SELECT doc_a, doc_b, n_inter, n_union,
-         |  ROUND(CAST(n_inter AS DOUBLE) / n_union, 6) AS jaccard
+         |  CAST(n_inter AS DOUBLE) / n_union AS jaccard
          |FROM p ORDER BY doc_a, doc_b""".stripMargin,
 
     "tx07_fingerprint" ->
@@ -1215,8 +1227,8 @@ object TextOps {
          |  FROM (SELECT doc_id, $dTok AS tk FROM documents) WHERE len(tk) >= 3)
          |SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_shingles,
          |  CAST(len(list_distinct(sh)) AS BIGINT) AS n_distinct,
-         |  ROUND(1.0 - CAST(len(list_distinct(sh)) AS DOUBLE) / len(sh), 6) AS rep_ratio,
-         |  ROUND(1.0 - CAST(len(list_distinct(sh)) AS DOUBLE) / len(sh), 6) > 0.2 AS drop_repetitive
+         |  1.0 - CAST(len(list_distinct(sh)) AS DOUBLE) / len(sh) AS rep_ratio,
+         |  (1.0 - CAST(len(list_distinct(sh)) AS DOUBLE) / len(sh)) > 0.2 AS drop_repetitive
          |FROM sh ORDER BY doc_id""".stripMargin,
 
     "tx13_pii_scrub" ->
@@ -1462,7 +1474,7 @@ object TextOps {
          |  FROM tf JOIN freq USING (token), tot),
          |d AS (
          |  SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tok,
-         |    ROUND(-CAST(SUM(term) AS DOUBLE) / CAST(SUM(tf) AS DOUBLE), 6)
+         |    -CAST(SUM(term) AS DOUBLE) / CAST(SUM(tf) AS DOUBLE)
          |      AS avg_nll
          |  FROM terms GROUP BY doc_id)
          |SELECT doc_id, n_tok, avg_nll, avg_nll >= 8.0 AS flagged
@@ -1602,9 +1614,9 @@ object TextOps {
          |      AS BIGINT) AS n_novel
          |  FROM g JOIN fd USING (h) GROUP BY doc_id)
          |SELECT doc_id, n_grams, n_novel,
-         |  ROUND(CAST(n_novel AS DOUBLE) / CAST(n_grams AS DOUBLE), 6)
+         |  CAST(n_novel AS DOUBLE) / CAST(n_grams AS DOUBLE)
          |    AS novelty,
-         |  ROUND(CAST(n_novel AS DOUBLE) / CAST(n_grams AS DOUBLE), 6) < 0.3
+         |  (CAST(n_novel AS DOUBLE) / CAST(n_grams AS DOUBLE)) < 0.3
          |    AS derivative
          |FROM a ORDER BY doc_id""".stripMargin,
 
@@ -1639,9 +1651,9 @@ object TextOps {
          |  JOIN sg sb ON sb.doc_id = b.doc_id)
          |SELECT doc_a, doc_b, n_match,
          |  CAST(n_match AS DOUBLE) / 16.0 AS est,
-         |  ROUND(CAST(n_inter AS DOUBLE) / n_union, 6) AS jaccard,
-         |  ROUND(abs(CAST(n_match AS DOUBLE) / 16.0
-         |    - ROUND(CAST(n_inter AS DOUBLE) / n_union, 6)), 6) AS abs_err
+         |  CAST(n_inter AS DOUBLE) / n_union AS jaccard,
+         |  abs(CAST(n_match AS DOUBLE) / 16.0
+         |    - CAST(n_inter AS DOUBLE) / n_union) AS abs_err
          |FROM p ORDER BY doc_a, doc_b""".stripMargin,
 
     // full replay: hashed-bigram buckets, target/raw histograms with add-1

@@ -169,15 +169,18 @@ object TimeSeries {
     // exact-decimal recipe so sliding-frame evaluation order (Spark folds,
     // DuckDB may use a segment tree) can't perturb the float result.
     "ts08_moving_avg" -> ((s, dir) => {
+      // both means are integer-micro half-up ([[halfUpMean6]]): a double
+      // round(sx/n, 6) is engine-dependent at exact half-way quotients
       val hourly = ev(s, dir)
         .groupBy(date_trunc("hour", col("ts")).as("bucket"), col("event_type"))
-        .agg(round(avgExact(col("value")), 6).as("v"))
+        .agg(count(lit(1)).as("nh"), sum(sumExactCol(col("value"))).as("sh"))
+        .withColumn("v", halfUpMean6("sh", "nh"))
       val w = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
         .rowsBetween(-2, 0)
       hourly
-        .withColumn("mov_avg",
-          round(sum(sumExactCol(col("v"))).over(w).cast("double") /
-            count(lit(1)).over(w), 6))
+        .withColumn("sw", sum(sumExactCol(col("v"))).over(w))
+        .withColumn("cw", count(lit(1)).over(w))
+        .withColumn("mov_avg", halfUpMean6("sw", "cw"))
         .select(date_format(col("bucket"), "yyyy-MM-dd HH:mm:ss").as("bucket"),
           col("event_type"), col("v"), col("mov_avg"))
         .orderBy(col("event_type"), col("bucket"))
@@ -257,7 +260,9 @@ object TimeSeries {
     "ts12_interpolate_linear" -> ((s, dir) => {
       val hourly = ev(s, dir)
         .groupBy(date_trunc("hour", col("ts")).as("bucket"), col("event_type"))
-        .agg(round(avgExact(col("value")), 6).as("v"))
+        .agg(count(lit(1)).as("nh"), sum(sumExactCol(col("value"))).as("sh"))
+        .withColumn("v", halfUpMean6("sh", "nh"))
+        .drop("nh", "sh")
       val spine = hourly.groupBy(col("event_type"))
         .agg(min(col("bucket")).as("mn"), max(col("bucket")).as("mx"))
         .select(col("event_type"),
@@ -467,7 +472,11 @@ object TimeSeries {
         .select(
           date_format(col("cohort_week"), "yyyy-MM-dd").as("cohort_week"),
           col("week_offset"), col("n_active"), col("n_cohort"),
-          round(col("n_active").cast("double") / col("n_cohort"), 6).as("retention"))
+          // unrounded single IEEE division of two longs — identical on
+          // any IEEE-754 engine; round(·,6) would diverge when a cohort
+          // size with 2-adic valuation 7 (640, 3200, …) put the quotient
+          // exactly on a 6th-decimal half-way point (ts29 class)
+          (col("n_active").cast("double") / col("n_cohort")).as("retention"))
         .orderBy(col("cohort_week"), col("week_offset"))
     }),
 
@@ -519,8 +528,8 @@ object TimeSeries {
     "ts21_ema" -> ((s, dir) => {
       val daily = ev(s, dir)
         .groupBy(col("event_type"), to_date(col("ts")).as("day"))
-        .agg((avgExact(col("value"))).as("xr"))
-        .withColumn("x", round(col("xr"), 6))
+        .agg(count(lit(1)).as("nd"), sum(sumExactCol(col("value"))).as("sd"))
+        .withColumn("x", halfUpMean6("sd", "nd"))
         .withColumn("i", row_number().over(
           Window.partitionBy(col("event_type")).orderBy(col("day"))).cast("long"))
         .select(col("event_type"), col("day"), col("i"), col("x"))
@@ -535,8 +544,11 @@ object TimeSeries {
           "CAST(round((CASE WHEN j = 1 THEN f ELSE 0.2 * f END) * xj, 12) AS DECIMAL(28,12))"))
         .groupBy(col("event_type"), col("day"), col("i"))
         .agg(sum(col("term")).as("acc"))
+        // round the DECIMAL accumulator (exact half-up, engine-independent)
+        // BEFORE the double cast — rounding the casted double was the ts29
+        // class whenever acc's 7th-12th digits were exactly 500000
         .select(col("event_type"), date_format(col("day"), "yyyy-MM-dd").as("day"),
-          col("i"), round(col("acc").cast("double"), 6).as("ema"))
+          col("i"), round(col("acc"), 6).cast("double").as("ema"))
         .orderBy(col("event_type"), col("i"))
     }),
 
@@ -878,7 +890,12 @@ object TimeSeries {
           sum(expr("cast(round(value * qty, 6) as decimal(28,6))")).as("pv"))
         .select(col("event_type"), col("day"), col("open"), col("high"),
           col("low"), col("close"), col("n_trades"), col("volume"),
-          round(col("pv").cast("double") / col("volume").cast("double"), 6)
+          // UNROUNDED single IEEE division of two exact values (pv is
+          // DECIMAL(28,6), volume a BIGINT): bit-identical on any IEEE-754
+          // engine. A round(·,6) here was engine-dependent when the
+          // quotient landed on a 6th-decimal half-way point (ts09
+          // precedent) — so no rounding at all.
+          (col("pv").cast("double") / col("volume").cast("double"))
             .as("vwap"))
         .orderBy(col("event_type"), col("day"))),
 
@@ -1164,8 +1181,9 @@ object TimeSeries {
       |  FROM hh),
       |t1 AS (
       |  SELECT g, h_us, p, x,
-      |    CAST((2 * CAST((sA + sB) * 1000000 AS BIGINT) + 48) // 96 AS DOUBLE)
-      |      / 1000000.0 AS trend
+      |    CAST((2 * (CAST((sA + sB) * 1000000 AS BIGINT) + 480000000000)
+      |          + 48) // 96 AS DOUBLE)
+      |      / 1000000.0 - 10000.0 AS trend
       |  FROM t0 WHERE nA = 24 AND nB = 24),
       |tr AS (SELECT g, h_us, p, x, trend, ROUND(x - trend, 6) AS detr FROM t1),
       |pm0 AS (
@@ -1213,8 +1231,14 @@ object TimeSeries {
       .withColumn("nB", count(lit(1)).over(w2))
       .filter(col("nA") === 24 && col("nB") === 24) // full windows only
       .withColumn("trend",
-        expr("(2 * cast((sA + sB) * 1000000 as bigint) + 48) div 96")
-          .cast("double") / 1e6)
+        // +480000 offset (10000 per hourly term × 48 terms) keeps the
+        // dividend positive, so Spark's truncate-toward-zero `div` and
+        // DuckDB's floor `//` agree even when the centered 24h sum goes
+        // negative; 480000e6/48 = 1e10 micro exactly, removed as the
+        // same -10000.0 both engines apply in identical IEEE order.
+        expr("(2 * (cast((sA + sB) * 1000000 as bigint) + 480000000000L)" +
+          " + 48) div 96")
+          .cast("double") / 1e6 - 10000.0)
       .withColumn("detr", round(col("x") - col("trend"), 6))
     val pm = tr.groupBy(col("g"), col("p"))
       .agg(count(lit(1)).as("n"),
@@ -1334,11 +1358,13 @@ object TimeSeries {
     "ts08_moving_avg" ->
       """WITH hourly AS (
         |  SELECT date_trunc('hour', ts) AS bucket, event_type,
-        |    ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS v
+        |    CAST((2 * CAST(SUM(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT)
+        |          + COUNT(*)) // (2 * COUNT(*)) AS DOUBLE) / 1000000.0 AS v
         |  FROM events GROUP BY bucket, event_type)
         |SELECT strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket, event_type, v,
-        |  ROUND(CAST(SUM(CAST(v AS DECIMAL(18,6))) OVER w AS DOUBLE)
-        |      / COUNT(*) OVER w, 6) AS mov_avg
+        |  CAST((2 * CAST(SUM(CAST(v AS DECIMAL(18,6))) OVER w * 1000000 AS BIGINT)
+        |        + COUNT(*) OVER w) // (2 * COUNT(*) OVER w) AS DOUBLE)
+        |    / 1000000.0 AS mov_avg
         |FROM hourly
         |WINDOW w AS (PARTITION BY event_type ORDER BY bucket
         |  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
@@ -1380,7 +1406,8 @@ object TimeSeries {
     "ts12_interpolate_linear" ->
       """WITH hourly AS (
         |  SELECT date_trunc('hour', ts) AS bucket, event_type,
-        |    ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS v
+        |    CAST((2 * CAST(SUM(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT)
+        |          + COUNT(*)) // (2 * COUNT(*)) AS DOUBLE) / 1000000.0 AS v
         |  FROM events GROUP BY bucket, event_type),
         |rng AS (SELECT event_type, MIN(bucket) AS mn, MAX(bucket) AS mx
         |        FROM hourly GROUP BY event_type),
@@ -1522,7 +1549,7 @@ object TimeSeries {
         |  GROUP BY c.cw, week_offset)
         |SELECT strftime(x.cw, '%Y-%m-%d') AS cohort_week, x.week_offset,
         |  x.n_active, s.n_cohort,
-        |  ROUND(CAST(x.n_active AS DOUBLE) / s.n_cohort, 6) AS retention
+        |  CAST(x.n_active AS DOUBLE) / s.n_cohort AS retention
         |FROM active x JOIN sizes s ON x.cw = s.cw
         |ORDER BY cohort_week, week_offset""".stripMargin,
 
@@ -1539,8 +1566,8 @@ object TimeSeries {
     "ts21_ema" ->
       """WITH daily AS (
         |  SELECT event_type, CAST(ts AS DATE) AS day,
-        |    ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)
-        |      AS x
+        |    CAST((2 * CAST(SUM(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT)
+        |          + COUNT(*)) // (2 * COUNT(*)) AS DOUBLE) / 1000000.0 AS x
         |  FROM events GROUP BY event_type, day),
         |idx AS (
         |  SELECT event_type, day, x,
@@ -1563,7 +1590,7 @@ object TimeSeries {
         |      AS DECIMAL(28,12)) AS term
         |  FROM pairs)
         |SELECT event_type, strftime(day, '%Y-%m-%d') AS day, i,
-        |  ROUND(CAST(SUM(term) AS DOUBLE), 6) AS ema
+        |  CAST(ROUND(SUM(term), 6) AS DOUBLE) AS ema
         |FROM terms GROUP BY event_type, day, i
         |ORDER BY event_type, i""".stripMargin,
 
@@ -1869,11 +1896,11 @@ object TimeSeries {
         |  last(value ORDER BY ts, event_id) AS close,
         |  COUNT(*) AS n_trades,
         |  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS volume,
-        |  ROUND(CAST(SUM(CAST(ROUND(
+        |  CAST(SUM(CAST(ROUND(
         |      value * CAST(json_extract_string(props, '$.k') AS BIGINT), 6)
         |    AS DECIMAL(28,6))) AS DOUBLE)
         |    / CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
-        |           AS DOUBLE), 6) AS vwap
+        |           AS DOUBLE) AS vwap
         |FROM events
         |GROUP BY event_type, day
         |ORDER BY event_type, day""".stripMargin,

@@ -28,6 +28,25 @@ package object queries {
     * division, deterministic on both engines). */
   def avgExact(c: Column): Column = sumExact(c) / count(lit(1))
 
+  /** ENGINE-INDEPENDENT half-up 6-dp mean from already-aggregated columns:
+    * `sumCol` an exact DECIMAL(18,6) sum, `cntCol` a count. `round(sx/n, 6)`
+    * on the IEEE quotient is engine-dependent whenever sx/n lands exactly on
+    * a 6th-decimal half-way point with a non-dyadic reduced denominator
+    * (attainable for v₂(100n)=7, e.g. n=32 points in a bucket — the ts29
+    * class); this integer micro-unit form `(2·sx·10⁶ + n) div 2n` computes
+    * the same half-up rounding in exact 64-bit arithmetic on both engines.
+    * Requires a NON-NEGATIVE sum (Spark `div` truncates, DuckDB `//`
+    * floors; positive dividends make them equal) — all call sites average
+    * event values ≥ 0.01. Long headroom: sx·10⁶·2 must fit 2⁶³ → group
+    * sums up to ~4.6e12, far above any bucket this engine aggregates; a
+    * whole-series mean at extreme scale would move to DECIMAL `div`.
+    * Oracle twin fragment:
+    * `CAST((2 * CAST(sx * 1000000 AS BIGINT) + n) // (2 * n) AS DOUBLE) / 1e6`.
+    */
+  def halfUpMean6(sumCol: String, cntCol: String): Column =
+    expr(s"cast((2 * cast($sumCol * 1000000 as bigint) + $cntCol)" +
+      s" div (2 * $cntCol) as double) / 1e6")
+
   /** Spread a small input across the cluster before a row-multiplying stage.
     *
     * Explode/fan-out pipelines (shingle × hash-seed, bit-position, pair

@@ -402,11 +402,15 @@ object GasStream {
                 st = AlertState(n,
                   if (n == 3L) us else st.fireUs, us,
                   if (n == 1L) v else math.max(st.peak, v), us)
-              } else {
+              } else if (st.n < 3L || us > st.clearUs) {
                 if (st.n >= 3L)
                   out += AlertEpisode(field, st.fireUs, st.clearUs, st.n, st.peak)
                 st = AlertState(0L, 0L, 0L, 0.0, us)
               }
+              // else: a below-threshold point TIED on the open episode's
+              // last above-threshold ts — the oracle's closer must be
+              // strictly later (b.ts_us > e.clear_us), so the episode
+              // stays open and the tied point is withheld.
             }
           }
           state.update(st)

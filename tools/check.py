@@ -25,17 +25,24 @@ for t in TABLES:
     con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SFDIR}/{t}.parquet'")
 
 oracle = json.load(open(f"{OUT}/oracle_sql.json"))
-try:
-    _vf = json.load(open(f"{OUT}/verify_failures.json"))
-    for _name, _err in sorted(_vf.items()):
-        print(f"DUMP-FAILED {_name}: {_err[:200]}")
-except FileNotFoundError:
-    pass
 # optional 3rd arg: only check queries with this name prefix (matches
 # graft.Verify's prefix arg for single-query iteration)
 PREFIX = sys.argv[3] if len(sys.argv) > 3 else ""
 oracle = {k: v for k, v in oracle.items() if k.startswith(PREFIX)}
 fails = []
+# A query that failed to DUMP this run must fail the gate even when a
+# stale parquet from a previous run sits in the reused output dir —
+# otherwise the compare silently grades old bytes.
+try:
+    _vf = json.load(open(f"{OUT}/verify_failures.json"))
+    for _name, _err in sorted(_vf.items()):
+        print(f"DUMP-FAILED {_name}: {_err[:200]}")
+        if _name.startswith(PREFIX):
+            fails.append(_name)
+except FileNotFoundError:
+    pass
+_dump_failed = set(fails)
+oracle = {k: v for k, v in oracle.items() if k not in _dump_failed}
 for name, sql in sorted(oracle.items()):
     try:
         got = con.sql(f"SELECT * FROM '{OUT}/{name}/*.parquet'")
@@ -80,6 +87,7 @@ for name, sql in sorted(oracle.items()):
         tag = "OK  " if exact else "OK~ "  # OK~ = tolerance-only match (hash would differ!)
         print(f"{tag}{name}: {len(grows)} rows")
 
-print(f"\n{len(oracle) - len(fails)}/{len(oracle)} queries pass"
+_total = len(oracle) + len(_dump_failed)
+print(f"\n{_total - len(fails)}/{_total} queries pass"
       + (f"; FAILED: {', '.join(fails)}" if fails else ""))
 sys.exit(1 if fails else 0)
