@@ -565,15 +565,15 @@ object TimeSeries {
     "ts22_double_exp_smooth" -> ((s, dir) => {
       val daily = ev(s, dir)
         .groupBy(col("event_type"), to_date(col("ts")).as("day"))
-        .agg(avgExact(col("value")).as("xr"))
-        .withColumn("x", round(col("xr"), 6))
+        .agg(count(lit(1)).as("nd"), sum(sumExactCol(col("value"))).as("sd"))
+        .withColumn("x", halfUpMean6("sd", "nd"))
         .withColumn("i", row_number().over(
           Window.partitionBy(col("event_type")).orderBy(col("day"))).cast("long"))
         .select(col("event_type").as("g"), col("day"), col("i"), col("x"))
       val s1 = emaClosedForm(daily.select(col("g"), col("i"), col("x")))
-        .withColumn("s1", round(col("ema"), 6)).drop("ema")
+        .withColumn("s1", round(col("ema"), 6).cast("double")).drop("ema")
       val s2 = emaClosedForm(s1.select(col("g"), col("i"), col("s1").as("x")))
-        .withColumn("s2", round(col("ema"), 6)).drop("ema")
+        .withColumn("s2", round(col("ema"), 6).cast("double")).drop("ema")
       daily.join(s1, Seq("g", "i")).join(s2, Seq("g", "i"))
         .select(col("g").as("event_type"),
           date_format(col("day"), "yyyy-MM-dd").as("day"), col("i"),
@@ -603,24 +603,27 @@ object TimeSeries {
     "ts23_seasonal_forecast" -> ((s, dir) => {
       val daily = ev(s, dir)
         .groupBy(col("event_type"), to_date(col("ts")).as("day"))
-        .agg(avgExact(col("value")).as("xr"))
-        .withColumn("x", round(col("xr"), 6))
+        .agg(count(lit(1)).as("nd"), sum(sumExactCol(col("value"))).as("sd"))
+        .withColumn("x", halfUpMean6("sd", "nd"))
         .withColumn("i", row_number().over(
           Window.partitionBy(col("event_type")).orderBy(col("day"))).cast("long"))
         .withColumn("p", (col("i") - 1) % 7)
         .select(col("event_type").as("g"), col("day"), col("i"), col("p"), col("x"))
       val mu = daily.groupBy(col("g"))
-        .agg(round(avgExact(col("x")), 6).as("gmu"))
+        .agg(count(lit(1)).as("nm"), sum(sumExactCol(col("x"))).as("sm"))
+        .withColumn("gmu", halfUpMean6("sm", "nm"))
+        .select(col("g"), col("gmu"))
       val seas = daily.groupBy(col("g"), col("p"))
-        .agg(round(avgExact(col("x")), 6).as("pmu"))
+        .agg(count(lit(1)).as("np"), sum(sumExactCol(col("x"))).as("sp"))
+        .withColumn("pmu", halfUpMean6("sp", "np"))
         .join(mu, Seq("g"))
         .select(col("g"), col("p"), round(col("pmu") - col("gmu"), 6).as("sidx"))
       val de = daily.join(seas, Seq("g", "p"))
         .withColumn("y", round(col("x") - col("sidx"), 6))
       val s1 = emaClosedForm(de.select(col("g"), col("i"), col("y").as("x")))
-        .withColumn("s1", round(col("ema"), 6)).drop("ema")
+        .withColumn("s1", round(col("ema"), 6).cast("double")).drop("ema")
       val s2 = emaClosedForm(s1.select(col("g"), col("i"), col("s1").as("x")))
-        .withColumn("s2", round(col("ema"), 6)).drop("ema")
+        .withColumn("s2", round(col("ema"), 6).cast("double")).drop("ema")
       val nextSeas = seas.select(col("g"), col("p").as("np"),
         col("sidx").as("next_sidx"))
       de.join(s1, Seq("g", "i")).join(s2, Seq("g", "i"))
@@ -754,7 +757,7 @@ object TimeSeries {
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"), sum(col("xd")).as("sx"),
           sum((col("xd") * col("xd")).cast("decimal(38,12)")).as("sxx"))
-        .withColumn("mu", round(col("sx").cast("double") / col("n"), 6))
+        .withColumn("mu", halfUpMean6("sx", "n"))
         .withColumn("sigma", round(sqrt(greatest(lit(0.0),
           col("sxx").cast("double") / col("n") -
             (col("sx").cast("double") / col("n")) *
@@ -793,7 +796,7 @@ object TimeSeries {
       val stats = base.withColumn("xd", col("value").cast("decimal(18,6)"))
         .groupBy(col("g"))
         .agg(count(lit(1)).as("n"), sum(col("xd")).as("sx"))
-        .select(col("g"), round(col("sx").cast("double") / col("n"), 6).as("mu"))
+        .select(col("g"), halfUpMean6("sx", "n").as("mu"))
       val w = Window.partitionBy(col("g")).orderBy(col("ts_us"), col("event_id"))
       val centered = base.join(broadcast(stats), Seq("g"))
         .withColumn("dx", col("value") - col("mu"))
@@ -837,7 +840,7 @@ object TimeSeries {
         .agg(count(lit(1)).as("n"),
           sum(col("value").cast("decimal(18,6)")).as("sx"))
         .select(col("event_type"),  col("hi"),
-          round(col("sx").cast("double") / col("n"), 6).as("m"))
+          halfUpMean6("sx", "n").as("m"))
       val a = b.select(col("event_type").as("ta"), col("hi").as("ha"),
         col("m").as("xa"))
       val bb = b.select(col("event_type").as("tb"), col("hi").as("hb"),
@@ -926,7 +929,12 @@ object TimeSeries {
             (col("sx").cast("double") / col("n")) *
             (col("sx").cast("double") / col("n"))), 6))
         .select(col("event_type"), col("rr"),
-          round(col("rr") / lit(10.0), 6).as("qq"))
+          // qq = halfUp6(rr/10) in integer micro units: rr sits on the
+          // 6-dp grid, so rr/10 has a 7th decimal digit that is exactly 5
+          // one time in ten — a double round(rr/10, 6) is the ts29 class
+          // at 10% density. (R+5) div 10 is the same half-up exactly.
+          expr("cast((cast(round(rr * 1000000) as bigint) + 5) div 10" +
+            " as double) / 1e6").as("qq"))
       base.join(broadcast(params), Seq("event_type"))
         .select(col("event_type"), col("ts_us"), col("event_id"),
           col("value"), col("qq"), col("rr"))
@@ -1088,7 +1096,8 @@ object TimeSeries {
       val w = Window.partitionBy(col("g")).orderBy(col("day"))
       val daily = ev(s, dir)
         .groupBy(col("event_type").as("g"), to_date(col("ts")).as("day"))
-        .agg(round(avgExact(col("value")), 6).as("x"))
+        .agg(count(lit(1)).as("nd"), sum(sumExactCol(col("value"))).as("sd"))
+        .withColumn("x", halfUpMean6("sd", "nd"))
         .withColumn("i", row_number().over(w).cast("long"))
         .withColumn("lag1", lag(col("x"), 1).over(w))
         .withColumn("lag7", lag(col("x"), 7).over(w))
@@ -1126,7 +1135,8 @@ object TimeSeries {
     "ts35_theilsen_trend" -> ((s, dir) => {
       val daily = ev(s, dir)
         .groupBy(col("event_type").as("g"), to_date(col("ts")).as("day"))
-        .agg(round(avgExact(col("value")), 6).as("x"))
+        .agg(count(lit(1)).as("nd"), sum(sumExactCol(col("value"))).as("sd"))
+        .withColumn("x", halfUpMean6("sd", "nd"))
         .withColumn("i", row_number().over(
           Window.partitionBy(col("g")).orderBy(col("day"))).cast("long"))
         .select(col("g"), col("i"), col("x"))
@@ -1163,8 +1173,8 @@ object TimeSeries {
   private def decomposeSql: String =
     """h0 AS (
       |  SELECT event_type AS g, date_trunc('hour', ts) AS h,
-      |    ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)
-      |      AS x
+      |    CAST((2 * CAST(SUM(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT)
+      |          + COUNT(*)) // (2 * COUNT(*)) AS DOUBLE) / 1000000.0 AS x
       |  FROM events GROUP BY g, h),
       |hh AS (SELECT g, epoch_us(h) AS h_us,
       |       CAST(EXTRACT(hour FROM h) AS BIGINT) AS p, x FROM h0),
@@ -1217,9 +1227,11 @@ object TimeSeries {
   private def decomposeHourly(s: SparkSession, dir: String): DataFrame = {
     val hourly = ev(s, dir)
       .groupBy(col("event_type").as("g"), date_trunc("hour", col("ts")).as("h"))
-      .agg(round(avgExact(col("value")), 6).as("x"))
+      .agg(count(lit(1)).as("nh"), sum(sumExactCol(col("value"))).as("sh"))
+      .withColumn("x", halfUpMean6("sh", "nh"))
       .withColumn("h_us", unix_micros(col("h")))
       .withColumn("p", hour(col("h")).cast("long"))
+      .select(col("g"), col("h"), col("x"), col("h_us"), col("p"))
     val w1 = Window.partitionBy(col("g")).orderBy(col("h_us"))
       .rowsBetween(-12, 11)
     val w2 = Window.partitionBy(col("g")).orderBy(col("h_us"))
@@ -1271,8 +1283,11 @@ object TimeSeries {
       .withColumn("term", expr(
         "CAST(round((CASE WHEN j = 1 THEN f ELSE 0.2 * f END) * xj, 12) AS DECIMAL(28,12))"))
       .groupBy(col("g"), col("i"))
+      // `ema` stays DECIMAL so callers can 6-dp-round it EXACTLY (decimal
+      // half-up is engine-independent; rounding the casted double was the
+      // ts29 class when digits 7-12 were exactly 500000)
       .agg(sum(col("term")).as("acc"))
-      .select(col("g"), col("i"), col("acc").cast("double").as("ema"))
+      .select(col("g"), col("i"), col("acc").as("ema"))
   }
 
   /** Single-pass cumulative bucket counts for ts15/ts16: one hash aggregate,
@@ -1597,8 +1612,8 @@ object TimeSeries {
     "ts22_double_exp_smooth" ->
       s"""WITH daily0 AS (
          |  SELECT event_type AS g, CAST(ts AS DATE) AS day,
-         |    ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)
-         |      AS x
+         |    CAST((2 * CAST(SUM(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT)
+         |          + COUNT(*)) // (2 * COUNT(*)) AS DOUBLE) / 1000000.0 AS x
          |  FROM events GROUP BY g, day),
          |daily AS (
          |  SELECT g, day, x,
@@ -1606,10 +1621,10 @@ object TimeSeries {
          |  FROM daily0),
          |ser1 AS (SELECT g, i, x FROM daily),
          |${emaSql("ser1", "e1")},
-         |s1 AS (SELECT g, i, ROUND(ema, 6) AS s1 FROM e1),
+         |s1 AS (SELECT g, i, CAST(ROUND(ema, 6) AS DOUBLE) AS s1 FROM e1),
          |ser2 AS (SELECT g, i, s1 AS x FROM s1),
          |${emaSql("ser2", "e2")},
-         |s2 AS (SELECT g, i, ROUND(ema, 6) AS s2 FROM e2)
+         |s2 AS (SELECT g, i, CAST(ROUND(ema, 6) AS DOUBLE) AS s2 FROM e2)
          |SELECT d.g AS event_type, strftime(d.day, '%Y-%m-%d') AS day, d.i,
          |  s1.s1, s2.s2,
          |  ROUND(2.0 * s1.s1 - s2.s2, 6) AS level,
@@ -1624,8 +1639,8 @@ object TimeSeries {
     "ts23_seasonal_forecast" ->
       s"""WITH daily0 AS (
          |  SELECT event_type AS g, CAST(ts AS DATE) AS day,
-         |    ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)
-         |      AS x
+         |    CAST((2 * CAST(SUM(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT)
+         |          + COUNT(*)) // (2 * COUNT(*)) AS DOUBLE) / 1000000.0 AS x
          |  FROM events GROUP BY g, day),
          |daily AS (
          |  SELECT g, day, x,
@@ -1634,13 +1649,13 @@ object TimeSeries {
          |dailyp AS (SELECT *, CAST((i - 1) % 7 AS BIGINT) AS p FROM daily),
          |mu AS (
          |  SELECT g,
-         |    ROUND(CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)
-         |      AS gmu
+         |    CAST((2 * CAST(SUM(CAST(x AS DECIMAL(18,6))) * 1000000 AS BIGINT)
+         |          + COUNT(*)) // (2 * COUNT(*)) AS DOUBLE) / 1000000.0 AS gmu
          |  FROM dailyp GROUP BY g),
          |pm AS (
          |  SELECT g, p,
-         |    ROUND(CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)
-         |      AS pmu
+         |    CAST((2 * CAST(SUM(CAST(x AS DECIMAL(18,6))) * 1000000 AS BIGINT)
+         |          + COUNT(*)) // (2 * COUNT(*)) AS DOUBLE) / 1000000.0 AS pmu
          |  FROM dailyp GROUP BY g, p),
          |seas AS (SELECT pm.g, pm.p, ROUND(pm.pmu - mu.gmu, 6) AS sidx
          |         FROM pm JOIN mu ON mu.g = pm.g),
@@ -1649,10 +1664,10 @@ object TimeSeries {
          |  FROM dailyp d JOIN seas s ON s.g = d.g AND s.p = d.p),
          |ser1 AS (SELECT g, i, y AS x FROM de),
          |${emaSql("ser1", "e1")},
-         |s1 AS (SELECT g, i, ROUND(ema, 6) AS s1 FROM e1),
+         |s1 AS (SELECT g, i, CAST(ROUND(ema, 6) AS DOUBLE) AS s1 FROM e1),
          |ser2 AS (SELECT g, i, s1 AS x FROM s1),
          |${emaSql("ser2", "e2")},
-         |s2 AS (SELECT g, i, ROUND(ema, 6) AS s2 FROM e2)
+         |s2 AS (SELECT g, i, CAST(ROUND(ema, 6) AS DOUBLE) AS s2 FROM e2)
          |SELECT de.g AS event_type, strftime(de.day, '%Y-%m-%d') AS day, de.i,
          |  de.x, de.sidx, de.y AS deseason,
          |  ROUND(2.0 * s1.s1 - s2.s2, 6) AS level,
@@ -1792,7 +1807,9 @@ object TimeSeries {
         |        AS DECIMAL(38,12))) AS sxx
         |  FROM events GROUP BY event_type),
         |sg AS (
-        |  SELECT g, ROUND(CAST(sx AS DOUBLE) / n, 6) AS mu,
+        |  SELECT g,
+        |    CAST((2 * CAST(sx * 1000000 AS BIGINT) + n) // (2 * n) AS DOUBLE)
+        |      / 1000000.0 AS mu,
         |    ROUND(sqrt(greatest(0, CAST(sxx AS DOUBLE) / n
         |      - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n))), 6) AS sigma
         |  FROM st),
@@ -1831,7 +1848,9 @@ object TimeSeries {
         |  SELECT event_type AS g, COUNT(*) AS n,
         |    SUM(CAST(value AS DECIMAL(18,6))) AS sx
         |  FROM events GROUP BY event_type),
-        |mu AS (SELECT g, ROUND(CAST(sx AS DOUBLE) / n, 6) AS mu FROM st),
+        |mu AS (SELECT g,
+        |         CAST((2 * CAST(sx * 1000000 AS BIGINT) + n) // (2 * n)
+        |              AS DOUBLE) / 1000000.0 AS mu FROM st),
         |d AS (SELECT p.g, p.i, p.value - m.mu AS dx
         |      FROM pts p JOIN mu m USING (g)),
         |den AS (
@@ -1858,8 +1877,8 @@ object TimeSeries {
       """WITH b AS (
         |  SELECT event_type,
         |    epoch_us(date_trunc('hour', ts)) // 3600000000 AS hi,
-        |    ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
-        |          / COUNT(*), 6) AS m
+        |    CAST((2 * CAST(SUM(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT)
+        |          + COUNT(*)) // (2 * COUNT(*)) AS DOUBLE) / 1000000.0 AS m
         |  FROM events GROUP BY event_type, hi),
         |lags AS (SELECT unnest(range(-3, 4)) AS lag),
         |mom AS (
@@ -1922,13 +1941,13 @@ object TimeSeries {
         |        AS DECIMAL(38,12))) AS sxx
         |  FROM events GROUP BY event_type),
         |pr AS (
-        |  SELECT g,
+        |  SELECT g, rr,
+        |    CAST((CAST(ROUND(rr * 1000000) AS BIGINT) + 5) // 10 AS DOUBLE)
+        |      / 1000000.0 AS qq
+        |  FROM (SELECT g,
         |    ROUND(greatest(1e-6, CAST(sxx AS DOUBLE) / n
-        |      - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n)), 6) AS rr,
-        |    ROUND(ROUND(greatest(1e-6, CAST(sxx AS DOUBLE) / n
-        |      - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n)), 6)
-        |      / 10.0, 6) AS qq
-        |  FROM st),
+        |      - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n)), 6) AS rr
+        |  FROM st)),
         |rec AS (
         |  SELECT p.g, p.i, p.ts_us, p.event_id, p.z,
         |    ROUND(p.z, 6) AS x, ROUND(r.rr, 6) AS pv,
@@ -2040,8 +2059,8 @@ object TimeSeries {
     "ts34_forecast_backtest" ->
       """WITH d0 AS (
         |  SELECT event_type AS g, CAST(ts AS DATE) AS day,
-        |    ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)
-        |      AS x
+        |    CAST((2 * CAST(SUM(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT)
+        |          + COUNT(*)) // (2 * COUNT(*)) AS DOUBLE) / 1000000.0 AS x
         |  FROM events GROUP BY g, day),
         |d AS (
         |  SELECT g, day, x,
@@ -2072,8 +2091,8 @@ object TimeSeries {
     "ts35_theilsen_trend" ->
       """WITH d0 AS (
         |  SELECT event_type AS g, CAST(ts AS DATE) AS day,
-        |    ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)
-        |      AS x
+        |    CAST((2 * CAST(SUM(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT)
+        |          + COUNT(*)) // (2 * COUNT(*)) AS DOUBLE) / 1000000.0 AS x
         |  FROM events GROUP BY g, day),
         |d AS (
         |  SELECT g, x,
@@ -2116,8 +2135,10 @@ object TimeSeries {
        |                          (acc, z) -> acc * z) END AS f
        |  FROM $src a JOIN $src b ON a.g = b.g AND b.i <= a.i),
        |$out AS (
+       |  -- ema stays DECIMAL: callers 6-dp-round it exactly before the
+       |  -- double cast (engine-independent decimal half-up)
        |  SELECT g, i,
-       |    CAST(SUM(CAST(ROUND((CASE WHEN j = 1 THEN f ELSE 0.2 * f END) * xj,
-       |      12) AS DECIMAL(28,12))) AS DOUBLE) AS ema
+       |    SUM(CAST(ROUND((CASE WHEN j = 1 THEN f ELSE 0.2 * f END) * xj,
+       |      12) AS DECIMAL(28,12))) AS ema
        |  FROM ${out}_pairs GROUP BY g, i)""".stripMargin
 }
