@@ -117,6 +117,53 @@ object GasStoreQueries {
     spark.read.parquet(path)
   }
 
+  /** gs21's sink: streaming OHLC BARS — ts29's candlestick downsampling
+    * as a LIVE windowed aggregate: per (hourly window, field) the
+    * open/high/low/close + point count, where open/close are
+    * `min_by`/`max_by` keyed on event time — the SAME partial-merge
+    * aggregate shape as batch ts29, so the state store carries one
+    * 5-value record per open window (bounded by fields × open windows,
+    * never stream volume) and every micro-batch merges map-side.
+    * Append mode + 30 min watermark = gs07's window-sealing CONTRACT:
+    * a bar is emitted exactly once, when the watermark passes its end;
+    * the oracle replays the cutoff explicitly. */
+  private val builtOhlc = new java.util.WeakHashMap[SparkSession, String]()
+  private def streamOhlc(spark: SparkSession): DataFrame = {
+    val path = builtOhlc.synchronized {
+      Option(builtOhlc.get(spark)).getOrElse {
+        val work = Files.createTempDirectory("graft-gas-ohlc")
+        deleteOnExit(work)
+        val long = graft.store.LongStore.unpivot(
+          graft.transform.GasTransform(
+            graft.streaming.GasStream.readStream(spark, fixtureDir))
+            .withColumnRenamed("file_name", "_src")).drop("_src")
+          .filter(col("_field").isin("CO (ppm)", "Temperature (C)"))
+        long.withWatermark("_time", "30 minutes")
+          .groupBy(window(col("_time"), "1 hour"), col("_field"))
+          .agg(
+            min_by(col("_value"), col("_time")).as("open"),
+            max(col("_value")).as("high"),
+            min(col("_value")).as("low"),
+            max_by(col("_value"), col("_time")).as("close"),
+            count(lit(1)).as("n_points"))
+          .select(col("window.start").as("_bucket"), col("_field"),
+            col("open"), col("high"), col("low"), col("close"),
+            col("n_points"))
+          .writeStream
+          .format("parquet")
+          .option("path", s"$work/out")
+          .option("checkpointLocation", s"$work/ckpt")
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+          .awaitTermination()
+        builtOhlc.put(spark, s"$work/out")
+        s"$work/out"
+      }
+    }
+    spark.read.parquet(path)
+  }
+
   /** gs08's sink: the live STREAM-STREAM interval join
     * ([[graft.streaming.GasStream.pairedReadings]]) run end-to-end — each
     * CO reading picks up the humidity readings of the preceding 10 minutes
@@ -412,16 +459,21 @@ object GasStoreQueries {
     spark.read.parquet(path)
   }
 
-  /** gs15's sink: the STREAMING CUSUM drift detector
-    * ([[graft.streaming.GasStream.cusumStream]]) — Page's sequential
+  /** gs15's sink: the STREAMING CUSUM drift detector — Page's sequential
     * changepoint recursion carried as keyed state, run end-to-end over
     * the live long stream for two fields with production-style FIXED
     * parameters (μ=50, k=5, h=60 — configuration, not estimated from the
-    * unbounded stream). The DuckDB oracle replays the identical clamped
+    * unbounded stream). Since round 8 this runs the kernel on Spark 4's
+    * `transformWithState` API
+    * ([[graft.streaming.GasStream.CusumProcessor]]) — the
+    * forward-compatible replacement for flatMapGroupsWithState — which
+    * REQUIRES the RocksDB state store, pinned here for this one query
+    * and restored after (the other streaming queries keep the default
+    * HDFS-backed store). The DuckDB oracle replays the identical clamped
     * recursion (ts26's WITH RECURSIVE shape) over the raw CSVs, so the
     * stateful detector — state carry-over between micro-batches, in-batch
     * event-time ordering, clamp/alarm/reset arithmetic — is hash-verified
-    * point-by-point. */
+    * point-by-point ON THE NEW API. */
   private val builtCusum = new java.util.WeakHashMap[SparkSession, String]()
   private def streamCusum(spark: SparkSession): DataFrame = {
     val path = builtCusum.synchronized {
@@ -433,15 +485,27 @@ object GasStoreQueries {
             graft.streaming.GasStream.readStream(spark, fixtureDir))
             .withColumnRenamed("file_name", "_src")).drop("_src")
           .filter(col("_field").isin("CO (ppm)", "Humidity (%r.h.)"))
-        graft.streaming.GasStream.cusumStream(long, mu = 50.0, k = 5.0, h = 60.0)
-          .writeStream
-          .format("parquet")
-          .option("path", s"$work/out")
-          .option("checkpointLocation", s"$work/ckpt")
-          .outputMode("append")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-          .awaitTermination()
+        val providerKey = "spark.sql.streaming.stateStore.providerClass"
+        val prevProvider = spark.conf.getOption(providerKey)
+        spark.conf.set(providerKey,
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        try {
+          graft.streaming.GasStream
+            .cusumStreamTws(long, mu = 50.0, k = 5.0, h = 60.0)
+            .writeStream
+            .format("parquet")
+            .option("path", s"$work/out")
+            .option("checkpointLocation", s"$work/ckpt")
+            .outputMode("append")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+            .awaitTermination()
+        } finally {
+          prevProvider match {
+            case Some(p) => spark.conf.set(providerKey, p)
+            case None => spark.conf.unset(providerKey)
+          }
+        }
         builtCusum.put(spark, s"$work/out")
         s"$work/out"
       }
@@ -774,6 +838,15 @@ object GasStoreQueries {
           (col("total").cast("double") / col("n_points").cast("double"))
             .as("mean_value"))
         .orderBy(col("b_us"))),
+
+    // streaming candlestick bars (ts29's twin): watermark-sealed hourly
+    // OHLC per field, open/close by event-time min_by/max_by
+    "gs21_stream_ohlc" -> ((s, _) =>
+      streamOhlc(s)
+        .select(unix_micros(col("_bucket")).as("b_us"), col("_field"),
+          col("open"), col("high"), col("low"), col("close"),
+          col("n_points"))
+        .orderBy(col("b_us"), col("_field"))),
 
     // U2 through the store: pivot the long model back to wide (Grafana
     // table view). The oracle is the RAW CSV rows themselves — matching
@@ -1171,6 +1244,33 @@ object GasStoreQueries {
          |FROM r, mx
          |WHERE rnk <= 3 AND ws + INTERVAL 1 HOUR <= mx - INTERVAL 30 MINUTE
          |ORDER BY b_us, _field, rnk""".stripMargin,
+
+    // hourly bars over the raw CSVs; first/last by _time; gs07's
+    // watermark cutoff (bar end ≤ max event time − 30 min) replayed
+    "gs21_stream_ohlc" ->
+      s"""$prelude,
+         |pts AS (
+         |  SELECT _time, 'CO (ppm)' AS _field, "CO (ppm)" AS _value,
+         |    date_trunc('hour', _time) AS ws
+         |  FROM raw
+         |  UNION ALL
+         |  SELECT _time, 'Temperature (C)', "Temperature (C)",
+         |    date_trunc('hour', _time)
+         |  FROM raw),
+         |mx AS (SELECT MAX(_time) AS mx FROM pts),
+         |agg AS (
+         |  SELECT ws, _field,
+         |    first(_value ORDER BY _time) AS open,
+         |    MAX(_value) AS high,
+         |    MIN(_value) AS low,
+         |    last(_value ORDER BY _time) AS close,
+         |    COUNT(*) AS n_points
+         |  FROM pts GROUP BY ws, _field)
+         |SELECT epoch_us(ws) AS b_us, _field, open, high, low, close,
+         |  n_points
+         |FROM agg, mx
+         |WHERE ws + INTERVAL 1 HOUR <= mx - INTERVAL 30 MINUTE
+         |ORDER BY b_us, _field""".stripMargin,
 
     "gs07_stream_sliding_mean" ->
       s"""$prelude,

@@ -108,7 +108,62 @@ object Relational {
     // narrowing frames, not an unbounded loop.
     "q43_recursive_hierarchy" -> ((s, dir) => {
       t(s, dir, "part").createOrReplaceTempView("part")
+      // The walk materializes |part| rows PER LEVEL (depth = key width,
+      // ≲10 levels), so Spark's recursion guards bind at |part| ≥ 100k:
+      // the default cteRecursionRowLimit (1e6 cumulative rows) fails an
+      // 8× corpus even though the recursion provably terminates (anc
+      // strictly shrinks by 10× per level). Depth stays FAR under the
+      // level limit (100) — lift only the row guard; termination is
+      // structural, not limit-dependent. Found by the 8×/32× scale
+      // ladder (PLANS.md).
+      s.conf.set("spark.sql.cteRecursionRowLimit", "-1")
       s.sql(q43Sql)
+    }),
+
+    // -- SQL PIPE SYNTAX (|> operators — new in Spark 4): the second
+    // Spark-4 SQL front door next to q43's WITH RECURSIVE. The pipe form
+    // is pure SYNTAX: Catalyst plans FROM→WHERE→EXTEND→AGGREGATE→ORDER
+    // into exactly the scan→filter→hash-agg→sort plan the q01-style
+    // GROUP BY text produces (filter pushed to the parquet scan, partial
+    // aggregation map-side), which is what the DuckDB oracle runs as
+    // classic SQL — same semantics, different surface. Numerics follow
+    // q01: per-row decimal casts make the sums order-independent.
+    "q44_pipe_syntax" -> ((s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+      s.sql(
+        """FROM lineitem
+          ||> WHERE l_shipdate >= DATE '1996-01-01'
+          ||> EXTEND CAST(l_extendedprice * (1.0 - l_discount)
+          |          AS DECIMAL(18,6)) AS disc_price
+          ||> AGGREGATE COUNT(*) AS n_items,
+          |     CAST(SUM(disc_price) AS DOUBLE) AS revenue,
+          |     CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+          |       AS total_qty
+          |   GROUP BY l_returnflag, l_linestatus
+          ||> ORDER BY l_returnflag, l_linestatus""".stripMargin)
+    }),
+
+    // -- VARIANT ingestion (the Spark 4 semi-structured type): parse the
+    // JSON props column ONCE into a VARIANT, extract typed paths with
+    // variant_get (erroring semantics) and try_variant_get (NULL on
+    // missing path — the schema-drift-tolerant form), then aggregate on
+    // the extracted value. This is the open-schema ingest shape a
+    // training-data pipeline needs when event payloads evolve faster
+    // than the warehouse schema: VARIANT defers the schema to read time
+    // but keeps extraction typed and codegen'd (no per-row UDF, no
+    // second JSON parse per field). The oracle replays with classic
+    // JSON-path extraction — same values, engine-native surfaces.
+    "q45_variant_extract" -> ((s, dir) => {
+      t(s, dir, "events").createOrReplaceTempView("events_v")
+      s.sql(
+        """SELECT event_type,
+          |  COUNT(*) AS n_events,
+          |  SUM(variant_get(v, '$.k', 'bigint')) AS sum_k,
+          |  MAX(variant_get(v, '$.k', 'bigint')) AS max_k,
+          |  COUNT(try_variant_get(v, '$.absent_field', 'string')) AS n_absent
+          |FROM (SELECT event_type, parse_json(props) AS v FROM events_v)
+          |GROUP BY event_type
+          |ORDER BY event_type""".stripMargin)
     }),
 
     // -- aggregation (TPC-H Q1 shape): partial+final hash agg, 6-group output
@@ -1242,6 +1297,30 @@ object Relational {
     "q29_correlated_subquery" -> q29Sql,
 
     "q43_recursive_hierarchy" -> q43Sql,
+
+    // classic-SQL equivalent of the pipe chain — pipes are Spark-side
+    // syntax; the plan and semantics are this GROUP BY
+    "q44_pipe_syntax" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+        |           AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS total_qty
+        |FROM lineitem
+        |WHERE l_shipdate >= DATE '1996-01-01'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    // JSON-path replay of the VARIANT extraction: same typed values,
+    // engine-native surface (json_extract vs variant_get)
+    "q45_variant_extract" ->
+      """SELECT event_type,
+        |  COUNT(*) AS n_events,
+        |  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+        |  COUNT(json_extract_string(props, '$.absent_field')) AS n_absent
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
 
     "q30_moment_stats" ->
       """WITH d AS (

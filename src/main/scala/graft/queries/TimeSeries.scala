@@ -1161,6 +1161,47 @@ object TimeSeries {
         .select(col("g").as("event_type"), col("n").as("n_days"),
           col("n_pairs"), col("ts_slope"), col("resid").as("ts_intercept"))
         .orderBy(col("event_type"))
+    }),
+
+    // SEASONAL-ROBUST ANOMALY DETECTION (the S-H-ESD idea, Hochenbaum/
+    // Vallis/Kejariwal 2017, in its median/MAD form): ts25 z-scores the
+    // RAW series, so a perfectly normal nightly dip looks anomalous;
+    // here the seasonal+trend structure is REMOVED first (ts33's shared
+    // [[decomposeHourly]]) and the robust score runs on the residual —
+    // the detector that survives strong seasonality. Median and MAD are
+    // LOWER MEDIANS by rank (ts35's rule: the picked VALUE is
+    // deterministic under any tie order, no invented half-way floats);
+    // the score |resid − med| / (1.4826·MAD) is one IEEE tree over
+    // identical doubles on both engines, emitted unrounded. Scale shape:
+    // the decomposition's one series-key shuffle dominates; both median
+    // passes ride the SAME series-key partitioning (window rank, no new
+    // exchange) and the med/MAD frames join back broadcast (|series|
+    // rows). Per-series medians at 100 TB hourly grain are |hours| rows
+    // per key — bounded by retention, not event volume.
+    "ts37_seasonal_anomaly" -> ((s, dir) => {
+      val base = decomposeHourly(s, dir)
+        .select(col("g"), col("h_us"), col("x"), col("resid"))
+      val wg = Window.partitionBy(col("g"))
+      val wm = Window.partitionBy(col("g")).orderBy(col("resid"))
+      val med = base
+        .withColumn("rn", row_number().over(wm).cast("long"))
+        .withColumn("m", count(lit(1)).over(wg))
+        .filter(col("rn") === expr("(m + 1) div 2"))
+        .select(col("g"), col("resid").as("med"))
+      val dev = base.join(broadcast(med), Seq("g"))
+        .withColumn("adev", abs(col("resid") - col("med")))
+      val wd = Window.partitionBy(col("g")).orderBy(col("adev"))
+      val mad = dev
+        .withColumn("rn", row_number().over(wd).cast("long"))
+        .withColumn("m", count(lit(1)).over(wg))
+        .filter(col("rn") === expr("(m + 1) div 2"))
+        .select(col("g"), col("adev").as("mad"))
+      dev.join(broadcast(mad), Seq("g"))
+        .withColumn("rscore",
+          col("adev") / (lit(1.4826) * greatest(col("mad"), lit(1e-9))))
+        .select(col("g").as("event_type"), col("h_us"), col("x"),
+          col("resid"), col("rscore"), (col("rscore") > 3.0).as("is_anomaly"))
+        .orderBy(col("event_type"), col("h_us"))
     })
   )
 
@@ -2021,6 +2062,31 @@ object TimeSeries {
       s"""WITH $decomposeSql
          |SELECT g AS event_type, h_us, x, trend, sidx, resid
          |FROM dc ORDER BY event_type, h_us""".stripMargin,
+
+    // same components; lower-median med/MAD by rank, one IEEE score tree
+    "ts37_seasonal_anomaly" ->
+      s"""WITH $decomposeSql,
+         |base AS (SELECT g, h_us, x, resid FROM dc),
+         |rmed AS (
+         |  SELECT g, resid AS med FROM (
+         |    SELECT g, resid,
+         |      ROW_NUMBER() OVER (PARTITION BY g ORDER BY resid) AS rn,
+         |      COUNT(*) OVER (PARTITION BY g) AS m
+         |    FROM base) WHERE rn = (m + 1) // 2),
+         |dev AS (
+         |  SELECT b.g, b.h_us, b.x, b.resid, abs(b.resid - r.med) AS adev
+         |  FROM base b JOIN rmed r USING (g)),
+         |mmad AS (
+         |  SELECT g, adev AS mad FROM (
+         |    SELECT g, adev,
+         |      ROW_NUMBER() OVER (PARTITION BY g ORDER BY adev) AS rn,
+         |      COUNT(*) OVER (PARTITION BY g) AS m
+         |    FROM dev) WHERE rn = (m + 1) // 2)
+         |SELECT d.g AS event_type, d.h_us, d.x, d.resid,
+         |  d.adev / (1.4826 * greatest(mm.mad, 1e-9)) AS rscore,
+         |  (d.adev / (1.4826 * greatest(mm.mad, 1e-9))) > 3.0 AS is_anomaly
+         |FROM dev d JOIN mmad mm USING (g)
+         |ORDER BY event_type, h_us""".stripMargin,
 
     // Hyndman's strength measures over the same components: variances
     // from exact decimal power sums, one IEEE tree each, rounded once

@@ -254,6 +254,38 @@ object VectorOps {
           round(col("n_hit").cast("double") / col("n_exact"), 6))
     }),
 
+    // IVF NPROBE SWEEP — the recall-vs-cost CURVE behind v06's single
+    // point, i.e. the measurement an operator actually runs before
+    // picking the nprobe dial on a new corpus: recall@5 at nprobe ∈
+    // {1, 2, 4} against v01's exact ground truth. One row per dial
+    // setting; the exact side is computed ONCE and semi-joined by each
+    // sweep arm. Scale shape: each arm is v05's plan (broadcast probes,
+    // corpus never reshuffled) — the sweep multiplies only the probe
+    // frame (|queries| × nprobe rows), not the corpus scans, and the
+    // three arms share the centroid/assignment frames via the same
+    // deterministic aggregates. Unrounded integer-ratio recalls
+    // (identical IEEE division both engines).
+    "v24_ivf_nprobe_curve" -> ((s, dir) => {
+      graft.functions.VectorFunctions.register(s)
+      val e = emb(s, dir)
+      val qs = e.filter(expr("vec_id % 100 = 0"))
+        .select(col("vec_id").as("q_id"), col("emb").as("qe"), col("norm").as("qn"))
+      val exact = cosineTopK(e, qs, 5).select(col("q_id"), col("c_id"))
+      val nEx = exact.agg(count(lit(1)).as("n_exact"))
+      val hits = Seq(1, 2, 4).map { np =>
+        ivfTopKN(e, np).select(col("q_id"), col("c_id"))
+          .join(exact, Seq("q_id", "c_id"), "left_semi")
+          .agg(count(lit(1)).as("n_hit"))
+          .withColumn("nprobe", lit(np.toLong))
+      }.reduce(_.unionByName(_))
+      hits.crossJoin(broadcast(nEx))
+        .withColumn("recall_at_5",
+          col("n_hit").cast("double") / col("n_exact"))
+        .select(col("nprobe"), col("n_hit"), col("n_exact"),
+          col("recall_at_5"))
+        .orderBy(col("nprobe"))
+    }),
+
     // INT8 SCALAR QUANTIZATION (SQ8) + exact rerank — the third classic ANN
     // scale pillar next to LSH (v03-v09) and IVF (v05/v06): the corpus is
     // compressed to one 8-bit code per dimension against per-dimension
@@ -950,10 +982,14 @@ object VectorOps {
         col("norm").as("qn"), col("clabel").as("cell"))
   }
 
-  private def ivfTopK(e: DataFrame): DataFrame = {
+  private def ivfTopK(e: DataFrame): DataFrame = ivfTopKN(e, 2)
+
+  /** IVF top-5 at an explicit `nprobe` (v24's sweep dial; v05/v06 use the
+    * production nprobe = 2). */
+  private def ivfTopKN(e: DataFrame, nprobe: Int): DataFrame = {
     val cents = cellCentroids(e)
     val cells = coarseAssign(e, cents)
-    val probes = cellProbes(e, cents, 2)
+    val probes = cellProbes(e, cents, nprobe)
     val wTop = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id"))
     cells.join(broadcast(probes), Seq("cell"))
       .filter(col("vec_id") =!= col("q_id"))
@@ -1333,6 +1369,65 @@ object VectorOps {
         |  (SELECT COUNT(*) FROM hit) AS n_hit,
         |  ROUND(CAST((SELECT COUNT(*) FROM hit) AS DOUBLE)
         |      / (SELECT COUNT(*) FROM exact), 6) AS recall_at_5""".stripMargin,
+
+    // v06's replay swept over nprobe ∈ {1,2,4}: the probe rank cutoff
+    // becomes the sweep variable, everything else is shared
+    "v24_ivf_nprobe_curve" ->
+      """WITH e AS (
+        |  SELECT vec_id, label, embedding::DOUBLE[] AS emb,
+        |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, emb AS qe, norm AS qn FROM e WHERE vec_id % 100 = 0),
+        |px AS (
+        |  SELECT q_id, vec_id,
+        |    ROUND(list_dot_product(qe, emb) / (qn * norm), 6) AS sim
+        |  FROM e, q WHERE vec_id <> q_id),
+        |rx AS (
+        |  SELECT q_id, vec_id AS c_id, ROW_NUMBER() OVER (PARTITION BY q_id
+        |    ORDER BY sim DESC, vec_id) AS rnk FROM px),
+        |exact AS (SELECT q_id, c_id FROM rx WHERE rnk <= 5),
+        |nex AS (SELECT COUNT(*) AS n_exact FROM exact),
+        |cd AS (
+        |  SELECT label, sub AS pos, ROUND(AVG(val), 6) AS cv
+        |  FROM (SELECT label, unnest(embedding::DOUBLE[]) AS val,
+        |          generate_subscripts(embedding, 1) AS sub FROM embeddings)
+        |  GROUP BY label, sub),
+        |cent AS (
+        |  SELECT label AS clabel, cvec, sqrt(list_dot_product(cvec, cvec)) AS cnorm
+        |  FROM (SELECT label, list(cv ORDER BY pos) AS cvec FROM cd GROUP BY label)),
+        |sims AS (
+        |  SELECT vec_id, emb, norm, clabel,
+        |    ROUND(list_dot_product(emb, cvec) / (norm * cnorm), 6) AS csim
+        |  FROM e, cent),
+        |assign AS (
+        |  SELECT vec_id, emb, norm, clabel AS cell FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+        |      ORDER BY csim DESC, clabel) AS crn FROM sims)
+        |  WHERE crn = 1),
+        |nps AS (SELECT unnest([1, 2, 4]) AS np),
+        |probes AS (
+        |  SELECT np, vec_id AS q_id, emb AS qe, norm AS qn, clabel AS cell
+        |  FROM (
+        |    SELECT s.*, n.np, ROW_NUMBER() OVER (PARTITION BY s.vec_id, n.np
+        |      ORDER BY csim DESC, clabel) AS crn
+        |    FROM sims s, nps n WHERE vec_id % 100 = 0)
+        |  WHERE crn <= np),
+        |cand AS (
+        |  SELECT np, q_id, vec_id AS c_id,
+        |    ROUND(list_dot_product(qe, emb) / (qn * norm), 6) AS sim
+        |  FROM assign JOIN probes USING (cell) WHERE vec_id <> q_id),
+        |riv AS (
+        |  SELECT np, q_id, c_id, ROW_NUMBER() OVER (PARTITION BY np, q_id
+        |    ORDER BY sim DESC, c_id) AS rnk FROM cand),
+        |ivf AS (SELECT np, q_id, c_id FROM riv WHERE rnk <= 5),
+        |hits AS (
+        |  SELECT np, COUNT(*) AS n_hit FROM ivf i
+        |  WHERE EXISTS (SELECT 1 FROM exact x
+        |                WHERE x.q_id = i.q_id AND x.c_id = i.c_id)
+        |  GROUP BY np)
+        |SELECT CAST(np AS BIGINT) AS nprobe, n_hit, n_exact,
+        |  CAST(n_hit AS DOUBLE) / n_exact AS recall_at_5
+        |FROM hits, nex ORDER BY nprobe""".stripMargin,
 
     // full replay of the SQ8 pipeline: per-dim min/max codebook → int8
     // codes → dequantize → asymmetric candidate top-15 → exact rerank

@@ -309,6 +309,76 @@ object GasStream {
       .toDF()
   }
 
+  /** Spark 4 `transformWithState` twin of [[cusumStream]] — the SAME
+    * CUSUM kernel ([[graft.operators.Cusum.step]], same in-batch
+    * event-time sort, same monotone guard) on the forward-compatible
+    * state API: a [[org.apache.spark.sql.streaming.StatefulProcessor]]
+    * with a typed `ValueState` handle instead of
+    * `flatMapGroupsWithState`'s single implicit `GroupState`.
+    *
+    * API trade-off, measured on this kernel (recorded for the other
+    * seven kernels still on flatMapGroupsWithState):
+    *  - transformWithState REQUIRES the RocksDB state store provider
+    *    (AnalysisException on the default HDFS-backed store), so the
+    *    caller pins `spark.sql.streaming.stateStore.providerClass` for
+    *    the query — an operational dependency flatMapGroupsWithState
+    *    does not have;
+    *  - state declaration is richer (named handles, multiple
+    *    ValueState/ListState/MapState per processor, per-state TTL) —
+    *    for this kernel the ONE case-class value needs none of that,
+    *    so the body is line-for-line the flatMapGroupsWithState one;
+    *  - init/close lifecycle makes the handle wiring explicit, and the
+    *    same processor instance serves every key — no per-key closure
+    *    capture.
+    * Semantics are identical; gs15 hash-verifies the migrated kernel
+    * point-by-point against the same WITH RECURSIVE oracle replay. */
+  class CusumProcessor(mu: Double, k: Double, h: Double)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, (String, java.sql.Timestamp, Double), CusumPoint] {
+    import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var state: ValueState[CusumState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[CusumState]("cusum",
+        org.apache.spark.sql.Encoders.product[CusumState], TTLConfig.NONE)
+
+    override def handleInputRows(field: String,
+        rows: Iterator[(String, java.sql.Timestamp, Double)],
+        timerValues: TimerValues): Iterator[CusumPoint] = {
+      var st = if (state.exists()) state.get()
+        else CusumState(0.0, 0.0, alarm = false, Long.MinValue)
+      val out = Seq.newBuilder[CusumPoint]
+      def micros(t: java.sql.Timestamp): Long =
+        Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+      rows.toSeq.sortBy(r => micros(r._2)).foreach { case (_, t, v) =>
+        val us = micros(t)
+        if (us >= st.lastUs) { // monotone guard: drop stale stragglers
+          val (sp, sn, alarm) =
+            graft.operators.Cusum.step(st.sp, st.sn, st.alarm, v, mu, k, h)
+          st = CusumState(sp, sn, alarm, us)
+          out += CusumPoint(field, us, v, sp, sn, alarm)
+        }
+      }
+      if (st.lastUs != Long.MinValue) state.update(st)
+      out.result().iterator
+    }
+  }
+
+  /** [[cusumStream]] on the transformWithState API (see
+    * [[CusumProcessor]]). Caller must run the query on the RocksDB
+    * state store provider. */
+  def cusumStreamTws(long: DataFrame, mu: Double, k: Double,
+      h: Double): DataFrame = {
+    import long.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    long.select(col("_field"), col("_time"), col("_value"))
+      .as[(String, java.sql.Timestamp, Double)]
+      .groupByKey(_._1)
+      .transformWithState(new CusumProcessor(mu, k, h),
+        TimeMode.None(), OutputMode.Append())
+      .toDF()
+  }
+
   /** Per-key Kalman state: estimate + variance + the monotone guard. */
   case class KalmanStreamState(x: Double, p: Double, lastUs: Long, n: Long)
 

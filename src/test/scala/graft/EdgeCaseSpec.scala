@@ -71,4 +71,39 @@ class EdgeCaseSpec extends SparkSpec {
           s"$et i=${idx + 1}: closed form ${got((et, idx + 1L))} vs recursive $y")
     }
   }
+
+  test("recursive CTE depth: 150-level chain fails at the default limit, succeeds when raised") {
+    // q43's digit-trim walk is bounded by key width (≲7 levels at any
+    // scale factor), but a REAL BOM/org hierarchy isn't: Spark 4 guards
+    // recursive CTEs with spark.sql.cteRecursionLevelLimit (default 100)
+    // and FAILS the query at the limit rather than silently truncating.
+    // Pin both behaviors on a 150-link parent chain so a deep hierarchy
+    // is an explicit conf decision. (DuckDB, the oracle engine, has no
+    // default level cap — it iterates to exhaustion — so only the Spark
+    // side needs the pin.)
+    val limitKey = "spark.sql.cteRecursionLevelLimit"
+    assert(spark.conf.get(limitKey).toInt == 100,
+      "Spark's default recursion level limit moved — update q43's docs")
+    val n = 150
+    spark.range(0, n + 1)
+      .selectExpr("id", "CASE WHEN id > 0 THEN id - 1 END AS parent")
+      .createOrReplaceTempView("chain")
+    val walkSql =
+      s"""WITH RECURSIVE up(node, depth) AS (
+         |  SELECT CAST($n AS BIGINT), CAST(0 AS BIGINT)
+         |  UNION ALL
+         |  SELECT c.parent, u.depth + 1
+         |  FROM up u JOIN chain c ON c.id = u.node
+         |  WHERE c.parent IS NOT NULL)
+         |SELECT MAX(depth) AS d FROM up""".stripMargin
+    val err = intercept[Exception] { spark.sql(walkSql).collect() }
+    assert(err.getMessage.toLowerCase.contains("recursion"),
+      s"expected the recursion-limit error, got: ${err.getMessage.take(200)}")
+    val prev = spark.conf.get(limitKey)
+    spark.conf.set(limitKey, "200")
+    try {
+      val d = spark.sql(walkSql).collect().head.getLong(0)
+      assert(d == n.toLong, s"walked $d levels, expected $n")
+    } finally spark.conf.set(limitKey, prev)
+  }
 }

@@ -106,6 +106,56 @@ def replicate_embeddings(base: Path, out: Path, n: int) -> int:
     return out_t.num_rows
 
 
+def replicate_events(base: Path, out: Path, n: int) -> int:
+    """N-x events by TIME EXTENSION: copy k is shifted k spans later, so
+    the series get N× LONGER rather than N× denser — the axis that
+    stresses the per-series operators (ts35's pairwise slopes grow with
+    days², ts2x windows with days). event_ids offset per copy; user_ids
+    and event_types unchanged so series/cohort identities persist across
+    the extended timeline (a genuinely longer history, not new users).
+    Handles both shipped events schemas (int64-nanos and timestamp ts).
+    """
+    t = pq.read_table(base / "events.parquet")
+    cols = {name: t[name] for name in t.column_names}
+    ts = cols["ts"]
+    is_int_ns = pa.types.is_integer(ts.type)
+    ts_np = np.asarray(ts.to_pylist())
+    if not is_int_ns:  # timestamp -> ns int for shifting
+        ts_np = np.asarray(ts.cast(pa.int64()).to_pylist())
+    day_ns = 86_400_000_000_000
+    span = (ts_np.max() - ts_np.min() + day_ns) // day_ns * day_ns
+    eid = np.asarray(cols["event_id"].to_pylist(), dtype=np.int64)
+    parts = []
+    for k in range(n):
+        shifted = dict(cols)
+        new_ts = ts_np + k * span
+        shifted["ts"] = (pa.array(new_ts, pa.int64()) if is_int_ns
+                         else pa.array(new_ts, pa.int64()).cast(ts.type))
+        shifted["event_id"] = pa.array(eid + k * OFFSET, pa.int64())
+        parts.append(pa.table(shifted))
+    out_t = pa.concat_tables(parts)
+    pq.write_table(out_t, out / "events.parquet")
+    return out_t.num_rows
+
+
+def replicate_part(base: Path, out: Path, n: int) -> int:
+    """N-x part with id offsets: copy k's keys live at k·10M, widening the
+    key space to 8-9 digits — q43's digit-trim recursion DEPTH grows as
+    log10 of the widest key (the property under test), while row count
+    grows linearly."""
+    t = pq.read_table(base / "part.parquet")
+    cols = {name: t[name] for name in t.column_names}
+    pk = np.asarray(cols["p_partkey"].to_pylist(), dtype=np.int64)
+    parts = []
+    for k in range(n):
+        shifted = dict(cols)
+        shifted["p_partkey"] = pa.array(pk + k * OFFSET, pa.int64())
+        parts.append(pa.table(shifted))
+    out_t = pa.concat_tables(parts)
+    pq.write_table(out_t, out / "part.parquet")
+    return out_t.num_rows
+
+
 def main() -> None:
     n = int(sys.argv[1])
     out = Path(sys.argv[2])
@@ -113,10 +163,14 @@ def main() -> None:
     out.mkdir(parents=True, exist_ok=True)
     nd = replicate_documents(base, out, n)
     ne = replicate_embeddings(base, out, n)
+    nv = replicate_events(base, out, n)
+    npart = replicate_part(base, out, n)
     for f in base.glob("*.parquet"):
-        if f.name not in ("documents.parquet", "embeddings.parquet"):
+        if f.name not in ("documents.parquet", "embeddings.parquet",
+                          "events.parquet", "part.parquet"):
             shutil.copy(f, out / f.name)
-    print(f"{out}: {nd} documents, {ne} embeddings ({n}x {base})")
+    print(f"{out}: {nd} documents, {ne} embeddings, {nv} events, "
+          f"{npart} parts ({n}x {base})")
 
 
 if __name__ == "__main__":
