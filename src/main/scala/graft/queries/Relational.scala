@@ -166,6 +166,82 @@ object Relational {
           |ORDER BY event_type""".stripMargin)
     }),
 
+    // -- ORC sink + scan (the second columnar format next to parquet —
+    // S3/S4's format-portability leg): orders round-trips through an ORC
+    // store and the aggregate over the ORC scan must equal the oracle's
+    // aggregate over the original parquet — ORC's doubles, decimals and
+    // strings survive bit-exactly or the hash flips. The scan gets the
+    // same Catalyst treatment as parquet (column pruning + predicate
+    // pushdown into the ORC reader).
+    "q46_orc_roundtrip" -> ((s, dir) => {
+      val work = java.nio.file.Files.createTempDirectory("graft-orc")
+      graft.util.TempDirs.deleteOnExit(work)
+      t(s, dir, "orders").write.mode("overwrite").orc(s"$work/orders")
+      s.read.orc(s"$work/orders")
+        .filter(col("o_orderstatus") =!= "P")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          sumExact(col("o_totalprice")).as("total_price"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // -- JSON-lines sink + scan (the interchange format every ingest
+    // pipeline meets): events round-trip through .json files with an
+    // EXPLICIT read schema (schema inference is a scan-the-data tax and
+    // a type lottery — never at scale). Timestamps ride as integer
+    // micros to keep the text form engine/timezone-neutral; doubles
+    // survive the text round-trip exactly (Spark writes shortest-repr,
+    // reads nearest — identity on IEEE-754).
+    "q47_jsonl_roundtrip" -> ((s, dir) => {
+      val work = java.nio.file.Files.createTempDirectory("graft-jsonl")
+      graft.util.TempDirs.deleteOnExit(work)
+      val base = t(s, dir, "events").select(col("event_id"),
+        unix_micros(col("ts")).as("ts_us"), col("event_type"), col("value"))
+      base.write.mode("overwrite").json(s"$work/events")
+      s.read.schema(base.schema).json(s"$work/events")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sumExact(col("value")).as("total_value"),
+          max(col("ts_us")).as("max_ts_us"))
+        .orderBy(col("event_type"))
+    }),
+
+    // -- LATERAL correlated subquery (JOIN LATERAL ... ORDER BY ...
+    // LIMIT): the per-row top-N idiom SQL analysts write instead of a
+    // rank window. Catalyst DECORRELATES it — the plan is the same
+    // window/rank shape q06 uses, not a per-customer re-execution, which
+    // is exactly why it scales (one shuffle on the correlation key).
+    "q48_lateral_topn" -> ((s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("customer")
+      t(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql(
+        """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+          |FROM customer c JOIN LATERAL (
+          |  SELECT o_orderkey, o_totalprice FROM orders o
+          |  WHERE o.o_custkey = c.c_custkey
+          |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 3) t
+          |WHERE c.c_mktsegment = 'BUILDING'
+          |ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey""".stripMargin)
+    }),
+
+    // -- NOT IN (null-aware anti join): subtly DIFFERENT from q11's
+    // NOT EXISTS anti join — if the subquery produces even one NULL,
+    // NOT IN returns no rows at all (three-valued logic), so Spark plans
+    // a dedicated null-aware anti join instead of a plain left-anti.
+    // The predicate column here is non-null in the data, so the result
+    // matches the anti join — but the PLAN is the null-aware variant,
+    // and the semantics are pinned against the oracle's identical
+    // three-valued evaluation.
+    "q49_null_aware_anti" -> ((s, dir) => {
+      t(s, dir, "part").createOrReplaceTempView("part")
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+      s.sql(
+        """SELECT p_partkey, p_brand FROM part
+          |WHERE p_partkey NOT IN
+          |  (SELECT l_partkey FROM lineitem WHERE l_quantity > 45)
+          |ORDER BY p_partkey""".stripMargin)
+    }),
+
     // -- aggregation (TPC-H Q1 shape): partial+final hash agg, 6-group output
     "q01_pricing_summary" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
@@ -1321,6 +1397,38 @@ object Relational {
         |FROM events
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
+
+    // the same aggregate over the ORIGINAL parquet — equality proves the
+    // ORC round-trip lossless
+    "q46_orc_roundtrip" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+        |    AS total_price
+        |FROM orders WHERE o_orderstatus <> 'P'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    // the same aggregate over the original parquet — equality proves the
+    // JSON-lines round-trip lossless
+    "q47_jsonl_roundtrip" ->
+      """SELECT event_type, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+        |  MAX(epoch_us(ts)) AS max_ts_us
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q48_lateral_topn" ->
+      """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        |FROM customer c JOIN LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 3) t ON true
+        |WHERE c.c_mktsegment = 'BUILDING'
+        |ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey""".stripMargin,
+
+    "q49_null_aware_anti" ->
+      """SELECT p_partkey, p_brand FROM part
+        |WHERE p_partkey NOT IN
+        |  (SELECT l_partkey FROM lineitem WHERE l_quantity > 45)
+        |ORDER BY p_partkey""".stripMargin,
 
     "q30_moment_stats" ->
       """WITH d AS (

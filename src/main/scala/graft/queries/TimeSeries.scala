@@ -1202,6 +1202,40 @@ object TimeSeries {
         .select(col("g").as("event_type"), col("h_us"), col("x"),
           col("resid"), col("rscore"), (col("rscore") > 3.0).as("is_anomaly"))
         .orderBy(col("event_type"), col("h_us"))
+    }),
+
+    // DAILY QUANTILE BANDS (p10/p50/p90) — the Grafana percentile-band
+    // panel (and the latency-SLO shape: "p90 by day"): per (series, day)
+    // the rank-selected lower quantiles. Rank selection, not
+    // interpolation: the band value is a REAL OBSERVED point picked at
+    // rank ⌈q·n⌉ — computed in exact integer arithmetic ((n+9) div 10,
+    // (n+1) div 2, (9n+9) div 10), so no engine's interpolation formula
+    // (Spark lerp vs DuckDB quantile_cont) can disagree, and ties can't
+    // reorder the pick (total order by (value, event_id)). One window
+    // rank + one hash aggregate on the SAME (series, day) partitioning —
+    // a single shuffle; the conditional max-when selection is partial-
+    // aggregatable map-side.
+    "ts39_quantile_bands" -> ((s, dir) => {
+      val base = ev(s, dir).select(col("event_type").as("g"),
+        to_date(col("ts")).as("day"), col("value"), col("event_id"))
+      val w = Window.partitionBy(col("g"), col("day"))
+        .orderBy(col("value"), col("event_id"))
+      base
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("n",
+          count(lit(1)).over(Window.partitionBy(col("g"), col("day"))))
+        .groupBy(col("g").as("event_type"), col("day"))
+        .agg(max(col("n")).as("n_points"),
+          max(when(col("rn") === expr("(n + 9) div 10"), col("value")))
+            .as("p10"),
+          max(when(col("rn") === expr("(n + 1) div 2"), col("value")))
+            .as("p50"),
+          max(when(col("rn") === expr("(9 * n + 9) div 10"), col("value")))
+            .as("p90"))
+        .select(col("event_type"),
+          date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("n_points"), col("p10"), col("p50"), col("p90"))
+        .orderBy(col("event_type"), col("day"))
     })
   )
 
@@ -2062,6 +2096,22 @@ object TimeSeries {
       s"""WITH $decomposeSql
          |SELECT g AS event_type, h_us, x, trend, sidx, resid
          |FROM dc ORDER BY event_type, h_us""".stripMargin,
+
+    // rank-selected lower quantiles, integer index arithmetic
+    "ts39_quantile_bands" ->
+      """WITH r AS (
+        |  SELECT event_type AS g, CAST(ts AS DATE) AS day, value,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type, CAST(ts AS DATE)
+        |      ORDER BY value, event_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY event_type, CAST(ts AS DATE)) AS n
+        |  FROM events)
+        |SELECT g AS event_type, strftime(day, '%Y-%m-%d') AS day,
+        |  MAX(n) AS n_points,
+        |  MAX(CASE WHEN rn = (n + 9) // 10 THEN value END) AS p10,
+        |  MAX(CASE WHEN rn = (n + 1) // 2 THEN value END) AS p50,
+        |  MAX(CASE WHEN rn = (9 * n + 9) // 10 THEN value END) AS p90
+        |FROM r GROUP BY g, day
+        |ORDER BY event_type, day""".stripMargin,
 
     // same components; lower-median med/MAD by rank, one IEEE score tree
     "ts37_seasonal_anomaly" ->

@@ -327,4 +327,27 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("PartitionFilters: [isnotnull(gen"),
       s"gen partition filter not pushed:\n$p")
   }
+
+  test("q48: the LATERAL top-n is decorrelated into a rank window, never a per-row re-execution") {
+    val p = planString(q("q48_lateral_topn"))
+    // decorrelation turns the correlated ORDER BY/LIMIT into a window
+    // rank over the correlation key plus ONE equi-join — a nested-loop
+    // plan here would re-run the subquery per customer
+    assert(p.contains("Window") && p.contains("row_number"),
+      s"no rank window — the lateral subquery was not decorrelated:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"lateral join planned as a nested loop:\n$p")
+  }
+
+  test("q49: NOT IN plans the null-aware anti join, and the filter pushes to the scan") {
+    val p = planString(q("q49_null_aware_anti"))
+    // Spark's dedicated null-aware variant (three-valued NOT IN), not a
+    // plain left-anti: BroadcastHashJoinExec renders its
+    // isNullAwareAntiJoin flag as the trailing `true`
+    assert(raw"BroadcastHashJoin .*LeftAnti, BuildRight, true".r
+        .findFirstIn(p).isDefined,
+      s"NOT IN did not plan the null-aware anti join:\n$p")
+    assert(p.contains("PushedFilters:") && p.contains("GreaterThan(l_quantity,45.0)"),
+      s"subquery predicate not pushed to the lineitem scan:\n$p")
+  }
 }
