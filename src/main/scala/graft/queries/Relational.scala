@@ -242,6 +242,47 @@ object Relational {
           |ORDER BY p_partkey""".stripMargin)
     }),
 
+    // -- SQL scalar UDF (CREATE FUNCTION ... RETURN expr — the
+    // DECLARATIVE UDF surface, §2.10's missing leg next to the native
+    // Catalyst expressions and the typed Aggregator): the body is a SQL
+    // expression, so the analyzer INLINES it at every call site — the
+    // executed plan contains the expanded arithmetic inside
+    // WholeStageCodegen, no interpreted function-call node, no
+    // serialization wall (the audit spec pins this). This is the UDF
+    // form to teach users FIRST: same reuse as a Scala UDF, zero
+    // codegen penalty. Oracle replays with the body inlined by hand.
+    "q50_sql_udf" -> ((s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+      s.sql(
+        """CREATE OR REPLACE TEMPORARY FUNCTION graft_disc_price(
+          |  p DOUBLE, d DOUBLE) RETURNS DOUBLE
+          |RETURN p * (1.0 - d)""".stripMargin)
+      s.sql(
+        """SELECT l_returnflag, COUNT(*) AS n_items,
+          |  CAST(SUM(CAST(graft_disc_price(l_extendedprice, l_discount)
+          |           AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+          |FROM lineitem
+          |GROUP BY l_returnflag
+          |ORDER BY l_returnflag""".stripMargin)
+    }),
+
+    // -- GROUP BY ALL / ORDER BY ALL: the analyst-ergonomics surface
+    // (every non-aggregate output column becomes a grouping key; order
+    // by the full select list) — resolved at ANALYSIS into the ordinary
+    // grouped plan, so it costs nothing and can't drift from explicit
+    // keys. DuckDB pioneered the same shorthand, so the oracle runs the
+    // identical text.
+    "q51_group_by_all" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql(
+        """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+          |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+          |    AS total_price
+          |FROM orders
+          |GROUP BY ALL
+          |ORDER BY o_orderstatus, o_orderpriority""".stripMargin)
+    }),
+
     // -- aggregation (TPC-H Q1 shape): partial+final hash agg, 6-group output
     "q01_pricing_summary" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
@@ -1429,6 +1470,24 @@ object Relational {
         |WHERE p_partkey NOT IN
         |  (SELECT l_partkey FROM lineitem WHERE l_quantity > 45)
         |ORDER BY p_partkey""".stripMargin,
+
+    // the UDF body inlined by hand — what Spark's analyzer does
+    "q50_sql_udf" ->
+      """SELECT l_returnflag, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+        |           AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
+    // identical text — DuckDB shares the GROUP BY ALL shorthand
+    "q51_group_by_all" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+        |    AS total_price
+        |FROM orders
+        |GROUP BY ALL
+        |ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
 
     "q30_moment_stats" ->
       """WITH d AS (

@@ -350,4 +350,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("PushedFilters:") && p.contains("GreaterThan(l_quantity,45.0)"),
       s"subquery predicate not pushed to the lineitem scan:\n$p")
   }
+
+  test("q50: the SQL UDF is inlined into codegen — no interpreted function-call node") {
+    val p = planString(q("q50_sql_udf"))
+    // the analyzer macro-expands the body; the physical plan must show
+    // the raw arithmetic, not a UDF invocation
+    assert(!p.contains("graft_disc_price"),
+      s"SQL UDF survived to the physical plan as a call node:\n$p")
+    // the body's raw arithmetic must appear inside the aggregate — proof
+    // the analyzer expanded the call (an un-finalized AQE plan string
+    // doesn't render WholeStageCodegen markers, so assert the expansion)
+    assert(p.contains("* (1.0 - "),
+      s"UDF body not macro-expanded into the aggregate:\n$p")
+  }
 }
