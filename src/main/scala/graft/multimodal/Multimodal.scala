@@ -246,6 +246,53 @@ object Multimodal {
     }
   }
 
+  /** One ViT-style patch: grid position + exact per-channel sums over a
+    * p×p tile (ragged right/bottom tiles keep their true pixel count). */
+  case class Patch(media_id: Long, py: Long, px: Long, n_px: Long,
+      r_sum: Long, g_sum: Long, b_sum: Long)
+
+  /** PATCH EXTRACTION — the ViT preprocessing stage (an image becomes a
+    * GRID of p×p patches, each reduced to features) run through the real
+    * BMP parser: decode → tile → one exact-integer feature row per patch.
+    * Ragged edges keep PARTIAL tiles with their true n_px — silently
+    * dropping them is the classic preprocessing bug this operator pins.
+    * Scale shape: pure mapPartitions over the payload column; the output
+    * is ⌈w/p⌉·⌈h/p⌉ bounded rows per image, so downstream stages (patch
+    * embedding, token packing) shuffle feature rows, never pixels. */
+  def imagePatches(media: Dataset[Container], p: Int): Dataset[Patch] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { c =>
+        val b = c.payload
+        if (b.length >= 2 && b(0) == 'B' && b(1) == 'M') {
+          val img = MediaCodecs.Bmp.parse(b)
+          val ny = (img.height + p - 1) / p
+          val nx = (img.width + p - 1) / p
+          for {
+            py <- 0 until ny
+            px <- 0 until nx
+          } yield {
+            var rs = 0L; var gs = 0L; var bs = 0L; var n = 0L
+            var y = py * p
+            while (y < math.min((py + 1) * p, img.height)) {
+              var x = px * p
+              while (x < math.min((px + 1) * p, img.width)) {
+                val base = (y * img.width + x) * 3
+                rs += img.channels(base)
+                gs += img.channels(base + 1)
+                bs += img.channels(base + 2)
+                n += 1
+                x += 1
+              }
+              y += 1
+            }
+            Patch(c.media_id, py.toLong, px.toLong, n, rs, gs, bs)
+          }
+        } else Seq.empty[Patch]
+      }
+    }
+  }
+
   /** Flat features of a decoded PNG. No container-size column on purpose:
     * deflate output length is implementation-defined, so only DECODED
     * content is cross-engine comparable. */

@@ -223,7 +223,23 @@ object MultimodalQueries {
         .union(Multimodal.syntheticPngs(base.filter(col("doc_id") % 4 === 2)))
         .union(Multimodal.syntheticGifs(base.filter(col("doc_id") % 4 === 3)))
       Multimodal.sniffDecode(mixed).toDF().orderBy(col("media_id"))
-    })
+    }),
+
+    // ViT-style PATCH EXTRACTION through the real BMP parser: each image
+    // becomes a ⌈w/2⌉×⌈h/2⌉ grid of 2×2 patches, one exact-integer
+    // feature row per patch, RAGGED edge tiles kept with their true
+    // pixel count (dropping them is the classic preprocessing bug this
+    // pins — the fixture's odd widths/heights guarantee partial tiles on
+    // both axes). The oracle replays the channel formula per (x, y, c)
+    // and re-derives the grid with integer division — a parser slip,
+    // tile-offset error, or dropped edge patch flips the hash.
+    "mm13_vit_patches" -> ((s, dir) =>
+      Multimodal.imagePatches(
+          Multimodal.syntheticContainers(
+            fanout(Tables.table(s, dir, "documents"))
+              .filter(col("doc_id") % 2 === 0)), p = 2)
+        .toDF()
+        .orderBy(col("media_id"), col("py"), col("px")))
   )
 
   val oracle: Map[String, String] = Map(
@@ -569,6 +585,26 @@ object MultimodalQueries {
         |  FROM ids WHERE m % 4 = 3)
         |SELECT * FROM bmp UNION ALL SELECT * FROM wav
         |UNION ALL SELECT * FROM png UNION ALL SELECT * FROM gif
-        |ORDER BY media_id""".stripMargin
+        |ORDER BY media_id""".stripMargin,
+
+    // replay of mm13: BMP m has w = 4 + m%5, h = 3 + m%4, channel value
+    // at (x, y, c) = (m*31 + (y*w + x)*3 + c) % 256; 2×2 grid by integer
+    // division, partial edge tiles implied by the x < w / y < h bounds
+    "mm13_vit_patches" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |px AS (
+        |  SELECT media_id, y // 2 AS py, x // 2 AS px, c,
+        |    (media_id * 31 + (y * w + x) * 3 + c) % 256 AS v
+        |  FROM m, range(0, 8) tx(x), range(0, 6) ty(y), range(0, 3) tc(c)
+        |  WHERE x < w AND y < h)
+        |SELECT media_id, CAST(py AS BIGINT) AS py, CAST(px AS BIGINT) AS px,
+        |  CAST(COUNT(*) // 3 AS BIGINT) AS n_px,
+        |  CAST(SUM(CASE WHEN c = 0 THEN v ELSE 0 END) AS BIGINT) AS r_sum,
+        |  CAST(SUM(CASE WHEN c = 1 THEN v ELSE 0 END) AS BIGINT) AS g_sum,
+        |  CAST(SUM(CASE WHEN c = 2 THEN v ELSE 0 END) AS BIGINT) AS b_sum
+        |FROM px GROUP BY media_id, py, px
+        |ORDER BY media_id, py, px""".stripMargin
   )
 }
