@@ -324,4 +324,50 @@ class StatefulStreamSpec extends SparkSpec {
     assert(got(2)._4 && !got(3)._4 && got(3)._2 == 1.0,
       s"alarm/reset sequence wrong: $got")
   }
+
+  test("transformWithState CUSUM twin emits the identical sequence across batches") {
+    // same fixture and batch split as the flatMapGroupsWithState test
+    // above — the Spark-4 StatefulProcessor migration (gs15) must be
+    // byte-identical, state carry-over and alarm reset included.
+    // transformWithState requires the RocksDB state store.
+    implicit val sqlCtx = spark.sqlContext
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[(java.sql.Timestamp, String, Double)]
+      val long = input.toDF().toDF("_time", "_field", "_value")
+      val q = GasStream.cusumStreamTws(long, mu = 10.0, k = 1.0, h = 5.0)
+        .writeStream.outputMode("append")
+        .format("memory").queryName("cusum_tws").start()
+      def ts(s: String) = java.sql.Timestamp.valueOf(s)
+      input.addData(
+        (ts("2016-10-07 00:01:00"), "A", 12.0),
+        (ts("2016-10-07 00:02:00"), "A", 13.0))
+      q.processAllAvailable()
+      input.addData(
+        (ts("2016-10-07 00:03:00"), "A", 20.0),
+        (ts("2016-10-07 00:04:00"), "A", 12.0))
+      q.processAllAvailable()
+      q.stop()
+      val got = spark.sql(
+          "SELECT ts_us, value, sp, sn, alarm FROM cusum_tws ORDER BY ts_us")
+        .collect().map(r => (r.getDouble(1), r.getDouble(2), r.getDouble(3),
+          r.getBoolean(4)))
+      val pts = Array(
+        graft.operators.Cusum.Point(1L, 1L, 12.0),
+        graft.operators.Cusum.Point(2L, 2L, 13.0),
+        graft.operators.Cusum.Point(3L, 3L, 20.0),
+        graft.operators.Cusum.Point(4L, 4L, 12.0))
+      val want = graft.operators.Cusum.run(pts, 10.0, 1.0, 5.0)
+        .map(s => (s.x, s.sp, s.sn, s.alarm))
+      assert(got.toSeq == want, s"tws stream $got vs batch kernel $want")
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set(providerKey, p)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
 }
