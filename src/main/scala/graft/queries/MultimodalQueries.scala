@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.multimodal.Multimodal
@@ -240,6 +241,37 @@ object MultimodalQueries {
               .filter(col("doc_id") % 2 === 0)), p = 2)
         .toDF()
         .orderBy(col("media_id"), col("py"), col("px")))
+,
+    // VAD-style AUDIO SEGMENTATION: every decoded 16-sample frame is
+    // classified low/high energy against the half-scale mean-square
+    // threshold (16·32768²/3 — a fixed constant, ~50% of frames on this
+    // pseudo-uniform fixture, so runs of BOTH classes occur), then
+    // gaps-and-islands merges consecutive same-class frames into
+    // segments — ts17's islands applied to decoded media, the
+    // silence-trimming pass an audio corpus runs before transcription.
+    // Frames never leave the executor; islands shuffle only the
+    // O(frames) feature rows on the media key.
+    "mm14_audio_segments" -> ((s, dir) => {
+      val fr = Multimodal.audioFrames(
+          Multimodal.syntheticContainers(
+            fanout(Tables.table(s, dir, "documents"))
+              .filter(col("doc_id") % 2 === 1)),
+          frameLen = 16, everyK = 1).toDF()
+      val threshold = 16L * (32768L * 32768L / 3L) // half-scale mean-square
+      val wc = Window.partitionBy(col("media_id"), col("quiet"))
+        .orderBy(col("frame_idx"))
+      fr.withColumn("quiet", col("sum_sq") < threshold)
+        .withColumn("grp",
+          col("frame_idx") - (row_number().over(wc).cast("long") - 1))
+        .groupBy(col("media_id"), col("quiet"), col("grp"))
+        .agg(min(col("frame_idx")).as("start_frame"),
+          max(col("frame_idx")).as("end_frame"),
+          count(lit(1)).as("n_frames"),
+          sum(col("sum_sq")).as("energy"))
+        .select(col("media_id"), col("quiet"), col("start_frame"),
+          col("end_frame"), col("n_frames"), col("energy"))
+        .orderBy(col("media_id"), col("start_frame"))
+    })
   )
 
   val oracle: Map[String, String] = Map(
@@ -586,6 +618,37 @@ object MultimodalQueries {
         |SELECT * FROM bmp UNION ALL SELECT * FROM wav
         |UNION ALL SELECT * FROM png UNION ALL SELECT * FROM gif
         |ORDER BY media_id""".stripMargin,
+
+    // replay of mm14: WAV m has n = 32 + m%64 samples of
+    // (m*131 + i*17) mod 65536 as signed i16; frames of 16 (ragged tail
+    // kept), energy threshold 16*(32768^2/3) = 5726623056, islands via
+    // the rank-difference trick
+    "mm14_audio_segments" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id, 32 + doc_id % 64 AS n
+        |  FROM documents WHERE doc_id % 2 = 1),
+        |sm AS (
+        |  SELECT media_id, i // 16 AS frame_idx,
+        |    CASE WHEN (media_id*131 + i*17) % 65536 >= 32768
+        |         THEN (media_id*131 + i*17) % 65536 - 65536
+        |         ELSE (media_id*131 + i*17) % 65536 END AS s
+        |  FROM m, range(0, 96) t(i) WHERE i < n),
+        |fr AS (
+        |  SELECT media_id, frame_idx, CAST(SUM(s*s) AS BIGINT) AS sum_sq
+        |  FROM sm GROUP BY media_id, frame_idx),
+        |c AS (
+        |  SELECT media_id, frame_idx, sum_sq,
+        |    sum_sq < 5726623056 AS quiet,
+        |    frame_idx - (ROW_NUMBER() OVER (
+        |      PARTITION BY media_id, (sum_sq < 5726623056)
+        |      ORDER BY frame_idx) - 1) AS grp
+        |  FROM fr)
+        |SELECT media_id, quiet,
+        |  MIN(frame_idx) AS start_frame, MAX(frame_idx) AS end_frame,
+        |  CAST(COUNT(*) AS BIGINT) AS n_frames,
+        |  CAST(SUM(sum_sq) AS BIGINT) AS energy
+        |FROM c GROUP BY media_id, quiet, grp
+        |ORDER BY media_id, start_frame""".stripMargin,
 
     // replay of mm13: BMP m has w = 4 + m%5, h = 3 + m%4, channel value
     // at (x, y, c) = (m*31 + (y*w + x)*3 + c) % 256; 2×2 grid by integer

@@ -327,6 +327,33 @@ object TextOps {
         .orderBy(col("doc_id"))
     }),
 
+    // DEDUP CLUSTER-SIZE DISTRIBUTION — the REPORT a dedup run ships
+    // with (how much is duplicated, and in what shape: a histogram
+    // dominated by giant clusters means boilerplate; a long singleton
+    // tail means a clean corpus). tx14's component assignment rolled up
+    // twice: per-cluster size, then per-size (n_clusters, n_docs).
+    // Scale shape: tx14's pipeline + two tiny hash aggregates (bounded
+    // by |clusters| then by |distinct sizes|).
+    "tx34_dedup_cluster_stats" -> ((s, dir) => {
+      val bd = bandSignatures(fanout(docs(s, dir)), shingleWords = 3)
+      val a = bd.select(col("b"), col("band_sig"), col("doc_id").as("doc_a"))
+      val c = bd.select(col("b"), col("band_sig"), col("doc_id").as("doc_b"))
+      val pairs = a.join(c, Seq("b", "band_sig"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .distinct()
+      val comp = graft.operators.ConnectedComponents.minLabel(pairs)
+      docs(s, dir).select(col("doc_id"))
+        .join(comp.select(col("id").as("doc_id"), col("label")), Seq("doc_id"), "left")
+        .withColumn("canonical_id", coalesce(col("label"), col("doc_id")))
+        .groupBy(col("canonical_id"))
+        .agg(count(lit(1)).as("cluster_size"))
+        .groupBy(col("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"))
+        .withColumn("n_docs", col("cluster_size") * col("n_clusters"))
+        .orderBy(col("cluster_size"))
+    }),
+
     // LEAKAGE-FREE train/test split: assigning raw doc ids to splits leaks
     // whenever two near-duplicates straddle the boundary (the
     // memorize-train/score-test contamination Lee et al. 2021 measure) —
@@ -1284,6 +1311,42 @@ object TextOps {
          |  COALESCE(comp.label, d.doc_id) = d.doc_id AS is_kept
          |FROM documents d LEFT JOIN comp ON comp.id = d.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+
+    // tx14's component replay rolled up to the size histogram
+    "tx34_dedup_cluster_stats" ->
+      s"""WITH RECURSIVE toks AS (SELECT doc_id, $dTok AS tk FROM documents),
+         |sh AS (
+         |  SELECT DISTINCT doc_id,
+         |    unnest(list_transform(range(1, len(tk) - 1), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS shingle
+         |  FROM toks WHERE len(tk) >= 3),
+         |hs AS (
+         |  SELECT doc_id, j, MIN(md5(j::VARCHAR || ':' || shingle)) AS sig
+         |  FROM sh, range(0, 16) t(j) GROUP BY doc_id, j),
+         |bd AS (
+         |  SELECT doc_id, j // 4 AS b,
+         |    md5(string_agg(lpad(j::VARCHAR, 2, '0') || ':' || sig, '|'
+         |        ORDER BY lpad(j::VARCHAR, 2, '0') || ':' || sig)) AS band_sig
+         |  FROM hs GROUP BY doc_id, j // 4),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS src, c.doc_id AS dst
+         |  FROM bd a JOIN bd c ON a.b = c.b AND a.band_sig = c.band_sig
+         |    AND a.doc_id < c.doc_id),
+         |sym AS (SELECT src, dst FROM pairs UNION ALL SELECT dst, src FROM pairs),
+         |verts AS (SELECT DISTINCT src AS id FROM sym),
+         |reach(id, r) AS (
+         |  SELECT id, id FROM verts
+         |  UNION
+         |  SELECT s.src, reach.r FROM sym s JOIN reach ON s.dst = reach.id),
+         |comp AS (SELECT id, MIN(r) AS label FROM reach GROUP BY id),
+         |sizes AS (
+         |  SELECT COALESCE(comp.label, d.doc_id) AS canonical_id,
+         |    COUNT(*) AS cluster_size
+         |  FROM documents d LEFT JOIN comp ON comp.id = d.doc_id
+         |  GROUP BY canonical_id)
+         |SELECT cluster_size, COUNT(*) AS n_clusters,
+         |  cluster_size * COUNT(*) AS n_docs
+         |FROM sizes GROUP BY cluster_size
+         |ORDER BY cluster_size""".stripMargin,
 
     // tx14's component replay + the split-hash assignment on the
     // component id — same-cluster-same-side falls out arithmetically

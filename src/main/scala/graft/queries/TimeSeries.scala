@@ -793,32 +793,36 @@ object TimeSeries {
     "ts27_acf" -> ((s, dir) => {
       val base = ev(s, dir).select(col("event_type").as("g"),
         unix_micros(col("ts")).as("ts_us"), col("event_id"), col("value"))
-      val stats = base.withColumn("xd", col("value").cast("decimal(18,6)"))
-        .groupBy(col("g"))
-        .agg(count(lit(1)).as("n"), sum(col("xd")).as("sx"))
-        .select(col("g"), halfUpMean6("sx", "n").as("mu"))
-      val w = Window.partitionBy(col("g")).orderBy(col("ts_us"), col("event_id"))
-      val centered = base.join(broadcast(stats), Seq("g"))
-        .withColumn("dx", col("value") - col("mu"))
-      val leads = (1 to 10).map(l =>
-        struct(lit(l).as("lag"), lead(col("dx"), l).over(w).as("dy")))
-      val nums = centered.withColumn("ls", array(leads: _*))
-        .select(col("g"), col("dx"), explode(col("ls")).as("p"))
-        .filter(col("p.dy").isNotNull)
-        .select(col("g"), col("p.lag").as("lag"),
-          expr("cast(round(dx * p.dy, 12) as decimal(28,12))").as("num_term"))
-        .groupBy(col("g"), col("lag"))
-        .agg(sum(col("num_term")).as("num"), count(lit(1)).as("n_pairs"))
-      val dens = centered
-        .select(col("g"),
-          expr("cast(round(dx * dx, 12) as decimal(28,12))").as("den_term"))
-        .groupBy(col("g")).agg(sum(col("den_term")).as("den"))
-      nums.join(broadcast(dens), Seq("g"))
+      acf10(base)
         .select(col("g").as("event_type"), col("lag").cast("long").as("lag"),
-          round(col("num").cast("double") / col("den").cast("double"), 6)
-            .as("acf"),
-          col("n_pairs"))
+          col("acf"), col("n_pairs"))
         .orderBy(col("event_type"), col("lag"))
+    }),
+
+    // AUTOMATIC PERIOD DETECTION — the DECISION on top of ts27's
+    // measurement (the auto-seasonality knob a forecasting pipeline
+    // turns before choosing ts23's period): per series, the lag (1–10)
+    // with the highest autocorrelation, ties to the SMALLEST lag
+    // (max-struct on (acf, -lag) — one deterministic aggregate), plus
+    // the standard |r| > 2/√n significance verdict (Bartlett's
+    // white-noise band). Same single-sort plan as ts27; the argmax adds
+    // one |series|×10-row aggregate.
+    "ts40_auto_period" -> ((s, dir) => {
+      val base = ev(s, dir).select(col("event_type").as("g"),
+        unix_micros(col("ts")).as("ts_us"), col("event_id"), col("value"))
+      acf10(base)
+        .groupBy(col("g").as("event_type"))
+        .agg(
+          max(struct(col("acf"), (-col("lag")).as("neg_lag"))).as("best"),
+          max(col("n_pairs")).as("n_max"))
+        .select(col("event_type"),
+          (-col("best.neg_lag")).cast("long").as("best_lag"),
+          col("best.acf").as("best_acf"),
+          // Bartlett band on the LONGEST overlap count: 2/√n — one IEEE
+          // tree both engines evaluate identically
+          (col("best.acf") >
+            lit(2.0) / sqrt(col("n_max").cast("double"))).as("is_seasonal"))
+        .orderBy(col("event_type"))
     }),
 
     // Cross-correlation — ts27 asks "does a series repeat itself?"; ts28
@@ -1243,6 +1247,77 @@ object TimeSeries {
     * shared with ts22's double-smoothing: decay powers fold literal 0.8
     * factors (never `pow`), per-term rounding + exact-decimal sums make the
     * aggregate order-independent. Returns (g, i, ema) unrounded. */
+  /** Shared ACF estimator for ts27/ts40: per series key `g`, the
+    * autocorrelation at lags 1–10 — r_L = Σ(xᵢ−μ)(xᵢ₊L−μ) / Σ(xᵢ−μ)²,
+    * μ via [[halfUpMean6]]; ten lead() columns share ONE window sort,
+    * terms are 12-dp-rounded exact decimals (order-independent sums).
+    * Input: (g, ts_us, event_id, value). Output: (g, lag, acf, n_pairs)
+    * with `acf` 6-dp-rounded. */
+  private def acf10(base: DataFrame): DataFrame = {
+    val stats = base.withColumn("xd", col("value").cast("decimal(18,6)"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n"), sum(col("xd")).as("sx"))
+      .select(col("g"), halfUpMean6("sx", "n").as("mu"))
+    val w = Window.partitionBy(col("g")).orderBy(col("ts_us"), col("event_id"))
+    val centered = base.join(broadcast(stats), Seq("g"))
+      .withColumn("dx", col("value") - col("mu"))
+    val leads = (1 to 10).map(l =>
+      struct(lit(l).as("lag"), lead(col("dx"), l).over(w).as("dy")))
+    val nums = centered.withColumn("ls", array(leads: _*))
+      .select(col("g"), col("dx"), explode(col("ls")).as("p"))
+      .filter(col("p.dy").isNotNull)
+      .select(col("g"), col("p.lag").as("lag"),
+        expr("cast(round(dx * p.dy, 12) as decimal(28,12))").as("num_term"))
+      .groupBy(col("g"), col("lag"))
+      .agg(sum(col("num_term")).as("num"), count(lit(1)).as("n_pairs"))
+    val dens = centered
+      .select(col("g"),
+        expr("cast(round(dx * dx, 12) as decimal(28,12))").as("den_term"))
+      .groupBy(col("g")).agg(sum(col("den_term")).as("den"))
+    nums.join(broadcast(dens), Seq("g"))
+      .select(col("g"), col("lag"),
+        round(col("num").cast("double") / col("den").cast("double"), 6)
+          .as("acf"),
+        col("n_pairs"))
+  }
+
+  /** Shared DuckDB replay of [[acf10]] — CTE bodies only (no WITH),
+    * ending in `a(g, lag, acf, n_pairs)`: centered series by row-number
+    * self-join at each lag, 12-dp-rounded terms summed as exact
+    * decimals, integer-micro half-up mean. */
+  private def acf10Sql: String =
+    """pts AS (
+      |  SELECT event_type AS g, value,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type
+      |      ORDER BY ts, event_id) AS i
+      |  FROM events),
+      |st AS (
+      |  SELECT event_type AS g, COUNT(*) AS n,
+      |    SUM(CAST(value AS DECIMAL(18,6))) AS sx
+      |  FROM events GROUP BY event_type),
+      |mu AS (SELECT g,
+      |         CAST((2 * CAST(sx * 1000000 AS BIGINT) + n) // (2 * n)
+      |              AS DOUBLE) / 1000000.0 AS mu FROM st),
+      |d AS (SELECT p.g, p.i, p.value - m.mu AS dx
+      |      FROM pts p JOIN mu m USING (g)),
+      |den AS (
+      |  SELECT g, SUM(CAST(ROUND(dx * dx, 12) AS DECIMAL(28,12))) AS den
+      |  FROM d GROUP BY g),
+      |lags AS (SELECT unnest(range(1, 11)) AS lag),
+      |num AS (
+      |  SELECT a.g, l.lag,
+      |    SUM(CAST(ROUND(a.dx * b.dx, 12) AS DECIMAL(28,12))) AS num,
+      |    COUNT(*) AS n_pairs
+      |  FROM d a
+      |  JOIN lags l ON true
+      |  JOIN d b ON b.g = a.g AND b.i = a.i + l.lag
+      |  GROUP BY a.g, l.lag),
+      |a AS (
+      |  SELECT n.g, n.lag,
+      |    ROUND(CAST(n.num AS DOUBLE) / CAST(dn.den AS DOUBLE), 6) AS acf,
+      |    n_pairs
+      |  FROM num n JOIN den dn USING (g))""".stripMargin
+
   /** Shared DuckDB replay of [[decomposeHourly]] — CTE bodies only (no
     * WITH), ending in `dc(g, h_us, p, x, trend, sidx, resid)`. */
   private def decomposeSql: String =
@@ -1914,37 +1989,23 @@ object TimeSeries {
     // same centered series by row-number self-join at each lag, same
     // 12-dp-rounded terms summed as exact decimals
     "ts27_acf" ->
-      """WITH pts AS (
-        |  SELECT event_type AS g, value,
-        |    ROW_NUMBER() OVER (PARTITION BY event_type
-        |      ORDER BY ts, event_id) AS i
-        |  FROM events),
-        |st AS (
-        |  SELECT event_type AS g, COUNT(*) AS n,
-        |    SUM(CAST(value AS DECIMAL(18,6))) AS sx
-        |  FROM events GROUP BY event_type),
-        |mu AS (SELECT g,
-        |         CAST((2 * CAST(sx * 1000000 AS BIGINT) + n) // (2 * n)
-        |              AS DOUBLE) / 1000000.0 AS mu FROM st),
-        |d AS (SELECT p.g, p.i, p.value - m.mu AS dx
-        |      FROM pts p JOIN mu m USING (g)),
-        |den AS (
-        |  SELECT g, SUM(CAST(ROUND(dx * dx, 12) AS DECIMAL(28,12))) AS den
-        |  FROM d GROUP BY g),
-        |lags AS (SELECT unnest(range(1, 11)) AS lag),
-        |num AS (
-        |  SELECT a.g, l.lag,
-        |    SUM(CAST(ROUND(a.dx * b.dx, 12) AS DECIMAL(28,12))) AS num,
-        |    COUNT(*) AS n_pairs
-        |  FROM d a
-        |  JOIN lags l ON true
-        |  JOIN d b ON b.g = a.g AND b.i = a.i + l.lag
-        |  GROUP BY a.g, l.lag)
-        |SELECT n.g AS event_type, CAST(n.lag AS BIGINT) AS lag,
-        |  ROUND(CAST(n.num AS DOUBLE) / CAST(dn.den AS DOUBLE), 6) AS acf,
-        |  n_pairs
-        |FROM num n JOIN den dn USING (g)
-        |ORDER BY event_type, lag""".stripMargin,
+      s"""WITH $acf10Sql
+         |SELECT g AS event_type, CAST(lag AS BIGINT) AS lag, acf, n_pairs
+         |FROM a ORDER BY event_type, lag""".stripMargin,
+
+    // same ACF table; argmax by (acf DESC, lag) rank; Bartlett 2/√n band
+    "ts40_auto_period" ->
+      s"""WITH $acf10Sql,
+         |mx AS (SELECT g, MAX(n_pairs) AS n_max FROM a GROUP BY g),
+         |b AS (SELECT g, lag, acf,
+         |        ROW_NUMBER() OVER (PARTITION BY g ORDER BY acf DESC, lag)
+         |          AS rnk
+         |      FROM a)
+         |SELECT b.g AS event_type, CAST(b.lag AS BIGINT) AS best_lag,
+         |  b.acf AS best_acf,
+         |  b.acf > 2.0 / sqrt(CAST(m.n_max AS DOUBLE)) AS is_seasonal
+         |FROM b JOIN mx m USING (g) WHERE rnk = 1
+         |ORDER BY event_type""".stripMargin,
 
     // same integer epoch-hour alignment, same exact-decimal moment sums,
     // same single IEEE tree for r
