@@ -116,4 +116,33 @@ object PropertySpec extends Properties("graft") {
         got == expected
       }
     }
+
+  // 2-decimal "prices" (cents) — the shape every mean site aggregates
+  private val centsGen = Gen.chooseNum(1L, 2000000L)
+
+  /** halfUpMean6 ≡ exact BigDecimal HALF_UP at scale 6 — including the
+    * exact-half-way quotients where a double round(sx/n, 6) is
+    * engine-dependent (the ts29 class). Counts are biased toward the
+    * dangerous 2-adic shapes (n = 32·odd gives reduced denominator 3200). */
+  property("halfUpMean6EqualsBigDecimalHalfUp") =
+    Prop.forAll(Gen.nonEmptyListOf(centsGen),
+        Gen.oneOf(Gen.chooseNum(1, 200),
+          Gen.chooseNum(1, 6).map(odd => 32 * (2 * odd - 1)))) { (cents, n0) =>
+      val vals = cents.take(64)
+      val n = math.max(1, n0 % (vals.size + 1))
+      val sample = vals.take(n).map(c => c / 100.0)
+      val got = sample.toDF("v")
+        .agg(count(lit(1)).as("n"),
+          sum(graft.queries.sumExactCol(col("v"))).as("s"))
+        .select(graft.queries.halfUpMean6("s", "n").as("m"))
+        .collect()(0).getDouble(0)
+      // exact rational half-up: (2·sum_micro + n) / (2n) floored
+      val sumMicro = BigInt(vals.take(n).sum) * 10000
+      val wantMicro = (2 * sumMicro + n) / (2 * n)
+      val wantD = (BigDecimal(wantMicro) / 1000000).toDouble
+      // independent check via BigDecimal HALF_UP division
+      val bdWant = (BigDecimal(vals.take(n).sum) / 100 / n)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      got == wantD && wantD == bdWant
+    }
 }
