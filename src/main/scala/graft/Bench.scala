@@ -78,9 +78,13 @@ object Bench {
       val (secs, ok) = timings(name)
       (name, secs, ok)
     }
-    // a failed query is reported as -1, never as a (fast) success time
+    // a failed query is reported as -1, never as a (fast) success time.
+    // Locale.ROOT, not the f-interpolator: under a comma-decimal default
+    // locale f"$v%.3f" prints "1,234" and the JSON line stops parsing.
+    def num(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def entry(k: String, v: Double, ok: Boolean): String =
-      "\"" + k + "\":" + (if (ok) f"$v%.3f" else "-1")
+      "\"" + k + "\":" + (if (ok) num(v) else "-1")
     val qs = results
       .map { case (k, v, ok) => entry(k, v, ok) }
       .mkString("{", ",", "}")
@@ -89,7 +93,7 @@ object Bench {
     // the headline total counts successful queries only, matching the
     // per-query entries (a fast crash must not deflate the total)
     val total = results.collect { case (_, v, true) => v }.sum
-    val totalS = f"$total%.3f"
+    val totalS = num(total)
     val fullLine =
       s"""{"metric":"total","value":$totalS,"unit":"sec","n_queries":${results.size},"queries":$qs,"failed":$failed,"sf":"$sfDir","repeat":$repeat}"""
     // The complete per-query artifact goes to a FILE: the harness that

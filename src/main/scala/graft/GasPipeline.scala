@@ -50,4 +50,45 @@ object GasPipeline {
       names.toSeq.toDF("file_name")
     } finally fresh.unpersist()
   }
+
+  /** CLI twin of the reference DAG trigger — the whole 7-step Airflow DAG
+    * as one command a user runs end-to-end:
+    *
+    * {{{
+    * sbt "runMain graft.GasPipeline <inputDir> <storeDir> [ledgerDir]"
+    * }}}
+    *
+    * `ledgerDir` defaults to `<storeDir>/_ledger`. Re-running with the same
+    * arguments is a no-op (the ledger anti-join skips everything already
+    * loaded — the reference's "skip" branch). Exit code 0 either way;
+    * the processed-file count goes to stdout. */
+  /** Testable core of [[main]]: argument handling + one batch run, on a
+    * caller-owned session. The underscore-prefixed default ledger dir is
+    * deliberate: parquet readers treat `_`-prefixed paths as hidden, so a
+    * ledger living inside the store never pollutes a store scan. Returns
+    * the one-line human summary [[main]] prints. */
+  def cli(spark: SparkSession, args: Array[String]): String = {
+    require(args.length >= 2,
+      "usage: graft.GasPipeline <inputDir> <storeDir> [ledgerDir]")
+    val (inputDir, storeDir) = (args(0), args(1))
+    val ledgerDir = if (args.length > 2) args(2) else s"$storeDir/_ledger"
+    val processed = runBatch(spark, inputDir, storeDir, ledgerDir)
+    val names = processed.collect().map(_.getString(0))
+    s"[gas-pipeline] processed ${names.length} new file(s)" +
+      (if (names.isEmpty) " — store is up to date"
+       else names.mkString(": ", ", ", ""))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try println(cli(spark, args))
+    finally spark.stop()
+  }
 }

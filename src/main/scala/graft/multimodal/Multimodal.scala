@@ -203,9 +203,11 @@ object Multimodal {
   }
 
   /** One fixed-size thumbnail per image: source dims + per-channel sums of
-    * the resized pixels (exact longs; any float is derived downstream). */
+    * the resized pixels (exact longs; any float is derived downstream).
+    * Field order follows [[MediaCodecs.BmpImage.channels]]'s B,G,R pixel
+    * layout so the names tell the truth about which channel each sum holds. */
   case class Thumbnail(media_id: Long, width: Long, height: Long,
-      r_sum: Long, g_sum: Long, b_sum: Long)
+      b_sum: Long, g_sum: Long, r_sum: Long)
 
   /** Nearest-neighbour IMAGE RESIZE through the real BMP parser — the
     * "resize" stage of the media pipeline (decode → RESIZE → features),
@@ -225,7 +227,9 @@ object Multimodal {
         val b = c.payload
         if (b.length >= 2 && b(0) == 'B' && b(1) == 'M') {
           val img = MediaCodecs.Bmp.parse(b)
-          var rs = 0L; var gs = 0L; var bs = 0L
+          // channels is B,G,R per pixel (BmpImage doc) — accumulators named
+          // accordingly so b_sum really is the blue channel
+          var bs = 0L; var gs = 0L; var rs = 0L
           var y2 = 0
           while (y2 < h2) {
             var x2 = 0
@@ -233,23 +237,25 @@ object Multimodal {
               val x = x2 * img.width / w2
               val y = y2 * img.height / h2
               val base = (y * img.width + x) * 3
-              rs += img.channels(base)
+              bs += img.channels(base)
               gs += img.channels(base + 1)
-              bs += img.channels(base + 2)
+              rs += img.channels(base + 2)
               x2 += 1
             }
             y2 += 1
           }
-          Some(Thumbnail(c.media_id, img.width.toLong, img.height.toLong, rs, gs, bs))
+          Some(Thumbnail(c.media_id, img.width.toLong, img.height.toLong, bs, gs, rs))
         } else None
       }
     }
   }
 
   /** One ViT-style patch: grid position + exact per-channel sums over a
-    * p×p tile (ragged right/bottom tiles keep their true pixel count). */
+    * p×p tile (ragged right/bottom tiles keep their true pixel count).
+    * Field order follows [[MediaCodecs.BmpImage.channels]]'s B,G,R pixel
+    * layout so the names tell the truth about which channel each sum holds. */
   case class Patch(media_id: Long, py: Long, px: Long, n_px: Long,
-      r_sum: Long, g_sum: Long, b_sum: Long)
+      b_sum: Long, g_sum: Long, r_sum: Long)
 
   /** PATCH EXTRACTION — the ViT preprocessing stage (an image becomes a
     * GRID of p×p patches, each reduced to features) run through the real
@@ -272,23 +278,61 @@ object Multimodal {
             py <- 0 until ny
             px <- 0 until nx
           } yield {
-            var rs = 0L; var gs = 0L; var bs = 0L; var n = 0L
+            // channels is B,G,R per pixel (BmpImage doc) — accumulators
+            // named accordingly so b_sum really is the blue channel
+            var bs = 0L; var gs = 0L; var rs = 0L; var n = 0L
             var y = py * p
             while (y < math.min((py + 1) * p, img.height)) {
               var x = px * p
               while (x < math.min((px + 1) * p, img.width)) {
                 val base = (y * img.width + x) * 3
-                rs += img.channels(base)
+                bs += img.channels(base)
                 gs += img.channels(base + 1)
-                bs += img.channels(base + 2)
+                rs += img.channels(base + 2)
                 n += 1
                 x += 1
               }
               y += 1
             }
-            Patch(c.media_id, py.toLong, px.toLong, n, rs, gs, bs)
+            Patch(c.media_id, py.toLong, px.toLong, n, bs, gs, rs)
           }
         } else Seq.empty[Patch]
+      }
+    }
+  }
+
+  /** One histogram cell: channel is the index into the B,G,R pixel layout
+    * (0 = blue — see [[MediaCodecs.BmpImage.channels]]); zero bins are not
+    * emitted (the downstream GROUP BY shape). */
+  case class ChannelHist(media_id: Long, channel: Long, bin: Long, n_px: Long)
+
+  /** Per-image per-channel intensity HISTOGRAM over the real BMP decode —
+    * the classic image-level feature (exposure/contrast screening, channel
+    * imbalance checks) a vision corpus computes before training. `bins`
+    * equal-width buckets over [0, 256). Scale shape: pure map-side decode,
+    * one bounded O(3·bins) count array per image on the executor; only the
+    * tiny (media_id, channel, bin, n_px) rows ever reach a shuffle —
+    * payload bytes never do. */
+  def channelHistograms(media: Dataset[Container], bins: Int): Dataset[ChannelHist] = {
+    import media.sparkSession.implicits._
+    require(256 % bins == 0, s"bins must divide 256, got $bins")
+    val width = 256 / bins
+    media.mapPartitions { it =>
+      it.flatMap { c =>
+        val b = c.payload
+        if (b.length >= 2 && b(0) == 'B' && b(1) == 'M') {
+          val img = MediaCodecs.Bmp.parse(b)
+          val counts = Array.ofDim[Long](3, bins)
+          var j = 0
+          while (j < img.channels.length) {
+            counts(j % 3)(img.channels(j) / width) += 1
+            j += 1
+          }
+          for {
+            ch <- 0 until 3
+            bin <- 0 until bins if counts(ch)(bin) > 0
+          } yield ChannelHist(c.media_id, ch.toLong, bin.toLong, counts(ch)(bin))
+        } else Seq.empty[ChannelHist]
       }
     }
   }

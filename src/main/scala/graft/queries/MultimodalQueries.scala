@@ -271,7 +271,22 @@ object MultimodalQueries {
         .select(col("media_id"), col("quiet"), col("start_frame"),
           col("end_frame"), col("n_frames"), col("energy"))
         .orderBy(col("media_id"), col("start_frame"))
-    })
+    }),
+
+    // Per-channel intensity HISTOGRAM through the real BMP parser — the
+    // exposure/contrast/channel-balance screen a vision corpus runs at
+    // ingest. 4 equal bins over [0,256); channel indexes the B,G,R pixel
+    // layout (0 = blue). The oracle re-derives every pixel byte from the
+    // closed-form channel formula and buckets with integer division, so
+    // a parser slip, a wrong bin edge, or a channel-order mixup flips
+    // counts. Decode is map-side; only 12 tiny cells per image shuffle.
+    "mm15_channel_histogram" -> ((s, dir) =>
+      Multimodal.channelHistograms(
+          Multimodal.syntheticContainers(
+            fanout(Tables.table(s, dir, "documents"))
+              .filter(col("doc_id") % 2 === 0)), bins = 4)
+        .toDF()
+        .orderBy(col("media_id"), col("channel"), col("bin")))
   )
 
   val oracle: Map[String, String] = Map(
@@ -434,9 +449,9 @@ object MultimodalQueries {
         |  FROM m, range(0, 3) tx(x2), range(0, 2) ty(y2), range(0, 3) tc(c))
         |SELECT media_id,
         |  CAST(MIN(w) AS BIGINT) AS width, CAST(MIN(h) AS BIGINT) AS height,
-        |  CAST(SUM(CASE WHEN c = 0 THEN v ELSE 0 END) AS BIGINT) AS r_sum,
+        |  CAST(SUM(CASE WHEN c = 0 THEN v ELSE 0 END) AS BIGINT) AS b_sum,
         |  CAST(SUM(CASE WHEN c = 1 THEN v ELSE 0 END) AS BIGINT) AS g_sum,
-        |  CAST(SUM(CASE WHEN c = 2 THEN v ELSE 0 END) AS BIGINT) AS b_sum,
+        |  CAST(SUM(CASE WHEN c = 2 THEN v ELSE 0 END) AS BIGINT) AS r_sum,
         |  ROUND(CAST(SUM(v) AS DOUBLE) / 18, 6) AS mean_lum
         |FROM px GROUP BY media_id ORDER BY media_id""".stripMargin,
 
@@ -664,10 +679,28 @@ object MultimodalQueries {
         |  WHERE x < w AND y < h)
         |SELECT media_id, CAST(py AS BIGINT) AS py, CAST(px AS BIGINT) AS px,
         |  CAST(COUNT(*) // 3 AS BIGINT) AS n_px,
-        |  CAST(SUM(CASE WHEN c = 0 THEN v ELSE 0 END) AS BIGINT) AS r_sum,
+        |  CAST(SUM(CASE WHEN c = 0 THEN v ELSE 0 END) AS BIGINT) AS b_sum,
         |  CAST(SUM(CASE WHEN c = 1 THEN v ELSE 0 END) AS BIGINT) AS g_sum,
-        |  CAST(SUM(CASE WHEN c = 2 THEN v ELSE 0 END) AS BIGINT) AS b_sum
+        |  CAST(SUM(CASE WHEN c = 2 THEN v ELSE 0 END) AS BIGINT) AS r_sum
         |FROM px GROUP BY media_id, py, px
-        |ORDER BY media_id, py, px""".stripMargin
+        |ORDER BY media_id, py, px""".stripMargin,
+
+    // replay of mm15: BMP m has w = 4+m%5, h = 3+m%4, channel byte
+    // (m*31 + (y*w + x)*3 + c) % 256 (B,G,R layout) — bucket with the
+    // same integer division, count per (image, channel, bin); zero bins
+    // never group, matching the Spark side's nonzero-only emission
+    "mm15_channel_histogram" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |px AS (
+        |  SELECT media_id, c,
+        |    ((media_id * 31 + (y * w + x) * 3 + c) % 256) // 64 AS bin
+        |  FROM m, range(0, 8) tx(x), range(0, 6) ty(y), range(0, 3) tc(c)
+        |  WHERE x < w AND y < h)
+        |SELECT media_id, CAST(c AS BIGINT) AS channel,
+        |  CAST(bin AS BIGINT) AS bin, COUNT(*) AS n_px
+        |FROM px GROUP BY media_id, c, bin
+        |ORDER BY media_id, channel, bin""".stripMargin
   )
 }

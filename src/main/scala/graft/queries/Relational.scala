@@ -115,9 +115,16 @@ object Relational {
       // strictly shrinks by 10× per level). Depth stays FAR under the
       // level limit (100) — lift only the row guard; termination is
       // structural, not limit-dependent. Found by the 8×/32× scale
-      // ladder (PLANS.md).
+      // ladder (PLANS.md). Scope the override to this query — leaving the
+      // runaway-recursion guard off on the shared session would disarm it
+      // for everything that runs after (the gs15 provider-pin pattern).
+      val prev = s.conf.getOption("spark.sql.cteRecursionRowLimit")
       s.conf.set("spark.sql.cteRecursionRowLimit", "-1")
-      s.sql(q43Sql)
+      try s.sql(q43Sql).localCheckpoint(true)
+      finally prev match {
+        case Some(v) => s.conf.set("spark.sql.cteRecursionRowLimit", v)
+        case None    => s.conf.unset("spark.sql.cteRecursionRowLimit")
+      }
     }),
 
     // -- SQL PIPE SYNTAX (|> operators — new in Spark 4): the second
@@ -1427,14 +1434,21 @@ object Relational {
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
 
-    // JSON-path replay of the VARIANT extraction: same typed values,
-    // engine-native surface (json_extract vs variant_get)
+    // Regexp replay of the VARIANT extraction: same typed values,
+    // engine-native surface (regexp path-pluck vs variant_get). Uses
+    // q17's proven regexp_extract form instead of json_extract_string,
+    // which diverged between DuckDB versions on the driver (round-8
+    // verdict); the LIKE probe for the absent field is exact because
+    // props is always a flat {"k": N} object in this table.
     "q45_variant_extract" ->
       """SELECT event_type,
         |  COUNT(*) AS n_events,
-        |  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
-        |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
-        |  COUNT(json_extract_string(props, '$.absent_field')) AS n_absent
+        |  SUM(CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT))
+        |    AS sum_k,
+        |  MAX(CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT))
+        |    AS max_k,
+        |  COUNT(CASE WHEN props LIKE '%"absent_field"%' THEN 1 END)
+        |    AS n_absent
         |FROM events
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,

@@ -354,6 +354,49 @@ object TextOps {
         .orderBy(col("cluster_size"))
     }),
 
+    // CONTAINMENT dedup — the ASYMMETRIC near-dup detector symmetric
+    // Jaccard misses: a short doc pasted inside a long one scores
+    // C(A,B) = |sh(A)∩sh(B)| / |sh(A)| ≈ 1 while its Jaccard stays tiny
+    // (the |A∪B| denominator is dominated by the long doc). Defined over
+    // DF-CAPPED shingles (df ≤ 50): common boilerplate shingles carry no
+    // containment evidence and capping them is exactly what bounds the
+    // scale shape — the inverted-index self-join fans out ≤ C(50,2)
+    // pairs per shingle, so pair generation is one shingle-keyed shuffle,
+    // linear in corpus tokens, NEVER all-pairs (contrast tx06's
+    // crossJoin, which is a sample-bounded diagnostic). Intersections
+    // arrive as pair-keyed counts from one groupBy; sizes join back on
+    // doc id. Both containment directions are checked; pairs at ≥ 0.5
+    // in either direction are reported.
+    "tx35_containment_dedup" -> ((s, dir) => {
+      val sh = fanout(docs(s, dir))
+        .selectExpr("doc_id", s"$tokExpr AS tk")
+        .where(expr("size(tk) >= 3"))
+        .selectExpr("doc_id",
+          "explode(array_distinct(transform(sequence(1, size(tk) - 2), i -> concat_ws(' ', element_at(tk, i), element_at(tk, i + 1), element_at(tk, i + 2))))) AS sh")
+      val dfreq = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      val rare = sh.join(dfreq.filter(col("df") <= 50), Seq("sh"))
+        .select(col("doc_id"), col("sh"))
+      val sizes = rare.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+      rare.select(col("sh"), col("doc_id").as("doc_a"))
+        .join(rare.select(col("sh"), col("doc_id").as("doc_b")), Seq("sh"))
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(count(lit(1)).as("n_inter"))
+        .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")),
+          Seq("doc_a"))
+        .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")),
+          Seq("doc_b"))
+        // unrounded integer-ratio divisions (tx06 discipline): identical
+        // IEEE doubles on any engine, no round-on-quotient hazard
+        .withColumn("containment", greatest(
+          col("n_inter").cast("double") / col("n_a"),
+          col("n_inter").cast("double") / col("n_b")))
+        .filter(col("containment") >= 0.5)
+        .select(col("doc_a"), col("doc_b"), col("n_inter"), col("n_a"),
+          col("n_b"), col("containment"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
     // LEAKAGE-FREE train/test split: assigning raw doc ids to splits leaks
     // whenever two near-duplicates straddle the boundary (the
     // memorize-train/score-test contamination Lee et al. 2021 measure) —
@@ -1347,6 +1390,33 @@ object TextOps {
          |  cluster_size * COUNT(*) AS n_docs
          |FROM sizes GROUP BY cluster_size
          |ORDER BY cluster_size""".stripMargin,
+
+    // full replay of the df-capped containment pipeline: same shingles,
+    // same df ≤ 50 cap, same pair counts, same IEEE divisions
+    "tx35_containment_dedup" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id,
+         |    unnest(list_distinct(list_transform(range(1, len(tk) - 1),
+         |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS s
+         |  FROM (SELECT doc_id, $dTok AS tk FROM documents)
+         |  WHERE len(tk) >= 3),
+         |df AS (SELECT s, COUNT(*) AS d FROM sh GROUP BY s),
+         |rare AS (SELECT sh.doc_id, sh.s FROM sh JOIN df USING (s)
+         |         WHERE d <= 50),
+         |sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM rare GROUP BY doc_id),
+         |p AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+         |  FROM rare a JOIN rare b USING (s) WHERE a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, n_inter, sa.n_sh AS n_a, sb.n_sh AS n_b,
+         |  greatest(CAST(n_inter AS DOUBLE) / sa.n_sh,
+         |           CAST(n_inter AS DOUBLE) / sb.n_sh) AS containment
+         |FROM p
+         |JOIN sz sa ON sa.doc_id = doc_a
+         |JOIN sz sb ON sb.doc_id = doc_b
+         |WHERE greatest(CAST(n_inter AS DOUBLE) / sa.n_sh,
+         |               CAST(n_inter AS DOUBLE) / sb.n_sh) >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin,
 
     // tx14's component replay + the split-hash assignment on the
     // component id — same-cluster-same-side falls out arithmetically

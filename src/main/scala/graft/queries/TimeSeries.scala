@@ -825,6 +825,43 @@ object TimeSeries {
         .orderBy(col("event_type"))
     }),
 
+    // ROBUST rolling anomaly — the median/MAD upgrade of ts25's
+    // mean/stddev z-score: one outlier inflates a trailing stddev enough
+    // to mask the NEXT outlier (masking), while the 15-point rolling
+    // median and MAD have a 50% breakdown point (Hampel filter,
+    // Pearson/Hampel robust-statistics lineage). Determinism without any
+    // rounding: the window arrives as a SORTED bounded array, the median
+    // is an element pick (odd n) or one (a+b)/2 (even n), the MAD repeats
+    // that on |x−med| — every step is the same IEEE add/divide/compare on
+    // identical doubles in both engines, so no round-on-quotient hazard
+    // exists anywhere. Scale shape: one exchange on the series key, then
+    // a 15-row frame per row — arrays are bounded at 15 elements, so
+    // memory per row is O(1) and the operator rides the same series-key
+    // partitioning every other ts window query uses; the oracle replays
+    // the frame as a rank self-join (plain ANSI, no list-window
+    // functions, per the round-9 portability policy).
+    "ts41_rolling_robust_z" -> ((s, dir) => {
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("ts_us"), col("event_id")).rowsBetween(-14, 0)
+      ev(s, dir)
+        .withColumn("ts_us", unix_micros(col("ts")))
+        .withColumn("arr", sort_array(collect_list(col("value")).over(w)))
+        .withColumn("n", size(col("arr")))
+        .withColumn("med",
+          (element_at(col("arr"), expr("cast((n + 1) div 2 as int)")) +
+            element_at(col("arr"), expr("cast((n + 2) div 2 as int)"))) / 2)
+        .withColumn("devs",
+          expr("array_sort(transform(arr, v -> abs(v - med)))"))
+        .withColumn("mad",
+          (element_at(col("devs"), expr("cast((n + 1) div 2 as int)")) +
+            element_at(col("devs"), expr("cast((n + 2) div 2 as int)"))) / 2)
+        .withColumn("is_anomaly",
+          abs(col("value") - col("med")) > lit(3.0) * col("mad"))
+        .select(col("event_type"), col("ts_us"), col("event_id"),
+          col("value"), col("med"), col("mad"), col("is_anomaly"))
+        .orderBy(col("event_type"), col("ts_us"), col("event_id"))
+    }),
+
     // Cross-correlation — ts27 asks "does a series repeat itself?"; ts28
     // asks "does series A LEAD series B?" (the ops question behind
     // cause-effect dashboards): Pearson r between A's hourly-mean series
@@ -2043,22 +2080,82 @@ object TimeSeries {
         |  END, 6) AS xcorr
         |FROM v ORDER BY ta, tb, lag""".stripMargin,
 
+    // Portability note (round 9): the previous form used DuckDB's
+    // json_extract_string and in-aggregate first/last(... ORDER BY ...) —
+    // both version-sensitive on the driver's DuckDB (the only two red
+    // oracles on the round-8 board were the only two using
+    // json_extract_string). Rewritten to the q17-proven regexp_extract
+    // form plus a plain window-rank CTE (ANSI, identical on every
+    // DuckDB) — value-identical to the json form on this data, where
+    // props is always {"k": N}.
     "ts29_ohlc_bars" ->
-      """SELECT event_type, CAST(ts AS DATE) AS day,
-        |  first(value ORDER BY ts, event_id) AS open,
+      """WITH e AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, ts, event_id, value,
+        |    CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT) AS qty
+        |  FROM events),
+        |r AS (
+        |  SELECT *,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type, day
+        |      ORDER BY ts, event_id) AS rn_a,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type, day
+        |      ORDER BY ts DESC, event_id DESC) AS rn_d
+        |  FROM e)
+        |SELECT event_type, day,
+        |  MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
         |  MAX(value) AS high,
         |  MIN(value) AS low,
-        |  last(value ORDER BY ts, event_id) AS close,
+        |  MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
         |  COUNT(*) AS n_trades,
-        |  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS volume,
-        |  CAST(SUM(CAST(ROUND(
-        |      value * CAST(json_extract_string(props, '$.k') AS BIGINT), 6)
-        |    AS DECIMAL(28,6))) AS DOUBLE)
-        |    / CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
-        |           AS DOUBLE) AS vwap
-        |FROM events
+        |  SUM(qty) AS volume,
+        |  CAST(SUM(CAST(ROUND(value * qty, 6) AS DECIMAL(28,6))) AS DOUBLE)
+        |    / CAST(SUM(qty) AS DOUBLE) AS vwap
+        |FROM r
         |GROUP BY event_type, day
         |ORDER BY event_type, day""".stripMargin,
+
+    // rank-self-join replay of the 15-point rolling median/MAD: the frame
+    // is j.rn ∈ [i.rn−14, i.rn]; median = (v@⌈n/2⌉ + v@⌊n/2⌋+1)/2 via two
+    // single-row CASE sums (exact — the zero terms are IEEE-neutral), MAD
+    // repeats it on |v−med|. Plain ANSI window/join SQL only.
+    "ts41_rolling_robust_z" ->
+      """WITH e AS (
+        |  SELECT event_type, epoch_us(ts) AS ts_us, event_id, value,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type
+        |      ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |w AS (
+        |  SELECT i.event_type, i.rn, j.value AS v
+        |  FROM e i JOIN e j ON j.event_type = i.event_type
+        |    AND j.rn BETWEEN i.rn - 14 AND i.rn),
+        |r AS (
+        |  SELECT event_type, rn, v,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type, rn ORDER BY v) AS vr,
+        |    COUNT(*) OVER (PARTITION BY event_type, rn) AS n
+        |  FROM w),
+        |med AS (
+        |  SELECT event_type, rn,
+        |    (SUM(CASE WHEN vr = (n + 1) // 2 THEN v ELSE 0 END)
+        |     + SUM(CASE WHEN vr = (n + 2) // 2 THEN v ELSE 0 END)) / 2 AS med
+        |  FROM r GROUP BY event_type, rn, n),
+        |d AS (
+        |  SELECT w.event_type, w.rn, abs(w.v - m.med) AS dv
+        |  FROM w JOIN med m ON m.event_type = w.event_type AND m.rn = w.rn),
+        |rd AS (
+        |  SELECT event_type, rn, dv,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type, rn ORDER BY dv) AS vr,
+        |    COUNT(*) OVER (PARTITION BY event_type, rn) AS n
+        |  FROM d),
+        |mad AS (
+        |  SELECT event_type, rn,
+        |    (SUM(CASE WHEN vr = (n + 1) // 2 THEN dv ELSE 0 END)
+        |     + SUM(CASE WHEN vr = (n + 2) // 2 THEN dv ELSE 0 END)) / 2 AS mad
+        |  FROM rd GROUP BY event_type, rn, n)
+        |SELECT e.event_type, e.ts_us, e.event_id, e.value, m.med, md.mad,
+        |  abs(e.value - m.med) > 3.0 * md.mad AS is_anomaly
+        |FROM e
+        |JOIN med m ON m.event_type = e.event_type AND m.rn = e.rn
+        |JOIN mad md ON md.event_type = e.event_type AND md.rn = e.rn
+        |ORDER BY e.event_type, e.ts_us, e.event_id""".stripMargin,
 
     // step-for-step Kalman replay: same exact-decimal parameter moments
     // (R = variance clamped at 1e-6, Q = R/10), same 6-dp-rounded

@@ -1425,9 +1425,11 @@ object VectorOps {
         |  WHERE EXISTS (SELECT 1 FROM exact x
         |                WHERE x.q_id = i.q_id AND x.c_id = i.c_id)
         |  GROUP BY np)
-        |SELECT CAST(np AS BIGINT) AS nprobe, n_hit, n_exact,
-        |  CAST(n_hit AS DOUBLE) / n_exact AS recall_at_5
-        |FROM hits, nex ORDER BY nprobe""".stripMargin,
+        |SELECT CAST(np AS BIGINT) AS nprobe,
+        |  COALESCE(n_hit, 0) AS n_hit, n_exact,
+        |  CAST(COALESCE(n_hit, 0) AS DOUBLE) / n_exact AS recall_at_5
+        |FROM nps LEFT JOIN hits USING (np) CROSS JOIN nex
+        |ORDER BY nprobe""".stripMargin,
 
     // full replay of the SQ8 pipeline: per-dim min/max codebook → int8
     // codes → dequantize → asymmetric candidate top-15 → exact rerank

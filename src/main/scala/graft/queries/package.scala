@@ -42,10 +42,21 @@ package object queries {
     * whole-series mean at extreme scale would move to DECIMAL `div`.
     * Oracle twin fragment:
     * `CAST((2 * CAST(sx * 1000000 AS BIGINT) + n) // (2 * n) AS DOUBLE) / 1e6`.
+    *
+    * The preconditions are ENFORCED, not just documented: a negative sum
+    * raises at run time instead of silently hash-diverging from the
+    * oracle. (Headroom needs no separate guard: a DECIMAL(18,6) sum caps
+    * at ~1e12, under the ~4.6e12 Long ceiling, so the decimal itself
+    * overflows — loudly, under ANSI — before the micro-unit Long can.)
     */
   def halfUpMean6(sumCol: String, cntCol: String): Column =
-    expr(s"cast((2 * cast($sumCol * 1000000 as bigint) + $cntCol)" +
-      s" div (2 * $cntCol) as double) / 1e6")
+    expr(s"case when $sumCol >= 0" +
+      s" then cast((2 * cast($sumCol * 1000000 as bigint) + $cntCol)" +
+      s" div (2 * $cntCol) as double) / 1e6" +
+      s" else cast(raise_error('halfUpMean6 requires a non-negative sum" +
+      s" (Spark div truncates, DuckDB // floors — they diverge on" +
+      s" negative dividends); got ' || cast($sumCol as string))" +
+      s" as double) end")
 
   /** Spread a small input across the cluster before a row-multiplying stage.
     *

@@ -37,4 +37,30 @@ class GasPipelineSpec extends SparkSpec {
     assert(r3.collect().map(_.getString(0)).toSeq == Seq("20161008_120000.csv"))
     assert(spark.read.parquet(store).count() == n1 + 6 * 19)
   }
+
+  test("CLI entry: one command runs the whole DAG; default ledger is store-scan-invisible") {
+    val work = Files.createTempDirectory("graft-cli")
+    val input = Files.createDirectory(work.resolve("input"))
+    val store = work.resolve("store").toString
+
+    Files.copy(resource("20161007_210049.csv"),
+      input.resolve("20161007_210049.csv"), StandardCopyOption.REPLACE_EXISTING)
+
+    intercept[IllegalArgumentException] {
+      GasPipeline.cli(spark, Array(input.toString))
+    }
+
+    // run 1 with the DEFAULT ledger dir (<store>/_ledger): processed
+    val m1 = GasPipeline.cli(spark, Array(input.toString, store))
+    assert(m1.contains("processed 1 new file(s)") &&
+      m1.contains("20161007_210049.csv"), m1)
+    // the in-store ledger must be invisible to a plain store scan
+    // (underscore-prefixed paths are hidden to parquet readers)
+    assert(spark.read.parquet(store).count() == 8 * 19)
+
+    // run 2, same args: the ledger (found via the same default) skips all
+    val m2 = GasPipeline.cli(spark, Array(input.toString, store))
+    assert(m2.contains("processed 0 new file(s)"), m2)
+    assert(spark.read.parquet(store).count() == 8 * 19)
+  }
 }

@@ -145,4 +145,16 @@ object PropertySpec extends Properties("graft") {
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
       got == wantD && wantD == bdWant
     }
+
+  /** The non-negative-sum precondition is ENFORCED: Spark `div` truncates
+    * where DuckDB `//` floors, so a negative sum would silently
+    * hash-diverge cross-engine — the guard must raise instead. */
+  property("halfUpMean6RaisesOnNegativeSum") =
+    Prop.forAll(Gen.chooseNum(-2000000L, -1L)) { cents =>
+      val df = Seq(cents / 100.0).toDF("v")
+        .agg(count(lit(1)).as("n"),
+          sum(graft.queries.sumExactCol(col("v"))).as("s"))
+        .select(graft.queries.halfUpMean6("s", "n").as("m"))
+      Prop.throws(classOf[Throwable])(df.collect())
+    }
 }

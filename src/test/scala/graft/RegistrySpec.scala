@@ -22,6 +22,32 @@ class RegistrySpec extends SparkSpec {
     assert(unoracled.isEmpty, s"queries without an oracle: $unoracled")
   }
 
+  test("no oracle uses a DuckDB-version-sensitive function (portability denylist)") {
+    // The gate that matters runs on the DRIVER's DuckDB, whose version we
+    // cannot see. Round 8's only two red cells were the only two oracles
+    // using json_extract_string — the builder's DuckDB 1.0.0 agreed with
+    // Spark, the driver's did not. Denylist every construct known (or
+    // structurally likely) to differ across DuckDB releases; the portable
+    // replacements are proven in-repo: q17's regexp_extract for JSON
+    // path-plucks, a window-rank CTE for ordered first/last (ts29).
+    // NOT denylisted because they are green on the driver every round:
+    // epoch_us, unnest, string_split/list_*, string_agg(... ORDER BY),
+    // first/last(... ORDER BY) (gs21 green in r8 proves the driver
+    // handles in-aggregate ORDER BY; we still avoid it in new oracles).
+    val denylist = Seq(
+      "json_extract", // json_extract / json_extract_string / _path forms
+      "json_value",
+      "->>", // JSON operator sugar over the same functions
+      "to_json",
+      "from_json")
+    val offenders = for {
+      (name, sql) <- SparkEntry.oracleSql.toSeq.sortBy(_._1)
+      bad <- denylist if sql.toLowerCase.contains(bad)
+    } yield s"$name uses $bad"
+    assert(offenders.isEmpty,
+      s"version-sensitive DuckDB constructs in oracles: ${offenders.mkString("; ")}")
+  }
+
   test("all registered queries run and return rows on sf0.001") {
     val empty = SparkEntry.queries.toSeq.sortBy(_._1).filter {
       case (_, fn) => fn(spark, sf).limit(1).count() == 0

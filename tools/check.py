@@ -20,6 +20,12 @@ OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
+# Record the verification environment: round 8's two red cells were a
+# local-vs-driver DuckDB version divergence (json_extract_string) that was
+# undiagnosable from committed evidence because no artifact said which
+# DuckDB the builder validated against.
+print(f"duckdb=={duckdb.__version__}")
+
 con = duckdb.connect()
 for t in TABLES:
     con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SFDIR}/{t}.parquet'")
