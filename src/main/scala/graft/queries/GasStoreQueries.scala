@@ -127,6 +127,48 @@ object GasStoreQueries {
     * Append mode + 30 min watermark = gs07's window-sealing CONTRACT:
     * a bar is emitted exactly once, when the watermark passes its end;
     * the oracle replays the cutoff explicitly. */
+  /** gs22's sink: STREAMING HISTOGRAM — ts15's distribution query as a
+    * watermarked streaming aggregate (the live drift/quality monitor a
+    * sensor fleet dashboard runs): per 6 h window × field × value bin,
+    * one count. Bin width 8 is a power of two (exact floor on any IEEE
+    * engine), capped to bin 15, so state per open window is ≤ fields × 16
+    * counters — bounded by construction, never by stream volume. Append
+    * mode + 30 min watermark: a window's histogram is emitted exactly
+    * once when the watermark passes its end; the oracle replays that
+    * cutoff explicitly (gs07/gs21 discipline). */
+  private val builtHist = new java.util.WeakHashMap[SparkSession, String]()
+  private def streamHistogram(spark: SparkSession): DataFrame = {
+    val path = builtHist.synchronized {
+      Option(builtHist.get(spark)).getOrElse {
+        val work = Files.createTempDirectory("graft-gas-hist")
+        deleteOnExit(work)
+        val long = graft.store.LongStore.unpivot(
+          graft.transform.GasTransform(
+            graft.streaming.GasStream.readStream(spark, fixtureDir))
+            .withColumnRenamed("file_name", "_src")).drop("_src")
+          .filter(col("_field").isin("CO (ppm)", "Humidity (%r.h.)"))
+        long.withWatermark("_time", "30 minutes")
+          .groupBy(window(col("_time"), "6 hours"), col("_field"),
+            greatest(least(floor(col("_value") / 8.0), lit(15L)), lit(0L))
+              .as("bin"))
+          .agg(count(lit(1)).as("n_points"))
+          .select(col("window.start").as("_bucket"), col("_field"),
+            col("bin"), col("n_points"))
+          .writeStream
+          .format("parquet")
+          .option("path", s"$work/out")
+          .option("checkpointLocation", s"$work/ckpt")
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+          .awaitTermination()
+        builtHist.put(spark, s"$work/out")
+        s"$work/out"
+      }
+    }
+    spark.read.parquet(path)
+  }
+
   private val builtOhlc = new java.util.WeakHashMap[SparkSession, String]()
   private def streamOhlc(spark: SparkSession): DataFrame = {
     val path = builtOhlc.synchronized {
@@ -839,6 +881,14 @@ object GasStoreQueries {
             .as("mean_value"))
         .orderBy(col("b_us"))),
 
+    // streaming histogram (ts15's twin): watermark-sealed 6 h value
+    // distribution per field — bounded 16-bin state per open window
+    "gs22_stream_histogram" -> ((s, _) =>
+      streamHistogram(s)
+        .select(unix_micros(col("_bucket")).as("b_us"), col("_field"),
+          col("bin"), col("n_points"))
+        .orderBy(col("b_us"), col("_field"), col("bin"))),
+
     // streaming candlestick bars (ts29's twin): watermark-sealed hourly
     // OHLC per field, open/close by event-time min_by/max_by
     "gs21_stream_ohlc" -> ((s, _) =>
@@ -1247,6 +1297,30 @@ object GasStoreQueries {
 
     // hourly bars over the raw CSVs; first/last by _time; gs07's
     // watermark cutoff (bar end ≤ max event time − 30 min) replayed
+    // same per-window bin counts from the raw CSVs, with the append-mode
+    // sealing cutoff replayed on the final watermark (gs21 discipline);
+    // window id = epoch-µs floor-division by the 6 h width
+    "gs22_stream_histogram" ->
+      s"""$prelude,
+         |pts AS (
+         |  SELECT _time, 'CO (ppm)' AS _field, "CO (ppm)" AS _value
+         |  FROM raw
+         |  UNION ALL
+         |  SELECT _time, 'Humidity (%r.h.)', "Humidity (%r.h.)"
+         |  FROM raw),
+         |mx AS (SELECT MAX(_time) AS mx FROM pts),
+         |agg AS (
+         |  SELECT epoch_us(_time) // 21600000000 AS wi, _field,
+         |    greatest(least(CAST(floor(_value / 8.0) AS BIGINT), 15), 0)
+         |      AS bin,
+         |    COUNT(*) AS n_points
+         |  FROM pts GROUP BY wi, _field, bin)
+         |SELECT wi * 21600000000 AS b_us, _field, bin, n_points
+         |FROM agg, mx
+         |WHERE (wi + 1) * 21600000000
+         |  <= epoch_us(mx - INTERVAL 30 MINUTE)
+         |ORDER BY b_us, _field, bin""".stripMargin,
+
     "gs21_stream_ohlc" ->
       s"""$prelude,
          |pts AS (

@@ -290,6 +290,28 @@ object Relational {
           |ORDER BY o_orderstatus, o_orderpriority""".stripMargin)
     }),
 
+    // -- SQL UNPIVOT clause (the third Spark-4 SQL front door next to
+    // q43's WITH RECURSIVE and q44's pipes): the same wide→long reshape
+    // q14 does through the Dataset API, written as the UNPIVOT table
+    // operator and immediately re-aggregated — Catalyst plans the clause
+    // into the identical scan→Expand→hash-agg the API twin gets, with
+    // the shipdate filter pushed THROUGH the Expand to the parquet scan.
+    // The oracle replays as the classic 4-arm UNION ALL (plain ANSI —
+    // DuckDB's own UNPIVOT clause is newer syntax, and per the round-9
+    // portability policy oracles avoid version-sensitive surfaces).
+    "q52_sql_unpivot" -> ((s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+      s.sql(
+        """SELECT metric, COUNT(*) AS n,
+          |  CAST(SUM(CAST(val AS DECIMAL(18,6))) AS DOUBLE) AS total
+          |FROM lineitem
+          |  UNPIVOT (val FOR metric IN
+          |    (l_quantity, l_extendedprice, l_discount, l_tax))
+          |WHERE l_shipdate >= DATE '1997-01-01'
+          |GROUP BY metric
+          |ORDER BY metric""".stripMargin)
+    }),
+
     // -- aggregation (TPC-H Q1 shape): partial+final hash agg, 6-group output
     "q01_pricing_summary" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
@@ -1433,6 +1455,25 @@ object Relational {
         |WHERE l_shipdate >= DATE '1996-01-01'
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    // 4-arm UNION ALL replay of the UNPIVOT clause — identical rows,
+    // portable ANSI text
+    "q52_sql_unpivot" ->
+      """WITH u AS (
+        |  SELECT 'l_quantity' AS metric, l_quantity AS val
+        |  FROM lineitem WHERE l_shipdate >= DATE '1997-01-01'
+        |  UNION ALL
+        |  SELECT 'l_extendedprice', l_extendedprice
+        |  FROM lineitem WHERE l_shipdate >= DATE '1997-01-01'
+        |  UNION ALL
+        |  SELECT 'l_discount', l_discount
+        |  FROM lineitem WHERE l_shipdate >= DATE '1997-01-01'
+        |  UNION ALL
+        |  SELECT 'l_tax', l_tax
+        |  FROM lineitem WHERE l_shipdate >= DATE '1997-01-01')
+        |SELECT metric, COUNT(*) AS n,
+        |  CAST(SUM(CAST(val AS DECIMAL(18,6))) AS DOUBLE) AS total
+        |FROM u GROUP BY metric ORDER BY metric""".stripMargin,
 
     // Regexp replay of the VARIANT extraction: same typed values,
     // engine-native surface (regexp path-pluck vs variant_get). Uses

@@ -862,6 +862,57 @@ object TimeSeries {
         .orderBy(col("event_type"), col("ts_us"), col("event_id"))
     }),
 
+    // POPULATION STABILITY INDEX day-over-day — the data-DRIFT monitor a
+    // training pipeline runs on every feature column: PSI =
+    // Σ_bins (p−q)·ln(p/q) between today's and yesterday's value
+    // distribution; > 0.25 is the classic "population shifted" alarm.
+    // Determinism by construction: bin width 16 is a POWER OF TWO, so
+    // value/16 only changes the exponent and floor() is exact on both
+    // engines; Laplace-smoothed p, q are integer ratios (one IEEE
+    // division each); the single ln sees one exact integer-ratio
+    // quotient and is 6-dp-rounded (the tx21 log discipline); each
+    // bin's term is 12-dp-rounded into DECIMAL so the 8-term sum is
+    // exact and ORDER-INDEPENDENT (a raw double Σ would hash on
+    // aggregation order). Scale shape: counts compress to
+    // |types|·|days|·8 rows BEFORE any join; the day-over-day self-join
+    // and the final rollup ride that tiny frame.
+    "ts42_psi_drift" -> ((s, dir) => {
+      val binned = ev(s, dir)
+        .withColumn("day", to_date(col("ts")))
+        .withColumn("bin", least(floor(col("value") / 16.0), lit(7L)))
+        .groupBy(col("event_type"), col("day"), col("bin"))
+        .agg(count(lit(1)).as("n"))
+      val frame = binned.select(col("event_type"), col("day")).distinct()
+        .crossJoin(broadcast(s.range(0, 8).toDF("bin")))
+      val dense = frame.join(binned, Seq("event_type", "day", "bin"), "left")
+        .withColumn("n", coalesce(col("n"), lit(0L)))
+      val tot = dense.groupBy(col("event_type"), col("day"))
+        .agg(sum(col("n")).as("tot"))
+      val cells = dense.join(tot, Seq("event_type", "day"))
+      val cur = cells.select(col("event_type"), col("day"), col("bin"),
+        col("n").as("nc"), col("tot").as("tc"))
+      val prev = cells.select(col("event_type"),
+        date_add(col("day"), 1).as("day"), col("bin"),
+        col("n").as("np"), col("tot").as("tp"))
+      cur.join(prev, Seq("event_type", "day", "bin"))
+        .withColumn("p",
+          (col("nc") + 1).cast("double") / (col("tc") + 8).cast("double"))
+        .withColumn("q",
+          (col("np") + 1).cast("double") / (col("tp") + 8).cast("double"))
+        .withColumn("lnr", round(log(
+          ((col("nc") + 1) * (col("tp") + 8)).cast("double") /
+            ((col("np") + 1) * (col("tc") + 8)).cast("double")), 6))
+        .withColumn("term",
+          expr("cast(round((p - q) * lnr, 12) as decimal(28,12))"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(sum(col("term")).as("psi_dec"),
+          sum(col("nc")).as("n_cur"), sum(col("np")).as("n_prev"))
+        .select(col("event_type"), col("day"),
+          col("psi_dec").cast("double").as("psi"),
+          col("n_cur"), col("n_prev"))
+        .orderBy(col("event_type"), col("day"))
+    }),
+
     // Cross-correlation — ts27 asks "does a series repeat itself?"; ts28
     // asks "does series A LEAD series B?" (the ops question behind
     // cause-effect dashboards): Pearson r between A's hourly-mean series
@@ -2156,6 +2207,44 @@ object TimeSeries {
         |JOIN med m ON m.event_type = e.event_type AND m.rn = e.rn
         |JOIN mad md ON md.event_type = e.event_type AND md.rn = e.rn
         |ORDER BY e.event_type, e.ts_us, e.event_id""".stripMargin,
+
+    // same power-of-two bins, Laplace smoothing, single 6-dp ln of the
+    // integer-ratio quotient, 12-dp decimal terms — DuckDB ln() is
+    // natural log (its log() is base-10, the classic trap)
+    "ts42_psi_drift" ->
+      """WITH binned AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(least(floor(value / 16.0), 7) AS BIGINT) AS bin,
+        |    COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2, 3),
+        |frame AS (SELECT DISTINCT event_type, day FROM binned),
+        |dense AS (
+        |  SELECT f.event_type, f.day, t.bin, COALESCE(bi.n, 0) AS n
+        |  FROM frame f CROSS JOIN range(0, 8) t(bin)
+        |  LEFT JOIN binned bi ON bi.event_type = f.event_type
+        |    AND bi.day = f.day AND bi.bin = t.bin),
+        |tot AS (SELECT event_type, day, SUM(n) AS tot FROM dense
+        |        GROUP BY event_type, day),
+        |cells AS (SELECT d.event_type, d.day, d.bin, d.n, tt.tot
+        |          FROM dense d JOIN tot tt USING (event_type, day)),
+        |j AS (
+        |  SELECT c.event_type, c.day, c.bin, c.n AS nc, c.tot AS tc,
+        |    p.n AS np, p.tot AS tp
+        |  FROM cells c JOIN cells p ON p.event_type = c.event_type
+        |    AND p.day + 1 = c.day AND p.bin = c.bin),
+        |terms AS (
+        |  SELECT event_type, day, nc, np,
+        |    CAST(ROUND(
+        |      ((CAST(nc + 1 AS DOUBLE) / (tc + 8))
+        |        - (CAST(np + 1 AS DOUBLE) / (tp + 8)))
+        |      * ROUND(ln(CAST((nc + 1) * (tp + 8) AS DOUBLE)
+        |                 / ((np + 1) * (tc + 8))), 6)
+        |    , 12) AS DECIMAL(28,12)) AS term
+        |  FROM j)
+        |SELECT event_type, day, CAST(SUM(term) AS DOUBLE) AS psi,
+        |  SUM(nc) AS n_cur, SUM(np) AS n_prev
+        |FROM terms GROUP BY event_type, day
+        |ORDER BY event_type, day""".stripMargin,
 
     // step-for-step Kalman replay: same exact-decimal parameter moments
     // (R = variance clamped at 1e-6, Q = R/10), same 6-dp-rounded

@@ -363,4 +363,31 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("* (1.0 - "),
       s"UDF body not macro-expanded into the aggregate:\n$p")
   }
+
+  test("tx35: containment pair generation is shingle-keyed hash joins, never a cartesian") {
+    val p = planString(q("tx35_containment_dedup"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"containment degenerated to an all-pairs join:\n$p")
+  }
+
+  test("q52: the UNPIVOT clause's shipdate filter pushes through Expand to the parquet scan") {
+    val p = planString(q("q52_sql_unpivot"))
+    assert(p.contains("Expand"), s"UNPIVOT did not plan an Expand:\n$p")
+    assert(p.contains("PushedFilters:") &&
+      p.contains("GreaterThanOrEqual(l_shipdate"),
+      s"shipdate filter not pushed to the scan:\n$p")
+  }
+
+  test("ts42: PSI compresses events map-side to (type, day, bin) counts before any shuffle") {
+    // the whole scale story: raw events reduce to |types|·|days|·8 rows
+    // via a PARTIAL hash aggregate before the first exchange, so every
+    // join (densify, totals, day-over-day self-join) runs on the tiny
+    // frame. A missing partial_count means event rows hit a shuffle.
+    val p = planString(q("ts42_psi_drift"))
+    val partialAgg =
+      raw"HashAggregate\(keys=\[event_type#\d+, day#\d+, bin#\d+L?\], functions=\[partial_count".r
+    assert(partialAgg.findFirstIn(p).isDefined,
+      s"no map-side partial count on (event_type, day, bin):\n$p")
+    assert(!p.contains("CartesianProduct"), s"PSI planned a cartesian:\n$p")
+  }
 }
