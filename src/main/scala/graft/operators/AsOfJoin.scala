@@ -92,4 +92,107 @@ object AsOfJoin {
       .filter(col("__side") === 1)
       .drop("__ts", "__side", "__r")
   }
+
+  /** NEAREST-direction as-of join (pandas `merge_asof(direction='nearest')`):
+    * for every left row, attach the right row with the smallest |Δt| within
+    * the same `key` — whichever side of the left timestamp it falls on.
+    * Exact-distance ties resolve BACKWARD (the earlier right row), so the
+    * result is a deterministic function of the inputs.
+    *
+    * Same scale discipline as [[joinAsOf]]: ONE shuffle on the key. The
+    * union gets two window passes over the same hash partitioning — an
+    * ascending pass carrying the latest preceding right row and a
+    * descending pass carrying the earliest following one (Catalyst reuses
+    * the Exchange; only a second in-partition sort is added) — then a
+    * per-row arithmetic pick between the two candidates. The naive
+    * formulation (per-key join + global argmin per left row) is a per-key
+    * cross product — quadratic in rows-per-key at 100 TB.
+    *
+    * `leftTs`/`rightTs` must be TIMESTAMP (distances compared in exact
+    * epoch-µs) or an integral epoch column. If the right side can carry
+    * duplicate (key, ts) pairs, dedup it first — candidate choice among
+    * exact duplicates is otherwise arbitrary (same contract as
+    * [[joinAsOf]]).
+    *
+    * Output: left columns + `prefix + c` for each right payload column +
+    * `prefix + "match_ts"` (epoch-µs of the matched right row; all NULL
+    * when the key has no right rows).
+    */
+  def joinAsOfNearest(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTs: String,
+      rightTs: String,
+      rightCols: Seq[String],
+      prefix: String = "asof_"): DataFrame = {
+    import org.apache.spark.sql.types._
+
+    val leftCols = left.columns.toSeq
+    val outCols = rightCols.map(prefix + _) :+ (prefix + "match_ts")
+    val collisions = outCols.filter(leftCols.contains)
+    require(collisions.isEmpty,
+      s"as-of join output column(s) ${collisions.mkString(", ")} collide with " +
+        "left columns; pass a distinguishing prefix")
+    val internal = Seq("__tsn", "__side", "__r", "__b", "__f", "__n")
+    val reserved = internal.filter(c =>
+      leftCols.contains(c) || right.columns.contains(c))
+    require(reserved.isEmpty,
+      s"as-of join reserves column name(s) ${reserved.mkString(", ")}; " +
+        "rename them on the inputs first")
+
+    def micros(c: org.apache.spark.sql.Column, dt: DataType) = dt match {
+      case TimestampType => unix_micros(c)
+      case LongType | IntegerType | ShortType | ByteType => c.cast("long")
+      case other => throw new IllegalArgumentException(
+        s"nearest as-of needs a timestamp or integral epoch column, got $other")
+    }
+
+    val payloadType = StructType(
+      rightCols.map(c => StructField(c, right.schema(c).dataType,
+        nullable = true)) :+ StructField("__pts", LongType, nullable = true))
+
+    val lTagged = left
+      .withColumn("__tsn", micros(col(leftTs), left.schema(leftTs).dataType))
+      .withColumn("__side", lit(1))
+      .withColumn("__r", lit(null).cast(payloadType))
+    val rTagged = {
+      val base = right
+        .withColumn("__tsn", micros(col(rightTs), right.schema(rightTs).dataType))
+        .withColumn("__side", lit(0))
+        .withColumn("__r", struct(
+          rightCols.map(col) :+ col("__tsn").as("__pts"): _*))
+        .select(col(key), col("__tsn"), col("__side"), col("__r"))
+      leftCols.filterNot(_ == key).foldLeft(base) {
+        case (df, c) => df.withColumn(c, lit(null).cast(left.schema(c).dataType))
+      }
+    }
+
+    // right rows sort before left rows at equal timestamps in BOTH passes,
+    // so an exact-timestamp right row is visible to the left row from
+    // either direction (distance 0 → backward pick, same row)
+    val wB = Window.partitionBy(col(key))
+      .orderBy(col("__tsn").asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wF = Window.partitionBy(col(key))
+      .orderBy(col("__tsn").desc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val picked = lTagged.unionByName(rTagged)
+      .withColumn("__b", last(col("__r"), ignoreNulls = true).over(wB))
+      .withColumn("__f", last(col("__r"), ignoreNulls = true).over(wF))
+      .filter(col("__side") === 1)
+      .withColumn("__n",
+        when(col("__f").isNull, col("__b"))
+          .when(col("__b").isNull, col("__f"))
+          .otherwise(when(
+            col("__tsn") - col("__b.__pts") <= col("__f.__pts") - col("__tsn"),
+            col("__b")).otherwise(col("__f"))))
+
+    val projected = rightCols.foldLeft(
+        picked.withColumn(prefix + "match_ts", col("__n.__pts"))) {
+      case (df, c) => df.withColumn(prefix + c, col("__n").getField(c))
+    }
+    projected.drop("__tsn", "__side", "__r", "__b", "__f", "__n")
+  }
 }

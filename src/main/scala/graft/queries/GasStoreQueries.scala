@@ -889,6 +889,50 @@ object GasStoreQueries {
           col("bin"), col("n_points"))
         .orderBy(col("b_us"), col("_field"), col("bin"))),
 
+    // LIVE DRIFT MONITOR — ts42's PSI discipline applied to the
+    // STREAMED histograms: each sealed window scores against the first
+    // sealed window per field (the reference distribution), so a sensor
+    // whose value distribution walks away from day-one behavior raises a
+    // rising PSI as the stream runs. The streaming stage is gs22's
+    // bounded-state aggregate (shared sink — the stream runs once); the
+    // PSI compare is batch arithmetic on windows × fields × 16 cells.
+    // Same determinism kit as ts42: Laplace-smoothed integer ratios, one
+    // 6-dp ln per bin, 12-dp decimal terms.
+    "gs23_stream_ref_drift" -> ((s, _) => {
+      val h = streamHistogram(s)
+        .select(unix_micros(col("_bucket")).as("b_us"), col("_field"),
+          col("bin"), col("n_points"))
+      val frame = h.select(col("b_us"), col("_field")).distinct()
+        .crossJoin(broadcast(s.range(0, 16).toDF("bin")))
+      val dense = frame.join(h, Seq("b_us", "_field", "bin"), "left")
+        .withColumn("n", coalesce(col("n_points"), lit(0L)))
+      val tot = dense.groupBy(col("b_us"), col("_field"))
+        .agg(sum(col("n")).as("tot"))
+      val cells = dense.join(tot, Seq("b_us", "_field"))
+        .select(col("b_us"), col("_field"), col("bin"), col("n"), col("tot"))
+      val rb = cells.groupBy(col("_field")).agg(min(col("b_us")).as("rb"))
+      val ref = cells.join(rb, Seq("_field"))
+        .filter(col("b_us") === col("rb"))
+        .select(col("_field"), col("bin"), col("n").as("nr"),
+          col("tot").as("tr"))
+      cells.join(rb, Seq("_field")).filter(col("b_us") > col("rb"))
+        .join(ref, Seq("_field", "bin"))
+        .withColumn("p",
+          (col("n") + 1).cast("double") / (col("tot") + 16).cast("double"))
+        .withColumn("q",
+          (col("nr") + 1).cast("double") / (col("tr") + 16).cast("double"))
+        .withColumn("lnr", round(log(
+          ((col("n") + 1) * (col("tr") + 16)).cast("double") /
+            ((col("nr") + 1) * (col("tot") + 16)).cast("double")), 6))
+        .withColumn("term",
+          expr("cast(round((p - q) * lnr, 12) as decimal(28,12))"))
+        .groupBy(col("b_us"), col("_field"))
+        .agg(sum(col("term")).as("psi_dec"), sum(col("n")).as("n_points"))
+        .select(col("b_us"), col("_field"),
+          col("psi_dec").cast("double").as("psi"), col("n_points"))
+        .orderBy(col("b_us"), col("_field"))
+    }),
+
     // streaming candlestick bars (ts29's twin): watermark-sealed hourly
     // OHLC per field, open/close by event-time min_by/max_by
     "gs21_stream_ohlc" -> ((s, _) =>
@@ -1320,6 +1364,62 @@ object GasStoreQueries {
          |WHERE (wi + 1) * 21600000000
          |  <= epoch_us(mx - INTERVAL 30 MINUTE)
          |ORDER BY b_us, _field, bin""".stripMargin,
+
+    // gs22's sealed histograms → densified 16-bin cells → PSI of every
+    // later window against each field's first window, with ts42's exact
+    // smoothing/rounding arithmetic
+    "gs23_stream_ref_drift" ->
+      s"""$prelude,
+         |pts AS (
+         |  SELECT _time, 'CO (ppm)' AS _field, "CO (ppm)" AS _value
+         |  FROM raw
+         |  UNION ALL
+         |  SELECT _time, 'Humidity (%r.h.)', "Humidity (%r.h.)"
+         |  FROM raw),
+         |mx AS (SELECT MAX(_time) AS mx FROM pts),
+         |agg AS (
+         |  SELECT epoch_us(_time) // 21600000000 AS wi, _field,
+         |    greatest(least(CAST(floor(_value / 8.0) AS BIGINT), 15), 0)
+         |      AS bin,
+         |    COUNT(*) AS n_points
+         |  FROM pts GROUP BY wi, _field, bin),
+         |sealed AS (
+         |  SELECT wi, _field, bin, n_points FROM agg, mx
+         |  WHERE (wi + 1) * 21600000000
+         |    <= epoch_us(mx - INTERVAL 30 MINUTE)),
+         |frame AS (SELECT DISTINCT wi, _field FROM sealed),
+         |dense AS (
+         |  SELECT f.wi, f._field, t.bin, COALESCE(s.n_points, 0) AS n
+         |  FROM frame f CROSS JOIN range(0, 16) t(bin)
+         |  LEFT JOIN sealed s ON s.wi = f.wi AND s._field = f._field
+         |    AND s.bin = t.bin),
+         |tot AS (SELECT wi, _field, SUM(n) AS tot FROM dense
+         |        GROUP BY wi, _field),
+         |cells AS (SELECT d.wi, d._field, d.bin, d.n, tt.tot
+         |          FROM dense d JOIN tot tt USING (wi, _field)),
+         |rb AS (SELECT _field, MIN(wi) AS rwi FROM cells GROUP BY _field),
+         |ref AS (SELECT c._field, c.bin, c.n AS nr, c.tot AS tr
+         |        FROM cells c JOIN rb ON rb._field = c._field
+         |          AND c.wi = rb.rwi),
+         |j AS (
+         |  SELECT c.wi, c._field, c.bin, c.n, c.tot, r.nr, r.tr
+         |  FROM cells c
+         |  JOIN ref r ON r._field = c._field AND r.bin = c.bin
+         |  JOIN rb ON rb._field = c._field
+         |  WHERE c.wi > rb.rwi),
+         |terms AS (
+         |  SELECT wi, _field, n,
+         |    CAST(ROUND(
+         |      ((CAST(n + 1 AS DOUBLE) / (tot + 16))
+         |        - (CAST(nr + 1 AS DOUBLE) / (tr + 16)))
+         |      * ROUND(ln(CAST((n + 1) * (tr + 16) AS DOUBLE)
+         |                 / ((nr + 1) * (tot + 16))), 6)
+         |    , 12) AS DECIMAL(28,12)) AS term
+         |  FROM j)
+         |SELECT wi * 21600000000 AS b_us, _field,
+         |  CAST(SUM(term) AS DOUBLE) AS psi, SUM(n) AS n_points
+         |FROM terms GROUP BY wi, _field
+         |ORDER BY b_us, _field""".stripMargin,
 
     "gs21_stream_ohlc" ->
       s"""$prelude,

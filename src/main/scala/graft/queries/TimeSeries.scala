@@ -913,6 +913,42 @@ object TimeSeries {
         .orderBy(col("event_type"), col("day"))
     }),
 
+    // NEAREST-direction as-of join (pandas merge_asof direction='nearest')
+    // — ts04 answers "what was the state BEFORE this event"; this answers
+    // "which purchase does this click belong to", where the match may sit
+    // on either side of the click (attribution, sensor alignment, label
+    // propagation to the closest reading). One shuffle on the user key,
+    // two window passes over the SAME exchange (asc + desc), arithmetic
+    // pick with the deterministic backward tie rule — see
+    // [[graft.operators.AsOfJoin.joinAsOfNearest]]. The right side is
+    // deduped per (user, µs) first (the operator's uniqueness contract);
+    // the left is a 1/10 sample so the oracle's per-key candidate join
+    // stays bounded.
+    "ts43_asof_nearest" -> ((s, dir) => {
+      val e = ev(s, dir)
+      val clicks = e
+        .filter(col("event_type") === "click" && col("event_id") % 10 === 0)
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(min_by(struct(col("event_id"), col("value")), col("event_id"))
+          .as("p"))
+        .select(col("user_id"), col("ts"), col("p.event_id").as("p_id"),
+          col("p.value").as("p_value"))
+      graft.operators.AsOfJoin.joinAsOfNearest(clicks, purchases, "user_id",
+          "ts", "ts", Seq("p_id", "p_value"), prefix = "near_")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          col("near_p_id").as("near_purchase_id"),
+          col("near_match_ts").as("near_ts_us"),
+          col("near_p_value").as("near_value"),
+          when(col("near_match_ts").isNull, lit(null).cast("string"))
+            .when(col("near_match_ts") <= unix_micros(col("ts")),
+              lit("backward"))
+            .otherwise(lit("forward")).as("direction"))
+        .orderBy(col("event_id"))
+    }),
+
     // Cross-correlation — ts27 asks "does a series repeat itself?"; ts28
     // asks "does series A LEAD series B?" (the ops question behind
     // cause-effect dashboards): Pearson r between A's hourly-mean series
@@ -2245,6 +2281,34 @@ object TimeSeries {
         |  SUM(nc) AS n_cur, SUM(np) AS n_prev
         |FROM terms GROUP BY event_type, day
         |ORDER BY event_type, day""".stripMargin,
+
+    // candidate-join replay of the nearest pick: rank per click by
+    // (|Δt|, earlier-first) — the second key IS the backward tie rule;
+    // LEFT JOIN keeps clicks whose user never purchased
+    "ts43_asof_nearest" ->
+      """WITH l AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS ts_us
+        |  FROM events WHERE event_type = 'click' AND event_id % 10 = 0),
+        |r0 AS (
+        |  SELECT user_id, epoch_us(ts) AS rts, value, event_id,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id, epoch_us(ts)
+        |      ORDER BY event_id) AS dn
+        |  FROM events WHERE event_type = 'purchase'),
+        |r AS (SELECT user_id, rts, value, event_id FROM r0 WHERE dn = 1),
+        |cand AS (
+        |  SELECT l.event_id, r.event_id AS p_id, r.rts, r.value,
+        |    ROW_NUMBER() OVER (PARTITION BY l.event_id
+        |      ORDER BY abs(r.rts - l.ts_us), r.rts) AS rk
+        |  FROM l JOIN r USING (user_id))
+        |SELECT l.event_id, l.user_id, l.ts_us,
+        |  c.p_id AS near_purchase_id, c.rts AS near_ts_us,
+        |  c.value AS near_value,
+        |  CASE WHEN c.p_id IS NULL THEN NULL
+        |       WHEN c.rts <= l.ts_us THEN 'backward'
+        |       ELSE 'forward' END AS direction
+        |FROM l LEFT JOIN (SELECT * FROM cand WHERE rk = 1) c
+        |  ON c.event_id = l.event_id
+        |ORDER BY l.event_id""".stripMargin,
 
     // step-for-step Kalman replay: same exact-decimal parameter moments
     // (R = variance clamped at 1e-6, Q = R/10), same 6-dp-rounded
