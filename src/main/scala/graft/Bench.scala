@@ -43,9 +43,13 @@ object Bench {
     // warm-up: JVM + codegen + parquet footer caches
     SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
 
-    // optional positional arg: only queries whose name starts with the prefix
+    // optional positional arg: only queries whose name starts with one of
+    // the comma-separated prefixes (e.g. "tx35,ts41" — one JVM per ladder
+    // rung instead of one per query)
     val selected = positional.headOption match {
-      case Some(prefix) => SparkEntry.queries.filter(_._1.startsWith(prefix))
+      case Some(prefixes) =>
+        val ps = prefixes.split(',').filter(_.nonEmpty)
+        SparkEntry.queries.filter { case (n, _) => ps.exists(n.startsWith) }
       case None => SparkEntry.queries
     }
     // best-of-N per query, whole-suite passes interleaved (pass 1 all
