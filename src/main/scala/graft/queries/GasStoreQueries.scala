@@ -3,6 +3,7 @@ package graft.queries
 import java.nio.file.Files
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.GasPipeline
@@ -889,6 +890,34 @@ object GasStoreQueries {
           col("bin"), col("n_points"))
         .orderBy(col("b_us"), col("_field"), col("bin"))),
 
+    // STREAMING QUANTILE — ts16's Prometheus histogram_quantile on the
+    // LIVE histograms: p50 per sealed window × field, interpolated inside
+    // the 16-bin distribution. Same determinism trick as ts16: the target
+    // bin is chosen by the INTEGER comparison 2·cum ≥ total (no 0.5·N
+    // float threshold to diverge), and the interpolation is one division
+    // of exact integer-derived doubles. The stream stage is gs22's shared
+    // bounded-state sink; the quantile is window arithmetic on
+    // windows × fields × ≤16 rows.
+    "gs24_stream_quantile" -> ((s, _) => {
+      val h = streamHistogram(s)
+        .select(unix_micros(col("_bucket")).as("b_us"), col("_field"),
+          col("bin"), col("n_points"))
+      val wc = Window.partitionBy(col("b_us"), col("_field"))
+        .orderBy(col("bin"))
+      val wt = Window.partitionBy(col("b_us"), col("_field"))
+      h.withColumn("cum", sum(col("n_points")).over(wc))
+        .withColumn("total", sum(col("n_points")).over(wt))
+        .filter(col("n_points") > 0 && lit(2) * col("cum") >= col("total"))
+        .withColumn("rk", row_number().over(wc))
+        .filter(col("rk") === 1)
+        .select(col("b_us"), col("_field"), col("total").as("n_points"),
+          (col("bin") * lit(8.0) + lit(8.0) *
+            (col("total").cast("double") / lit(2.0)
+              - (col("cum") - col("n_points")).cast("double"))
+            / col("n_points").cast("double")).as("q50_est"))
+        .orderBy(col("b_us"), col("_field"))
+    }),
+
     // LIVE DRIFT MONITOR — ts42's PSI discipline applied to the
     // STREAMED histograms: each sealed window scores against the first
     // sealed window per field (the reference distribution), so a sensor
@@ -1364,6 +1393,45 @@ object GasStoreQueries {
          |WHERE (wi + 1) * 21600000000
          |  <= epoch_us(mx - INTERVAL 30 MINUTE)
          |ORDER BY b_us, _field, bin""".stripMargin,
+
+    // gs22's sealed histograms → cumulative counts → the same integer
+    // 2·cum ≥ total bin pick and interpolation arithmetic
+    "gs24_stream_quantile" ->
+      s"""$prelude,
+         |pts AS (
+         |  SELECT _time, 'CO (ppm)' AS _field, "CO (ppm)" AS _value
+         |  FROM raw
+         |  UNION ALL
+         |  SELECT _time, 'Humidity (%r.h.)', "Humidity (%r.h.)"
+         |  FROM raw),
+         |mx AS (SELECT MAX(_time) AS mx FROM pts),
+         |agg AS (
+         |  SELECT epoch_us(_time) // 21600000000 AS wi, _field,
+         |    greatest(least(CAST(floor(_value / 8.0) AS BIGINT), 15), 0)
+         |      AS bin,
+         |    COUNT(*) AS n_points
+         |  FROM pts GROUP BY wi, _field, bin),
+         |sealed AS (
+         |  SELECT wi, _field, bin, n_points FROM agg, mx
+         |  WHERE (wi + 1) * 21600000000
+         |    <= epoch_us(mx - INTERVAL 30 MINUTE)),
+         |tot AS (SELECT wi, _field, SUM(n_points) AS total FROM sealed
+         |        GROUP BY wi, _field),
+         |c AS (
+         |  SELECT s.wi, s._field, s.bin, s.n_points,
+         |    SUM(s.n_points) OVER (PARTITION BY s.wi, s._field
+         |      ORDER BY s.bin) AS cum,
+         |    t.total
+         |  FROM sealed s JOIN tot t USING (wi, _field)),
+         |q AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY wi, _field
+         |    ORDER BY bin) AS rk
+         |  FROM c WHERE n_points > 0 AND 2 * cum >= total)
+         |SELECT wi * 21600000000 AS b_us, _field, total AS n_points,
+         |  bin * 8.0 + 8.0 * (CAST(total AS DOUBLE) / 2.0
+         |    - CAST(cum - n_points AS DOUBLE)) / n_points AS q50_est
+         |FROM q WHERE rk = 1
+         |ORDER BY b_us, _field""".stripMargin,
 
     // gs22's sealed histograms → densified 16-bin cells → PSI of every
     // later window against each field's first window, with ts42's exact

@@ -913,6 +913,40 @@ object TimeSeries {
         .orderBy(col("event_type"), col("day"))
     }),
 
+    // ROLLING DISTINCT — 7-day active users per event_type, the window
+    // aggregate that CANNOT decompose (distinct isn't summable across
+    // days, so no partial-merge trick exists; ts20's HLL rollup is the
+    // sketch escape hatch, this is the EXACT path). The distributed-exact
+    // shape: dedup to (type, user, day) FIRST (the fan-out multiplier
+    // then applies to distinct user-days, not raw events), explode each
+    // into its ≤ 7 target windows, dedup again on (type, user, window),
+    // and count — two hash-keyed dedups and a bounded 7× fan-out, no
+    // per-window re-scan, no window function over an unbounded set.
+    // Output only for days the type actually has (inner join to the
+    // day frame).
+    "ts44_rolling_distinct" -> ((s, dir) => {
+      val du = ev(s, dir)
+        .select(col("event_type"), to_date(col("ts")).as("day"),
+          col("user_id"))
+        .distinct()
+      val days = du.select(col("event_type"), col("day")).distinct()
+      val fan = du
+        .select(col("event_type"), col("user_id"),
+          explode(expr("sequence(day, date_add(day, 6))")).as("wday"))
+        .distinct()
+      val w7 = fan
+        .join(days.select(col("event_type"), col("day").as("wday")),
+          Seq("event_type", "wday"))
+        .groupBy(col("event_type"), col("wday").as("day"))
+        .agg(count(lit(1)).as("n_active_7d"))
+      val d1 = du.groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("n_active_1d"))
+      d1.join(w7, Seq("event_type", "day"))
+        .select(col("event_type"), col("day"), col("n_active_1d"),
+          col("n_active_7d"))
+        .orderBy(col("event_type"), col("day"))
+    }),
+
     // NEAREST-direction as-of join (pandas merge_asof direction='nearest')
     // — ts04 answers "what was the state BEFORE this event"; this answers
     // "which purchase does this click belong to", where the match may sit
@@ -2280,6 +2314,28 @@ object TimeSeries {
         |SELECT event_type, day, CAST(SUM(term) AS DOUBLE) AS psi,
         |  SUM(nc) AS n_cur, SUM(np) AS n_prev
         |FROM terms GROUP BY event_type, day
+        |ORDER BY event_type, day""".stripMargin,
+
+    // same dedup → 7-way fan-out → dedup → count; day + o is DATE
+    // integer-day arithmetic on both engines
+    "ts44_rolling_distinct" ->
+      """WITH du AS (
+        |  SELECT DISTINCT event_type, CAST(ts AS DATE) AS day, user_id
+        |  FROM events),
+        |days AS (SELECT DISTINCT event_type, day FROM du),
+        |fan AS (
+        |  SELECT DISTINCT d.event_type, d.user_id,
+        |    d.day + CAST(o AS INTEGER) AS wday
+        |  FROM du d, range(0, 7) t(o)),
+        |w7 AS (
+        |  SELECT f.event_type, f.wday AS day, COUNT(*) AS n_active_7d
+        |  FROM fan f JOIN days dy ON dy.event_type = f.event_type
+        |    AND dy.day = f.wday
+        |  GROUP BY 1, 2),
+        |d1 AS (SELECT event_type, day, COUNT(*) AS n_active_1d
+        |       FROM du GROUP BY 1, 2)
+        |SELECT event_type, day, n_active_1d, n_active_7d
+        |FROM d1 JOIN w7 USING (event_type, day)
         |ORDER BY event_type, day""".stripMargin,
 
     // candidate-join replay of the nearest pick: rank per click by
