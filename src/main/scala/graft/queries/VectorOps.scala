@@ -617,6 +617,28 @@ object VectorOps {
         .orderBy(col("cluster"), col("pos"))
     }),
 
+    // K-SELECTION ELBOW — the measurement that PRECEDES v15/v16 in a real
+    // curation pipeline: how many clusters does this corpus need? Run the
+    // same seeded 2-iteration k-means at k ∈ {2, 4, 8} and report the
+    // mean best-assignment cosine per k (the cosine analogue of inertia —
+    // higher = tighter cells; the elbow is where the increments flatten).
+    // Each arm is v15's plan (broadcast centroids, one max-struct assign
+    // agg); the three arms share the corpus scan via the union. The mean
+    // is the UNROUNDED quotient of an exact decimal sum by a count — the
+    // tx06 discipline, no round-on-quotient hazard.
+    "v25_kmeans_elbow" -> ((s, dir) => {
+      graft.functions.VectorFunctions.register(s)
+      val e = emb(s, dir)
+      Seq(2, 4, 8).map { k =>
+        kmeansAssign(e, kmeansCentroids(e, iters = 2, k = k))
+          .agg(count(lit(1)).as("n_vectors"),
+            sum(col("csim").cast("decimal(18,6)")).as("s"))
+          .select(lit(k.toLong).as("k"), col("n_vectors"),
+            (col("s").cast("double") / col("n_vectors").cast("double"))
+              .as("mean_best_sim"))
+      }.reduce(_.unionByName(_)).orderBy(col("k"))
+    }),
+
     // SEMANTIC DEDUP, SemDeDup-shaped (Abbas et al. 2023, public): cluster
     // the corpus with k-means (v15's iterated centroids), then find
     // near-duplicates ONLY within each cluster — pairwise cosine is
@@ -917,8 +939,8 @@ object VectorOps {
   }
 
   /** Deterministic seeds (vec_id < 8) iterated `iters` Lloyd steps. */
-  private def kmeansCentroids(e: DataFrame, iters: Int): DataFrame = {
-    val seeds = e.filter(col("vec_id") < 8)
+  private def kmeansCentroids(e: DataFrame, iters: Int, k: Int = 8): DataFrame = {
+    val seeds = e.filter(col("vec_id") < k)
       .select(col("vec_id").as("cid"), col("emb").as("cvec"))
       .withColumn("cnorm", expr("sqrt(graft_dot(cvec, cvec))"))
     (1 to iters).foldLeft(seeds)((c, _) => kmeansIter(e, c))
@@ -1747,6 +1769,27 @@ object VectorOps {
          |FROM fin f LEFT JOIN st ON f.cid = st.cid
          |ORDER BY cluster, pos""".stripMargin,
 
+    // three suffixed k-means replays sharing one corpus CTE; per arm the
+    // same decimal-sum / count quotient
+    "v25_kmeans_elbow" ->
+      s"""WITH $embSql,
+         |${kmeansSqlFrom(2, "x2")},
+         |${kmeansSqlFrom(4, "x4")},
+         |${kmeansSqlFrom(8, "x8")}
+         |SELECT CAST(2 AS BIGINT) AS k, COUNT(*) AS n_vectors,
+         |  CAST(SUM(CAST(csim AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+         |    AS mean_best_sim
+         |FROM afx2
+         |UNION ALL
+         |SELECT CAST(4 AS BIGINT), COUNT(*),
+         |  CAST(SUM(CAST(csim AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+         |FROM afx4
+         |UNION ALL
+         |SELECT CAST(8 AS BIGINT), COUNT(*),
+         |  CAST(SUM(CAST(csim AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+         |FROM afx8
+         |ORDER BY k""".stripMargin,
+
     // v15's k-means replay + within-cluster pair enumeration + the same
     // WITH RECURSIVE reachability closure as v10/tx14
     "v16_semantic_dedup" ->
@@ -2040,37 +2083,46 @@ object VectorOps {
     * two Lloyd iterations (assign → 6-dp mean update, empty cells keep
     * their centroid) → final assignment `af(vec_id, cid, csim)`. The
     * text is CTE bodies only (no WITH), so callers can prepend RECURSIVE. */
-  private def kmeansSql: String = {
+  // def, not val: the oracle map interpolates this during object init,
+  // BEFORE a later-declared val would be assigned (a val here reads null)
+  private def embSql: String =
+    """e AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS emb,
+      |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+      |  FROM embeddings)""".stripMargin
+
+  /** The 2-iteration k-means replay for a given seed count, with every CTE
+    * name suffixed so several k arms can share one WITH (and the shared
+    * `e` corpus CTE from [[embSql]]). */
+  private def kmeansSqlFrom(k: Int, sfx: String): String = {
     def step(i: Int, prev: String) =
-      s"""s$i AS (
+      s"""s$i$sfx AS (
          |  SELECT vec_id, cid,
          |    ROUND(list_dot_product(emb, cvec)
          |      / (norm * sqrt(list_dot_product(cvec, cvec))), 6) AS csim
          |  FROM e, $prev),
-         |a$i AS (SELECT vec_id, cid FROM (
+         |a$i$sfx AS (SELECT vec_id, cid FROM (
          |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
-         |      ORDER BY csim DESC, cid) AS rn FROM s$i) WHERE rn = 1),
-         |m$i AS (SELECT cid, pos, ROUND(AVG(val), 6) AS cv FROM (
+         |      ORDER BY csim DESC, cid) AS rn FROM s$i$sfx) WHERE rn = 1),
+         |m$i$sfx AS (SELECT cid, pos, ROUND(AVG(val), 6) AS cv FROM (
          |    SELECT a.cid, unnest(e.emb) AS val,
          |      generate_subscripts(e.emb, 1) AS pos
-         |    FROM a$i a JOIN e ON e.vec_id = a.vec_id) GROUP BY cid, pos),
-         |c$i AS (SELECT p.cid, coalesce(n.nv, p.cvec) AS cvec FROM $prev p
-         |    LEFT JOIN (SELECT cid, list(cv ORDER BY pos) AS nv FROM m$i
+         |    FROM a$i$sfx a JOIN e ON e.vec_id = a.vec_id) GROUP BY cid, pos),
+         |c$i$sfx AS (SELECT p.cid, coalesce(n.nv, p.cvec) AS cvec FROM $prev p
+         |    LEFT JOIN (SELECT cid, list(cv ORDER BY pos) AS nv FROM m$i$sfx
          |               GROUP BY cid) n ON p.cid = n.cid)""".stripMargin
-    s"""e AS (
-       |  SELECT vec_id, embedding::DOUBLE[] AS emb,
-       |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
-       |  FROM embeddings),
-       |c0 AS (SELECT vec_id AS cid, emb AS cvec FROM e WHERE vec_id < 8),
-       |${step(1, "c0")},
-       |${step(2, "c1")},
-       |sf AS (
+    s"""c0$sfx AS (SELECT vec_id AS cid, emb AS cvec FROM e WHERE vec_id < $k),
+       |${step(1, s"c0$sfx")},
+       |${step(2, s"c1$sfx")},
+       |sf$sfx AS (
        |  SELECT vec_id, cid,
        |    ROUND(list_dot_product(emb, cvec)
        |      / (norm * sqrt(list_dot_product(cvec, cvec))), 6) AS csim
-       |  FROM e, c2),
-       |af AS (SELECT vec_id, cid, csim FROM (
+       |  FROM e, c2$sfx),
+       |af$sfx AS (SELECT vec_id, cid, csim FROM (
        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
-       |      ORDER BY csim DESC, cid) AS rn FROM sf) WHERE rn = 1)""".stripMargin
+       |      ORDER BY csim DESC, cid) AS rn FROM sf$sfx) WHERE rn = 1)""".stripMargin
   }
+
+  private def kmeansSql: String = s"$embSql,\n${kmeansSqlFrom(8, "")}"
 }

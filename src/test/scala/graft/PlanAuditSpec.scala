@@ -364,6 +364,24 @@ class PlanAuditSpec extends SparkSpec {
       s"UDF body not macro-expanded into the aggregate:\n$p")
   }
 
+  test("nearest as-of: both window passes share ONE key exchange (the operator's headline claim)") {
+    import org.apache.spark.sql.functions.col
+    val left = spark.range(100)
+      .selectExpr("id % 5 AS k", "id * 7 AS t", "id AS lid")
+    val right = spark.range(40)
+      .selectExpr("id % 5 AS k", "id * 11 AS t", "id AS rid")
+    val df = graft.operators.AsOfJoin
+      .joinAsOfNearest(left, right, "k", "t", "t", Seq("rid"))
+    val p = planString(df).split("== Initial Plan ==").head
+    // exactly one hashpartitioning exchange on the key feeds BOTH the
+    // ascending and descending window sorts — a second exchange would mean
+    // the operator reshuffles between passes and the 100 TB story is wrong
+    assert(countShuffles(p) == 1,
+      s"expected exactly 1 shuffle (asc+desc windows over one exchange):\n$p")
+    assert(raw"Sort \[".r.findAllIn(p).size >= 2,
+      s"expected two in-partition sorts (asc + desc):\n$p")
+  }
+
   test("tx35: containment pair generation is shingle-keyed hash joins, never a cartesian") {
     val p = planString(q("tx35_containment_dedup"))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
