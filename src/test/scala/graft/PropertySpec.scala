@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.Row
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, StructField, StructType, TimestampType}
 import org.scalacheck.{Gen, Prop, Properties}
@@ -144,6 +145,71 @@ object PropertySpec extends Properties("graft") {
       val bdWant = (BigDecimal(vals.take(n).sum) / 100 / n)
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
       got == wantD && wantD == bdWant
+    }
+
+  /** ts41's sorted-array rolling median/MAD construction ≡ brute force —
+    * bit-exact double equality, because both sides run the same IEEE sort,
+    * element picks and one (a+b)/2 per statistic. */
+  property("rollingMedianMadMatchesBruteForce") =
+    Prop.forAll(Gen.nonEmptyListOf(Gen.chooseNum(1, 20000))) { cents =>
+      val vals = cents.take(60).map(_ / 100.0)
+      val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("i", "v").withColumn("g", lit(1))
+      val w = Window.partitionBy(col("g")).orderBy(col("i"))
+        .rowsBetween(-14, 0)
+      val got = df
+        .withColumn("arr", sort_array(collect_list(col("v")).over(w)))
+        .withColumn("n", size(col("arr")))
+        .withColumn("med",
+          (element_at(col("arr"), expr("cast((n + 1) div 2 as int)")) +
+            element_at(col("arr"), expr("cast((n + 2) div 2 as int)"))) / 2)
+        .withColumn("devs",
+          expr("array_sort(transform(arr, x -> abs(x - med)))"))
+        .withColumn("mad",
+          (element_at(col("devs"), expr("cast((n + 1) div 2 as int)")) +
+            element_at(col("devs"), expr("cast((n + 2) div 2 as int)"))) / 2)
+        .select("i", "med", "mad").collect()
+        .map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+      def med(xs: Seq[Double]): Double = {
+        val s = xs.sorted
+        val n = s.size
+        (s((n + 1) / 2 - 1) + s((n + 2) / 2 - 1)) / 2
+      }
+      vals.indices.forall { i =>
+        val win = vals.slice(math.max(0, i - 14), i + 1)
+        val m = med(win)
+        got(i.toLong) == ((m, med(win.map(x => math.abs(x - m)))))
+      }
+    }
+
+  /** ts44's dedup → 7-day fan-out → dedup → count construction ≡ a naive
+    * per-day distinct scan. */
+  property("rollingDistinctMatchesBruteForce") =
+    Prop.forAll(Gen.nonEmptyListOf(
+        Gen.zip(Gen.chooseNum(0, 20), Gen.chooseNum(0, 9)))) { pairs0 =>
+      val pairs = pairs0.take(80)
+      val df = pairs.map { case (d, u) => (d.toLong, u.toLong) }
+        .toDF("dayo", "user_id")
+        .select(expr("date_add(DATE '2024-01-01', cast(dayo as int))")
+          .as("day"), col("user_id"))
+      val du = df.distinct()
+      val days = du.select(col("day")).distinct()
+      val got = du
+        .select(col("user_id"),
+          explode(expr("sequence(day, date_add(day, 6))")).as("wday"))
+        .distinct()
+        .join(days.select(col("day").as("wday")), Seq("wday"))
+        .groupBy(col("wday"))
+        .agg(count(lit(1)).as("n7"))
+        .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+      val present = pairs.map(_._1).distinct
+      present.forall { d =>
+        val want = pairs.collect {
+          case (pd, u) if pd <= d && pd >= d - 6 => u
+        }.distinct.size.toLong
+        val key = java.time.LocalDate.of(2024, 1, 1).plusDays(d).toString
+        got(key) == want
+      }
     }
 
   /** The non-negative-sum precondition is ENFORCED: Spark `div` truncates
