@@ -383,6 +383,39 @@ object Multimodal {
     }
   }
 
+  /** Outcome of an integrity pass over one container: `ok` rows carry the
+    * decoded-content checksum, `quarantined` rows carry 0. */
+  case class IntegrityRow(media_id: Long, status: String, checksum: Long)
+
+  /** CORRUPT-CONTAINER QUARANTINE — the ingest-time integrity screen a
+    * media corpus runs before anything downstream touches payloads: decode
+    * each container under a per-row guard; CRC mismatches, truncated
+    * chunks and broken zlib streams QUARANTINE the row instead of failing
+    * the whole job (the classic "one bad file kills the 100 TB batch"
+    * failure). Detection is the REAL codec's own framing checks (PNG
+    * chunk CRC-32 is verified on parse — MediaCodecs.Png), not a
+    * heuristic. Map-side only; one tiny status row per container. */
+  def pngIntegrity(media: Dataset[Container]): Dataset[IntegrityRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { c =>
+        try {
+          val img = MediaCodecs.Png.parse(c.payload)
+          var chk = 0L
+          var i = 0
+          while (i < img.rgb.length) {
+            chk = (chk * 31 + img.rgb(i)) % 1000000007L
+            i += 1
+          }
+          IntegrityRow(c.media_id, "ok", chk)
+        } catch {
+          case scala.util.control.NonFatal(_) =>
+            IntegrityRow(c.media_id, "quarantined", 0L)
+        }
+      }
+    }
+  }
+
   /** One resampled audio clip: exact integer aggregates over the
     * rate-converted PCM (any float is derived downstream). */
   case class ResampledAudio(media_id: Long, src_rate: Long, dst_rate: Long,

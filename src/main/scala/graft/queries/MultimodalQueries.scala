@@ -286,7 +286,31 @@ object MultimodalQueries {
             fanout(Tables.table(s, dir, "documents"))
               .filter(col("doc_id") % 2 === 0)), bins = 4)
         .toDF()
-        .orderBy(col("media_id"), col("channel"), col("bin")))
+        .orderBy(col("media_id"), col("channel"), col("bin"))),
+
+    // CORRUPT-CONTAINER QUARANTINE: every 17th PNG payload gets one byte
+    // inside its first post-IHDR chunk flipped (offset 41 = first data
+    // byte, inside the chunk's CRC-32 coverage), and the integrity pass
+    // must catch EVERY corruption via the codec's own CRC verification
+    // while decoding the rest bit-exactly — the oracle predicts the
+    // quarantine set arithmetically and replays the survivors' checksums
+    // from the closed-form content formula, so a missed corruption OR a
+    // false quarantine flips the hash. One bad file must never kill the
+    // batch (per-row guard, not a job failure).
+    "mm16_integrity_quarantine" -> ((s, dir) => {
+      val media = Multimodal.syntheticPngs(
+        fanout(Tables.table(s, dir, "documents")))
+      import media.sparkSession.implicits._
+      val corrupted = media.map { c =>
+        if (c.media_id % 17 == 0) {
+          val b = c.payload.clone()
+          b(41) = (b(41) ^ 0xFF).toByte
+          Multimodal.Container(c.media_id, b)
+        } else c
+      }
+      Multimodal.pngIntegrity(corrupted).toDF()
+        .orderBy(col("media_id"))
+    })
   )
 
   val oracle: Map[String, String] = Map(
@@ -701,6 +725,23 @@ object MultimodalQueries {
         |SELECT media_id, CAST(c AS BIGINT) AS channel,
         |  CAST(bin AS BIGINT) AS bin, COUNT(*) AS n_px
         |FROM px GROUP BY media_id, c, bin
-        |ORDER BY media_id, channel, bin""".stripMargin
+        |ORDER BY media_id, channel, bin""".stripMargin,
+
+    // quarantine set = the arithmetic corruption rule; survivors replay
+    // mm07's closed-form decoded checksum (PNG m: w = 3+m%6, h = 2+m%5,
+    // channel j = (m*37 + j*11) % 256)
+    "mm16_integrity_quarantine" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id, 3 + doc_id % 6 AS w, 2 + doc_id % 5 AS h
+        |  FROM documents)
+        |SELECT media_id,
+        |  CASE WHEN media_id % 17 = 0 THEN 'quarantined' ELSE 'ok' END
+        |    AS status,
+        |  CASE WHEN media_id % 17 = 0 THEN 0
+        |       ELSE list_reduce(list_prepend(0::BIGINT,
+        |         list_transform(range(0, w*h*3),
+        |           j -> (media_id*37 + j*11) % 256)),
+        |         (acc, v) -> (acc*31 + v) % 1000000007) END AS checksum
+        |FROM m ORDER BY media_id""".stripMargin
   )
 }

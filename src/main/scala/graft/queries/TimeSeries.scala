@@ -913,6 +913,38 @@ object TimeSeries {
         .orderBy(col("event_type"), col("day"))
     }),
 
+    // SLO BURN-RATE — the Google-SRE multi-window alert ts32's
+    // threshold-for-duration rule can't express: alarm only when the
+    // SHORT-window error rate (1 h — fast detection) AND the LONG-window
+    // rate (6 h — burn confirmation) both exceed their thresholds, which
+    // suppresses both blips and slow-bleed false negatives. Rates are
+    // unrounded integer-ratio IEEE divisions; the 6 h sums use a RANGE
+    // frame on the integer hour index so missing hours count as empty
+    // instead of silently shrinking the window (a ROWS frame would be
+    // wrong on sparse hours). Scale shape: events compress to one row
+    // per hour FIRST; the unpartitioned window then runs over the tiny
+    // |hours| frame, not the event stream.
+    "ts45_burn_rate" -> ((s, dir) => {
+      val hourly = ev(s, dir)
+        .groupBy(expr("unix_micros(date_trunc('hour', ts)) div 3600000000")
+          .as("hi"))
+        .agg(count(lit(1)).as("n_tot"),
+          sum(when(col("event_type") === "error", 1L).otherwise(0L))
+            .as("n_err"))
+      val w6 = Window.orderBy(col("hi")).rangeBetween(-5, 0)
+      hourly
+        .withColumn("n_tot_6h", sum(col("n_tot")).over(w6))
+        .withColumn("n_err_6h", sum(col("n_err")).over(w6))
+        .withColumn("r1",
+          col("n_err").cast("double") / col("n_tot").cast("double"))
+        .withColumn("r6",
+          col("n_err_6h").cast("double") / col("n_tot_6h").cast("double"))
+        .withColumn("burn_alert", col("r1") > 0.25 && col("r6") > 0.22)
+        .select(col("hi"), col("n_tot"), col("n_err"), col("n_tot_6h"),
+          col("n_err_6h"), col("r1"), col("r6"), col("burn_alert"))
+        .orderBy(col("hi"))
+    }),
+
     // ROLLING DISTINCT — 7-day active users per event_type, the window
     // aggregate that CANNOT decompose (distinct isn't summable across
     // days, so no partial-merge trick exists; ts20's HLL rollup is the
@@ -2315,6 +2347,31 @@ object TimeSeries {
         |  SUM(nc) AS n_cur, SUM(np) AS n_prev
         |FROM terms GROUP BY event_type, day
         |ORDER BY event_type, day""".stripMargin,
+
+    // hourly compression + the same integer-indexed RANGE frame; casts
+    // pin DuckDB's HUGEINT sums back to BIGINT
+    "ts45_burn_rate" ->
+      """WITH hourly AS (
+        |  SELECT epoch_us(date_trunc('hour', ts)) // 3600000000 AS hi,
+        |    COUNT(*) AS n_tot,
+        |    CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_err
+        |  FROM events GROUP BY hi),
+        |w AS (
+        |  SELECT hi, n_tot, n_err,
+        |    CAST(SUM(n_tot) OVER (ORDER BY hi
+        |      RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS n_tot_6h,
+        |    CAST(SUM(n_err) OVER (ORDER BY hi
+        |      RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS n_err_6h
+        |  FROM hourly)
+        |SELECT hi, n_tot, n_err, n_tot_6h, n_err_6h,
+        |  CAST(n_err AS DOUBLE) / n_tot AS r1,
+        |  CAST(n_err_6h AS DOUBLE) / n_tot_6h AS r6,
+        |  CAST(n_err AS DOUBLE) / n_tot > 0.25
+        |    AND CAST(n_err_6h AS DOUBLE) / n_tot_6h > 0.22 AS burn_alert
+        |FROM w ORDER BY hi""".stripMargin,
 
     // same dedup → 7-way fan-out → dedup → count; day + o is DATE
     // integer-day arithmetic on both engines
