@@ -150,6 +150,28 @@ object Relational {
           ||> ORDER BY l_returnflag, l_linestatus""".stripMargin)
     }),
 
+    // -- SQL PIVOT clause (the fourth SQL front door next to q43's
+    // WITH RECURSIVE, q44's pipes and q52's UNPIVOT): q13's long→wide
+    // reshape written as the PIVOT table operator — Catalyst plans the
+    // clause into the same scan→partial-agg→final-agg the API twin gets
+    // (the pivot columns become one conditional aggregate each; no
+    // row-explosion stage). The oracle replays as portable conditional
+    // CASE aggregation — the classic pre-PIVOT SQL form every engine
+    // runs identically.
+    "q53_sql_pivot" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql(
+        """SELECT * FROM (
+          |  SELECT o_orderpriority, o_orderstatus,
+          |    CAST(o_totalprice AS DECIMAL(18,6)) AS price
+          |  FROM orders)
+          |PIVOT (
+          |  COUNT(*) AS n,
+          |  CAST(SUM(price) AS DOUBLE) AS revenue
+          |  FOR o_orderstatus IN ('O' AS o, 'F' AS f, 'P' AS p))
+          |ORDER BY o_orderpriority""".stripMargin)
+    }),
+
     // -- VARIANT ingestion (the Spark 4 semi-structured type): parse the
     // JSON props column ONCE into a VARIANT, extract typed paths with
     // variant_get (erroring semantics) and try_variant_get (NULL on
@@ -1455,6 +1477,25 @@ object Relational {
         |WHERE l_shipdate >= DATE '1996-01-01'
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    // conditional-aggregation replay of the PIVOT clause (the classic
+    // pre-PIVOT SQL form) — identical cells, portable ANSI text
+    "q53_sql_pivot" ->
+      """SELECT o_orderpriority,
+        |  COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS o_n,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'O'
+        |    THEN CAST(o_totalprice AS DECIMAL(18,6)) END) AS DOUBLE)
+        |    AS o_revenue,
+        |  COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS f_n,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'F'
+        |    THEN CAST(o_totalprice AS DECIMAL(18,6)) END) AS DOUBLE)
+        |    AS f_revenue,
+        |  COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS p_n,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'P'
+        |    THEN CAST(o_totalprice AS DECIMAL(18,6)) END) AS DOUBLE)
+        |    AS p_revenue
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
 
     // 4-arm UNION ALL replay of the UNPIVOT clause — identical rows,
     // portable ANSI text
