@@ -877,11 +877,19 @@ object TimeSeries {
     // |types|·|days|·8 rows BEFORE any join; the day-over-day self-join
     // and the final rollup ride that tiny frame.
     "ts42_psi_drift" -> ((s, dir) => {
+      // The compressed frame is referenced by three branches (day frame,
+      // densify, totals) whose differing column pruning defeats
+      // ReuseExchange — without materialization the 100 TB events scan
+      // would run three times (observed: 3 FileScans). The frame is
+      // types×days×8 rows, so an eager localCheckpoint materializes it
+      // once and every branch reads the tiny cached copy; the raw scan
+      // happens exactly once, in the checkpoint job (plan-audited).
       val binned = ev(s, dir)
         .withColumn("day", to_date(col("ts")))
         .withColumn("bin", least(floor(col("value") / 16.0), lit(7L)))
         .groupBy(col("event_type"), col("day"), col("bin"))
         .agg(count(lit(1)).as("n"))
+        .localCheckpoint(true)
       val frame = binned.select(col("event_type"), col("day")).distinct()
         .crossJoin(broadcast(s.range(0, 8).toDF("bin")))
       val dense = frame.join(binned, Seq("event_type", "day", "bin"), "left")
@@ -956,28 +964,33 @@ object TimeSeries {
     // per-window re-scan, no window function over an unbounded set.
     // Output only for days the type actually has (inner join to the
     // day frame).
-    "ts44_rolling_distinct" -> ((s, dir) => {
-      val du = ev(s, dir)
+    // Single-scan formulation (round-9 plan audit): the naive shape
+    // referenced the distinct user-day frame three times (day frame,
+    // fan-out, same-day counts) and column pruning made the three
+    // subtrees non-identical, defeating ReuseExchange — THREE full event
+    // scans. Carrying the MINIMUM fan-out offset per (user, window)
+    // collapses all three: mo = 0 marks users active ON the day (the
+    // 1-day count), group size is the 7-day count, and `n_active_1d ≥ 1`
+    // reproduces the only-days-present-in-data frame without a join.
+    // One events scan, two hash shuffles, no joins at all.
+    "ts44_rolling_distinct" -> ((s, dir) =>
+      ev(s, dir)
         .select(col("event_type"), to_date(col("ts")).as("day"),
           col("user_id"))
         .distinct()
-      val days = du.select(col("event_type"), col("day")).distinct()
-      val fan = du
-        .select(col("event_type"), col("user_id"),
-          explode(expr("sequence(day, date_add(day, 6))")).as("wday"))
-        .distinct()
-      val w7 = fan
-        .join(days.select(col("event_type"), col("day").as("wday")),
-          Seq("event_type", "wday"))
+        .select(col("event_type"), col("user_id"), col("day"),
+          explode(expr("sequence(0, 6)")).as("o"))
+        .select(col("event_type"), col("user_id"), col("o"),
+          expr("date_add(day, cast(o as int))").as("wday"))
+        .groupBy(col("event_type"), col("user_id"), col("wday"))
+        .agg(min(col("o")).as("mo"))
         .groupBy(col("event_type"), col("wday").as("day"))
-        .agg(count(lit(1)).as("n_active_7d"))
-      val d1 = du.groupBy(col("event_type"), col("day"))
-        .agg(count(lit(1)).as("n_active_1d"))
-      d1.join(w7, Seq("event_type", "day"))
+        .agg(count(lit(1)).as("n_active_7d"),
+          sum(when(col("mo") === 0, 1L).otherwise(0L)).as("n_active_1d"))
+        .filter(col("n_active_1d") >= 1)
         .select(col("event_type"), col("day"), col("n_active_1d"),
           col("n_active_7d"))
-        .orderBy(col("event_type"), col("day"))
-    }),
+        .orderBy(col("event_type"), col("day"))),
 
     // NEAREST-direction as-of join (pandas merge_asof direction='nearest')
     // — ts04 answers "what was the state BEFORE this event"; this answers
@@ -2379,20 +2392,19 @@ object TimeSeries {
       """WITH du AS (
         |  SELECT DISTINCT event_type, CAST(ts AS DATE) AS day, user_id
         |  FROM events),
-        |days AS (SELECT DISTINCT event_type, day FROM du),
         |fan AS (
-        |  SELECT DISTINCT d.event_type, d.user_id,
-        |    d.day + CAST(o AS INTEGER) AS wday
-        |  FROM du d, range(0, 7) t(o)),
-        |w7 AS (
-        |  SELECT f.event_type, f.wday AS day, COUNT(*) AS n_active_7d
-        |  FROM fan f JOIN days dy ON dy.event_type = f.event_type
-        |    AND dy.day = f.wday
-        |  GROUP BY 1, 2),
-        |d1 AS (SELECT event_type, day, COUNT(*) AS n_active_1d
-        |       FROM du GROUP BY 1, 2)
+        |  SELECT event_type, user_id,
+        |    day + CAST(o AS INTEGER) AS wday, MIN(o) AS mo
+        |  FROM du, range(0, 7) t(o)
+        |  GROUP BY event_type, user_id, wday),
+        |agg AS (
+        |  SELECT event_type, wday AS day,
+        |    COUNT(*) AS n_active_7d,
+        |    CAST(SUM(CASE WHEN mo = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_active_1d
+        |  FROM fan GROUP BY event_type, wday)
         |SELECT event_type, day, n_active_1d, n_active_7d
-        |FROM d1 JOIN w7 USING (event_type, day)
+        |FROM agg WHERE n_active_1d >= 1
         |ORDER BY event_type, day""".stripMargin,
 
     // candidate-join replay of the nearest pick: rank per click by
