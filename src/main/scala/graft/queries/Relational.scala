@@ -150,6 +150,27 @@ object Relational {
           ||> ORDER BY l_returnflag, l_linestatus""".stripMargin)
     }),
 
+    // -- JOIN STRATEGY HINTS: the surface an operator engineer reaches
+    // for when the optimizer's size estimate is wrong — /*+ SHUFFLE_MERGE
+    // */ forces a sort-merge join where Spark would auto-broadcast the
+    // small customer side. Results are hint-invariant (the oracle is the
+    // plain join); the PLAN is what the hint changes, and the audit
+    // asserts both directions: unhinted → BroadcastHashJoin, hinted →
+    // SortMergeJoin. At 100 TB this is the escape hatch when a "small"
+    // dimension is small only in the stale statistics.
+    "q54_join_hints" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders")
+      t(s, dir, "customer").createOrReplaceTempView("customer")
+      s.sql(
+        """SELECT /*+ SHUFFLE_MERGE(c) */ c.c_mktsegment,
+          |  COUNT(*) AS n_orders,
+          |  CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+          |    AS revenue
+          |FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+          |GROUP BY c.c_mktsegment
+          |ORDER BY c.c_mktsegment""".stripMargin)
+    }),
+
     // -- SQL PIVOT clause (the fourth SQL front door next to q43's
     // WITH RECURSIVE, q44's pipes and q52's UNPIVOT): q13's long→wide
     // reshape written as the PIVOT table operator — Catalyst plans the
@@ -1477,6 +1498,16 @@ object Relational {
         |WHERE l_shipdate >= DATE '1996-01-01'
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    // hint-free replay: the hint changes the PLAN, never the rows
+    "q54_join_hints" ->
+      """SELECT c.c_mktsegment,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+        |    AS revenue
+        |FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+        |GROUP BY c.c_mktsegment
+        |ORDER BY c.c_mktsegment""".stripMargin,
 
     // conditional-aggregation replay of the PIVOT clause (the classic
     // pre-PIVOT SQL form) — identical cells, portable ANSI text

@@ -303,6 +303,38 @@ object TextOps {
         .orderBy(col("doc_id"))
     }),
 
+    // QUALITY-BASED SURVIVORSHIP — the "which copy do we keep" decision a
+    // dedup run makes AFTER clustering: tx14 keeps the minimum id (an
+    // arbitrary canonical), but a curation pipeline keeps the BEST member
+    // — here the longest (n_chars, the standard keep-the-longest
+    // heuristic), ties to the lowest id so the choice is deterministic.
+    // One max-struct aggregate per component on top of tx14's component
+    // assignment — the survivor pick adds a single component-keyed
+    // shuffle over the (tiny) per-doc frame, nothing over pair scale.
+    "tx36_dedup_survivorship" -> ((s, dir) => {
+      val bd = bandSignatures(fanout(docs(s, dir)), shingleWords = 3)
+      val a = bd.select(col("b"), col("band_sig"), col("doc_id").as("doc_a"))
+      val c = bd.select(col("b"), col("band_sig"), col("doc_id").as("doc_b"))
+      val pairs = a.join(c, Seq("b", "band_sig"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .distinct()
+      val comp = graft.operators.ConnectedComponents.minLabel(pairs)
+      val withComp = docs(s, dir).select(col("doc_id"), col("n_chars"))
+        .join(comp.select(col("id").as("doc_id"), col("label")),
+          Seq("doc_id"), "left")
+        .withColumn("component", coalesce(col("label"), col("doc_id")))
+      val surv = withComp.groupBy(col("component"))
+        .agg(max_by(col("doc_id"),
+          struct(col("n_chars"), (-col("doc_id")).as("nid")))
+          .as("survivor_id"))
+      withComp.join(surv, Seq("component"))
+        .withColumn("is_survivor", col("doc_id") === col("survivor_id"))
+        .select(col("doc_id"), col("component"), col("n_chars"),
+          col("survivor_id"), col("is_survivor"))
+        .orderBy(col("doc_id"))
+    }),
+
     // TRANSITIVE-CLOSURE dedup groups — the shippable corpus-dedup verdict.
     // tx11's single-hop pass keeps doc C of a chain A~B~C when A,C share no
     // band; here the tx05 candidate-pair graph is collapsed to connected
@@ -1390,6 +1422,47 @@ object TextOps {
          |  cluster_size * COUNT(*) AS n_docs
          |FROM sizes GROUP BY cluster_size
          |ORDER BY cluster_size""".stripMargin,
+
+    // tx14's component replay + a rank-argmax survivor pick
+    // (n_chars DESC, doc_id ASC — the same deterministic tie rule)
+    "tx36_dedup_survivorship" ->
+      s"""WITH RECURSIVE toks AS (SELECT doc_id, $dTok AS tk FROM documents),
+         |sh AS (
+         |  SELECT DISTINCT doc_id,
+         |    unnest(list_transform(range(1, len(tk) - 1), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS shingle
+         |  FROM toks WHERE len(tk) >= 3),
+         |hs AS (
+         |  SELECT doc_id, j, MIN(md5(j::VARCHAR || ':' || shingle)) AS sig
+         |  FROM sh, range(0, 16) t(j) GROUP BY doc_id, j),
+         |bd AS (
+         |  SELECT doc_id, j // 4 AS b,
+         |    md5(string_agg(lpad(j::VARCHAR, 2, '0') || ':' || sig, '|'
+         |        ORDER BY lpad(j::VARCHAR, 2, '0') || ':' || sig)) AS band_sig
+         |  FROM hs GROUP BY doc_id, j // 4),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS src, c.doc_id AS dst
+         |  FROM bd a JOIN bd c ON a.b = c.b AND a.band_sig = c.band_sig
+         |    AND a.doc_id < c.doc_id),
+         |sym AS (SELECT src, dst FROM pairs UNION ALL SELECT dst, src FROM pairs),
+         |verts AS (SELECT DISTINCT src AS id FROM sym),
+         |reach(id, r) AS (
+         |  SELECT id, id FROM verts
+         |  UNION
+         |  SELECT s.src, reach.r FROM sym s JOIN reach ON s.dst = reach.id),
+         |comp AS (SELECT id, MIN(r) AS label FROM reach GROUP BY id),
+         |wc AS (
+         |  SELECT d.doc_id, d.n_chars,
+         |    COALESCE(comp.label, d.doc_id) AS component
+         |  FROM documents d LEFT JOIN comp ON comp.id = d.doc_id),
+         |sv AS (
+         |  SELECT component, doc_id AS survivor_id FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY component
+         |      ORDER BY n_chars DESC, doc_id) AS rn FROM wc)
+         |  WHERE rn = 1)
+         |SELECT wc.doc_id, wc.component, wc.n_chars, sv.survivor_id,
+         |  wc.doc_id = sv.survivor_id AS is_survivor
+         |FROM wc JOIN sv USING (component)
+         |ORDER BY wc.doc_id""".stripMargin,
 
     // full replay of the df-capped containment pipeline: same shingles,
     // same df ≤ 50 cap, same pair counts, same IEEE divisions

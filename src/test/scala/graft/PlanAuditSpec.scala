@@ -382,6 +382,25 @@ class PlanAuditSpec extends SparkSpec {
       s"expected two in-partition sorts (asc + desc):\n$p")
   }
 
+  test("q54: the SHUFFLE_MERGE hint overrides the auto-broadcast choice — and only the plan changes") {
+    val hinted = q("q54_join_hints")
+    hinted.collect()
+    val ph = planString(hinted).split("== Initial Plan ==").head
+    assert(ph.contains("SortMergeJoin"),
+      s"hint ignored — expected a sort-merge join:\n$ph")
+    assert(!ph.contains("BroadcastHashJoin"),
+      s"hinted plan still broadcasts:\n$ph")
+    // the unhinted twin broadcasts the small customer side (proving the
+    // hint is what flipped the strategy, not table sizes)
+    val plain = spark.sql(
+      """SELECT c.c_mktsegment, COUNT(*) AS n_orders
+        |FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+        |GROUP BY c.c_mktsegment""".stripMargin)
+    plain.collect()
+    assert(planString(plain).contains("BroadcastHashJoin"),
+      s"unhinted twin did not broadcast:\n${planString(plain)}")
+  }
+
   test("tx35: containment pair generation is shingle-keyed hash joins, never a cartesian") {
     val p = planString(q("tx35_containment_dedup"))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
