@@ -150,6 +150,42 @@ object Relational {
           ||> ORDER BY l_returnflag, l_linestatus""".stripMargin)
     }),
 
+    // -- NULL-SEMANTICS GALLERY: three-valued logic is where engines
+    // quietly disagree, so every rule this engine relies on is pinned in
+    // one row: COUNT(*) vs COUNT(col), three-valued `<>` dropping NULL
+    // comparisons, IN with a NULL operand, null-safe equality (`<=>`
+    // here, IS NOT DISTINCT FROM in the oracle), COUNT(DISTINCT)
+    // excluding NULLs, MIN ignoring NULLs, AVG of an all-NULL column
+    // staying NULL, and COALESCE fallback. NULLs are synthesized with
+    // NULLIF so the gallery runs on stock orders rows.
+    "q55_null_gallery" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql(
+        """WITH o AS (
+          |  SELECT o_orderkey,
+          |    NULLIF(o_orderstatus, 'P') AS st,
+          |    NULLIF(o_totalprice, o_totalprice) AS pri
+          |  FROM orders WHERE o_orderkey % 7 = 0)
+          |SELECT
+          |  COUNT(*) AS n_rows,
+          |  COUNT(st) AS n_st_nonnull,
+          |  COUNT(DISTINCT st) AS n_st_distinct,
+          |  CAST(SUM(CASE WHEN st IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+          |    AS n_st_null,
+          |  CAST(SUM(CASE WHEN st <> 'O' THEN 1 ELSE 0 END) AS BIGINT)
+          |    AS n_neq_o,
+          |  CAST(SUM(CASE WHEN st IN ('O', 'F') THEN 1 ELSE 0 END)
+          |    AS BIGINT) AS n_in_of,
+          |  CAST(SUM(CASE WHEN st <=> NULL THEN 1 ELSE 0 END) AS BIGINT)
+          |    AS n_nullsafe_null,
+          |  MIN(st) AS min_st,
+          |  COUNT(pri) AS n_pri_nonnull,
+          |  AVG(pri) AS avg_pri,
+          |  CAST(SUM(CASE WHEN COALESCE(st, 'X') = 'X' THEN 1 ELSE 0 END)
+          |    AS BIGINT) AS n_coalesced
+          |FROM o""".stripMargin)
+    }),
+
     // -- JOIN STRATEGY HINTS: the surface an operator engineer reaches
     // for when the optimizer's size estimate is wrong — /*+ SHUFFLE_MERGE
     // */ forces a sort-merge join where Spark would auto-broadcast the
@@ -1498,6 +1534,33 @@ object Relational {
         |WHERE l_shipdate >= DATE '1996-01-01'
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    // same gallery with the oracle's spellings (IS NOT DISTINCT FROM for
+    // null-safe equality); every NULL rule must agree cell-for-cell
+    "q55_null_gallery" ->
+      """WITH o AS (
+        |  SELECT o_orderkey,
+        |    NULLIF(o_orderstatus, 'P') AS st,
+        |    NULLIF(o_totalprice, o_totalprice) AS pri
+        |  FROM orders WHERE o_orderkey % 7 = 0)
+        |SELECT
+        |  COUNT(*) AS n_rows,
+        |  COUNT(st) AS n_st_nonnull,
+        |  COUNT(DISTINCT st) AS n_st_distinct,
+        |  CAST(SUM(CASE WHEN st IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_st_null,
+        |  CAST(SUM(CASE WHEN st <> 'O' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_neq_o,
+        |  CAST(SUM(CASE WHEN st IN ('O', 'F') THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_in_of,
+        |  CAST(SUM(CASE WHEN st IS NOT DISTINCT FROM NULL THEN 1 ELSE 0
+        |    END) AS BIGINT) AS n_nullsafe_null,
+        |  MIN(st) AS min_st,
+        |  COUNT(pri) AS n_pri_nonnull,
+        |  AVG(pri) AS avg_pri,
+        |  CAST(SUM(CASE WHEN COALESCE(st, 'X') = 'X' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_coalesced
+        |FROM o""".stripMargin,
 
     // hint-free replay: the hint changes the PLAN, never the rows
     "q54_join_hints" ->

@@ -921,6 +921,24 @@ object TimeSeries {
         .orderBy(col("event_type"), col("day"))
     }),
 
+    // WEEKDAY×HOUR SEASONAL PROFILE — the dashboard heatmap behind every
+    // "is this normal for a Tuesday 3 pm?" question: mean value per
+    // (weekday, hour-of-day) cell. Day-of-week conventions are a classic
+    // cross-engine trap (Spark dayofweek is 1=Sunday, DuckDB's is
+    // 0=Sunday): both sides use the ISO convention — Spark weekday()
+    // (0=Monday) ≡ DuckDB isodow()−1. Means are halfUpMean6 (cell counts
+    // routinely hit the 2-adic round-on-quotient shapes). One hash
+    // aggregate into ≤ 7×24 cells — compression is the whole plan.
+    "ts46_weekday_profile" -> ((s, dir) =>
+      ev(s, dir)
+        .groupBy(expr("weekday(ts)").cast("long").as("dow"),
+          expr("hour(ts)").cast("long").as("hod"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,6)")).as("sx"))
+        .withColumn("mean_value", halfUpMean6("sx", "n"))
+        .select(col("dow"), col("hod"), col("n"), col("mean_value"))
+        .orderBy(col("dow"), col("hod"))),
+
     // SLO BURN-RATE — the Google-SRE multi-window alert ts32's
     // threshold-for-duration rule can't express: alarm only when the
     // SHORT-window error rate (1 h — fast detection) AND the LONG-window
@@ -2360,6 +2378,18 @@ object TimeSeries {
         |  SUM(nc) AS n_cur, SUM(np) AS n_prev
         |FROM terms GROUP BY event_type, day
         |ORDER BY event_type, day""".stripMargin,
+
+    // isodow−1 ≡ Spark weekday (ISO, 0=Monday); halfUpMean6 oracle twin
+    "ts46_weekday_profile" ->
+      """SELECT CAST(isodow(CAST(ts AS DATE)) - 1 AS BIGINT) AS dow,
+        |  CAST(hour(ts) AS BIGINT) AS hod,
+        |  COUNT(*) AS n,
+        |  CAST((2 * CAST(SUM(CAST(value AS DECIMAL(18,6))) * 1000000
+        |          AS BIGINT)
+        |        + COUNT(*)) // (2 * COUNT(*)) AS DOUBLE) / 1000000.0
+        |    AS mean_value
+        |FROM events GROUP BY dow, hod
+        |ORDER BY dow, hod""".stripMargin,
 
     // hourly compression + the same integer-indexed RANGE frame; casts
     // pin DuckDB's HUGEINT sums back to BIGINT
