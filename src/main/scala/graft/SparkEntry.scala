@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{GasStoreQueries, MultimodalQueries, Relational, TextOps, TimeSeries, VectorOps}
+import graft.queries.{Canary, GasStoreQueries, MultimodalQueries, Relational, TextOps, TimeSeries, VectorOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -23,9 +23,11 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ TimeSeries.queries ++ TextOps.queries ++
-      VectorOps.queries ++ MultimodalQueries.queries ++ GasStoreQueries.queries
+      VectorOps.queries ++ MultimodalQueries.queries ++
+      GasStoreQueries.queries ++ Canary.queries
 
   def oracleSql: Map[String, String] =
     Relational.oracle ++ TimeSeries.oracle ++ TextOps.oracle ++
-      VectorOps.oracle ++ MultimodalQueries.oracle ++ GasStoreQueries.oracle
+      VectorOps.oracle ++ MultimodalQueries.oracle ++
+      GasStoreQueries.oracle ++ Canary.oracle
 }

@@ -1427,7 +1427,8 @@ object GasStoreQueries {
          |  SELECT *, ROW_NUMBER() OVER (PARTITION BY wi, _field
          |    ORDER BY bin) AS rk
          |  FROM c WHERE n_points > 0 AND 2 * cum >= total)
-         |SELECT wi * 21600000000 AS b_us, _field, total AS n_points,
+         |SELECT wi * 21600000000 AS b_us, _field,
+         |  CAST(total AS BIGINT) AS n_points,
          |  bin * 8.0 + 8.0 * (CAST(total AS DOUBLE) / 2.0
          |    - CAST(cum - n_points AS DOUBLE)) / n_points AS q50_est
          |FROM q WHERE rk = 1
@@ -1485,7 +1486,8 @@ object GasStoreQueries {
          |    , 12) AS DECIMAL(28,12)) AS term
          |  FROM j)
          |SELECT wi * 21600000000 AS b_us, _field,
-         |  CAST(SUM(term) AS DOUBLE) AS psi, SUM(n) AS n_points
+         |  CAST(SUM(term) AS DOUBLE) AS psi,
+         |  CAST(SUM(n) AS BIGINT) AS n_points
          |FROM terms GROUP BY wi, _field
          |ORDER BY b_us, _field""".stripMargin,
 

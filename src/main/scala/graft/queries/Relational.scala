@@ -217,8 +217,18 @@ object Relational {
     // runs identically.
     "q53_sql_pivot" -> ((s, dir) => {
       t(s, dir, "orders").createOrReplaceTempView("orders")
+      // COALESCE the count cells: Spark's PIVOT yields NULL for a
+      // (priority, status) combo with no rows, while the oracle's
+      // COUNT(CASE ...) replay yields 0 — a data-dependent divergence
+      // whenever a priority lacks one status (TPC-H 'P' is the rarest).
+      // Revenue cells stay un-coalesced: SUM over an empty cell is NULL
+      // on both engines.
       s.sql(
-        """SELECT * FROM (
+        """SELECT o_orderpriority,
+          |  COALESCE(o_n, 0) AS o_n, o_revenue,
+          |  COALESCE(f_n, 0) AS f_n, f_revenue,
+          |  COALESCE(p_n, 0) AS p_n, p_revenue
+          |FROM (
           |  SELECT o_orderpriority, o_orderstatus,
           |    CAST(o_totalprice AS DECIMAL(18,6)) AS price
           |  FROM orders)
@@ -569,7 +579,10 @@ object Relational {
         concat_ws("-", col("p_brand"), col("p_size").cast("string")).as("brand_size"),
         (col("p_retailprice") * lit(1.1)).cast(DecimalType(18, 4)).cast("double").as("inflated"),
         pmod(col("p_partkey"), lit(7)).as("key_mod"),
-        greatest(col("p_size"), lit(25)).as("size_floor")
+        // cast: DuckDB GREATEST(INTEGER, lit) widens to BIGINT where
+        // Spark stays INTEGER — driver-green in r09 (so INT32≡INT64 is
+        // hash-safe there) but the local type gate pins them equal anyway
+        greatest(col("p_size"), lit(25)).cast("long").as("size_floor")
       ).orderBy(col("p_partkey"))
     }),
 
@@ -1450,7 +1463,7 @@ object Relational {
         |  CONCAT_WS('-', p_brand, CAST(p_size AS VARCHAR)) AS brand_size,
         |  CAST(CAST(p_retailprice * 1.1 AS DECIMAL(18,4)) AS DOUBLE) AS inflated,
         |  p_partkey % 7 AS key_mod,
-        |  GREATEST(p_size, 25) AS size_floor
+        |  CAST(GREATEST(p_size, 25) AS BIGINT) AS size_floor
         |FROM part ORDER BY p_partkey""".stripMargin,
 
     "q16_case_bucket" ->
@@ -1619,8 +1632,8 @@ object Relational {
     "q45_variant_extract" ->
       """SELECT event_type,
         |  COUNT(*) AS n_events,
-        |  SUM(CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT))
-        |    AS sum_k,
+        |  CAST(SUM(CAST(regexp_extract(props, '"k":\s*(\d+)', 1)
+        |    AS BIGINT)) AS BIGINT) AS sum_k,
         |  MAX(CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT))
         |    AS max_k,
         |  COUNT(CASE WHEN props LIKE '%"absent_field"%' THEN 1 END)

@@ -335,6 +335,44 @@ object TextOps {
         .orderBy(col("doc_id"))
     }),
 
+    // POINTWISE MUTUAL INFORMATION collocations — the corpus-statistics
+    // pass behind phrase mining and tokenizer-merge candidates: which
+    // adjacent word pairs co-occur far above chance? PMI =
+    // ln(c_ab·N / (c_a·c_b)) over bigram-slot counts (c_a = w as first
+    // slot, c_b = w as second — self-consistent with N = total bigrams).
+    // Bigrams are generated MAP-SIDE (transform over the token array —
+    // no explode-and-self-join doubling); the only shuffles are
+    // word-keyed aggregates bounded by vocabulary size, and N rides a
+    // broadcast one-row frame (no driver action). Determinism: both
+    // products are exact in int64 and < 2^53 (c ≤ ~1e6 at these scales;
+    // a 100 TB corpus would switch to the log-subtraction form at the
+    // cost of 4 libm calls/row), so the single ln sees one exact
+    // integer-ratio quotient — the tx21/cn03 discipline, 6-dp-rounded.
+    // Top-50 by (pmi DESC, w1, w2) is a total order → deterministic
+    // TakeOrderedAndProject.
+    "tx37_pmi_bigrams" -> ((s, dir) => {
+      val tk = fanout(docs(s, dir))
+        .select(col("doc_id"), expr(tokExpr).as("toks"))
+        .filter(size(col("toks")) >= 2)
+      val bi = tk.select(explode(expr(
+        "transform(sequence(0, size(toks) - 2)," +
+          " i -> struct(toks[i] as w1, toks[i + 1] as w2))")).as("bg"))
+        .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      val nTot = bi.agg(count(lit(1)).as("nn"))
+      val c1 = bi.groupBy(col("w1")).agg(count(lit(1)).as("ca"))
+      val c2 = bi.groupBy(col("w2")).agg(count(lit(1)).as("cb"))
+      bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_ab"))
+        .filter(col("c_ab") >= 5)
+        .join(c1, Seq("w1")).join(c2, Seq("w2"))
+        .crossJoin(broadcast(nTot))
+        .withColumn("pmi", round(log(
+          (col("c_ab") * col("nn")).cast("double")
+            / (col("ca") * col("cb")).cast("double")), 6))
+        .select(col("w1"), col("w2"), col("c_ab"), col("pmi"))
+        .orderBy(col("pmi").desc, col("w1"), col("w2"))
+        .limit(50)
+    }),
+
     // TRANSITIVE-CLOSURE dedup groups — the shippable corpus-dedup verdict.
     // tx11's single-hop pass keeps doc C of a chain A~B~C when A,C share no
     // band; here the tx05 candidate-pair graph is collapsed to connected
@@ -1463,6 +1501,27 @@ object TextOps {
          |  wc.doc_id = sv.survivor_id AS is_survivor
          |FROM wc JOIN sv USING (component)
          |ORDER BY wc.doc_id""".stripMargin,
+
+    // bigram slots via unnest + generate_subscripts (the v17-proven
+    // form) and a pos+1 self-join; same 6-dp ln of one exact
+    // integer-ratio quotient (DuckDB ln = natural log)
+    "tx37_pmi_bigrams" ->
+      s"""WITH t AS (SELECT doc_id, $dTok AS toks FROM documents),
+         |t2 AS (SELECT * FROM t WHERE len(toks) >= 2),
+         |u AS (SELECT doc_id, unnest(toks) AS w,
+         |        generate_subscripts(toks, 1) AS pos FROM t2),
+         |b AS (SELECT a.w AS w1, c.w AS w2 FROM u a JOIN u c
+         |      ON c.doc_id = a.doc_id AND c.pos = a.pos + 1),
+         |n AS (SELECT COUNT(*) AS nn FROM b),
+         |c1 AS (SELECT w1 AS w, COUNT(*) AS ca FROM b GROUP BY 1),
+         |c2 AS (SELECT w2 AS w, COUNT(*) AS cb FROM b GROUP BY 1),
+         |ab AS (SELECT w1, w2, COUNT(*) AS c_ab FROM b GROUP BY 1, 2
+         |       HAVING COUNT(*) >= 5)
+         |SELECT ab.w1, ab.w2, c_ab,
+         |  ROUND(ln(CAST(c_ab * nn AS DOUBLE)
+         |    / CAST(c1.ca * c2.cb AS DOUBLE)), 6) AS pmi
+         |FROM ab JOIN c1 ON c1.w = ab.w1 JOIN c2 ON c2.w = ab.w2, n
+         |ORDER BY pmi DESC, w1, w2 LIMIT 50""".stripMargin,
 
     // full replay of the df-capped containment pipeline: same shingles,
     // same df ≤ 50 cap, same pair counts, same IEEE divisions

@@ -868,7 +868,9 @@ object TimeSeries {
     // distribution; > 0.25 is the classic "population shifted" alarm.
     // Determinism by construction: bin width 16 is a POWER OF TWO, so
     // value/16 only changes the exponent and floor() is exact on both
-    // engines; Laplace-smoothed p, q are integer ratios (one IEEE
+    // engines; bins clamp to [0,7] at BOTH ends on both engines (gs22's
+    // convention — a negative value lands in bin 0 instead of taking
+    // bin -1 and silently vanishing from the 0..7 densify join); Laplace-smoothed p, q are integer ratios (one IEEE
     // division each); the single ln sees one exact integer-ratio
     // quotient and is 6-dp-rounded (the tx21 log discipline); each
     // bin's term is 12-dp-rounded into DECIMAL so the 8-term sum is
@@ -886,7 +888,8 @@ object TimeSeries {
       // happens exactly once, in the checkpoint job (plan-audited).
       val binned = ev(s, dir)
         .withColumn("day", to_date(col("ts")))
-        .withColumn("bin", least(floor(col("value") / 16.0), lit(7L)))
+        .withColumn("bin",
+          greatest(least(floor(col("value") / 16.0), lit(7L)), lit(0L)))
         .groupBy(col("event_type"), col("day"), col("bin"))
         .agg(count(lit(1)).as("n"))
         .localCheckpoint(true)
@@ -938,6 +941,73 @@ object TimeSeries {
         .withColumn("mean_value", halfUpMean6("sx", "n"))
         .select(col("dow"), col("hod"), col("n"), col("mean_value"))
         .orderBy(col("dow"), col("hod"))),
+
+    // GAPS-AND-ISLANDS SESSIONIZATION (batch twin of gs14's streaming
+    // sessions): per-user event islands split at >30 min silence — the
+    // classic lag → break-flag → running-sum pattern every funnel/
+    // retention analysis starts from. All arithmetic is integer µs, so
+    // both engines agree bit-for-bit. Scale shape: the window partitions
+    // by user_id (millions of independent partitions — one shuffle, no
+    // global ordering anywhere); the island aggregate reuses the same
+    // hash key. Duration comes from MAX−MIN, and the only window SUM
+    // (the island id) is CAST in the oracle's final projection — DuckDB
+    // would otherwise type it HUGEINT (the round-9 class, now gated).
+    "ts47_user_sessions" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+      ev(s, dir)
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+        .withColumn("prev", lag(col("us"), 1).over(w))
+        .withColumn("brk",
+          when(col("prev").isNull
+            || col("us") - col("prev") > 1800L * 1000000L, 1L).otherwise(0L))
+        .withColumn("sid", sum(col("brk")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("sid"))
+        .agg(min(col("us")).as("start_us"), max(col("us")).as("end_us"),
+          count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("sid").as("session_seq"),
+          col("start_us"), col("end_us"),
+          (col("end_us") - col("start_us")).as("dur_us"), col("n_events"))
+        .orderBy(col("user_id"), col("session_seq"))
+    }),
+
+    // SEASONAL-NAIVE FORECAST BASELINE (MASE-style): how much better is
+    // "same hour yesterday" than "previous hour" as a zero-parameter
+    // forecast of the hourly mean? mase < 1 ⇒ the series is seasonal
+    // enough that the lag-24 naive beats the lag-1 naive — the go/no-go
+    // check run before fitting ts18's Holt-Winters. Determinism: hourly
+    // means are EXACT half-up micro-unit integers (the halfUpMean6
+    // kernel kept in BIGINT form), so the |Δ| accumulations are exact
+    // integer sums; the final ratio is three IEEE divisions on identical
+    // operands in identical order on both engines. Scale shape: events
+    // compress to one row per (type, hour) FIRST; both lag joins ride
+    // that tiny frame on its (type, hour) hash key.
+    "ts48_seasonal_baseline" -> ((s, dir) => {
+      val hourly = ev(s, dir)
+        .groupBy(col("event_type"),
+          expr("unix_micros(ts) div 3600000000").as("hr"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,6)")).as("sx"))
+        .withColumn("s_us", expr("cast(sx * 1000000 as bigint)"))
+        .withColumn("hm_us", expr("(2 * s_us + n) div (2 * n)"))
+        .select(col("event_type"), col("hr"), col("hm_us"))
+      def lagged(off: Int) = hourly.select(col("event_type"),
+        (col("hr") + off).as("hr"), col("hm_us").as("prev_us"))
+      def mae(off: Int, sc: String, nc: String) =
+        hourly.join(lagged(off), Seq("event_type", "hr"))
+          .groupBy(col("event_type"))
+          .agg(sum(abs(col("hm_us") - col("prev_us"))).as(sc),
+            count(lit(1)).as(nc))
+      mae(24, "s24_us", "n24")
+        .join(mae(1, "s1_us", "n1"), Seq("event_type"))
+        .withColumn("mase",
+          (col("s24_us").cast("double") / col("n24").cast("double"))
+            / (col("s1_us").cast("double") / col("n1").cast("double")))
+        .select(col("event_type"), col("n24"), col("s24_us"),
+          col("n1"), col("s1_us"), col("mase"))
+        .orderBy(col("event_type"))
+    }),
 
     // SLO BURN-RATE — the Google-SRE multi-window alert ts32's
     // threshold-for-duration rule can't express: alarm only when the
@@ -2290,7 +2360,7 @@ object TimeSeries {
         |  MIN(value) AS low,
         |  MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
         |  COUNT(*) AS n_trades,
-        |  SUM(qty) AS volume,
+        |  CAST(SUM(qty) AS BIGINT) AS volume,
         |  CAST(SUM(CAST(ROUND(value * qty, 6) AS DECIMAL(28,6))) AS DOUBLE)
         |    / CAST(SUM(qty) AS DOUBLE) AS vwap
         |FROM r
@@ -2347,7 +2417,8 @@ object TimeSeries {
     "ts42_psi_drift" ->
       """WITH binned AS (
         |  SELECT event_type, CAST(ts AS DATE) AS day,
-        |    CAST(least(floor(value / 16.0), 7) AS BIGINT) AS bin,
+        |    CAST(greatest(least(floor(value / 16.0), 7), 0) AS BIGINT)
+        |      AS bin,
         |    COUNT(*) AS n
         |  FROM events GROUP BY 1, 2, 3),
         |frame AS (SELECT DISTINCT event_type, day FROM binned),
@@ -2375,7 +2446,8 @@ object TimeSeries {
         |    , 12) AS DECIMAL(28,12)) AS term
         |  FROM j)
         |SELECT event_type, day, CAST(SUM(term) AS DOUBLE) AS psi,
-        |  SUM(nc) AS n_cur, SUM(np) AS n_prev
+        |  CAST(SUM(nc) AS BIGINT) AS n_cur,
+        |  CAST(SUM(np) AS BIGINT) AS n_prev
         |FROM terms GROUP BY event_type, day
         |ORDER BY event_type, day""".stripMargin,
 
@@ -2390,6 +2462,57 @@ object TimeSeries {
         |    AS mean_value
         |FROM events GROUP BY dow, hod
         |ORDER BY dow, hod""".stripMargin,
+
+    // lag → break-flag → running-sum islands; all integer µs. The island
+    // id is a window SUM, so the final projection pins it to BIGINT
+    // (DuckDB types window SUM(INTEGER) as HUGEINT — the typed-sum rule)
+    "ts47_user_sessions" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+        |f AS (
+        |  SELECT *, CASE WHEN LAG(us) OVER w IS NULL
+        |      OR us - LAG(us) OVER w > 1800000000
+        |    THEN 1 ELSE 0 END AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |g AS (
+        |  SELECT *, SUM(brk) OVER (PARTITION BY user_id
+        |    ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM f)
+        |SELECT user_id, CAST(sid AS BIGINT) AS session_seq,
+        |  MIN(us) AS start_us, MAX(us) AS end_us,
+        |  MAX(us) - MIN(us) AS dur_us, COUNT(*) AS n_events
+        |FROM g GROUP BY user_id, sid
+        |ORDER BY user_id, session_seq""".stripMargin,
+
+    // exact integer micro-unit hourly means (the halfUpMean6 kernel in
+    // BIGINT form), exact |Δ| sums, three IEEE divisions in pinned order
+    "ts48_seasonal_baseline" ->
+      """WITH hourly AS (
+        |  SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
+        |    COUNT(*) AS n,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT)
+        |      AS s_us
+        |  FROM events GROUP BY 1, 2),
+        |hm AS (SELECT event_type, hr, (2 * s_us + n) // (2 * n) AS hm_us
+        |       FROM hourly),
+        |m24 AS (
+        |  SELECT a.event_type, SUM(abs(a.hm_us - b.hm_us)) AS s24_us,
+        |    COUNT(*) AS n24
+        |  FROM hm a JOIN hm b ON b.event_type = a.event_type
+        |    AND b.hr = a.hr - 24
+        |  GROUP BY 1),
+        |m1 AS (
+        |  SELECT a.event_type, SUM(abs(a.hm_us - b.hm_us)) AS s1_us,
+        |    COUNT(*) AS n1
+        |  FROM hm a JOIN hm b ON b.event_type = a.event_type
+        |    AND b.hr = a.hr - 1
+        |  GROUP BY 1)
+        |SELECT m24.event_type, n24, CAST(s24_us AS BIGINT) AS s24_us,
+        |  n1, CAST(s1_us AS BIGINT) AS s1_us,
+        |  (CAST(s24_us AS DOUBLE) / CAST(n24 AS DOUBLE))
+        |    / (CAST(s1_us AS DOUBLE) / CAST(n1 AS DOUBLE)) AS mase
+        |FROM m24 JOIN m1 USING (event_type)
+        |ORDER BY event_type""".stripMargin,
 
     // hourly compression + the same integer-indexed RANGE frame; casts
     // pin DuckDB's HUGEINT sums back to BIGINT

@@ -45,12 +45,18 @@ package object queries {
     *
     * The preconditions are ENFORCED, not just documented: a negative sum
     * raises at run time instead of silently hash-diverging from the
-    * oracle. (Headroom needs no separate guard: a DECIMAL(18,6) sum caps
-    * at ~1e12, under the ~4.6e12 Long ceiling, so the decimal itself
-    * overflows — loudly, under ANSI — before the micro-unit Long can.)
+    * oracle, while a NULL sum (all-NULL group, outer-join-produced row)
+    * propagates NULL exactly as a plain AVG would — NULL must not fall
+    * into the raise_error arm (NULL >= 0 is not true in a CASE, so
+    * without the explicit arm it would). (Headroom needs no separate
+    * guard: SUM over DECIMAL(18,6) widens to DECIMAL(28,6), ~1e22 cap,
+    * so it is the ANSI overflow on the `cast(... as bigint)` of the
+    * micro-unit value — not the decimal sum itself — that trips loudly
+    * past the ~4.6e12 Long ceiling.)
     */
   def halfUpMean6(sumCol: String, cntCol: String): Column =
-    expr(s"case when $sumCol >= 0" +
+    expr(s"case when $sumCol is null then cast(null as double)" +
+      s" when $sumCol >= 0" +
       s" then cast((2 * cast($sumCol * 1000000 as bigint) + $cntCol)" +
       s" div (2 * $cntCol) as double) / 1e6" +
       s" else cast(raise_error('halfUpMean6 requires a non-negative sum" +

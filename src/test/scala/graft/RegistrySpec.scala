@@ -48,6 +48,75 @@ class RegistrySpec extends SparkSpec {
       s"version-sensitive DuckDB constructs in oracles: ${offenders.mkString("; ")}")
   }
 
+  test("no oracle's final projection carries an uncast SUM (HUGEINT hash trap)") {
+    // Round-9's five red cells were all one class: DuckDB types an uncast
+    // SUM(integer) as HUGEINT (int128), the driver's hash compare is
+    // TYPE-sensitive, and Spark's parquet dump can never produce an
+    // int128 — so values matched and hashes didn't, three rounds running.
+    // Authoritative gate: tools/check.py now DESCRIBEs every oracle and
+    // fails on HUGEINT/unmapped types at run time. This test is the
+    // author-time first line: every SUM( in the FINAL top-level
+    // projection must sit inside a CAST(...) in the same projection item.
+    // (It cannot see a bare CTE sum flowing through an alias — gs24's
+    // shape — which is exactly why check.py's DESCRIBE gate exists.)
+    def finalProjection(sql: String): String = {
+      // last SELECT at paren depth 0 → until the matching top-level FROM
+      var depth = 0
+      var selStart = -1
+      val up = sql.toUpperCase
+      var i = 0
+      while (i < up.length) {
+        up(i) match {
+          case '(' => depth += 1
+          case ')' => depth -= 1
+          case _ =>
+            if (depth == 0 && up.startsWith("SELECT", i) &&
+              (i == 0 || !up(i - 1).isLetter)) selStart = i + 6
+        }
+        i += 1
+      }
+      if (selStart < 0) return sql
+      depth = 0
+      i = selStart
+      while (i < up.length) {
+        up(i) match {
+          case '(' => depth += 1
+          case ')' => depth -= 1
+          case _ =>
+            if (depth == 0 && up.startsWith("FROM", i) &&
+              !up(i - 1).isLetter) return sql.substring(selStart, i)
+        }
+        i += 1
+      }
+      sql.substring(selStart)
+    }
+    def topLevelItems(proj: String): Seq[String] = {
+      val items = collection.mutable.ArrayBuffer.empty[String]
+      val cur = new StringBuilder
+      var depth = 0
+      proj.foreach {
+        case '(' => depth += 1; cur += '('
+        case ')' => depth -= 1; cur += ')'
+        case ',' if depth == 0 => items += cur.toString; cur.clear()
+        case c => cur += c
+      }
+      items += cur.toString
+      items.toSeq
+    }
+    val offenders = for {
+      (name, sql) <- SparkEntry.oracleSql.toSeq.sortBy(_._1)
+      item <- topLevelItems(finalProjection(sql))
+      sumAt = item.toUpperCase.indexOf("SUM(")
+      if sumAt >= 0 && (sumAt == 0 || item(sumAt - 1).isLetterOrDigit == false)
+      if !item.toUpperCase.take(sumAt).contains("CAST")
+      // window sums feeding arithmetic that ends in an outer CAST are
+      // caught by the same rule: the CAST must open BEFORE the SUM
+    } yield s"$name: ${item.trim.takeWhile(_ != '\n')}"
+    assert(offenders.isEmpty,
+      "uncast SUM in final projection (DuckDB types it HUGEINT; the " +
+        s"driver hash is type-sensitive): ${offenders.mkString("; ")}")
+  }
+
   test("every registered query is documented in SURVEY.md (the graded inventory)") {
     // SURVEY §2 is the coverage contract the judge audits line by line; a
     // query that ships without a SURVEY mention is invisible to that
@@ -55,7 +124,7 @@ class RegistrySpec extends SparkSpec {
     // file — the coverage rows name ids in prose.
     val survey = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get("SURVEY.md")), "UTF-8")
-    val mentioned = raw"\b(q|ts|tx|v|gs|mm)\d+\b".r.findAllIn(survey).toSet
+    val mentioned = raw"\b(q|ts|tx|v|gs|mm|cn)\d+\b".r.findAllIn(survey).toSet
     val missing = SparkEntry.queries.keySet
       .map(_.takeWhile(_ != '_'))
       .filterNot(mentioned.contains)
