@@ -373,6 +373,47 @@ object TextOps {
         .limit(50)
     }),
 
+    // ZIPF SLOPE + HEAPS COUNTS per source — the corpus-health statistics
+    // a curation pipeline checks before trusting a crawl slice: natural
+    // text follows Zipf (ln-freq vs ln-rank slope ≈ −1); generated or
+    // boilerplate-heavy slices flatten or steepen it, and type/token
+    // counts expose template bloat. The OLS fit over the top-100 ranks
+    // runs ENTIRELY in exact int64 micro-units: each ln is 6-dp-rounded
+    // THROUGH a decimal (never round(x,6)*1e6 on the raw double — the
+    // *1e6 product can land a hair under the integer and truncate
+    // differently per engine), products and sums stay in int64 (bounds:
+    // x6 ≤ ln(100)·1e6 ≈ 4.6e6, y6 ≤ ln(n)·1e6, Σxy ≤ 100·6e13), and the
+    // slope is ONE division of two exactly-computed int64s — int64→double
+    // conversion is the same round-to-nearest on every engine. Scale
+    // shape: the word-count aggregate is vocab-bounded; the rank window
+    // partitions by source over the vocab frame, never the corpus.
+    "tx38_zipf_heaps" -> ((s, dir) => {
+      val wc = fanout(docs(s, dir))
+        .select(col("source"), explode(expr(tokExpr)).as("w"))
+        .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c"))
+      val stats = wc.groupBy(col("source"))
+        .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("n_types"))
+      val rw = Window.partitionBy(col("source"))
+        .orderBy(col("c").desc, col("w"))
+      val xy = wc.withColumn("rank", row_number().over(rw).cast("long"))
+        .filter(col("rank") <= 100)
+        .withColumn("x6", expr("cast(cast(round(ln(cast(rank as double)), 6)" +
+          " as decimal(18,6)) * 1000000 as bigint)"))
+        .withColumn("y6", expr("cast(cast(round(ln(cast(c as double)), 6)" +
+          " as decimal(18,6)) * 1000000 as bigint)"))
+      val fit = xy.groupBy(col("source"))
+        .agg(count(lit(1)).as("n"), sum(col("x6")).as("sx"),
+          sum(col("y6")).as("sy"), sum(col("x6") * col("y6")).as("sxy"),
+          sum(col("x6") * col("x6")).as("sxx"))
+        .withColumn("zipf_slope",
+          (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+            / (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+      stats.join(fit.select(col("source"), col("zipf_slope")), Seq("source"))
+        .select(col("source"), col("n_tokens"), col("n_types"),
+          col("zipf_slope"))
+        .orderBy(col("source"))
+    }),
+
     // TRANSITIVE-CLOSURE dedup groups — the shippable corpus-dedup verdict.
     // tx11's single-hop pass keeps doc C of a chain A~B~C when A,C share no
     // band; here the tx05 candidate-pair graph is collapsed to connected
@@ -1522,6 +1563,42 @@ object TextOps {
          |    / CAST(c1.ca * c2.cb AS DOUBLE)), 6) AS pmi
          |FROM ab JOIN c1 ON c1.w = ab.w1 JOIN c2 ON c2.w = ab.w2, n
          |ORDER BY pmi DESC, w1, w2 LIMIT 50""".stripMargin,
+
+    // the same exact-int64 OLS kernel: 6-dp ln pinned through a decimal
+    // into micro-units, int64 sums (CAST per the typed-sum rule), one
+    // final division of two exact int64s
+    "tx38_zipf_heaps" ->
+      s"""WITH wc AS (
+         |  SELECT source, w, COUNT(*) AS c FROM (
+         |    SELECT source, unnest($dTok) AS w FROM documents)
+         |  GROUP BY 1, 2),
+         |stats AS (
+         |  SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens,
+         |    COUNT(*) AS n_types
+         |  FROM wc GROUP BY 1),
+         |top AS (SELECT * FROM (
+         |    SELECT source, w, c,
+         |      CAST(ROW_NUMBER() OVER (PARTITION BY source
+         |        ORDER BY c DESC, w) AS BIGINT) AS rank
+         |    FROM wc) WHERE rank <= 100),
+         |xy AS (
+         |  SELECT source,
+         |    CAST(CAST(round(ln(CAST(rank AS DOUBLE)), 6) AS DECIMAL(18,6))
+         |      * 1000000 AS BIGINT) AS x6,
+         |    CAST(CAST(round(ln(CAST(c AS DOUBLE)), 6) AS DECIMAL(18,6))
+         |      * 1000000 AS BIGINT) AS y6
+         |  FROM top),
+         |fit AS (
+         |  SELECT source, COUNT(*) AS n,
+         |    CAST(SUM(x6) AS BIGINT) AS sx, CAST(SUM(y6) AS BIGINT) AS sy,
+         |    CAST(SUM(x6 * y6) AS BIGINT) AS sxy,
+         |    CAST(SUM(x6 * x6) AS BIGINT) AS sxx
+         |  FROM xy GROUP BY 1)
+         |SELECT s.source, s.n_tokens, s.n_types,
+         |  CAST(n * sxy - sx * sy AS DOUBLE)
+         |    / CAST(n * sxx - sx * sx AS DOUBLE) AS zipf_slope
+         |FROM stats s JOIN fit USING (source)
+         |ORDER BY source""".stripMargin,
 
     // full replay of the df-capped containment pipeline: same shingles,
     // same df ≤ 50 cap, same pair counts, same IEEE divisions

@@ -639,6 +639,44 @@ object VectorOps {
       }.reduce(_.unionByName(_)).orderBy(col("k"))
     }),
 
+    // INTRA-LIST DIVERSITY — the retrieval-quality metric that motivates
+    // v14's MMR: how self-similar are a query's top-k results? ILD(k) =
+    // mean pairwise cosine among the k returned vectors (LOWER = more
+    // diverse); reporting ILD(5) next to ILD(20) shows how much the head
+    // of the ranking concentrates relative to its candidate pool — the
+    // diagnostic that says whether MMR re-ranking is worth running at
+    // all. Plan shape: candidate generation is v01's partial-top-k (the
+    // corpus never shuffles); the pair stage then touches only k rows
+    // per query (10 and 190 pairs), joined back to embeddings by id —
+    // bounded fan-out, no corpus² anywhere. Means follow the tx06
+    // discipline (exact decimal sum, one pinned IEEE division — no
+    // round-on-quotient hazard).
+    "v26_ild_diversity" -> ((s, dir) => {
+      graft.functions.VectorFunctions.register(s)
+      val e = emb(s, dir)
+      val qs = e.filter(expr("vec_id % 100 = 0"))
+        .select(col("vec_id").as("q_id"), col("emb").as("qe"),
+          col("norm").as("qn"))
+      def ild(k: Int, nCol: String, iCol: String): DataFrame = {
+        val top = cosineTopK(e, qs, k).select(col("q_id"), col("c_id"))
+        val we = top.join(
+          e.select(col("vec_id").as("c_id"), col("emb"), col("norm")), "c_id")
+        val a = we.select(col("q_id"), col("c_id").as("ia"),
+          col("emb").as("ea"), col("norm").as("na"))
+        val b = we.select(col("q_id"), col("c_id").as("ib"),
+          col("emb").as("eb"), col("norm").as("nb"))
+        a.join(b, Seq("q_id")).filter(col("ia") < col("ib"))
+          .withColumn("ps", round(expr("graft_dot(ea, eb)")
+            / (col("na") * col("nb")), 6))
+          .groupBy(col("q_id"))
+          .agg(count(lit(1)).as(nCol),
+            (sum(col("ps").cast("decimal(18,6)")).cast("double")
+              / count(lit(1)).cast("double")).as(iCol))
+      }
+      ild(5, "n5", "ild5").join(ild(20, "n20", "ild20"), Seq("q_id"))
+        .orderBy(col("q_id"))
+    }),
+
     // SEMANTIC DEDUP, SemDeDup-shaped (Abbas et al. 2023, public): cluster
     // the corpus with k-means (v15's iterated centroids), then find
     // near-duplicates ONLY within each cluster — pairwise cosine is
@@ -1816,6 +1854,46 @@ object VectorOps {
          |  CAST(SUM(CAST(csim AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
          |FROM afx8
          |ORDER BY k""".stripMargin,
+
+    // v01's brute top-k replay (both depths share one ranking CTE), then
+    // pairwise cosines within each list — exact decimal sums, one pinned
+    // IEEE division per mean
+    "v26_ild_diversity" ->
+      s"""WITH $embSql,
+         |q AS (SELECT vec_id AS q_id, emb AS qe, norm AS qn FROM e
+         |      WHERE vec_id % 100 = 0),
+         |p AS (
+         |  SELECT q_id, vec_id,
+         |    ROUND(list_dot_product(qe, emb) / (qn * norm), 6) AS sim
+         |  FROM e, q WHERE vec_id <> q_id),
+         |r AS (
+         |  SELECT q_id, vec_id,
+         |    ROW_NUMBER() OVER (PARTITION BY q_id
+         |      ORDER BY sim DESC, vec_id) AS rnk
+         |  FROM p),
+         |t5 AS (SELECT q_id, vec_id FROM r WHERE rnk <= 5),
+         |t20 AS (SELECT q_id, vec_id FROM r WHERE rnk <= 20),
+         |i5 AS (
+         |  SELECT a.q_id, COUNT(*) AS n5,
+         |    CAST(SUM(CAST(ROUND(list_dot_product(ea.emb, eb.emb)
+         |        / (ea.norm * eb.norm), 6) AS DECIMAL(18,6))) AS DOUBLE)
+         |      / CAST(COUNT(*) AS DOUBLE) AS ild5
+         |  FROM t5 a JOIN t5 b ON b.q_id = a.q_id AND a.vec_id < b.vec_id
+         |  JOIN e ea ON ea.vec_id = a.vec_id
+         |  JOIN e eb ON eb.vec_id = b.vec_id
+         |  GROUP BY a.q_id),
+         |i20 AS (
+         |  SELECT a.q_id, COUNT(*) AS n20,
+         |    CAST(SUM(CAST(ROUND(list_dot_product(ea.emb, eb.emb)
+         |        / (ea.norm * eb.norm), 6) AS DECIMAL(18,6))) AS DOUBLE)
+         |      / CAST(COUNT(*) AS DOUBLE) AS ild20
+         |  FROM t20 a JOIN t20 b ON b.q_id = a.q_id AND a.vec_id < b.vec_id
+         |  JOIN e ea ON ea.vec_id = a.vec_id
+         |  JOIN e eb ON eb.vec_id = b.vec_id
+         |  GROUP BY a.q_id)
+         |SELECT q_id, n5, ild5, n20, ild20
+         |FROM i5 JOIN i20 USING (q_id)
+         |ORDER BY q_id""".stripMargin,
 
     // v15's k-means replay (adaptive k = ceil(n/64) — the scalar-subquery
     // twin of kmeansCentroidsAdaptive) + within-cluster pair enumeration
