@@ -677,6 +677,23 @@ object VectorOps {
         .orderBy(col("q_id"))
     }),
 
+    // IVF WITH ADAPTIVE nlist ≈ ⌈√n⌉ — the production remedy the
+    // round-10 cost ladder demanded: v05/v13's coarse cells are
+    // per-label and FIXED in number, so candidates per probe grow ∝ n
+    // and the all-queries total goes quadratic (measured 16.9× at 32×,
+    // VLADDER.json). Deriving nlist from a broadcast corpus count holds
+    // cell occupancy ≈ √n: scanned candidates per query ≈ nprobe·√n,
+    // total O(q·√n) — sub-quadratic by construction, the FAISS
+    // nlist≈√n rule. Same assign/probe/rerank plan as v05 (max-struct
+    // assign, broadcast probes, corpus never shuffles); only the cell
+    // FRAME changes.
+    "v27_ivf_sqrtn_topk" -> ((s, dir) => {
+      graft.functions.VectorFunctions.register(s)
+      val e = emb(s, dir)
+      ivfTopKCents(e, sqrtSeedCents(e), nprobe = 2)
+        .orderBy(col("q_id"), col("rnk"))
+    }),
+
     // SEMANTIC DEDUP, SemDeDup-shaped (Abbas et al. 2023, public): cluster
     // the corpus with k-means (v15's iterated centroids), then find
     // near-duplicates ONLY within each cluster — pairwise cosine is
@@ -1073,8 +1090,27 @@ object VectorOps {
 
   /** IVF top-5 at an explicit `nprobe` (v24's sweep dial; v05/v06 use the
     * production nprobe = 2). */
-  private def ivfTopKN(e: DataFrame, nprobe: Int): DataFrame = {
-    val cents = cellCentroids(e)
+  private def ivfTopKN(e: DataFrame, nprobe: Int): DataFrame =
+    ivfTopKCents(e, cellCentroids(e), nprobe)
+
+  /** v27's coarse cells: the first ⌈√n⌉ vectors as seed centroids, n from
+    * a broadcast one-row count (no driver action; sqrt is correctly
+    * rounded IEEE on every engine, ceil exact). nlist ∝ √n holds cell
+    * occupancy ≈ √n, so scanned candidates per query ≈ nprobe·√n and the
+    * all-queries total is O(q·√n) — the remedy for the fixed-nlist
+    * quadratic the round-10 ladder measured in v13 (VLADDER.json:
+    * 16.9× at 32× because cells were per-label and FIXED in number). */
+  private def sqrtSeedCents(e: DataFrame): DataFrame = {
+    val kf = e.agg(
+      ceil(sqrt(count(lit(1)).cast("double"))).cast("long").as("kk"))
+    e.crossJoin(broadcast(kf)).filter(col("vec_id") < col("kk"))
+      .select(col("vec_id").as("clabel"), col("emb").as("cvec"),
+        col("norm").as("cnorm"))
+  }
+
+  /** IVF top-5 over an explicit centroid frame (clabel, cvec, cnorm). */
+  private def ivfTopKCents(e: DataFrame, cents: DataFrame,
+      nprobe: Int): DataFrame = {
     val cells = coarseAssign(e, cents)
     val probes = cellProbes(e, cents, nprobe)
     val wTop = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id"))
@@ -1894,6 +1930,40 @@ object VectorOps {
          |SELECT q_id, n5, ild5, n20, ild20
          |FROM i5 JOIN i20 USING (q_id)
          |ORDER BY q_id""".stripMargin,
+
+    // v05's assign/probe/rerank replay over ⌈√n⌉ seed cells (scalar-
+    // subquery count twin of sqrtSeedCents; sqrt is correctly-rounded
+    // IEEE on both engines, ceil exact)
+    "v27_ivf_sqrtn_topk" ->
+      s"""WITH $embSql,
+         |k AS (SELECT CAST(ceil(sqrt(COUNT(*))) AS BIGINT) AS kk FROM e),
+         |cent AS (
+         |  SELECT vec_id AS clabel, emb AS cvec, norm AS cnorm
+         |  FROM e, k WHERE vec_id < kk),
+         |sims AS (
+         |  SELECT vec_id, emb, norm, clabel,
+         |    ROUND(list_dot_product(emb, cvec) / (norm * cnorm), 6) AS csim
+         |  FROM e, cent),
+         |assign AS (
+         |  SELECT vec_id, emb, norm, clabel AS cell FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |      ORDER BY csim DESC, clabel) AS crn FROM sims)
+         |  WHERE crn = 1),
+         |probes AS (
+         |  SELECT vec_id AS q_id, emb AS qe, norm AS qn, clabel AS cell FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |      ORDER BY csim DESC, clabel) AS crn FROM sims
+         |    WHERE vec_id % 100 = 0)
+         |  WHERE crn <= 2),
+         |cand AS (
+         |  SELECT q_id, vec_id AS c_id,
+         |    ROUND(list_dot_product(qe, emb) / (qn * norm), 6) AS sim
+         |  FROM assign JOIN probes USING (cell) WHERE vec_id <> q_id),
+         |r AS (
+         |  SELECT q_id, c_id, sim, ROW_NUMBER() OVER (PARTITION BY q_id
+         |    ORDER BY sim DESC, c_id) AS rnk FROM cand)
+         |SELECT q_id, CAST(rnk AS BIGINT) AS rnk, c_id, sim
+         |FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
 
     // v15's k-means replay (adaptive k = ceil(n/64) — the scalar-subquery
     // twin of kmeansCentroidsAdaptive) + within-cluster pair enumeration
