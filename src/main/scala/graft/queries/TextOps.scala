@@ -1228,7 +1228,60 @@ object TextOps {
             named_struct('stage', '2_gopher',      'n_surviving', s2),
             named_struct('stage', '3_quality',     'n_surviving', s3)))""")
         .orderBy(col("stage"))
-    })
+    }),
+
+    // CONTENT-DEFINED CHUNKING dedup (the rsync/LBFS/FastCDC shape used
+    // for storage- and dataset-level dedup): chunk boundaries fall where
+    // the hash of the trailing 8-char window ≡ 0 (mod 32), so an
+    // insertion early in a document shifts ONLY the chunk it lands in —
+    // unlike tx24's fixed-width chunks, where one added character
+    // re-aligns and re-hashes every downstream chunk. Output is the
+    // duplicated-chunk inventory (hash, length, doc reach, occurrence
+    // count) that a storage dedup or a copy-paste-content report reads.
+    // Everything up to the GROUP BY is per-row array math (map-side, no
+    // row amplification before the one hash shuffle on chunk_hash) —
+    // the tx01 exact-dedup shape applied at sub-document granularity.
+    // The window hash is md5-of-substring (the dsir/tx05 replay idiom),
+    // NOT a hand-rolled polynomial over a chars array, and the whole
+    // cutter is ONE aggregate() fold carrying (last_cut, chunks) struct
+    // state. Both choices are the same hard-won lesson: any column a
+    // downstream per-element lambda references gets INLINED by
+    // CollapseProject and re-evaluated per position — a first cut
+    // folded slices of a precomputed `codes` array (O(len³) per doc;
+    // jstack showed ArrayTransform inside ArrayAggregate, 11
+    // CPU-minutes on 500 300-char docs), and a second cut that built a
+    // boundary array then sliced chunks from it re-ran the whole
+    // boundary filter per chunk (175 s at sf0.1). The single fold
+    // evaluates ONE md5 per position, period: ~1.5 M md5s at sf0.1.
+    // Boundary = trailing-8-window hash ≡ 0 (mod 32: two hex nibbles,
+    // keep 5 bits); never cut at the very end (the tail chunk closes
+    // at length(text) in the finish lambda). Mod-32 gives ~32-char
+    // expected chunks on this corpus's text lengths.
+    "tx39_cdc_chunk_dedup" -> ((s, dir) =>
+      fanout(docs(s, dir))
+        .selectExpr("doc_id",
+          """aggregate(
+               sequence(8, greatest(length(text), 8)),
+               named_struct('p', 0L, 'cs', cast(array() as array<string>)),
+               (acc, i) -> if(i < length(text) AND
+                   cast(conv(substr(md5(cast(substring(text, cast(i - 7 as int), 8) as binary)), 1, 2), 16, 10) as bigint) % 32 = 0,
+                 named_struct('p', i,
+                   'cs', concat(acc.cs, array(substring(text, cast(acc.p + 1 as int), cast(i - acc.p as int))))),
+                 acc),
+               acc -> concat(acc.cs, array(substring(text, cast(acc.p + 1 as int), cast(length(text) - acc.p as int))))) AS chunks""")
+        .select(col("doc_id"), explode(col("chunks")).as("chunk"))
+        // no min-size constraint in the cutter (that needs sequential
+        // state — FastCDC's normalization); instead the INVENTORY keeps
+        // substantive chunks only, so adjacent boundaries' 1-3 char
+        // slivers don't drown the report
+        .filter(length(col("chunk")) >= 4)
+        .groupBy(expr("md5(cast(chunk as binary))").as("chunk_hash"))
+        .agg(max(length(col("chunk"))).cast("long").as("chunk_len"),
+          countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_occ"))
+        .filter(col("n_occ") > 1)
+        .select(col("chunk_hash"), col("chunk_len"), col("n_docs"), col("n_occ"))
+        .orderBy(col("n_occ").desc, col("chunk_hash")))
   )
 
   /** Fixed BPE merge vocabulary, in rank order. Valid by construction: every
@@ -2092,6 +2145,41 @@ object TextOps {
          |UNION ALL SELECT '1_exact_dedup', s1 FROM agg
          |UNION ALL SELECT '2_gopher', s2 FROM agg
          |UNION ALL SELECT '3_quality', s3 FROM agg
-         |ORDER BY stage""".stripMargin
+         |ORDER BY stage""".stripMargin,
+
+    // CDC replay: same md5-of-trailing-window boundary hash (first two
+    // hex nibbles via the dsir strpos idiom = Spark's conv(substr(md5,
+    // 1, 2), 16, 10)), mod-32 boundaries; COUNT/COUNT(DISTINCT) are
+    // BIGINT on both engines (no sum to pin)
+    "tx39_cdc_chunk_dedup" ->
+      """WITH bd AS (
+        |  SELECT doc_id, text,
+        |    list_filter(range(8, length(text) + 1), i ->
+        |      i < length(text) AND
+        |      ((strpos('0123456789abcdef',
+        |          substr(md5(substr(text, CAST(i - 7 AS INT), 8)), 1, 1)) - 1) * 16
+        |       + (strpos('0123456789abcdef',
+        |          substr(md5(substr(text, CAST(i - 7 AS INT), 8)), 2, 1)) - 1))
+        |        % 32 = 0) AS bs
+        |  FROM documents),
+        |ct AS (
+        |  SELECT doc_id, text,
+        |    list_concat(list_concat([0::BIGINT], bs),
+        |      [CAST(length(text) AS BIGINT)]) AS cuts
+        |  FROM bd),
+        |ch AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, len(cuts)), k ->
+        |      substr(text, CAST(list_extract(cuts, CAST(k AS INT)) + 1 AS INT),
+        |        CAST(list_extract(cuts, CAST(k + 1 AS INT))
+        |          - list_extract(cuts, CAST(k AS INT)) AS INT)))) AS chunk
+        |  FROM ct)
+        |SELECT md5(chunk) AS chunk_hash,
+        |  CAST(MAX(length(chunk)) AS BIGINT) AS chunk_len,
+        |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |  COUNT(*) AS n_occ
+        |FROM ch WHERE length(chunk) >= 4
+        |GROUP BY chunk_hash HAVING COUNT(*) > 1
+        |ORDER BY n_occ DESC, chunk_hash""".stripMargin
   )
 }

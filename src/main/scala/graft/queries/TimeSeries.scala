@@ -1531,6 +1531,115 @@ object TimeSeries {
           date_format(col("day"), "yyyy-MM-dd").as("day"),
           col("n_points"), col("p10"), col("p50"), col("p90"))
         .orderBy(col("event_type"), col("day"))
+    }),
+
+    // SAX MOTIF DISCOVERY (Lin et al.'s Symbolic Aggregate approXimation,
+    // the classic TS pattern-mining front end): PAA = hourly mean →
+    // 4-symbol alphabet on FIXED power-of-two breakpoints (width 16, the
+    // ts42/gs22 binning discipline — floor(v/16) is exponent-only IEEE
+    // arithmetic, exact on any engine) → 3-symbol sliding words over
+    // CONSECUTIVE hours → top-3 most frequent words per series = the
+    // series' motifs. Quantile breakpoints (textbook SAX) would reintro-
+    // duce cross-engine interpolation drift; fixed breakpoints keep every
+    // step integer-exact. Hourly means are halfUpMean6 (exact micro-unit
+    // int64 → one deterministic int64→double conversion). Scale shape:
+    // events compress to one row per (type, hour) FIRST; the word window
+    // partitions by event_type over that tiny frame, and the motif rank
+    // is a second window over ≤ 64 words per type. Gap hours break words
+    // (lead-hr continuity check) instead of silently bridging silence.
+    "ts49_sax_motifs" -> ((s, dir) => {
+      val hourly = ev(s, dir)
+        .groupBy(col("event_type"),
+          expr("unix_micros(ts) div 3600000000").as("hr"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,6)")).as("sx"))
+        .withColumn("hm", halfUpMean6("sx", "n"))
+        .withColumn("sym", expr(
+          "substr('abcd', cast(greatest(least(floor(hm / 16.0), 3.0), 0.0) as int) + 1, 1)"))
+        .select(col("event_type"), col("hr"), col("sym"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+      val words = hourly
+        .withColumn("s2", lead(col("sym"), 1).over(w))
+        .withColumn("h2", lead(col("hr"), 1).over(w))
+        .withColumn("s3", lead(col("sym"), 2).over(w))
+        .withColumn("h3", lead(col("hr"), 2).over(w))
+        .filter(col("h2") === col("hr") + 1 && col("h3") === col("hr") + 2)
+        .select(col("event_type"),
+          concat(col("sym"), col("s2"), col("s3")).as("word"))
+      val counted = words.groupBy(col("event_type"), col("word"))
+        .agg(count(lit(1)).as("n"))
+      counted
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy(col("event_type"))
+            .orderBy(col("n").desc, col("word"))).cast("long"))
+        .filter(col("rnk") <= 3)
+        .select(col("event_type"), col("word"), col("n"), col("rnk"))
+        .orderBy(col("event_type"), col("rnk"))
+    }),
+
+    // INTERVAL UNION / DAILY COVERAGE (the sweep-line op plain SQL is
+    // famously bad at): from ts47's per-user sessions, how many µs of
+    // each day have ≥ 1 session active, how many sessions touch the
+    // day, and the peak concurrency — the utilization/on-call-coverage
+    // shape. Algorithm: clip sessions to day boundaries (sessions are
+    // ≤ a few hours, so the explode is 1-2 rows each), then per day a
+    // ±1 delta sweep: running sum = concurrency, segment to the next
+    // boundary counts when concurrency > 0. Integer-µs arithmetic
+    // throughout; the one division (coverage ratio) is a single IEEE op
+    // on identical operands. Determinism: the sweep order (us, delta,
+    // user_id) is TOTAL (a user's sessions are >30 min apart), and the
+    // covered-time integral is tie-order-independent anyway (equal-us
+    // rows produce zero-length segments). Scale shape: sessionization
+    // shuffles on user_id; the sweep partitions by day — days are
+    // independent by construction after clipping, so this parallelizes
+    // over the calendar; within one day the window is bounded by that
+    // day's session count (sub-day clipping with boundary stitching is
+    // the refinement if a single day's sessions outgrow a partition).
+    "ts50_interval_coverage" -> ((s, dir) => {
+      val dayUs = 86400000000L
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+      val sess = ev(s, dir)
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+        .withColumn("prev", lag(col("us"), 1).over(w))
+        .withColumn("brk",
+          when(col("prev").isNull
+            || col("us") - col("prev") > 1800L * 1000000L, 1L).otherwise(0L))
+        .withColumn("sid", sum(col("brk")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("sid"))
+        .agg(min(col("us")).as("start_us"), max(col("us")).as("end_us"))
+      val seg = sess
+        .withColumn("day",
+          explode(expr(s"sequence(start_us div $dayUs, end_us div $dayUs)")))
+        .select(col("user_id"), col("day"),
+          greatest(col("start_us"), col("day") * dayUs).as("s"),
+          least(col("end_us"), (col("day") + 1) * dayUs).as("e"))
+      val sweep = seg
+        .select(col("day"), col("s").as("us"), lit(1L).as("delta"), col("user_id"))
+        .unionAll(seg.select(col("day"), col("e").as("us"),
+          lit(-1L).as("delta"), col("user_id")))
+      // starts before ends at the same instant (delta DESC): sessions are
+      // CLOSED intervals, so a single-event session still registers peak
+      // concurrency 1 and touching sessions merge. The order is total
+      // (a user's sessions sit > 30 min apart), and covered time is
+      // tie-order-independent regardless (zero-length segments).
+      val ws = Window.partitionBy(col("day"))
+        .orderBy(col("us"), col("delta").desc, col("user_id"))
+      sweep
+        .withColumn("cum", sum(col("delta")).over(
+          ws.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("nxt", lead(col("us"), 1).over(ws))
+        .groupBy(col("day"))
+        .agg(sum(when(col("delta") === 1L, 1L).otherwise(0L)).as("n_sessions"),
+          sum(when(col("cum") > 0, coalesce(col("nxt"), col("us")) - col("us"))
+            .otherwise(0L)).as("covered_us"),
+          max(col("cum")).as("max_conc"))
+        .withColumn("coverage",
+          col("covered_us").cast("double") / lit(dayUs.toDouble))
+        .select(col("day"), col("n_sessions"), col("covered_us"),
+          col("max_conc"), col("coverage"))
+        .orderBy(col("day"))
     })
   )
 
@@ -2825,7 +2934,92 @@ object TimeSeries {
         |      AS rn,
         |    CAST(COUNT(*) OVER (PARTITION BY g) AS BIGINT) AS n
         |  FROM r) WHERE rn = (n + 1) // 2
-        |ORDER BY event_type""".stripMargin
+        |ORDER BY event_type""".stripMargin,
+
+    // SAX: halfUpMean6 hourly means, fixed power-of-two breakpoints
+    // (floor(v/16) is exact IEEE), lead-hr continuity gates gap hours;
+    // COUNT is BIGINT on both engines (no sum to pin)
+    "ts49_sax_motifs" ->
+      """WITH hourly AS (
+        |  SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
+        |    COUNT(*) AS n,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT)
+        |      AS s_us
+        |  FROM events GROUP BY 1, 2),
+        |sym AS (
+        |  SELECT event_type, hr,
+        |    substr('abcd', CAST(GREATEST(LEAST(FLOOR(
+        |      (CAST((2 * s_us + n) // (2 * n) AS DOUBLE) / 1000000.0)
+        |        / 16.0), 3.0), 0.0) AS INT) + 1, 1) AS s
+        |  FROM hourly),
+        |wd AS (
+        |  SELECT event_type, hr, s,
+        |    LEAD(s, 1) OVER w AS s2, LEAD(hr, 1) OVER w AS h2,
+        |    LEAD(s, 2) OVER w AS s3, LEAD(hr, 2) OVER w AS h3
+        |  FROM sym WINDOW w AS (PARTITION BY event_type ORDER BY hr)),
+        |c AS (
+        |  SELECT event_type, s || s2 || s3 AS word, COUNT(*) AS n
+        |  FROM wd WHERE h2 = hr + 1 AND h3 = hr + 2
+        |  GROUP BY 1, 2),
+        |r AS (
+        |  SELECT event_type, word, n,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+        |      ORDER BY n DESC, word) AS BIGINT) AS rnk
+        |  FROM c)
+        |SELECT event_type, word, n, rnk FROM r WHERE rnk <= 3
+        |ORDER BY event_type, rnk""".stripMargin,
+
+    // sweep-line replay: ts47's session CTE, day-clipped segments via a
+    // correlated generate_series, ±1 deltas, running-sum concurrency.
+    // Window SUMs (sid, cum) and the CASE sums are HUGEINT in DuckDB —
+    // every surviving projection pins BIGINT per the typed-sum rule;
+    // positive integer // is floor on both engines.
+    "ts50_interval_coverage" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+        |f AS (
+        |  SELECT *, CASE WHEN LAG(us) OVER w IS NULL
+        |      OR us - LAG(us) OVER w > 1800000000
+        |    THEN 1 ELSE 0 END AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |g AS (
+        |  SELECT *, SUM(brk) OVER (PARTITION BY user_id
+        |    ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM f),
+        |sess AS (
+        |  SELECT user_id, MIN(us) AS start_us, MAX(us) AS end_us
+        |  FROM g GROUP BY user_id, sid),
+        |segd AS (
+        |  SELECT user_id, start_us, end_us,
+        |    unnest(range(start_us // 86400000000,
+        |                 end_us // 86400000000 + 1)) AS day
+        |  FROM sess),
+        |seg AS (
+        |  SELECT user_id, day,
+        |    GREATEST(start_us, day * 86400000000) AS s,
+        |    LEAST(end_us, (day + 1) * 86400000000) AS e
+        |  FROM segd),
+        |sweep AS (
+        |  SELECT day, s AS us, 1 AS delta, user_id FROM seg
+        |  UNION ALL
+        |  SELECT day, e, -1, user_id FROM seg),
+        |w2 AS (
+        |  SELECT day, us, delta,
+        |    SUM(delta) OVER (PARTITION BY day
+        |      ORDER BY us, delta DESC, user_id
+        |      ROWS UNBOUNDED PRECEDING) AS cum,
+        |    LEAD(us) OVER (PARTITION BY day
+        |      ORDER BY us, delta DESC, user_id) AS nxt
+        |  FROM sweep)
+        |SELECT day,
+        |  CAST(SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_sessions,
+        |  CAST(SUM(CASE WHEN cum > 0 THEN COALESCE(nxt, us) - us
+        |    ELSE 0 END) AS BIGINT) AS covered_us,
+        |  CAST(MAX(cum) AS BIGINT) AS max_conc,
+        |  CAST(SUM(CASE WHEN cum > 0 THEN COALESCE(nxt, us) - us
+        |    ELSE 0 END) AS DOUBLE) / 86400000000.0 AS coverage
+        |FROM w2 GROUP BY day ORDER BY day""".stripMargin
   )
 
   /** The ts21 closed-form EMA kernel as a DuckDB CTE pair (`<out>_pairs`,

@@ -935,6 +935,30 @@ object VectorOps {
               .as("recall_at_5"))
       }
       curves.reduce(_.union(_)).orderBy(col("dims"))
+    }),
+
+    // TRIANGLE COUNTING on the semantic-similarity graph (v21's LSH edge
+    // list) — the local-clustering signal that separates a tight semantic
+    // cluster (many triangles) from a hub-and-spoke artifact of one
+    // promiscuous vector (many edges, few triangles); alongside v21's
+    // PageRank these are the two standard graph diagnostics over an ANN
+    // pair graph. Algorithm: degree-ordered orientation ("compact
+    // forward") — every edge points from its (deg, id)-smaller endpoint,
+    // wedges are enumerated at each edge's source, and a wedge closes
+    // iff its (v, w) is itself an oriented edge, so each triangle is
+    // found EXACTLY once at its lowest-order vertex. Scale shape: the
+    // wedge fan-out is Σ out-deg², and degree-ordering bounds out-degree
+    // by the graph's degeneracy (a hub's edges point INTO it, so the
+    // hub never centers a wedge) — the textbook reason this survives
+    // power-law graphs where id-ordering explodes. All joins carry
+    // (id, id) frames; embeddings never move past the LSH scoring.
+    "v28_graph_triangles" -> ((s, dir) => {
+      graft.functions.VectorFunctions.register(s)
+      val edges = lshPairs(emb(s, dir), planes = 60, bands = 15, width = 4)
+        .select(col("vec_a").as("a"), col("vec_b").as("b"))
+      graft.operators.Triangles.perVertexCounts(edges)
+        .select(col("id").as("vec_id"), col("n_tri"))
+        .orderBy(col("vec_id"))
     })
   )
 
@@ -2212,7 +2236,52 @@ object VectorOps {
         |  CAST(COALESCE(n_hit, 0) AS BIGINT) AS n_hit,
         |  ROUND(CAST(COALESCE(n_hit, 0) AS DOUBLE)
         |    / (SELECT COUNT(*) FROM ex), 6) AS recall_at_5
-        |FROM dd LEFT JOIN h USING (dims) ORDER BY dims""".stripMargin
+        |FROM dd LEFT JOIN h USING (dims) ORDER BY dims""".stripMargin,
+
+    // v28: v21's exact LSH edge replay (60 planes / 15 bands, sim ≥ 0.3),
+    // then compact-forward triangles — (deg, id) row-value comparisons
+    // orient edges and order wedge pairs identically on both engines;
+    // COUNT is BIGINT on both (no sum to pin)
+    "v28_graph_triangles" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS emb,
+        |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+        |  FROM embeddings),
+        |s AS (SELECT vec_id, emb, norm,
+        |  CAST(list_sum(list_transform(range(0, 60), i ->
+        |    CASE WHEN list_sum(list_transform(range(0, 64), j ->
+        |      emb[CAST(j + 1 AS INT)] * ((73856093::BIGINT * (i + 1) * (j + 7)) % 2001 - 1000)))
+        |    >= 0 THEN (1::BIGINT << CAST(i AS INT)) ELSE 0 END)) AS BIGINT) AS sig FROM e),
+        |bands AS (SELECT vec_id, b, (sig >> CAST(4 * b AS INT)) & 15 AS bv
+        |          FROM s, range(0, 15) t(b)),
+        |p AS (SELECT DISTINCT a.vec_id AS vec_a, c.vec_id AS vec_b
+        |      FROM bands a JOIN bands c ON a.b = c.b AND a.bv = c.bv AND a.vec_id < c.vec_id),
+        |x AS (SELECT vec_a, vec_b
+        |      FROM p JOIN e ea ON ea.vec_id = vec_a JOIN e eb ON eb.vec_id = vec_b
+        |      WHERE round(list_dot_product(ea.emb, eb.emb) / (ea.norm * eb.norm), 6) >= 0.3),
+        |ed AS (SELECT vec_a AS id FROM x UNION ALL SELECT vec_b FROM x),
+        |deg AS (SELECT id, COUNT(*) AS deg FROM ed GROUP BY id),
+        |oe AS (
+        |  SELECT CASE WHEN (da.deg, x.vec_a) < (db.deg, x.vec_b)
+        |           THEN x.vec_a ELSE x.vec_b END AS u,
+        |         CASE WHEN (da.deg, x.vec_a) < (db.deg, x.vec_b)
+        |           THEN x.vec_b ELSE x.vec_a END AS v,
+        |         CASE WHEN (da.deg, x.vec_a) < (db.deg, x.vec_b)
+        |           THEN db.deg ELSE da.deg END AS vdeg
+        |  FROM x JOIN deg da ON da.id = x.vec_a
+        |         JOIN deg db ON db.id = x.vec_b),
+        |wg AS (
+        |  SELECT a.u, a.v AS v, b.v AS w
+        |  FROM oe a JOIN oe b ON a.u = b.u
+        |    AND (a.vdeg, a.v) < (b.vdeg, b.v)),
+        |tri AS (
+        |  SELECT wg.u, wg.v, wg.w
+        |  FROM wg SEMI JOIN oe t ON t.u = wg.v AND t.v = wg.w),
+        |tv AS (SELECT u AS id FROM tri
+        |       UNION ALL SELECT v FROM tri
+        |       UNION ALL SELECT w FROM tri)
+        |SELECT id AS vec_id, COUNT(*) AS n_tri
+        |FROM tv GROUP BY id ORDER BY vec_id""".stripMargin
   )
 
   /** Full replay of v21: the production 60-plane/15-band LSH edge list

@@ -1,0 +1,141 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Kernel semantics for the round-10 additions — tx39 content-defined
+  * chunking, ts49 SAX symbolization, v28 triangle counting — pinned on
+  * handcrafted fixtures (the sf oracles verify engine-vs-DuckDB; these
+  * verify the MATH). */
+class Round10OpsSpec extends SparkSpec {
+
+  /** tx39's cutter on a one-column text frame → (doc_id, chunk) rows —
+    * the same single-fold expression as the registered query. */
+  private def cdcChunks(df: org.apache.spark.sql.DataFrame) = df
+    .selectExpr("doc_id",
+      """aggregate(
+           sequence(8, greatest(length(text), 8)),
+           named_struct('p', 0L, 'cs', cast(array() as array<string>)),
+           (acc, i) -> if(i < length(text) AND
+               cast(conv(substr(md5(cast(substring(text, cast(i - 7 as int), 8) as binary)), 1, 2), 16, 10) as bigint) % 32 = 0,
+             named_struct('p', i,
+               'cs', concat(acc.cs, array(substring(text, cast(acc.p + 1 as int), cast(i - acc.p as int))))),
+             acc),
+           acc -> concat(acc.cs, array(substring(text, cast(acc.p + 1 as int), cast(length(text) - acc.p as int))))) AS chunks""")
+    .select(col("doc_id"), posexplode(col("chunks")).as(Seq("pos", "chunk")))
+
+  test("tx39 cutter: chunks reassemble to the original text, short texts uncut") {
+    import spark.implicits._
+    val texts = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and then runs far away " * 4),
+      (2L, "tiny"), // < 8 chars: no boundary positions at all
+      (3L, ""), // empty: one empty chunk (the inventory's len filter drops it)
+      (4L, "exactly8")) // == 8 chars: lone window is i == length, never cut
+      .toDF("doc_id", "text")
+    val got = cdcChunks(texts)
+      .groupBy("doc_id").agg(concat_ws("", collect_list("chunk")).as("re"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val want = texts.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // every doc must round-trip byte-identically
+    assert(got == want)
+  }
+
+  test("tx39 cutter: an insertion shifts only the chunk it lands in") {
+    import spark.implicits._
+    val base = "a quick brown fox jumps over the lazy dog while the cat sleeps " +
+      "in the warm sun near the old barn door and birds sing from tall trees " +
+      "as the river flows gently past the quiet village in the early morning"
+    val edited = base.substring(0, 5) + "X" + base.substring(5)
+    val chunks = cdcChunks(Seq((1L, base), (2L, edited)).toDF("doc_id", "text"))
+      .collect().groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getString(2)).toSeq).toMap
+    val shared = chunks(1L).intersect(chunks(2L))
+    // the defining CDC property: all chunks after the edited one re-sync
+    // (tx24's fixed-width chunking would share ~nothing here)
+    assert(chunks(1L).size >= 3,
+      s"fixture too short to be meaningful: ${chunks(1L)}")
+    assert(shared.size >= chunks(1L).size - 1,
+      s"expected at most one divergent chunk, got base=${chunks(1L)} edited=${chunks(2L)}")
+  }
+
+  test("ts49 symbolization: fixed breakpoints clamp and bin correctly") {
+    val got = spark.sql(
+      """SELECT collect_list(substr('abcd',
+        |  cast(greatest(least(floor(hm / 16.0), 3.0), 0.0) as int) + 1, 1)) AS s
+        |FROM VALUES (-5.0), (0.0), (15.999999), (16.0), (47.9), (48.0), (999.0) AS t(hm)
+        |""".stripMargin).head.getSeq[String](0)
+    assert(got == Seq("a", "a", "a", "b", "c", "d", "d"))
+  }
+
+  test("ts49 over sf0.001: motif shape invariants") {
+    val rows = SparkEntry.queries("ts49_sax_motifs")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // words are 3 chars over the a-d alphabet; ranks dense from 1, <= 3
+    assert(rows.forall(r => r.getAs[String]("word").matches("[a-d]{3}")))
+    val byType = rows.groupBy(_.getAs[String]("event_type"))
+    byType.values.foreach { rs =>
+      val ranked = rs.sortBy(_.getAs[Long]("rnk"))
+      assert(ranked.map(_.getAs[Long]("rnk")).toSeq == (1L to ranked.size).toSeq)
+      // counts are non-increasing down the ranking
+      val ns = ranked.map(_.getAs[Long]("n")).toSeq
+      assert(ns == ns.sorted.reverse)
+    }
+  }
+
+  test("v28 kernel: K4 has 4 triangles (each vertex in 3), path has none") {
+    import spark.implicits._
+    val k4 = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (1L, 3L), (2L, 3L))
+      .toDF("a", "b")
+    val gotK4 = graft.operators.Triangles.perVertexCounts(k4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotK4 == Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L))
+
+    val path = Seq((0L, 1L), (1L, 2L), (2L, 3L)).toDF("a", "b")
+    assert(graft.operators.Triangles.perVertexCounts(path).count() == 0)
+  }
+
+  test("ts50 sweep kernel: union length, peak concurrency, zero-length sessions") {
+    import spark.implicits._
+    // [10,30] ∪ [20,40] ∪ [50,60] ∪ [70,70] → covered 30+10+0 = 40, peak 2;
+    // the zero-length session still registers concurrency 1 (starts sort
+    // before ends at the same instant)
+    val seg = Seq((0L, 10L, 30L, 1L), (0L, 20L, 40L, 2L),
+      (0L, 50L, 60L, 3L), (0L, 70L, 70L, 4L))
+      .toDF("day", "s", "e", "user_id")
+    val sweep = seg.select($"day", $"s".as("us"), lit(1L).as("delta"), $"user_id")
+      .unionAll(seg.select($"day", $"e".as("us"), lit(-1L).as("delta"), $"user_id"))
+    val ws = org.apache.spark.sql.expressions.Window
+      .partitionBy($"day").orderBy($"us", $"delta".desc, $"user_id")
+    val got = sweep
+      .withColumn("cum", sum($"delta").over(ws.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .withColumn("nxt", lead($"us", 1).over(ws))
+      .groupBy($"day")
+      .agg(sum(when($"cum" > 0, coalesce($"nxt", $"us") - $"us")
+          .otherwise(0L)).as("covered"),
+        max($"cum").as("mx"))
+      .head
+    assert(got.getLong(1) == 40L && got.getLong(2) == 2L)
+  }
+
+  test("ts50 over sf0.001: coverage invariants") {
+    val rows = SparkEntry.queries("ts50_interval_coverage")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val covered = r.getAs[Long]("covered_us")
+      assert(covered >= 0L && covered <= 86400000000L)
+      assert(r.getAs[Long]("max_conc") <= r.getAs[Long]("n_sessions"))
+      assert(r.getAs[Double]("coverage") == covered.toDouble / 86400000000.0)
+    }
+  }
+
+  test("v28 kernel: hub-and-spoke plus one closing edge counts exactly once") {
+    import spark.implicits._
+    // star center 9 with leaves 1..5, plus edge (1,2): exactly one
+    // triangle (9,1,2) — and the hub (highest degree) never centers a
+    // wedge, so the count survives the skew by construction
+    val star = ((1L to 5L).map(l => (l, 9L)) :+ (1L, 2L)).toDF("a", "b")
+    val got = graft.operators.Triangles.perVertexCounts(star)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 9L -> 1L))
+  }
+}
