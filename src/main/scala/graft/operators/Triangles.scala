@@ -33,6 +33,12 @@ object Triangles {
     val deg = edges.select(col("a").as("id"))
       .union(edges.select(col("b").as("id")))
       .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+    // the oriented edge list is consumed THREE times (both wedge sides
+    // and the closure semi-join); without a materialization barrier
+    // Catalyst re-plans the whole upstream per consumer — with an LSH
+    // candidate generator feeding `edges` that meant 60 FileScans and a
+    // 6×-replicated pair pipeline (plan-audited). The frame is narrow
+    // (u, v, deg) — one eager localCheckpoint, every consumer reads it.
     val oe = edges
       .join(deg.select(col("id").as("a"), col("deg").as("da")), "a")
       .join(deg.select(col("id").as("b"), col("deg").as("db")), "b")
@@ -42,6 +48,7 @@ object Triangles {
         when(col("fwd"), col("a")).otherwise(col("b")).as("u"),
         when(col("fwd"), col("b")).otherwise(col("a")).as("v"),
         when(col("fwd"), col("db")).otherwise(col("da")).as("vdeg"))
+      .localCheckpoint(true)
     val wedges = oe.select(col("u"), col("v").as("v1"), col("vdeg").as("d1"))
       .join(oe.select(col("u"), col("v").as("v2"), col("vdeg").as("d2")), "u")
       .filter(struct(col("d1"), col("v1")) < struct(col("d2"), col("v2")))

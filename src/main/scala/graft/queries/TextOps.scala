@@ -1269,7 +1269,13 @@ object TextOps {
                    'cs', concat(acc.cs, array(substring(text, cast(acc.p + 1 as int), cast(i - acc.p as int))))),
                  acc),
                acc -> concat(acc.cs, array(substring(text, cast(acc.p + 1 as int), cast(length(text) - acc.p as int))))) AS chunks""")
-        .select(col("doc_id"), explode(col("chunks")).as("chunk"))
+        // explode_outer, not explode: plain explode adds an implicit
+        // size(chunks) > 0 filter that gets PUSHED INTO THE SCAN with
+        // the whole fold expression inlined — running the md5 loop
+        // twice per document (plan-audited: the fold appeared in the
+        // scan's DataFilters). chunks is never empty (the finish lambda
+        // always appends the tail), so outer semantics are identical.
+        .select(col("doc_id"), explode_outer(col("chunks")).as("chunk"))
         // no min-size constraint in the cutter (that needs sequential
         // state — FastCDC's normalization); instead the INVENTORY keeps
         // substantive chunks only, so adjacent boundaries' 1-3 char

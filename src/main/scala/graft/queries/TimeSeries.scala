@@ -1615,10 +1615,16 @@ object TimeSeries {
         .select(col("user_id"), col("day"),
           greatest(col("start_us"), col("day") * dayUs).as("s"),
           least(col("end_us"), (col("day") + 1) * dayUs).as("e"))
+      // ±1 deltas via a 2-element inline array, NOT a unionAll of two
+      // projections of `seg`: the union's branches differ (s vs e), so
+      // ReuseExchange can't kick in and the whole sessionize subtree —
+      // including the events scan — would run twice (plan-audited).
       val sweep = seg
-        .select(col("day"), col("s").as("us"), lit(1L).as("delta"), col("user_id"))
-        .unionAll(seg.select(col("day"), col("e").as("us"),
-          lit(-1L).as("delta"), col("user_id")))
+        .select(col("day"), col("user_id"), explode(array(
+          struct(col("s").as("us"), lit(1L).as("delta")),
+          struct(col("e").as("us"), lit(-1L).as("delta")))).as("x"))
+        .select(col("day"), col("x.us").as("us"),
+          col("x.delta").as("delta"), col("user_id"))
       // starts before ends at the same instant (delta DESC): sessions are
       // CLOSED intervals, so a single-event session still registers peak
       // concurrency 1 and touching sessions merge. The order is total

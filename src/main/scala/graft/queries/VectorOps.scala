@@ -711,8 +711,14 @@ object VectorOps {
     "v16_semantic_dedup" -> ((s, dir) => {
       graft.functions.VectorFunctions.register(s)
       val e = emb(s, dir)
+      // af feeds THREE consumers (both pair sides + the final output);
+      // without a barrier each re-derives the whole 2-iter Lloyd +
+      // O(n·k) assign pipeline (round-10 plan audit: 3× the kmeans
+      // subtree). The assignment is the "cluster map" a real curation
+      // pipeline persists anyway — one eager localCheckpoint.
       val af = kmeansAssign(e, kmeansCentroidsAdaptive(e, iters = 2))
         .join(e.select(col("vec_id"), col("emb"), col("norm")), Seq("vec_id"))
+        .localCheckpoint(true)
       val a = af.select(col("cid"), col("vec_id").as("vec_a"),
         col("emb").as("emb_a"), col("norm").as("norm_a"))
       val b = af.select(col("cid"), col("vec_id").as("vec_b"),
@@ -958,6 +964,82 @@ object VectorOps {
         .select(col("vec_a").as("a"), col("vec_b").as("b"))
       graft.operators.Triangles.perVertexCounts(edges)
         .select(col("id").as("vec_id"), col("n_tri"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // TWO-LEVEL (hierarchical) ASSIGNMENT SemDeDup — the implemented
+    // form of the remedy v16's scaladoc and the round-10 cost ladder
+    // only PROMISED: v16's assign evaluates all k = ⌈n/64⌉ centroids
+    // per vector (O(n·k) = O(n²/64) flops — its measured 3.0× growth at
+    // 32×), while this routes each vector through kc = ⌈√k⌉ coarse
+    // seeds, then only the fine seeds INSIDE the chosen coarse cell:
+    // ~kc + k/kc ≈ 2√k dots per vector, O(n·√n) total — the same √n
+    // sizing move as v27's IVF, applied to the dedup quantizer. Seeds
+    // are used un-refined (no Lloyd) so the query isolates the
+    // assignment term; v16 remains the Lloyd-refined quality path, and
+    // the two outputs are directly comparable (same pair threshold,
+    // same CC canonicalization, same schema). The within-cell pair
+    // stage and min-label components are exactly v16's. The assignment
+    // frame feeds three consumers — checkpointed once, like v16.
+    "v29_semdedup_2level" -> ((s, dir) => {
+      graft.functions.VectorFunctions.register(s)
+      val e = emb(s, dir)
+      val kf = e.agg(
+        ceil(count(lit(1)).cast("double") / 64.0).cast("long").as("kk"))
+        .withColumn("kc", ceil(sqrt(col("kk").cast("double"))).cast("long"))
+      val fine = e.crossJoin(broadcast(kf))
+        .filter(col("vec_id") < col("kk"))
+        .select(col("vec_id").as("fid"), col("emb").as("fvec"),
+          col("norm").as("fnorm"))
+      val coarse = e.crossJoin(broadcast(kf))
+        .filter(col("vec_id") < col("kc"))
+        .select(col("vec_id").as("ccid"), col("emb").as("cvec"),
+          col("norm").as("cnorm"))
+      // fine seed → coarse cell routing table (k × kc dots, broadcast)
+      val f2c = fine.crossJoin(broadcast(coarse))
+        .withColumn("csim", round(expr("graft_dot(fvec, cvec)")
+          / (col("fnorm") * col("cnorm")), 6))
+        .groupBy(col("fid"))
+        .agg(max(struct(col("csim"), (-col("ccid")).as("negc"))).as("b"),
+          first(col("fvec")).as("fvec"), first(col("fnorm")).as("fnorm"))
+        .select(col("fid"), col("fvec"), col("fnorm"),
+          (-col("b.negc")).as("ccid"))
+      // stage 1: every vector → coarse cell (kc dots each, map-side)
+      val dc = fanout(e).crossJoin(broadcast(coarse))
+        .withColumn("csim", round(expr("graft_dot(emb, cvec)")
+          / (col("norm") * col("cnorm")), 6))
+        .groupBy(col("vec_id"))
+        .agg(max(struct(col("csim"), (-col("ccid")).as("negc"))).as("b"),
+          first(col("emb")).as("emb"), first(col("norm")).as("norm"))
+        .select(col("vec_id"), col("emb"), col("norm"),
+          (-col("b.negc")).as("ccid"))
+      // stage 2: fine argmax INSIDE the chosen coarse cell (~√k dots)
+      val af = dc.join(broadcast(f2c), Seq("ccid"))
+        .withColumn("csim", round(expr("graft_dot(emb, fvec)")
+          / (col("norm") * col("fnorm")), 6))
+        .groupBy(col("vec_id"))
+        .agg(max(struct(col("csim"), (-col("fid")).as("negc"))).as("b"),
+          first(col("emb")).as("emb"), first(col("norm")).as("norm"))
+        .select(col("vec_id"), (-col("b.negc")).as("cid"),
+          col("emb"), col("norm"))
+        .localCheckpoint(true)
+      val a = af.select(col("cid"), col("vec_id").as("vec_a"),
+        col("emb").as("emb_a"), col("norm").as("norm_a"))
+      val b = af.select(col("cid"), col("vec_id").as("vec_b"),
+        col("emb").as("emb_b"), col("norm").as("norm_b"))
+      val pairs = a.join(b, Seq("cid")).filter(col("vec_a") < col("vec_b"))
+        .withColumn("sim", round(expr("graft_dot(emb_a, emb_b)")
+          / (col("norm_a") * col("norm_b")), 6))
+        .filter(col("sim") >= 0.4)
+        .select(col("vec_a").as("src"), col("vec_b").as("dst"))
+      val comp = graft.operators.ConnectedComponents.minLabel(pairs)
+      af.select(col("vec_id"), col("cid"))
+        .join(comp.select(col("id").as("vec_id"), col("label")),
+          Seq("vec_id"), "left")
+        .withColumn("canonical_id", coalesce(col("label"), col("vec_id")))
+        .withColumn("is_kept", col("canonical_id") === col("vec_id"))
+        .select(col("vec_id"), col("cid").as("cluster"),
+          col("canonical_id"), col("is_kept"))
         .orderBy(col("vec_id"))
     })
   )
@@ -2281,7 +2363,56 @@ object VectorOps {
         |       UNION ALL SELECT v FROM tri
         |       UNION ALL SELECT w FROM tri)
         |SELECT id AS vec_id, COUNT(*) AS n_tri
-        |FROM tv GROUP BY id ORDER BY vec_id""".stripMargin
+        |FROM tv GROUP BY id ORDER BY vec_id""".stripMargin,
+
+    // v29: the two-level assignment replay — un-refined seeds (first k
+    // as fine, first ⌈√k⌉ as coarse), ROW_NUMBER argmax at each level
+    // (== Spark's max-struct with ties to the lowest id), then v16's
+    // within-cell pair scan and recursive reachability closure verbatim
+    "v29_semdedup_2level" ->
+      s"""WITH RECURSIVE $embSql,
+         |nn AS (SELECT CAST(CEIL(COUNT(*) / 64.0) AS BIGINT) AS k,
+         |    CAST(CEIL(SQRT(CEIL(COUNT(*) / 64.0))) AS BIGINT) AS kc
+         |  FROM e),
+         |fine AS (SELECT vec_id AS fid, emb AS fvec, norm AS fnorm
+         |  FROM e, nn WHERE vec_id < k),
+         |coarse AS (SELECT vec_id AS ccid, emb AS cvec, norm AS cnorm
+         |  FROM e, nn WHERE vec_id < kc),
+         |f2c AS (SELECT fid, fvec, fnorm, ccid FROM (
+         |  SELECT f.fid, f.fvec, f.fnorm, c.ccid,
+         |    ROW_NUMBER() OVER (PARTITION BY f.fid ORDER BY
+         |      round(list_dot_product(f.fvec, c.cvec)
+         |        / (f.fnorm * c.cnorm), 6) DESC, c.ccid) AS rn
+         |  FROM fine f, coarse c) WHERE rn = 1),
+         |dc AS (SELECT vec_id, emb, norm, ccid FROM (
+         |  SELECT e.vec_id, e.emb, e.norm, c.ccid,
+         |    ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+         |      round(list_dot_product(e.emb, c.cvec)
+         |        / (e.norm * c.cnorm), 6) DESC, c.ccid) AS rn
+         |  FROM e, coarse c) WHERE rn = 1),
+         |af AS (SELECT vec_id, cid, emb, norm FROM (
+         |  SELECT d.vec_id, f.fid AS cid, d.emb, d.norm,
+         |    ROW_NUMBER() OVER (PARTITION BY d.vec_id ORDER BY
+         |      round(list_dot_product(d.emb, f.fvec)
+         |        / (d.norm * f.fnorm), 6) DESC, f.fid) AS rn
+         |  FROM dc d JOIN f2c f ON f.ccid = d.ccid) WHERE rn = 1),
+         |pr AS (
+         |  SELECT a.vec_id AS src, b.vec_id AS dst
+         |  FROM af a JOIN af b ON a.cid = b.cid AND a.vec_id < b.vec_id
+         |  WHERE ROUND(list_dot_product(a.emb, b.emb)
+         |          / (a.norm * b.norm), 6) >= 0.4),
+         |sym AS (SELECT src, dst FROM pr UNION ALL SELECT dst, src FROM pr),
+         |verts AS (SELECT DISTINCT src AS id FROM sym),
+         |reach(id, r) AS (
+         |  SELECT id, id FROM verts
+         |  UNION
+         |  SELECT sm.src, reach.r FROM sym sm JOIN reach ON sm.dst = reach.id),
+         |comp AS (SELECT id, MIN(r) AS label FROM reach GROUP BY id)
+         |SELECT af.vec_id, af.cid AS cluster,
+         |  COALESCE(comp.label, af.vec_id) AS canonical_id,
+         |  COALESCE(comp.label, af.vec_id) = af.vec_id AS is_kept
+         |FROM af LEFT JOIN comp ON comp.id = af.vec_id
+         |ORDER BY af.vec_id""".stripMargin
   )
 
   /** Full replay of v21: the production 60-plane/15-band LSH edge list

@@ -444,4 +444,68 @@ class PlanAuditSpec extends SparkSpec {
       s"expected exactly one events scan:\n$p")
     assert(!p.contains("Join"), s"expected a join-free plan:\n$p")
   }
+
+  test("tx39: one documents scan, no fold in the scan's DataFilters, 3 shuffles") {
+    // plain explode adds an implicit size(chunks) > 0 filter that gets
+    // pushed into the scan WITH the whole md5-fold expression inlined —
+    // the chunker ran twice per document (observed: 6.3 s → 1.6 s at
+    // sf0.1 after switching to explode_outer). The scan must stay
+    // filter-free so the fold runs exactly once.
+    val p = planString(q("tx39_cdc_chunk_dedup"))
+    val head = p.split("== Initial Plan ==").head
+    assert("FileScan parquet".r.findAllIn(head).size == 1,
+      s"expected exactly one documents scan:\n$head")
+    assert(!head.contains("DataFilters: [(size(aggregate")
+      && !head.contains("PushedFilters: [IsNotNull(text"),
+      s"the chunk fold leaked into the scan filters:\n$head")
+    // distinct-agg two-phase (chunk_hash,doc_id → chunk_hash) + sort
+    assert(countShuffles(p) == 3, s"unexpected shuffle count:\n$head")
+  }
+
+  test("ts50: one events scan — the ±1 sweep derives from ONE sessionize pass") {
+    // a unionAll of two projections of the segment frame defeated reuse
+    // (branches differ in s-vs-e) and ran the sessionize subtree twice;
+    // the inline 2-element explode keeps one subtree. Shuffles: user_id
+    // (sessionize) + day (sweep window, reused by the day aggregate) +
+    // the determinism sort.
+    val p = planString(q("ts50_interval_coverage"))
+    val head = p.split("== Initial Plan ==").head
+    assert("FileScan parquet".r.findAllIn(head).size == 1,
+      s"expected exactly one events scan:\n$head")
+    assert(countShuffles(p) == 3, s"expected user_id + day + sort only:\n$head")
+  }
+
+  test("v28: the oriented edge list materializes once — no LSH re-derivation") {
+    // oe feeds three consumers (two wedge sides + the closure semi-join);
+    // without the barrier Catalyst re-planned the whole LSH candidate
+    // pipeline per consumer — 60 FileScans and 33 shuffles (observed).
+    // After the localCheckpoint the final plan reads the checkpointed
+    // frame only: zero parquet scans, join fan bounded.
+    val df = q("v28_graph_triangles")
+    df.collect()
+    val p = planString(df).split("== Initial Plan ==").head
+    assert(!p.contains("FileScan parquet"),
+      s"final plan re-derives the edge list from parquet:\n$p")
+    assert(p.contains("ExistingRDD"),
+      s"expected the checkpointed oriented-edge frame:\n$p")
+    assert(!p.contains("CartesianProduct")
+      && !p.contains("BroadcastNestedLoopJoin"),
+      s"triangle join degenerated:\n$p")
+  }
+
+  test("v16/v29: the assignment frame materializes once — no kmeans/assign re-derivation") {
+    // af feeds three consumers (both pair sides + the final output);
+    // pre-checkpoint, each re-derived the whole centroid + O(n·k)
+    // assign pipeline (measured: v16 10.2 s → 6.6 s at sf0.1). The
+    // final plan must read the checkpointed frame, never parquet.
+    for (name <- Seq("v16_semantic_dedup", "v29_semdedup_2level")) {
+      val df = q(name)
+      df.collect()
+      val p = planString(df).split("== Initial Plan ==").head
+      assert(!p.contains("FileScan parquet"),
+        s"$name final plan re-derives the assignment from parquet:\n$p")
+      assert(p.contains("ExistingRDD"),
+        s"$name: expected the checkpointed assignment frame:\n$p")
+    }
+  }
 }

@@ -128,6 +128,27 @@ class Round10OpsSpec extends SparkSpec {
     }
   }
 
+  test("v29 over sf0.001: total function, canonical invariants, v16 schema parity") {
+    val v29 = SparkEntry.queries("v29_semdedup_2level")(spark, sf).collect()
+    val n = graft.sources.Tables.table(spark, sf, "embeddings").count()
+    // the two-level assign is TOTAL: every vector gets a row (a coarse
+    // cell can never be empty of fine seeds — each coarse seed IS one)
+    assert(v29.length == n)
+    val byId = v29.map(r => r.getAs[Long]("vec_id") -> r).toMap
+    v29.foreach { r =>
+      val id = r.getAs[Long]("vec_id")
+      val canon = r.getAs[Long]("canonical_id")
+      // min-label canonicalization: the representative is the smallest
+      // member, and the representative itself is kept
+      assert(canon <= id)
+      assert(r.getAs[Boolean]("is_kept") == (canon == id))
+      assert(byId(canon).getAs[Boolean]("is_kept"))
+    }
+    // directly comparable to v16: same schema
+    val v16cols = SparkEntry.queries("v16_semantic_dedup")(spark, sf).columns
+    assert(v29.head.schema.fieldNames.sameElements(v16cols))
+  }
+
   test("v28 kernel: hub-and-spoke plus one closing edge counts exactly once") {
     import spark.implicits._
     // star center 9 with leaves 1..5, plus edge (1,2): exactly one
