@@ -170,6 +170,44 @@ object GasStoreQueries {
     spark.read.parquet(path)
   }
 
+  /** gs25's sink: plain TUMBLING 6 h mean ingredients (count + exact
+    * decimal total) per field — the simplest member of the windowed-sink
+    * family (gs07 slides, gs21 does OHLC, gs22 histograms; this is the
+    * bare downsampler). State: one 2-value record per open window ×
+    * field — bounded by construction. Append mode + 30 min watermark =
+    * the same sealing contract, replayed by the oracle. */
+  private val builtTumbling = new java.util.WeakHashMap[SparkSession, String]()
+  private def streamTumblingMean(spark: SparkSession): DataFrame = {
+    val path = builtTumbling.synchronized {
+      Option(builtTumbling.get(spark)).getOrElse {
+        val work = Files.createTempDirectory("graft-gas-tumbling")
+        deleteOnExit(work)
+        val long = graft.store.LongStore.unpivot(
+          graft.transform.GasTransform(
+            graft.streaming.GasStream.readStream(spark, fixtureDir))
+            .withColumnRenamed("file_name", "_src")).drop("_src")
+          .filter(col("_field").isin("CO (ppm)", "Humidity (%r.h.)"))
+        long.withWatermark("_time", "30 minutes")
+          .groupBy(window(col("_time"), "6 hours"), col("_field"))
+          .agg(count(lit(1)).as("n_points"),
+            sum(sumExactCol(col("_value"))).as("total"))
+          .select(col("window.start").as("_bucket"), col("_field"),
+            col("n_points"), col("total"))
+          .writeStream
+          .format("parquet")
+          .option("path", s"$work/out")
+          .option("checkpointLocation", s"$work/ckpt")
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+          .awaitTermination()
+        builtTumbling.put(spark, s"$work/out")
+        s"$work/out"
+      }
+    }
+    spark.read.parquet(path)
+  }
+
   private val builtOhlc = new java.util.WeakHashMap[SparkSession, String]()
   private def streamOhlc(spark: SparkSession): DataFrame = {
     val path = builtOhlc.synchronized {
@@ -962,6 +1000,45 @@ object GasStoreQueries {
         .orderBy(col("b_us"), col("_field"))
     }),
 
+    // STREAMING SAX WORDS — ts49's symbolic pattern mining on the LIVE
+    // stream: each sealed 6 h window's mean is discretized into the
+    // fixed 4-letter alphabet (width-32 breakpoints, clamp 0..3 —
+    // power-of-two division, exact on any IEEE engine) and 2-symbol
+    // words over CONSECUTIVE sealed windows are counted per field, top-3
+    // ranked — the recurring level-transition signature of the stream.
+    // Word length 2 here vs ts49's 3: the 2-day fixture seals ~5 sparse
+    // 6 h windows per field (gaps break words by design), so bigrams
+    // are what the fixture can attest; the machinery (continuity gate,
+    // rank window) is identical and ts49 holds the 3-word form at event
+    // scale. Determinism: window means are cast(decimal total →
+    // double)/n — one deterministic conversion + one IEEE division per
+    // window (gs07's mean discipline); window ids are exact integer µs.
+    // Stream stage state: 2 values per open window × field.
+    "gs25_stream_sax_words" -> ((s, _) => {
+      val wUs = 21600000000L
+      val m = streamTumblingMean(s)
+        .select(unix_micros(col("_bucket")).as("b_us"), col("_field"),
+          (col("total").cast("double") / col("n_points").cast("double"))
+            .as("hm"))
+      val w = Window.partitionBy(col("_field")).orderBy(col("b_us"))
+      val sym = m
+        .withColumn("sym", expr(
+          "substr('abcd', cast(greatest(least(floor(hm / 32.0), 3.0), 0.0) as int) + 1, 1)"))
+        .select(col("_field"), col("b_us"), col("sym"))
+      val wd = sym
+        .withColumn("s2", lead(col("sym"), 1).over(w))
+        .withColumn("b2", lead(col("b_us"), 1).over(w))
+        .filter(col("b2") === col("b_us") + wUs)
+        .select(col("_field"), concat(col("sym"), col("s2")).as("word"))
+      wd.groupBy(col("_field"), col("word")).agg(count(lit(1)).as("n"))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy(col("_field"))
+            .orderBy(col("n").desc, col("word"))).cast("long"))
+        .filter(col("rnk") <= 3)
+        .select(col("_field"), col("word"), col("n"), col("rnk"))
+        .orderBy(col("_field"), col("rnk"))
+    }),
+
     // streaming candlestick bars (ts29's twin): watermark-sealed hourly
     // OHLC per field, open/close by event-time min_by/max_by
     "gs21_stream_ohlc" -> ((s, _) =>
@@ -1535,6 +1612,49 @@ object GasStoreQueries {
          |SELECT epoch_us(ws) AS b_us, _field, n_points, mean_value
          |FROM agg, mx
          |WHERE ws + INTERVAL 2 HOUR <= mx - INTERVAL 30 MINUTE
-         |ORDER BY b_us""".stripMargin
+         |ORDER BY b_us""".stripMargin,
+
+    // 6 h sealed-window means (gs07's decimal-total/count discipline),
+    // width-32 value alphabet on exact integer window ids,
+    // continuity-gated bigram words, top-3 per field; COUNT is BIGINT
+    // on both engines
+    "gs25_stream_sax_words" ->
+      s"""$prelude,
+         |pts AS (
+         |  SELECT _time, 'CO (ppm)' AS _field, "CO (ppm)" AS _value
+         |  FROM raw
+         |  UNION ALL
+         |  SELECT _time, 'Humidity (%r.h.)', "Humidity (%r.h.)"
+         |  FROM raw),
+         |mx AS (SELECT MAX(_time) AS mx FROM pts),
+         |agg AS (
+         |  SELECT epoch_us(_time) // 21600000000 AS wi, _field,
+         |    CAST(SUM(CAST(_value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+         |      AS hm
+         |  FROM pts GROUP BY wi, _field),
+         |sealed AS (
+         |  SELECT wi, _field, hm FROM agg, mx
+         |  WHERE (wi + 1) * 21600000000
+         |    <= epoch_us(mx - INTERVAL 30 MINUTE)),
+         |sym AS (
+         |  SELECT _field, wi,
+         |    substr('abcd', CAST(GREATEST(LEAST(FLOOR(hm / 32.0), 3.0),
+         |      0.0) AS INT) + 1, 1) AS s
+         |  FROM sealed),
+         |wd AS (
+         |  SELECT _field, wi, s,
+         |    LEAD(s, 1) OVER w AS s2, LEAD(wi, 1) OVER w AS w2
+         |  FROM sym WINDOW w AS (PARTITION BY _field ORDER BY wi)),
+         |c AS (
+         |  SELECT _field, s || s2 AS word, COUNT(*) AS n
+         |  FROM wd WHERE w2 = wi + 1
+         |  GROUP BY 1, 2),
+         |r AS (
+         |  SELECT _field, word, n,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY _field
+         |      ORDER BY n DESC, word) AS BIGINT) AS rnk
+         |  FROM c)
+         |SELECT _field, word, n, rnk FROM r WHERE rnk <= 3
+         |ORDER BY _field, rnk""".stripMargin
   )
 }

@@ -81,6 +81,16 @@ class Round10OpsSpec extends SparkSpec {
     }
   }
 
+  test("gs25 over the gas fixture: sealed-window bigram words, dense ranks") {
+    val rows = SparkEntry.queries("gs25_stream_sax_words")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getAs[String]("word").matches("[a-d]{2}")))
+    rows.groupBy(_.getAs[String]("_field")).values.foreach { rs =>
+      val ranks = rs.map(_.getAs[Long]("rnk")).sorted.toSeq
+      assert(ranks == (1L to ranks.size).toSeq)
+    }
+  }
+
   test("v28 kernel: K4 has 4 triangles (each vertex in 3), path has none") {
     import spark.implicits._
     val k4 = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (1L, 3L), (2L, 3L))
