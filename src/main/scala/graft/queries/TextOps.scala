@@ -1258,24 +1258,7 @@ object TextOps {
     // at length(text) in the finish lambda). Mod-32 gives ~32-char
     // expected chunks on this corpus's text lengths.
     "tx39_cdc_chunk_dedup" -> ((s, dir) =>
-      fanout(docs(s, dir))
-        .selectExpr("doc_id",
-          """aggregate(
-               sequence(8, greatest(length(text), 8)),
-               named_struct('p', 0L, 'cs', cast(array() as array<string>)),
-               (acc, i) -> if(i < length(text) AND
-                   cast(conv(substr(md5(cast(substring(text, cast(i - 7 as int), 8) as binary)), 1, 2), 16, 10) as bigint) % 32 = 0,
-                 named_struct('p', i,
-                   'cs', concat(acc.cs, array(substring(text, cast(acc.p + 1 as int), cast(i - acc.p as int))))),
-                 acc),
-               acc -> concat(acc.cs, array(substring(text, cast(acc.p + 1 as int), cast(length(text) - acc.p as int))))) AS chunks""")
-        // explode_outer, not explode: plain explode adds an implicit
-        // size(chunks) > 0 filter that gets PUSHED INTO THE SCAN with
-        // the whole fold expression inlined — running the md5 loop
-        // twice per document (plan-audited: the fold appeared in the
-        // scan's DataFilters). chunks is never empty (the finish lambda
-        // always appends the tail), so outer semantics are identical.
-        .select(col("doc_id"), explode_outer(col("chunks")).as("chunk"))
+      cdcChunkRows(s, dir)
         // no min-size constraint in the cutter (that needs sequential
         // state — FastCDC's normalization); instead the INVENTORY keeps
         // substantive chunks only, so adjacent boundaries' 1-3 char
@@ -1287,8 +1270,62 @@ object TextOps {
           count(lit(1)).as("n_occ"))
         .filter(col("n_occ") > 1)
         .select(col("chunk_hash"), col("chunk_len"), col("n_docs"), col("n_occ"))
-        .orderBy(col("n_occ").desc, col("chunk_hash")))
+        .orderBy(col("n_occ").desc, col("chunk_hash"))),
+
+    // CROSS-SOURCE DUPLICATION MATRIX — tx39's chunks rolled up to the
+    // report a curation team actually reads: for every source pair, how
+    // many distinct ≥4-char chunks they share, and the containment
+    // ratio (shared / smaller side) that flags "slice B is largely a
+    // re-crawl of slice A". tx22 budgets sources by volume; this is the
+    // overlap screen run before trusting those volumes. Scale shape:
+    // the chunker is map-side; ONE distinct shuffle on (source, hash)
+    // — checkpointed, because three consumers would otherwise re-run
+    // the cutter (the v16/v28 lesson) — then a self-join on the hash
+    // whose fan-out per hash is bounded by the SOURCE count, not the
+    // corpus; the pair frame is ≤ |sources|² rows.
+    "tx40_cross_source_dup" -> ((s, dir) => {
+      val ch = cdcChunkRows(s, dir)
+        .filter(length(col("chunk")) >= 4)
+        .select(col("source"), expr("md5(cast(chunk as binary))").as("h"))
+        .distinct()
+        .localCheckpoint(true)
+      val per = ch.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      ch.select(col("source").as("source_a"), col("h"))
+        .join(ch.select(col("source").as("source_b"), col("h")), "h")
+        .filter(col("source_a") < col("source_b"))
+        .groupBy(col("source_a"), col("source_b"))
+        .agg(count(lit(1)).as("n_shared"))
+        .join(broadcast(per.select(col("source").as("source_a"),
+          col("n").as("n_a"))), "source_a")
+        .join(broadcast(per.select(col("source").as("source_b"),
+          col("n").as("n_b"))), "source_b")
+        .withColumn("containment", col("n_shared").cast("double")
+          / least(col("n_a"), col("n_b")).cast("double"))
+        .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+          col("n_shared"), col("containment"))
+        .orderBy(col("source_a"), col("source_b"))
+    })
   )
+
+  /** tx39's single-fold CDC cutter as a shared (doc_id, source, chunk)
+    * stream — one md5 per character position (see the tx39 comment for
+    * the CollapseProject history), explode_outer so the implicit
+    * size()>0 filter of plain explode can't push the fold into the
+    * scan. Shared by tx39 (chunk inventory) and tx40 (source matrix). */
+  private def cdcChunkRows(s: SparkSession, dir: String): DataFrame =
+    fanout(docs(s, dir))
+      .selectExpr("doc_id", "source",
+        """aggregate(
+             sequence(8, greatest(length(text), 8)),
+             named_struct('p', 0L, 'cs', cast(array() as array<string>)),
+             (acc, i) -> if(i < length(text) AND
+                 cast(conv(substr(md5(cast(substring(text, cast(i - 7 as int), 8) as binary)), 1, 2), 16, 10) as bigint) % 32 = 0,
+               named_struct('p', i,
+                 'cs', concat(acc.cs, array(substring(text, cast(acc.p + 1 as int), cast(i - acc.p as int))))),
+               acc),
+             acc -> concat(acc.cs, array(substring(text, cast(acc.p + 1 as int), cast(length(text) - acc.p as int))))) AS chunks""")
+      .select(col("doc_id"), col("source"),
+        explode_outer(col("chunks")).as("chunk"))
 
   /** Fixed BPE merge vocabulary, in rank order. Valid by construction: every
     * rule's left/right part is a single character or the product of a
@@ -2186,6 +2223,47 @@ object TextOps {
         |  COUNT(*) AS n_occ
         |FROM ch WHERE length(chunk) >= 4
         |GROUP BY chunk_hash HAVING COUNT(*) > 1
-        |ORDER BY n_occ DESC, chunk_hash""".stripMargin
+        |ORDER BY n_occ DESC, chunk_hash""".stripMargin,
+
+    // tx39's chunk CTEs with source carried through, distinct
+    // (source, hash) sets, pair overlap + unrounded containment;
+    // COUNT is BIGINT on both engines
+    "tx40_cross_source_dup" ->
+      """WITH bd AS (
+        |  SELECT doc_id, source, text,
+        |    list_filter(range(8, length(text) + 1), i ->
+        |      i < length(text) AND
+        |      ((strpos('0123456789abcdef',
+        |          substr(md5(substr(text, CAST(i - 7 AS INT), 8)), 1, 1)) - 1) * 16
+        |       + (strpos('0123456789abcdef',
+        |          substr(md5(substr(text, CAST(i - 7 AS INT), 8)), 2, 1)) - 1))
+        |        % 32 = 0) AS bs
+        |  FROM documents),
+        |ct AS (
+        |  SELECT doc_id, source, text,
+        |    list_concat(list_concat([0::BIGINT], bs),
+        |      [CAST(length(text) AS BIGINT)]) AS cuts
+        |  FROM bd),
+        |ch AS (
+        |  SELECT doc_id, source,
+        |    unnest(list_transform(range(1, len(cuts)), k ->
+        |      substr(text, CAST(list_extract(cuts, CAST(k AS INT)) + 1 AS INT),
+        |        CAST(list_extract(cuts, CAST(k + 1 AS INT))
+        |          - list_extract(cuts, CAST(k AS INT)) AS INT)))) AS chunk
+        |  FROM ct),
+        |ch2 AS (SELECT DISTINCT source, md5(chunk) AS h
+        |        FROM ch WHERE length(chunk) >= 4),
+        |per AS (SELECT source, COUNT(*) AS n FROM ch2 GROUP BY source),
+        |pairs AS (
+        |  SELECT a.source AS source_a, b.source AS source_b,
+        |    COUNT(*) AS n_shared
+        |  FROM ch2 a JOIN ch2 b ON a.h = b.h AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT source_a, source_b, pa.n AS n_a, pb.n AS n_b, n_shared,
+        |  CAST(n_shared AS DOUBLE) / LEAST(pa.n, pb.n) AS containment
+        |FROM pairs
+        |JOIN per pa ON pa.source = source_a
+        |JOIN per pb ON pb.source = source_b
+        |ORDER BY source_a, source_b""".stripMargin
   )
 }

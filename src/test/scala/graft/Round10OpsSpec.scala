@@ -57,6 +57,18 @@ class Round10OpsSpec extends SparkSpec {
       s"expected at most one divergent chunk, got base=${chunks(1L)} edited=${chunks(2L)}")
   }
 
+  test("tx40 over sf0.001: containment bounds and pair ordering") {
+    val rows = SparkEntry.queries("tx40_cross_source_dup")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[String]("source_a") < r.getAs[String]("source_b"))
+      val shared = r.getAs[Long]("n_shared")
+      val mn = math.min(r.getAs[Long]("n_a"), r.getAs[Long]("n_b"))
+      assert(shared >= 1L && shared <= mn)
+      assert(r.getAs[Double]("containment") == shared.toDouble / mn)
+    }
+  }
+
   test("ts49 symbolization: fixed breakpoints clamp and bin correctly") {
     val got = spark.sql(
       """SELECT collect_list(substr('abcd',
