@@ -967,6 +967,24 @@ object VectorOps {
         .orderBy(col("vec_id"))
     }),
 
+    // 3-CORE of the semantic-similarity graph — the graph-cohesion
+    // member of the diagnostic trio (v21 PageRank = centrality, v28
+    // triangles = local clustering, this = community cohesion): a
+    // vector survives iff ≥ 3 of its similarity neighbors ALSO survive,
+    // which strips pendant chains and weak bridges that triangle counts
+    // alone can miss, leaving the dense semantic cores a curation
+    // pipeline treats as topical clusters. Fixed 6-round peeling (part
+    // of the operator definition, replayed verbatim by the oracle;
+    // extra rounds past convergence are no-ops — see KCore scaladoc).
+    "v30_kcore" -> ((s, dir) => {
+      graft.functions.VectorFunctions.register(s)
+      val edges = lshPairs(emb(s, dir), planes = 60, bands = 15, width = 4)
+        .select(col("vec_a").as("a"), col("vec_b").as("b"))
+      graft.operators.KCore.core(edges, k = 3, rounds = 6)
+        .select(col("id").as("vec_id"), col("core_deg"))
+        .orderBy(col("vec_id"))
+    }),
+
     // TWO-LEVEL (hierarchical) ASSIGNMENT SemDeDup — the implemented
     // form of the remedy v16's scaladoc and the round-10 cost ladder
     // only PROMISED: v16's assign evaluates all k = ⌈n/64⌉ centroids
@@ -2365,6 +2383,10 @@ object VectorOps {
         |SELECT id AS vec_id, COUNT(*) AS n_tri
         |FROM tv GROUP BY id ORDER BY vec_id""".stripMargin,
 
+    // v30: v21's LSH edge replay + 6 unrolled peel rounds; COUNT is
+    // BIGINT on both engines
+    "v30_kcore" -> kcoreSql,
+
     // v29: the two-level assignment replay — un-refined seeds (first k
     // as fine, first ⌈√k⌉ as coarse), ROW_NUMBER argmax at each level
     // (== Spark's max-struct with ties to the lowest id), then v16's
@@ -2414,6 +2436,39 @@ object VectorOps {
          |FROM af LEFT JOIN comp ON comp.id = af.vec_id
          |ORDER BY af.vec_id""".stripMargin
   )
+
+  /** v30's replay: v21's LSH edge prefix, then 6 unrolled peel rounds
+    * (degree filter + two-sided survivor restriction per round). */
+  private def kcoreSql: String = {
+    def round(i: Int, prev: String) =
+      s"""k$i AS (SELECT src AS id FROM $prev GROUP BY src
+         |        HAVING COUNT(*) >= 3),
+         |sym$i AS (SELECT s.src, s.dst FROM $prev s
+         |          JOIN k$i ka ON s.src = ka.id
+         |          JOIN k$i kb ON s.dst = kb.id)""".stripMargin
+    val rounds = (1 to 6).map(i => round(i, s"sym${i - 1}")).mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS emb,
+       |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+       |  FROM embeddings),
+       |s AS (SELECT vec_id, emb, norm,
+       |  CAST(list_sum(list_transform(range(0, 60), i ->
+       |    CASE WHEN list_sum(list_transform(range(0, 64), j ->
+       |      emb[CAST(j + 1 AS INT)] * ((73856093::BIGINT * (i + 1) * (j + 7)) % 2001 - 1000)))
+       |    >= 0 THEN (1::BIGINT << CAST(i AS INT)) ELSE 0 END)) AS BIGINT) AS sig FROM e),
+       |bands AS (SELECT vec_id, b, (sig >> CAST(4 * b AS INT)) & 15 AS bv
+       |          FROM s, range(0, 15) t(b)),
+       |p AS (SELECT DISTINCT a.vec_id AS vec_a, c.vec_id AS vec_b
+       |      FROM bands a JOIN bands c ON a.b = c.b AND a.bv = c.bv AND a.vec_id < c.vec_id),
+       |x AS (SELECT vec_a, vec_b
+       |      FROM p JOIN e ea ON ea.vec_id = vec_a JOIN e eb ON eb.vec_id = vec_b
+       |      WHERE round(list_dot_product(ea.emb, eb.emb) / (ea.norm * eb.norm), 6) >= 0.3),
+       |sym0 AS (SELECT vec_a AS src, vec_b AS dst FROM x
+       |         UNION ALL SELECT vec_b, vec_a FROM x),
+       |$rounds
+       |SELECT src AS vec_id, COUNT(*) AS core_deg
+       |FROM sym6 GROUP BY src ORDER BY vec_id""".stripMargin
+  }
 
   /** Full replay of v21: the production 60-plane/15-band LSH edge list
     * (v07's dial — same signature/band/score CTEs as v09 sans probes),
