@@ -18,11 +18,15 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   * resolve from plain SQL text, JDBC/Thrift included.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     VectorFunctions.injectable.foreach { case (name, builder) =>
       ext.injectFunction((
         FunctionIdentifier(name),
         new ExpressionInfo("graft.functions.VectorFunctions", name),
         builder))
     }
+    // determinism lint: records order-dependent float aggregates on the
+    // ANALYZED plan (mutates nothing — see DeterminismLint scaladoc)
+    ext.injectPostHocResolutionRule(_ => graft.plans.DeterminismLint)
+  }
 }
