@@ -967,6 +967,34 @@ object VectorOps {
         .orderBy(col("vec_id"))
     }),
 
+    // TRIANGLES ON THE IVF-BOUNDED GRAPH — v28's kernel fed by the
+    // candidate generator that SURVIVES the 32× rung where the LSH
+    // edge list died of shuffle spill (PLANS.md new-op ladder): edges
+    // are same-cell pairs under v27's ⌈√n⌉ coarse cells, so pair work
+    // is Σ|cell|² ≈ n·√n BY CONSTRUCTION instead of the fixed-band
+    // LSH's n². The trade is recall at the cell boundary (a triangle
+    // spanning two cells is missed — the SemDeDup/v16 trade, accepted
+    // and documented there); the payoff is an edge stage that scales.
+    // The assignment frame is checkpointed (two pair-side consumers),
+    // and Triangles checkpoints its own oriented list.
+    "v31_graph_triangles_ivf" -> ((s, dir) => {
+      graft.functions.VectorFunctions.register(s)
+      val e = emb(s, dir)
+      val cells = coarseAssign(e, sqrtSeedCents(e)).localCheckpoint(true)
+      val a = cells.select(col("cell"), col("vec_id").as("vec_a"),
+        col("emb").as("emb_a"), col("norm").as("norm_a"))
+      val b = cells.select(col("cell"), col("vec_id").as("vec_b"),
+        col("emb").as("emb_b"), col("norm").as("norm_b"))
+      val edges = a.join(b, Seq("cell")).filter(col("vec_a") < col("vec_b"))
+        .withColumn("sim", round(expr("graft_dot(emb_a, emb_b)")
+          / (col("norm_a") * col("norm_b")), 6))
+        .filter(col("sim") >= 0.3)
+        .select(col("vec_a").as("a"), col("vec_b").as("b"))
+      graft.operators.Triangles.perVertexCounts(edges)
+        .select(col("id").as("vec_id"), col("n_tri"))
+        .orderBy(col("vec_id"))
+    }),
+
     // 3-CORE of the semantic-similarity graph — the graph-cohesion
     // member of the diagnostic trio (v21 PageRank = centrality, v28
     // triangles = local clustering, this = community cohesion): a
@@ -2386,6 +2414,49 @@ object VectorOps {
     // v30: v21's LSH edge replay + 6 unrolled peel rounds; COUNT is
     // BIGINT on both engines
     "v30_kcore" -> kcoreSql,
+
+    // v31: v27's sqrt-cell assign replay (ROW_NUMBER argmax) → same-cell
+    // scored pairs → v28's compact-forward triangle tail verbatim
+    "v31_graph_triangles_ivf" ->
+      s"""WITH $embSql,
+         |nn AS (SELECT CAST(CEIL(SQRT(COUNT(*))) AS BIGINT) AS kk FROM e),
+         |cents AS (SELECT vec_id AS clabel, emb AS cvec, norm AS cnorm
+         |          FROM e, nn WHERE vec_id < kk),
+         |cells AS (SELECT vec_id, emb, norm, clabel AS cell FROM (
+         |  SELECT e.vec_id, e.emb, e.norm, c.clabel,
+         |    ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+         |      round(list_dot_product(e.emb, c.cvec)
+         |        / (e.norm * c.cnorm), 6) DESC, c.clabel) AS rn
+         |  FROM e, cents c) WHERE rn = 1),
+         |x AS (
+         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |  FROM cells a JOIN cells b
+         |    ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |  WHERE round(list_dot_product(a.emb, b.emb)
+         |          / (a.norm * b.norm), 6) >= 0.3),
+         |ed AS (SELECT vec_a AS id FROM x UNION ALL SELECT vec_b FROM x),
+         |deg AS (SELECT id, COUNT(*) AS deg FROM ed GROUP BY id),
+         |oe AS (
+         |  SELECT CASE WHEN (da.deg, x.vec_a) < (db.deg, x.vec_b)
+         |           THEN x.vec_a ELSE x.vec_b END AS u,
+         |         CASE WHEN (da.deg, x.vec_a) < (db.deg, x.vec_b)
+         |           THEN x.vec_b ELSE x.vec_a END AS v,
+         |         CASE WHEN (da.deg, x.vec_a) < (db.deg, x.vec_b)
+         |           THEN db.deg ELSE da.deg END AS vdeg
+         |  FROM x JOIN deg da ON da.id = x.vec_a
+         |         JOIN deg db ON db.id = x.vec_b),
+         |wg AS (
+         |  SELECT a.u, a.v AS v, b.v AS w
+         |  FROM oe a JOIN oe b ON a.u = b.u
+         |    AND (a.vdeg, a.v) < (b.vdeg, b.v)),
+         |tri AS (
+         |  SELECT wg.u, wg.v, wg.w
+         |  FROM wg SEMI JOIN oe t ON t.u = wg.v AND t.v = wg.w),
+         |tv AS (SELECT u AS id FROM tri
+         |       UNION ALL SELECT v FROM tri
+         |       UNION ALL SELECT w FROM tri)
+         |SELECT id AS vec_id, COUNT(*) AS n_tri
+         |FROM tv GROUP BY id ORDER BY vec_id""".stripMargin,
 
     // v29: the two-level assignment replay — un-refined seeds (first k
     // as fine, first ⌈√k⌉ as coarse), ROW_NUMBER argmax at each level
