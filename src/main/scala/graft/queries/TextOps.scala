@@ -1304,6 +1304,61 @@ object TextOps {
         .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
           col("n_shared"), col("containment"))
         .orderBy(col("source_a"), col("source_b"))
+    }),
+
+    // MOSS-style WINNOWING fingerprints (Schleimer et al. 2003) — the
+    // plagiarism-detection / local-dedup shape missing from the tx05/tx08
+    // signature family: hash every 8-char k-gram (64-bit polynomial,
+    // replayed bit-for-bit by the oracle), then keep only each 4-window's
+    // MINIMUM hash (rightmost on ties), the guarantee being every shared
+    // substring of >= k+w-1 = 11 chars contributes at least one SHARED
+    // selected fingerprint. Tie-break is encoded arithmetically: the
+    // window minimum of `h*1024 - p` prefers smaller h, then LARGER p
+    // (positions < 1024), so no struct comparisons that could differ
+    // across engines. Scale: O(len) rows per doc into a per-doc window
+    // (never cross-doc), fingerprint density ~2/(w+1); the pair join keys
+    // on fingerprint hash with a df<=10 rarity cap (the tx35 bounded
+    // fan-out discipline), so bucket sizes are capped and nothing is
+    // O(n²). The distinct fingerprint frame feeds four consumers (per-doc
+    // counts, the cap, both join sides) -> one eager checkpoint.
+    "tx41_winnow_fingerprints" -> ((s, dir) => {
+      val horner = (0 until 8).foldLeft("0L")((acc, i) =>
+        s"($acc * 31 + ascii(substring(text, p + $i, 1)))")
+      val keyed = fanout(docs(s, dir))
+        .filter(length(col("text")) >= 11)
+        .select(col("doc_id"), col("text"),
+          explode(expr("sequence(1, length(text) - 7)")).as("p"))
+        .withColumn("hh", expr(s"($horner) % 1000000007L"))
+        .withColumn("ky", min(col("hh") * 1024L - col("p")).over(
+          Window.partitionBy(col("doc_id")).orderBy(col("p"))
+            .rowsBetween(-3, 0)))
+        .filter(col("p") >= 4)
+      val fps = keyed
+        .selectExpr("doc_id", "(ky div 1024) + 1 AS fh")
+        .distinct()
+        .localCheckpoint(true)
+      val per = fps.groupBy(col("doc_id")).agg(count(lit(1)).as("nfp"))
+      val rare = fps.groupBy(col("fh")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= 10)
+        .select(col("fh"))
+      val capped = fps.join(rare, Seq("fh"), "left_semi")
+      // per-doc count joins stay hash joins (per is |docs|-sized — NOT
+      // broadcastable at scale); the pairs side is tiny after the filters
+      capped.select(col("doc_id").as("doc_a"), col("fh"))
+        .join(capped.select(col("doc_id").as("doc_b"), col("fh")), "fh")
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 3)
+        .join(per.select(col("doc_id").as("doc_a"), col("nfp").as("n_a")),
+          "doc_a")
+        .join(per.select(col("doc_id").as("doc_b"), col("nfp").as("n_b")),
+          "doc_b")
+        .withColumn("containment", col("n_shared").cast("double")
+          / least(col("n_a"), col("n_b")).cast("double"))
+        .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"),
+          col("n_shared"), col("containment"))
+        .orderBy(col("doc_a"), col("doc_b"))
     })
   )
 
@@ -2264,6 +2319,37 @@ object TextOps {
         |FROM pairs
         |JOIN per pa ON pa.source = source_a
         |JOIN per pb ON pb.source = source_b
-        |ORDER BY source_a, source_b""".stripMargin
+        |ORDER BY source_a, source_b""".stripMargin,
+
+    "tx41_winnow_fingerprints" -> {
+      val horner = (0 until 8).foldLeft("CAST(0 AS BIGINT)")((acc, i) =>
+        s"($acc * 31 + ascii(substr(text, CAST(p + $i AS INT), 1)))")
+      s"""WITH pos AS (
+         |  SELECT doc_id, text, unnest(range(1, length(text) - 6)) AS p
+         |  FROM documents WHERE length(text) >= 11),
+         |h AS (
+         |  SELECT doc_id, p, ($horner) % 1000000007 AS hh
+         |  FROM pos),
+         |k AS (
+         |  SELECT doc_id, p,
+         |    MIN(hh * 1024 - p) OVER (PARTITION BY doc_id ORDER BY p
+         |      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS ky
+         |  FROM h),
+         |fps AS (
+         |  SELECT DISTINCT doc_id, ky // 1024 + 1 AS fh FROM k WHERE p >= 4),
+         |per AS (SELECT doc_id, COUNT(*) AS nfp FROM fps GROUP BY doc_id),
+         |rare AS (SELECT fh FROM fps GROUP BY fh HAVING COUNT(*) <= 10),
+         |capped AS (SELECT f.* FROM fps f JOIN rare USING (fh)),
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+         |  FROM capped a JOIN capped b ON a.fh = b.fh AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2 HAVING COUNT(*) >= 3)
+         |SELECT doc_a, doc_b, pa.nfp AS n_a, pb.nfp AS n_b, n_shared,
+         |  CAST(n_shared AS DOUBLE) / LEAST(pa.nfp, pb.nfp) AS containment
+         |FROM pairs
+         |JOIN per pa ON pa.doc_id = doc_a
+         |JOIN per pb ON pb.doc_id = doc_b
+         |ORDER BY doc_a, doc_b""".stripMargin
+    }
   )
 }

@@ -1646,6 +1646,106 @@ object TimeSeries {
         .select(col("day"), col("n_sessions"), col("covered_us"),
           col("max_conc"), col("coverage"))
         .orderBy(col("day"))
+    }),
+
+    // Offline changepoint detection by BINARY SEGMENTATION (depth 2) — the
+    // classic recursive complement to ts26's ONLINE sequential CUSUM: find
+    // the hour that maximizes the centered-cumulative-sum statistic
+    // |n·S_t − t·S_n| over the whole series, then recurse once into each
+    // half. All arithmetic is EXACT 64-bit integer in centi-units
+    // (value has 2 fractional digits; per-type hourly sums ≤ ~1e9 centi,
+    // n ≤ ~720 hours, so |D| ≤ ~7e11 ≪ 2⁶³ with 100× headroom): no float
+    // sum ordering, no rounding, hash-identical on any engine. Scale: the
+    // statistic rides the HOURLY-compressed frame (|types|×|hours| rows),
+    // so the raw scan is one hash aggregate and every window below it is
+    // per-series over ≤ |hours| rows; the frame feeds both recursion
+    // levels, so it is checkpointed once (the ts42 multi-consumer rule).
+    "ts51_changepoint_binseg" -> ((s, dir) => {
+      val hourly = ev(s, dir)
+        .withColumn("bucket", date_trunc("hour", col("ts")))
+        .withColumn("xd", col("value").cast("decimal(18,6)"))
+        .groupBy(col("event_type"), col("bucket"))
+        .agg(expr("cast(sum(xd) * 100 as bigint)").as("sc"))
+        .localCheckpoint(true)
+      val w1 = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
+      val pts = hourly
+        .withColumn("i", row_number().over(w1).cast("long"))
+        .withColumn("cs", sum(col("sc")).over(
+          w1.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val tot = hourly.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("sc")).as("sn"))
+      val l1 = pts.join(broadcast(tot), Seq("event_type"))
+        .filter(col("i") < col("n"))
+        .withColumn("stat", abs(col("n") * col("cs") - col("i") * col("sn")))
+        .withColumn("rk", row_number().over(Window.partitionBy(col("event_type"))
+          .orderBy(col("stat").desc, col("i"))))
+        .filter(col("rk") === 1)
+        .select(col("event_type"), col("i").as("i1"), col("bucket").as("b1"),
+          col("stat").as("stat1"), col("n").as("n1"))
+      val lvl1 = l1.select(col("event_type"), lit(1).as("level"),
+        lit(0).as("seg"),
+        date_format(col("b1"), "yyyy-MM-dd HH:mm:ss").as("split_bucket"),
+        col("stat1").as("stat"), col("n1").as("seg_len"))
+      // level 2: re-run the same argmax inside each half, on the same
+      // checkpointed hourly frame (windows re-keyed by (type, seg))
+      val w2 = Window.partitionBy(col("event_type"), col("seg"))
+        .orderBy(col("bucket"))
+      val seg = pts.join(broadcast(l1.select(col("event_type"), col("i1"))),
+          Seq("event_type"))
+        .withColumn("seg", when(col("i") <= col("i1"), 0).otherwise(1))
+      val pts2 = seg
+        .withColumn("j", row_number().over(w2).cast("long"))
+        .withColumn("cs2", sum(col("sc")).over(
+          w2.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val tot2 = seg.groupBy(col("event_type"), col("seg"))
+        .agg(count(lit(1)).as("m"), sum(col("sc")).as("sm"))
+      val lvl2 = pts2
+        .join(broadcast(tot2), Seq("event_type", "seg"))
+        .filter(col("m") >= 4 && col("j") < col("m"))
+        .withColumn("stat", abs(col("m") * col("cs2") - col("j") * col("sm")))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("event_type"), col("seg"))
+            .orderBy(col("stat").desc, col("j"))))
+        .filter(col("rk") === 1)
+        .select(col("event_type"), lit(2).as("level"), col("seg"),
+          date_format(col("bucket"), "yyyy-MM-dd HH:mm:ss").as("split_bucket"),
+          col("stat"), col("m").as("seg_len"))
+      lvl1.unionByName(lvl2)
+        .orderBy(col("event_type"), col("level"), col("seg"))
+    }),
+
+    // Maximum drawdown per series — the classic peak-to-trough metric, on
+    // the hourly CLOSE (last value in each hour, deterministic by
+    // (ts, event_id) DESC row_number). Numerics: running max and the final
+    // max are pure double COMPARISONS and the drawdown is ONE IEEE
+    // subtraction of two parquet-read doubles — no float accumulation at
+    // all, so every engine computes bit-identical results. Scale: the
+    // window runs on the hourly-compressed frame (≤ |hours| rows per
+    // series); the raw scan is a single filter + row_number per (type,
+    // hour) partition, which at 100 TB rides the store's date partitioning.
+    "ts52_max_drawdown" -> ((s, dir) => {
+      val wLast = Window.partitionBy(col("event_type"), col("bucket"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      val close = ev(s, dir)
+        .withColumn("bucket", date_trunc("hour", col("ts")))
+        .withColumn("rn", row_number().over(wLast))
+        .filter(col("rn") === 1)
+        .select(col("event_type"), col("bucket"), col("value").as("close"))
+      val wRun = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val dd = close
+        .withColumn("runmax", max(col("close")).over(wRun))
+        .withColumn("dd", col("runmax") - col("close"))
+      dd.withColumn("rk", row_number().over(Window.partitionBy(col("event_type"))
+          .orderBy(col("dd").desc, col("bucket"))))
+        .withColumn("n_underwater", count(when(col("dd") > 0, 1)).over(
+          Window.partitionBy(col("event_type"))))
+        .filter(col("rk") === 1)
+        .select(col("event_type"),
+          date_format(col("bucket"), "yyyy-MM-dd HH:mm:ss").as("trough_bucket"),
+          col("runmax").as("peak_value"), col("close").as("trough_value"),
+          col("dd").as("max_dd"), col("n_underwater"))
+        .orderBy(col("event_type"))
     })
   )
 
@@ -3025,7 +3125,93 @@ object TimeSeries {
         |  CAST(MAX(cum) AS BIGINT) AS max_conc,
         |  CAST(SUM(CASE WHEN cum > 0 THEN COALESCE(nxt, us) - us
         |    ELSE 0 END) AS DOUBLE) / 86400000000.0 AS coverage
-        |FROM w2 GROUP BY day ORDER BY day""".stripMargin
+        |FROM w2 GROUP BY day ORDER BY day""".stripMargin,
+
+    // All-integer (centi-unit) binary segmentation; HUGEINT appears only in
+    // intermediate window sums, every FINAL projection pins BIGINT/INT.
+    "ts51_changepoint_binseg" ->
+      """WITH hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS bucket,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,6))) * 100 AS BIGINT) AS sc
+        |  FROM events GROUP BY 1, 2),
+        |pts AS (
+        |  SELECT event_type, bucket, sc,
+        |    CAST(ROW_NUMBER() OVER w AS BIGINT) AS i,
+        |    CAST(SUM(sc) OVER (PARTITION BY event_type ORDER BY bucket
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cs
+        |  FROM hourly WINDOW w AS (PARTITION BY event_type ORDER BY bucket)),
+        |tot AS (
+        |  SELECT event_type, COUNT(*) AS n, CAST(SUM(sc) AS BIGINT) AS sn
+        |  FROM hourly GROUP BY 1),
+        |l1r AS (
+        |  SELECT p.event_type, p.i, p.bucket,
+        |    ABS(t.n * p.cs - p.i * t.sn) AS stat, t.n,
+        |    ROW_NUMBER() OVER (PARTITION BY p.event_type
+        |      ORDER BY ABS(t.n * p.cs - p.i * t.sn) DESC, p.i) AS rk
+        |  FROM pts p JOIN tot t USING (event_type)
+        |  WHERE p.i < t.n),
+        |l1 AS (SELECT * FROM l1r WHERE rk = 1),
+        |lvl1 AS (
+        |  SELECT event_type, 1 AS level, 0 AS seg,
+        |    strftime(bucket, '%Y-%m-%d %H:%M:%S') AS split_bucket,
+        |    CAST(stat AS BIGINT) AS stat, CAST(n AS BIGINT) AS seg_len
+        |  FROM l1),
+        |segd AS (
+        |  SELECT p.event_type, p.bucket, p.sc,
+        |    CASE WHEN p.i <= l.i THEN 0 ELSE 1 END AS seg
+        |  FROM pts p JOIN l1 l USING (event_type)),
+        |pts2 AS (
+        |  SELECT event_type, seg, bucket, sc,
+        |    CAST(ROW_NUMBER() OVER w2 AS BIGINT) AS j,
+        |    CAST(SUM(sc) OVER (PARTITION BY event_type, seg ORDER BY bucket
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cs2
+        |  FROM segd
+        |  WINDOW w2 AS (PARTITION BY event_type, seg ORDER BY bucket)),
+        |tot2 AS (
+        |  SELECT event_type, seg, COUNT(*) AS m, CAST(SUM(sc) AS BIGINT) AS sm
+        |  FROM segd GROUP BY 1, 2),
+        |l2r AS (
+        |  SELECT p.event_type, p.seg, p.bucket,
+        |    ABS(t.m * p.cs2 - p.j * t.sm) AS stat, t.m,
+        |    ROW_NUMBER() OVER (PARTITION BY p.event_type, p.seg
+        |      ORDER BY ABS(t.m * p.cs2 - p.j * t.sm) DESC, p.j) AS rk
+        |  FROM pts2 p JOIN tot2 t USING (event_type, seg)
+        |  WHERE t.m >= 4 AND p.j < t.m),
+        |lvl2 AS (
+        |  SELECT event_type, 2 AS level, seg,
+        |    strftime(bucket, '%Y-%m-%d %H:%M:%S') AS split_bucket,
+        |    CAST(stat AS BIGINT) AS stat, CAST(m AS BIGINT) AS seg_len
+        |  FROM l2r WHERE rk = 1)
+        |SELECT * FROM lvl1 UNION ALL SELECT * FROM lvl2
+        |ORDER BY event_type, level, seg""".stripMargin,
+
+    "ts52_max_drawdown" ->
+      """WITH cl AS (
+        |  SELECT event_type, bucket, cl FROM (
+        |    SELECT event_type, date_trunc('hour', ts) AS bucket,
+        |      value AS cl,
+        |      ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+        |        ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM events) WHERE rn = 1),
+        |dd AS (
+        |  SELECT event_type, bucket, cl,
+        |    MAX(cl) OVER (PARTITION BY event_type ORDER BY bucket
+        |      ROWS UNBOUNDED PRECEDING) AS runmax
+        |  FROM cl),
+        |d2 AS (
+        |  SELECT event_type, bucket, cl, runmax, runmax - cl AS ddv FROM dd),
+        |r AS (
+        |  SELECT event_type, bucket, cl, runmax, ddv,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type
+        |      ORDER BY ddv DESC, bucket) AS rk,
+        |    SUM(CASE WHEN ddv > 0 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY event_type) AS nu
+        |  FROM d2)
+        |SELECT event_type,
+        |  strftime(bucket, '%Y-%m-%d %H:%M:%S') AS trough_bucket,
+        |  runmax AS peak_value, cl AS trough_value, ddv AS max_dd,
+        |  CAST(nu AS BIGINT) AS n_underwater
+        |FROM r WHERE rk = 1 ORDER BY event_type""".stripMargin
   )
 
   /** The ts21 closed-form EMA kernel as a DuckDB CTE pair (`<out>_pairs`,
