@@ -158,6 +158,32 @@ object Relational {
     // excluding NULLs, MIN ignoring NULLs, AVG of an all-NULL column
     // staying NULL, and COALESCE fallback. NULLs are synthesized with
     // NULLIF so the gallery runs on stock orders rows.
+    // -- NULL-SAFE EQUALITY JOIN (`<=>` / IS NOT DISTINCT FROM): the one
+    // join predicate where NULL keys MATCH each other instead of silently
+    // dropping — the semantics MERGE/SCD pipelines need for nullable
+    // business keys. Spark plans EqualNullSafe as a regular equi-join key
+    // (hash/broadcast join, audited: no nested-loop fallback), unlike a
+    // naive `a.k = b.k OR (a.k IS NULL AND b.k IS NULL)` which degrades
+    // to a non-equi nested loop. Scale note: `<=>` funnels EVERY null-key
+    // row to one reducer — at 100 TB a hot null bucket is the classic
+    // skew cell, handled by splitting the null slice into its own
+    // (broadcastable) branch or salting (q23); here the nulls are a
+    // bounded 1-in-25 nation slice and the small side broadcasts anyway.
+    "q56_nullsafe_join" -> ((s, dir) => {
+      val c = t(s, dir, "customer").select(col("c_custkey"),
+        expr("nullif(c_nationkey, 3)").as("k"))
+      val su = t(s, dir, "supplier").select(col("s_suppkey"),
+        expr("nullif(s_nationkey, 3)").as("k2"))
+      c.join(broadcast(su), col("k") <=> col("k2"))
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct(col("c_custkey")).as("n_cust"),
+          countDistinct(col("s_suppkey")).as("n_supp"))
+        .select(col("k").as("nation_key"), col("n_pairs"), col("n_cust"),
+          col("n_supp"))
+        .orderBy(col("nation_key").asc_nulls_first)
+    }),
+
     "q55_null_gallery" -> ((s, dir) => {
       t(s, dir, "orders").createOrReplaceTempView("orders")
       s.sql(
@@ -1550,6 +1576,16 @@ object Relational {
 
     // same gallery with the oracle's spellings (IS NOT DISTINCT FROM for
     // null-safe equality); every NULL rule must agree cell-for-cell
+    "q56_nullsafe_join" ->
+      """SELECT k AS nation_key, COUNT(*) AS n_pairs,
+        |  COUNT(DISTINCT c_custkey) AS n_cust,
+        |  COUNT(DISTINCT s_suppkey) AS n_supp
+        |FROM (SELECT c_custkey, NULLIF(c_nationkey, 3) AS k FROM customer) c
+        |JOIN (SELECT s_suppkey, NULLIF(s_nationkey, 3) AS k2 FROM supplier) s
+        |  ON k IS NOT DISTINCT FROM k2
+        |GROUP BY k
+        |ORDER BY nation_key NULLS FIRST""".stripMargin,
+
     "q55_null_gallery" ->
       """WITH o AS (
         |  SELECT o_orderkey,

@@ -44,6 +44,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), s"range join degenerated to a nested loop:\n$p")
   }
 
+  test("q56: null-safe equality plans as a hash join, never a nested loop") {
+    // EqualNullSafe is a legal equi-join key; the OR-of-IS-NULL spelling
+    // of the same predicate would fall back to BroadcastNestedLoopJoin
+    val p = planString(q("q56_nullsafe_join"))
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast hash join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"null-safe join degenerated to a nested loop:\n$p")
+  }
+
   test("q28: bucketed join reads co-located buckets — no shuffle under the join") {
     val df = q("q28_bucketed_join")
     df.collect() // materialize so AQE settles on the final plan
