@@ -526,6 +526,49 @@ object Multimodal {
     }
   }
 
+  /** Difference-hash of one decoded image: 56 bits — 8 rows × 7 adjacent
+    * left>right gray comparisons on the same 8×8 sampled grid as
+    * [[imageAHash]] — packed in ONE long (56 < 63, no sign wrap). dHash
+    * captures the horizontal GRADIENT field where aHash captures the
+    * mean-level field, so the two disagree on exactly the perturbations
+    * that shift brightness without reordering neighbours — which is what
+    * mm17 measures. All-integer comparisons, oracle-replayable. */
+  case class DHash(media_id: Long, dh: Long)
+
+  def imageDHash(media: Dataset[Container]): Dataset[DHash] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { c =>
+        val b = c.payload
+        if (b.length >= 2 && b(0) == 'B' && b(1) == 'M') {
+          val img = MediaCodecs.Bmp.parse(b)
+          val gray = new Array[Long](64)
+          var p = 0
+          while (p < 64) {
+            val x = (p % 8) * img.width / 8
+            val y = (p / 8) * img.height / 8
+            val base = (y * img.width + x) * 3
+            gray(p) = img.channels(base).toLong + img.channels(base + 1) +
+              img.channels(base + 2)
+            p += 1
+          }
+          var dh = 0L
+          var r = 0
+          while (r < 8) {
+            var cix = 0
+            while (cix < 7) {
+              if (gray(r * 8 + cix) > gray(r * 8 + cix + 1))
+                dh |= 1L << (r * 7 + cix)
+              cix += 1
+            }
+            r += 1
+          }
+          Some(DHash(c.media_id, dh))
+        } else None
+      }
+    }
+  }
+
   /** Partition-parallel REAL decode: sniff the container magic, parse with
     * the genuine header/chunk parser, emit flat features. Any parse slip —
     * row order, padding, chunk offsets, sample sign — changes checksum or

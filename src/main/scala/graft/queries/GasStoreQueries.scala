@@ -170,6 +170,57 @@ object GasStoreQueries {
     spark.read.parquet(path)
   }
 
+  /** gs26's sink: STREAMING COUNT-MIN SKETCH — tx15's frequency sketch as
+    * a live aggregate. The whole point of a CMS on a stream is that state
+    * is FIXED-SIZE by construction regardless of key cardinality: 4 seeds
+    * × 256 md5 buckets per (open window × field), where an exact
+    * value-count sink would grow with the key domain. Each point fans out
+    * to its 4 (seed, bucket) cells map-side (one md5 per seed, the tx15
+    * hash family the oracle replays via hex-digit decode); the windowed
+    * count is an ordinary partial-merge aggregate. Append mode + 30 min
+    * watermark = the gs07/gs21/gs22 sealing contract. */
+  private val builtCms = new java.util.WeakHashMap[SparkSession, String]()
+  private def streamCms(spark: SparkSession): DataFrame = {
+    val path = builtCms.synchronized {
+      Option(builtCms.get(spark)).getOrElse {
+        val work = Files.createTempDirectory("graft-gas-cms")
+        deleteOnExit(work)
+        val long = graft.store.LongStore.unpivot(
+          graft.transform.GasTransform(
+            graft.streaming.GasStream.readStream(spark, fixtureDir))
+            .withColumnRenamed("file_name", "_src")).drop("_src")
+          .filter(col("_field").isin("CO (ppm)", "Humidity (%r.h.)"))
+        long
+          .withColumn("iv",
+            greatest(least(floor(col("_value")), lit(63L)), lit(0L)))
+          .select(col("_time"), col("_field"), explode(expr(
+            "transform(sequence(0, 3), j -> named_struct('seed', j, " +
+              "'bucket', cast(conv(substr(md5(cast(concat(cast(j as string), " +
+              "':', cast(iv as string)) as binary)), 1, 2), 16, 10) as int)))"))
+            .as("c"))
+          .select(col("_time"), col("_field"), col("c.seed").as("seed"),
+            col("c.bucket").as("bucket"))
+          .withWatermark("_time", "30 minutes")
+          .groupBy(window(col("_time"), "6 hours"), col("_field"),
+            col("seed"), col("bucket"))
+          .agg(count(lit(1)).as("cnt"))
+          .select(col("window.start").as("_bucket"), col("_field"),
+            col("seed"), col("bucket"), col("cnt"))
+          .writeStream
+          .format("parquet")
+          .option("path", s"$work/out")
+          .option("checkpointLocation", s"$work/ckpt")
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+          .awaitTermination()
+        builtCms.put(spark, s"$work/out")
+        s"$work/out"
+      }
+    }
+    spark.read.parquet(path)
+  }
+
   /** gs25's sink: plain TUMBLING 6 h mean ingredients (count + exact
     * decimal total) per field — the simplest member of the windowed-sink
     * family (gs07 slides, gs21 does OHLC, gs22 histograms; this is the
@@ -1039,6 +1090,38 @@ object GasStoreQueries {
         .orderBy(col("_field"), col("rnk"))
     }),
 
+    // STREAMING CMS HEAVY HITTERS — the live sketch queried batch-side:
+    // a fixed probe grid (integer values 0..63, the clamped domain) is
+    // hashed with the sink's own seed family and each probe's estimate is
+    // the MIN over its 4 cells (the count-min read); top-3 probes per
+    // sealed window × field. Everything after the sink is bounded
+    // arithmetic on windows × fields × 64 probes × 4 cells.
+    "gs26_stream_cms" -> ((s, _) => {
+      val cells = streamCms(s)
+        .select(unix_micros(col("_bucket")).as("b_us"), col("_field"),
+          col("seed"), col("bucket"), col("cnt"))
+      val probes = s.range(0, 64).toDF("iv")
+        .select(col("iv"), explode(expr(
+          "transform(sequence(0, 3), j -> named_struct('seed', j, " +
+            "'bucket', cast(conv(substr(md5(cast(concat(cast(j as string), " +
+            "':', cast(iv as string)) as binary)), 1, 2), 16, 10) as int)))"))
+          .as("c"))
+        .select(col("iv"), col("c.seed").as("seed"), col("c.bucket").as("bucket"))
+      val grid = cells.select(col("b_us"), col("_field")).distinct()
+        .crossJoin(broadcast(probes))
+      grid.join(cells, Seq("b_us", "_field", "seed", "bucket"), "left")
+        .withColumn("c", coalesce(col("cnt"), lit(0L)))
+        .groupBy(col("b_us"), col("_field"), col("iv"))
+        .agg(min(col("c")).as("est"))
+        .filter(col("est") > 0)
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("b_us"), col("_field"))
+            .orderBy(col("est").desc, col("iv"))).cast("long"))
+        .filter(col("rk") <= 3)
+        .select(col("b_us"), col("_field"), col("rk"), col("iv"), col("est"))
+        .orderBy(col("b_us"), col("_field"), col("rk"))
+    }),
+
     // streaming candlestick bars (ts29's twin): watermark-sealed hourly
     // OHLC per field, open/close by event-time min_by/max_by
     "gs21_stream_ohlc" -> ((s, _) =>
@@ -1655,6 +1738,60 @@ object GasStoreQueries {
          |      ORDER BY n DESC, word) AS BIGINT) AS rnk
          |  FROM c)
          |SELECT _field, word, n, rnk FROM r WHERE rnk <= 3
-         |ORDER BY _field, rnk""".stripMargin
+         |ORDER BY _field, rnk""".stripMargin,
+
+    // CMS replay: same md5 seed family (hex-digit decode), same sealing
+    // cutoff, probe grid 0..63, min-over-4-cells estimate, top-3
+    "gs26_stream_cms" ->
+      s"""$prelude,
+         |pts AS (
+         |  SELECT _time, 'CO (ppm)' AS _field, "CO (ppm)" AS _value
+         |  FROM raw
+         |  UNION ALL
+         |  SELECT _time, 'Humidity (%r.h.)', "Humidity (%r.h.)"
+         |  FROM raw),
+         |mx AS (SELECT MAX(_time) AS mx FROM pts),
+         |ivs AS (
+         |  SELECT epoch_us(_time) // 21600000000 AS wi, _field,
+         |    GREATEST(LEAST(CAST(FLOOR(_value) AS BIGINT), 63), 0) AS iv
+         |  FROM pts),
+         |cells AS (
+         |  SELECT wi, _field, j AS seed,
+         |    16 * (strpos('0123456789abcdef',
+         |        substr(md5(j::VARCHAR || ':' || iv::VARCHAR), 1, 1)) - 1)
+         |      + (strpos('0123456789abcdef',
+         |        substr(md5(j::VARCHAR || ':' || iv::VARCHAR), 2, 1)) - 1)
+         |      AS bucket,
+         |    COUNT(*) AS cnt
+         |  FROM ivs, range(0, 4) t(j)
+         |  GROUP BY wi, _field, seed, bucket),
+         |sealed AS (
+         |  SELECT c.wi, c._field, c.seed, c.bucket, c.cnt FROM cells c, mx
+         |  WHERE (wi + 1) * 21600000000
+         |    <= epoch_us(mx - INTERVAL 30 MINUTE)),
+         |wf AS (SELECT DISTINCT wi, _field FROM sealed),
+         |probes AS (
+         |  SELECT p.iv, j AS seed,
+         |    16 * (strpos('0123456789abcdef',
+         |        substr(md5(j::VARCHAR || ':' || p.iv::VARCHAR), 1, 1)) - 1)
+         |      + (strpos('0123456789abcdef',
+         |        substr(md5(j::VARCHAR || ':' || p.iv::VARCHAR), 2, 1)) - 1)
+         |      AS bucket
+         |  FROM range(0, 64) p(iv), range(0, 4) t(j)),
+         |est AS (
+         |  SELECT wf.wi, wf._field, pr.iv,
+         |    CAST(MIN(COALESCE(s.cnt, 0)) AS BIGINT) AS est
+         |  FROM wf CROSS JOIN probes pr
+         |  LEFT JOIN sealed s ON s.wi = wf.wi AND s._field = wf._field
+         |    AND s.seed = pr.seed AND s.bucket = pr.bucket
+         |  GROUP BY wf.wi, wf._field, pr.iv
+         |  HAVING MIN(COALESCE(s.cnt, 0)) > 0),
+         |r AS (
+         |  SELECT wi, _field, iv, est,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY wi, _field
+         |      ORDER BY est DESC, iv) AS BIGINT) AS rk
+         |  FROM est)
+         |SELECT wi * 21600000000 AS b_us, _field, rk, iv, est
+         |FROM r WHERE rk <= 3 ORDER BY b_us, _field, rk""".stripMargin
   )
 }

@@ -183,6 +183,49 @@ object MultimodalQueries {
         .orderBy(col("media_a"), col("media_b"))
     }),
 
+    // GRADIENT-vs-LEVEL perceptual-hash AGREEMENT: mm08's aHash family
+    // dedup re-run under dHash (horizontal-gradient bits) with the aHash
+    // verdict joined per pair — the two-hash cross-check a production
+    // image-dedup pipeline uses to cut false positives (a pair is a dup
+    // when BOTH the level field and the gradient field agree). Banding:
+    // 4 × 14-bit bands over the 56-bit dHash, pigeonhole-complete at
+    // ham ≤ 3 (the mm08 discipline); hash frames are 2-long rows, pixels
+    // never shuffle; both hash frames feed two join sides each → eager
+    // checkpoints.
+    "mm17_dhash_agreement" -> ((s, dir) => {
+      val media = Multimodal.syntheticNearDupBmps(
+        fanout(Tables.table(s, dir, "documents"))
+          .filter(col("doc_id") % 2 === 0))
+      val dhs = Multimodal.imageDHash(media).toDF().localCheckpoint(true)
+      val ahs = Multimodal.imageAHash(media).toDF().localCheckpoint(true)
+      val banded = dhs.select(col("media_id"), col("dh"),
+        posexplode(array(
+          expr("dh & 16383"), expr("shiftrightunsigned(dh, 14) & 16383"),
+          expr("shiftrightunsigned(dh, 28) & 16383"),
+          expr("shiftrightunsigned(dh, 42) & 16383")))
+          .as(Seq("band", "bval")))
+      val a = banded.select(col("band"), col("bval"),
+        col("media_id").as("media_a"), col("dh").as("dh_a"))
+      val b = banded.select(col("band"), col("bval"),
+        col("media_id").as("media_b"), col("dh").as("dh_b"))
+      a.join(b, Seq("band", "bval"))
+        .filter(col("media_a") < col("media_b"))
+        .select(col("media_a"), col("media_b"),
+          expr("bit_count(dh_a ^ dh_b)").cast("long").as("dham"))
+        .distinct()
+        .filter(col("dham") <= 3)
+        .join(ahs.select(col("media_id").as("media_a"),
+          col("lo").as("lo_a"), col("hi").as("hi_a")), "media_a")
+        .join(ahs.select(col("media_id").as("media_b"),
+          col("lo").as("lo_b"), col("hi").as("hi_b")), "media_b")
+        .withColumn("aham",
+          expr("bit_count(lo_a ^ lo_b) + bit_count(hi_a ^ hi_b)").cast("long"))
+        .withColumn("agree", col("aham") <= 3)
+        .select(col("media_a"), col("media_b"), col("dham"), col("aham"),
+          col("agree"))
+        .orderBy(col("media_a"), col("media_b"))
+    }),
+
     // VIDEO-shaped FRAME EXTRACTION: real animated GIF89a containers
     // (multi-frame, NETSCAPE looping extension, per-frame GCE delays)
     // synthesized and decoded on the executors through a full LZW
@@ -552,6 +595,47 @@ object MultimodalQueries {
         |    AS BIGINT) AS ham
         |FROM h a JOIN h b ON a.m < b.m
         |WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3
+        |ORDER BY media_a, media_b""".stripMargin,
+
+    // mm08's gray formula → 56-bit dHash (row-wise left>right bits) →
+    // ham≤3 pairs → aHash verdict joined per pair
+    "mm17_dhash_agreement" ->
+      """WITH ms AS (
+        |  SELECT doc_id AS m FROM documents WHERE doc_id % 2 = 0),
+        |g AS (
+        |  SELECT m, p,
+        |    list_sum(list_transform(range(3), c ->
+        |      ((m % 8) * 37 + (3 * (32 * (p // 8) + 2 * (p % 8)) + c) * 13
+        |       + CASE WHEN p < (m // 8) % 5 THEN 128 ELSE 0 END) % 256))
+        |      AS gray
+        |  FROM ms, (SELECT unnest(range(64)) AS p)),
+        |dh AS (
+        |  SELECT l.m,
+        |    CAST(SUM(CASE WHEN l.gray > r.gray
+        |      THEN (1::BIGINT << CAST((l.p // 8) * 7 + (l.p % 8) AS INT))
+        |      ELSE 0 END) AS BIGINT) AS dh
+        |  FROM g l JOIN g r ON r.m = l.m AND r.p = l.p + 1 AND l.p % 8 < 7
+        |  GROUP BY l.m),
+        |ah AS (
+        |  SELECT m,
+        |    SUM(CASE WHEN p < 32 AND 64 * gray > tot
+        |        THEN (1::BIGINT << CAST(p AS INT)) ELSE 0 END)::BIGINT AS lo,
+        |    SUM(CASE WHEN p >= 32 AND 64 * gray > tot
+        |        THEN (1::BIGINT << CAST(p - 32 AS INT)) ELSE 0 END)::BIGINT AS hi
+        |  FROM (SELECT m, p, gray, SUM(gray) OVER (PARTITION BY m) AS tot
+        |        FROM g)
+        |  GROUP BY m),
+        |pr AS (
+        |  SELECT a.m AS media_a, b.m AS media_b,
+        |    bit_count(xor(a.dh, b.dh)) AS dham
+        |  FROM dh a JOIN dh b ON a.m < b.m
+        |  WHERE bit_count(xor(a.dh, b.dh)) <= 3)
+        |SELECT media_a, media_b, CAST(dham AS BIGINT) AS dham,
+        |  CAST(bit_count(xor(ha.lo, hb.lo)) + bit_count(xor(ha.hi, hb.hi))
+        |    AS BIGINT) AS aham,
+        |  (bit_count(xor(ha.lo, hb.lo)) + bit_count(xor(ha.hi, hb.hi))) <= 3
+        |    AS agree
+        |FROM pr JOIN ah ha ON ha.m = media_a JOIN ah hb ON hb.m = media_b
         |ORDER BY media_a, media_b""".stripMargin,
 
     // replay of mm10: GIF m has 1 + m%3 frames of (2 + m%4) × (2 + m%3)
