@@ -569,6 +569,46 @@ object Multimodal {
     }
   }
 
+  /** Per-clip unnormalized-Haar band energies over the first 32 decoded
+    * samples (every synthetic clip has ≥ 32): detail energies at levels
+    * 1–3 plus the level-3 approximation energy, and the dominant detail
+    * level (argmax, ties to the lowest level). Unnormalized Haar (sums
+    * and differences, no /√2) keeps every value an exact 64-bit integer:
+    * |a3| ≤ 8·32768, squared ≤ 6.9e10, ×4 terms ≪ 2⁶³ — so the oracle
+    * replays the filterbank arithmetically from the sample formula and
+    * the hash compare never meets a float. */
+  case class WaveletEnergy(media_id: Long, e1: Long, e2: Long, e3: Long,
+    ea3: Long, dominant: Int)
+
+  def audioWaveletEnergy(media: Dataset[Container]): Dataset[WaveletEnergy] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { c =>
+        val b = c.payload
+        if (b.length >= 4 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
+            b(3) == 'F') {
+          val audio = MediaCodecs.Wav.parse(b)
+          if (audio.samples.length >= 32) {
+            val s = Array.tabulate(32)(i => audio.samples(i).toLong)
+            val a1 = Array.tabulate(16)(i => s(2 * i) + s(2 * i + 1))
+            val d1 = Array.tabulate(16)(i => s(2 * i) - s(2 * i + 1))
+            val a2 = Array.tabulate(8)(i => a1(2 * i) + a1(2 * i + 1))
+            val d2 = Array.tabulate(8)(i => a1(2 * i) - a1(2 * i + 1))
+            val a3 = Array.tabulate(4)(i => a2(2 * i) + a2(2 * i + 1))
+            val d3 = Array.tabulate(4)(i => a2(2 * i) - a2(2 * i + 1))
+            val e1 = d1.map(x => x * x).sum
+            val e2 = d2.map(x => x * x).sum
+            val e3 = d3.map(x => x * x).sum
+            val ea3 = a3.map(x => x * x).sum
+            val dom = if (e1 >= e2 && e1 >= e3) 1
+              else if (e2 >= e3) 2 else 3
+            Some(WaveletEnergy(c.media_id, e1, e2, e3, ea3, dom))
+          } else None
+        } else None
+      }
+    }
+  }
+
   /** Partition-parallel REAL decode: sniff the container magic, parse with
     * the genuine header/chunk parser, emit flat features. Any parse slip —
     * row order, padding, chunk offsets, sample sign — changes checksum or

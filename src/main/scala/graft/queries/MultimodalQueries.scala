@@ -139,6 +139,20 @@ object MultimodalQueries {
     // reduces to exact integer features; rms is the only float, one
     // shared division+sqrt tree. The oracle replays the index mapping and
     // the signed-i16 sample formula arithmetically.
+    // INTEGER HAAR FILTERBANK over real decoded WAVs — the multimodal
+    // feature-extraction shape where the transform itself must be
+    // hash-exact: unnormalized Haar band energies (levels 1–3 + the
+    // level-3 approximation) over each clip's first 32 samples, all
+    // 64-bit integer sums/differences/squares, plus the dominant detail
+    // level. Decode + filterbank run in one mapPartitions pass; each clip
+    // reduces to 5 longs and an int — samples never shuffle.
+    "mm18_wavelet_energy" -> ((s, dir) =>
+      Multimodal.audioWaveletEnergy(
+          Multimodal.syntheticContainers(fanout(Tables.table(s, dir, "documents"))
+            .filter(col("doc_id") % 2 === 1)))
+        .toDF()
+        .orderBy(col("media_id"))),
+
     "mm09_audio_resample" -> ((s, dir) =>
       Multimodal.resampleAudio(
           Multimodal.syntheticContainers(fanout(Tables.table(s, dir, "documents"))
@@ -543,6 +557,47 @@ object MultimodalQueries {
     // replay of mm09: WAV m has n = 32 + m%64 samples of
     // (m*131 + i*17) mod 65536 as signed i16; resampled index map
     // src = 8j//3, n_out = 3n//8
+    // mm18: the sample formula → pairwise sum/difference pyramid (three
+    // GROUP BY halvings) → integer band energies + dominant level
+    "mm18_wavelet_energy" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id FROM documents WHERE doc_id % 2 = 1),
+        |s AS (
+        |  SELECT media_id, i,
+        |    CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS v
+        |  FROM (SELECT media_id, i, (media_id * 131 + i * 17) % 65536 AS u
+        |        FROM m, range(0, 32) t(i))),
+        |p1 AS (
+        |  SELECT media_id, i // 2 AS j,
+        |    SUM(CASE WHEN i % 2 = 0 THEN v ELSE -v END) AS d,
+        |    SUM(v) AS a
+        |  FROM s GROUP BY media_id, i // 2),
+        |p2 AS (
+        |  SELECT media_id, j // 2 AS k,
+        |    SUM(CASE WHEN j % 2 = 0 THEN a ELSE -a END) AS d,
+        |    SUM(a) AS a2
+        |  FROM p1 GROUP BY media_id, j // 2),
+        |p3 AS (
+        |  SELECT media_id, k // 2 AS l,
+        |    SUM(CASE WHEN k % 2 = 0 THEN a2 ELSE -a2 END) AS d,
+        |    SUM(a2) AS a3
+        |  FROM p2 GROUP BY media_id, k // 2),
+        |e AS (
+        |  SELECT media_id,
+        |    (SELECT CAST(SUM(d * d) AS BIGINT) FROM p1
+        |     WHERE p1.media_id = mm.media_id) AS e1,
+        |    (SELECT CAST(SUM(d * d) AS BIGINT) FROM p2
+        |     WHERE p2.media_id = mm.media_id) AS e2,
+        |    (SELECT CAST(SUM(d * d) AS BIGINT) FROM p3
+        |     WHERE p3.media_id = mm.media_id) AS e3,
+        |    (SELECT CAST(SUM(a3 * a3) AS BIGINT) FROM p3
+        |     WHERE p3.media_id = mm.media_id) AS ea3
+        |  FROM m mm)
+        |SELECT media_id, e1, e2, e3, ea3,
+        |  CASE WHEN e1 >= e2 AND e1 >= e3 THEN 1
+        |       WHEN e2 >= e3 THEN 2 ELSE 3 END AS dominant
+        |FROM e ORDER BY media_id""".stripMargin,
+
     "mm09_audio_resample" ->
       """WITH m AS (
         |  SELECT doc_id AS media_id, 32 + doc_id % 64 AS n

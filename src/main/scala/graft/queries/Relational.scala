@@ -158,6 +158,32 @@ object Relational {
     // excluding NULLs, MIN ignoring NULLs, AVG of an all-NULL column
     // staying NULL, and COALESCE fallback. NULLs are synthesized with
     // NULLIF so the gallery runs on stock orders rows.
+    // -- ANSI aggregate FILTER clause (SQL:2003): the declarative spelling
+    // of conditional aggregation — every engine on the board (and the
+    // CASE-WHEN form used elsewhere) plans it as the same single-pass
+    // partial/final hash aggregate with per-aggregate predicates; no
+    // second scan, no join. The DISTINCT + FILTER combination is the one
+    // that actually differs from CASE (a CASE NULL still feeds the
+    // distinct set builder; FILTER skips the row entirely — same result
+    // for non-null inputs, different execution). Oracle runs the
+    // identical text: FILTER is ANSI, both parsers accept it.
+    "q57_agg_filter" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql(
+        """SELECT o_orderpriority,
+          |  COUNT(*) AS n,
+          |  COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+          |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
+          |    FILTER (WHERE o_orderstatus = 'F') AS DOUBLE) AS rev_f,
+          |  COUNT(DISTINCT o_custkey)
+          |    FILTER (WHERE o_totalprice > 100000) AS n_big_cust,
+          |  MIN(o_orderdate) FILTER (WHERE o_orderstatus = 'O')
+          |    AS first_open
+          |FROM orders
+          |GROUP BY o_orderpriority
+          |ORDER BY o_orderpriority""".stripMargin)
+    }),
+
     // -- NULL-SAFE EQUALITY JOIN (`<=>` / IS NOT DISTINCT FROM): the one
     // join predicate where NULL keys MATCH each other instead of silently
     // dropping — the semantics MERGE/SCD pipelines need for nullable
@@ -1576,6 +1602,20 @@ object Relational {
 
     // same gallery with the oracle's spellings (IS NOT DISTINCT FROM for
     // null-safe equality); every NULL rule must agree cell-for-cell
+    "q57_agg_filter" ->
+      """SELECT o_orderpriority,
+        |  COUNT(*) AS n,
+        |  COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
+        |    FILTER (WHERE o_orderstatus = 'F') AS DOUBLE) AS rev_f,
+        |  COUNT(DISTINCT o_custkey)
+        |    FILTER (WHERE o_totalprice > 100000) AS n_big_cust,
+        |  MIN(o_orderdate) FILTER (WHERE o_orderstatus = 'O')
+        |    AS first_open
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
     "q56_nullsafe_join" ->
       """SELECT k AS nation_key, COUNT(*) AS n_pairs,
         |  COUNT(DISTINCT c_custkey) AS n_cust,

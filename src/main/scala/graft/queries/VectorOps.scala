@@ -1172,6 +1172,90 @@ object VectorOps {
         .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
         .withColumn("recall_at_5",
           round(col("n_hit").cast("double") / col("n_exact"), 6))
+    }),
+
+    // CASCADE BUDGET CURVE — v32's stage-1 width C1 swept over
+    // {30, 100, 300} in ONE corpus pass: the Hamming stage keeps top-300
+    // once, and because the top-k aggregator emits its candidates already
+    // (sim DESC, c_id) sorted, each narrower arm is a PREFIX slice
+    // (pos < C1) of the same ranked frame — three budget points for the
+    // price of one scan (the v24 nprobe-curve discipline applied to the
+    // cascade's dial). Downstream SQ8 + exact stages ride (arm × query)-
+    // sized frames; recall@5 per arm against the shared exact ground
+    // truth. This is the measured cost/recall curve a serving team reads
+    // before picking C1.
+    "v33_cascade_budget_curve" -> ((s, dir) => {
+      graft.functions.VectorFunctions.register(s)
+      val e = emb(s, dir)
+      val packLo =
+        "aggregate(transform(slice(emb, 1, 32), (x, i) -> " +
+          "IF(x > 0D, shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT))), " +
+          "CAST(0 AS BIGINT), (acc, b) -> acc + b)"
+      val packHi =
+        "aggregate(transform(slice(emb, 33, 32), (x, i) -> " +
+          "IF(x > 0D, shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT))), " +
+          "CAST(0 AS BIGINT), (acc, b) -> acc + b)"
+      val coded = e.select(col("vec_id"), col("emb"), col("norm"),
+        expr(packLo).as("lo"), expr(packHi).as("hi"))
+      val qs = coded.filter(expr("vec_id % 100 = 0"))
+        .select(col("vec_id").as("q_id"), col("emb").as("qe"),
+          col("norm").as("qn"), col("lo").as("qlo"), col("hi").as("qhi"))
+      val topC = udaf(new graft.functions.TopKAggregator(300))
+      val ranked = fanout(coded.select(col("vec_id"), col("lo"), col("hi")))
+        .crossJoin(broadcast(qs.select(col("q_id"), col("qlo"), col("qhi"))))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("hsim", (lit(64) -
+          expr("bit_count(lo ^ qlo) + bit_count(hi ^ qhi)")).cast("double")
+          / lit(64.0))
+        .groupBy(col("q_id"))
+        .agg(topC(col("vec_id"), col("hsim")).as("top"))
+        .select(col("q_id"),
+          posexplode(expr("transform(top, s -> s.c_id)"))
+            .as(Seq("pos", "c_id")))
+        .localCheckpoint(true)
+      val armed = ranked
+        .select(col("q_id"), col("pos"), col("c_id"),
+          explode(expr("array(30, 100, 300)")).as("c1"))
+        .filter(col("pos") < col("c1"))
+      val mm = e.select(posexplode(col("emb")).as(Seq("pos", "x")))
+        .groupBy(col("pos")).agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("mn")))).as("mns"),
+          array_sort(collect_list(struct(col("pos"), col("mx")))).as("mxs"))
+        .select(expr("transform(mns, s -> s.mn)").as("mn"),
+          expr("transform(mxs, s -> s.mx)").as("mx"))
+      val w2 = Window.partitionBy(col("c1"), col("q_id"))
+        .orderBy(col("asim").desc, col("c_id"))
+      val st2 = e.join(broadcast(armed), col("vec_id") === col("c_id"))
+        .crossJoin(broadcast(mm))
+        .withColumn("dq", expr(
+          "transform(emb, (x, i) -> mn[i] + cast(round((x - mn[i]) * 255.0D / (mx[i] - mn[i])) as int) * (mx[i] - mn[i]) / 255.0D)"))
+        .withColumn("dqn", expr("sqrt(graft_dot(dq, dq))"))
+        .join(broadcast(qs.select(col("q_id"), col("qe"), col("qn"))), Seq("q_id"))
+        .withColumn("asim",
+          round(expr("graft_dot(qe, dq)") / (col("qn") * col("dqn")), 6))
+        .withColumn("r", row_number().over(w2))
+        .filter(col("r") <= 15)
+        .select(col("c1"), col("q_id"), col("c_id"))
+      val w3 = Window.partitionBy(col("c1"), col("q_id"))
+        .orderBy(col("sim").desc, col("c_id"))
+      val casc = e.join(broadcast(st2), col("vec_id") === col("c_id"))
+        .join(broadcast(qs.select(col("q_id"), col("qe"), col("qn"))), Seq("q_id"))
+        .withColumn("sim",
+          round(expr("graft_dot(qe, emb)") / (col("qn") * col("norm")), 6))
+        .withColumn("rnk", row_number().over(w3))
+        .filter(col("rnk") <= 5)
+        .select(col("c1"), col("q_id"), col("c_id"))
+      val exact = cosineTopK(e, qs.select(col("q_id"), col("qe"), col("qn")), 5)
+        .select(col("q_id"), col("c_id"))
+        .localCheckpoint(true)
+      casc.join(exact, Seq("q_id", "c_id"), "left_semi")
+        .groupBy(col("c1"))
+        .agg(count(lit(1)).as("n_hit"))
+        .crossJoin(broadcast(exact.agg(count(lit(1)).as("n_exact"))))
+        .withColumn("recall_at_5",
+          round(col("n_hit").cast("double") / col("n_exact"), 6))
+        .select(col("c1"), col("n_hit"), col("n_exact"), col("recall_at_5"))
+        .orderBy(col("c1"))
     })
   )
 
@@ -2671,7 +2755,90 @@ object VectorOps {
         |  (SELECT COUNT(*) FROM st2) AS n_stage2,
         |  (SELECT COUNT(*) FROM casc SEMI JOIN ex USING (q_id, c_id)) AS n_hit,
         |  ROUND((SELECT COUNT(*) FROM casc SEMI JOIN ex USING (q_id, c_id))
-        |    / CAST((SELECT COUNT(*) FROM ex) AS DOUBLE), 6) AS recall_at_5""".stripMargin
+        |    / CAST((SELECT COUNT(*) FROM ex) AS DOUBLE), 6) AS recall_at_5""".stripMargin,
+
+    // v32's replay with the Hamming stage ranked once to 300 and each
+    // arm taken as a prefix (r <= c1); per-arm SQ8 + rerank + recall
+    "v33_cascade_budget_curve" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS emb,
+        |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+        |  FROM embeddings),
+        |bits AS (
+        |  SELECT vec_id, unnest(embedding::DOUBLE[]) AS x,
+        |    generate_subscripts(embedding, 1) AS i
+        |  FROM embeddings),
+        |codes AS (
+        |  SELECT vec_id,
+        |    SUM(CASE WHEN x > 0 AND i <= 32
+        |        THEN (1::BIGINT << CAST(i - 1 AS INT)) ELSE 0 END)::BIGINT AS lo,
+        |    SUM(CASE WHEN x > 0 AND i > 32
+        |        THEN (1::BIGINT << CAST(i - 33 AS INT)) ELSE 0 END)::BIGINT AS hi
+        |  FROM bits GROUP BY vec_id),
+        |q AS (SELECT c.vec_id AS q_id, e.emb AS qe, e.norm AS qn,
+        |        c.lo AS qlo, c.hi AS qhi
+        |      FROM codes c JOIN e ON e.vec_id = c.vec_id
+        |      WHERE c.vec_id % 100 = 0),
+        |cand1 AS (
+        |  SELECT q_id, c.vec_id AS c_id,
+        |    (64 - (bit_count(xor(c.lo, qlo)) + bit_count(xor(c.hi, qhi))))
+        |      / 64.0 AS hsim
+        |  FROM codes c, q WHERE c.vec_id <> q_id),
+        |rank1 AS (
+        |  SELECT q_id, c_id, ROW_NUMBER() OVER (PARTITION BY q_id
+        |    ORDER BY hsim DESC, c_id) AS r FROM cand1),
+        |arms AS (SELECT 30 AS c1 UNION ALL SELECT 100 UNION ALL SELECT 300),
+        |st1 AS (
+        |  SELECT a.c1, r.q_id, r.c_id
+        |  FROM rank1 r CROSS JOIN arms a WHERE r.r <= a.c1),
+        |d AS (SELECT unnest(embedding::DOUBLE[]) AS x,
+        |        generate_subscripts(embedding, 1) AS sub FROM embeddings),
+        |mmr AS (SELECT sub, MIN(x) AS mn, MAX(x) AS mx FROM d GROUP BY sub),
+        |mma AS (SELECT list(mn ORDER BY sub) AS mn, list(mx ORDER BY sub) AS mx
+        |        FROM mmr),
+        |cd AS (
+        |  SELECT t.c1, t.q_id, t.c_id,
+        |    list_transform(range(0, 64), i ->
+        |      mn[CAST(i + 1 AS INT)] +
+        |      CAST(round((c.emb[CAST(i + 1 AS INT)] - mn[CAST(i + 1 AS INT)]) * 255.0
+        |             / (mx[CAST(i + 1 AS INT)] - mn[CAST(i + 1 AS INT)])) AS INT)
+        |        * (mx[CAST(i + 1 AS INT)] - mn[CAST(i + 1 AS INT)]) / 255.0) AS dq
+        |  FROM st1 t JOIN e c ON c.vec_id = t.c_id, mma),
+        |sc2 AS (
+        |  SELECT cd.c1, cd.q_id, cd.c_id,
+        |    round(list_dot_product(qq.qe, dq)
+        |      / (qq.qn * sqrt(list_dot_product(dq, dq))), 6) AS asim
+        |  FROM cd JOIN q qq ON qq.q_id = cd.q_id),
+        |st2 AS (
+        |  SELECT c1, q_id, c_id FROM (
+        |    SELECT c1, q_id, c_id, ROW_NUMBER() OVER (PARTITION BY c1, q_id
+        |      ORDER BY asim DESC, c_id) AS r FROM sc2)
+        |  WHERE r <= 15),
+        |rr AS (
+        |  SELECT t.c1, t.q_id, t.c_id,
+        |    round(list_dot_product(qq.qe, c.emb) / (qq.qn * c.norm), 6) AS sim
+        |  FROM st2 t JOIN q qq ON qq.q_id = t.q_id JOIN e c ON c.vec_id = t.c_id),
+        |casc AS (
+        |  SELECT c1, q_id, c_id FROM (
+        |    SELECT c1, q_id, c_id, ROW_NUMBER() OVER (PARTITION BY c1, q_id
+        |      ORDER BY sim DESC, c_id) AS rnk FROM rr)
+        |  WHERE rnk <= 5),
+        |px AS (
+        |  SELECT q_id, vec_id AS c_id,
+        |    ROUND(list_dot_product(qe, emb) / (qn * norm), 6) AS sim
+        |  FROM e, q WHERE vec_id <> q_id),
+        |ex AS (
+        |  SELECT q_id, c_id FROM (
+        |    SELECT q_id, c_id, ROW_NUMBER() OVER (PARTITION BY q_id
+        |      ORDER BY sim DESC, c_id) AS rnk FROM px)
+        |  WHERE rnk <= 5),
+        |hits AS (
+        |  SELECT c1, COUNT(*) AS n_hit
+        |  FROM casc SEMI JOIN ex USING (q_id, c_id) GROUP BY c1),
+        |nx AS (SELECT COUNT(*) AS n_exact FROM ex)
+        |SELECT c1, n_hit, n_exact,
+        |  ROUND(CAST(n_hit AS DOUBLE) / n_exact, 6) AS recall_at_5
+        |FROM hits, nx ORDER BY c1""".stripMargin
   )
 
   /** v30's replay: v21's LSH edge prefix, then 6 unrolled peel rounds
