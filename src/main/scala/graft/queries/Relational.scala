@@ -158,6 +158,27 @@ object Relational {
     // excluding NULLs, MIN ignoring NULLs, AVG of an all-NULL column
     // staying NULL, and COALESCE fallback. NULLs are synthesized with
     // NULLIF so the gallery runs on stock orders rows.
+    // -- RELATIONAL DIVISION ("for all" / universal quantification): the
+    // one classic relational-algebra operator with no SQL keyword —
+    // customers whose orders cover EVERY calendar quarter. Planned as the
+    // count-distinct-divisors form (one hash aggregate + HAVING), which
+    // is both the textbook reduction and the scale-correct plan: a
+    // single shuffle on the dividend key, divisor cardinality folded to
+    // a constant — vs the double-NOT-EXISTS spelling that plans nested
+    // correlated anti-joins. Identical ANSI text on both engines.
+    "q58_relational_division" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql(
+        """SELECT o_custkey AS c_custkey,
+          |  COUNT(*) AS n_orders,
+          |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+          |    AS revenue
+          |FROM orders
+          |GROUP BY o_custkey
+          |HAVING COUNT(DISTINCT quarter(o_orderdate)) = 4
+          |ORDER BY c_custkey""".stripMargin)
+    }),
+
     // -- ANSI aggregate FILTER clause (SQL:2003): the declarative spelling
     // of conditional aggregation — every engine on the board (and the
     // CASE-WHEN form used elsewhere) plans it as the same single-pass
@@ -1602,6 +1623,16 @@ object Relational {
 
     // same gallery with the oracle's spellings (IS NOT DISTINCT FROM for
     // null-safe equality); every NULL rule must agree cell-for-cell
+    "q58_relational_division" ->
+      """SELECT o_custkey AS c_custkey,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+        |    AS revenue
+        |FROM orders
+        |GROUP BY o_custkey
+        |HAVING COUNT(DISTINCT quarter(o_orderdate)) = 4
+        |ORDER BY c_custkey""".stripMargin,
+
     "q57_agg_filter" ->
       """SELECT o_orderpriority,
         |  COUNT(*) AS n,

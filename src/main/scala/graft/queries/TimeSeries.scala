@@ -1714,6 +1714,57 @@ object TimeSeries {
         .orderBy(col("event_type"), col("level"), col("seg"))
     }),
 
+    // ROLLING WINDOW CORRELATION between two series (click × view hourly
+    // means, trailing 24 h) — the co-movement monitor ts14's whole-series
+    // Pearson can't provide: r is emitted PER HOUR, so a correlation
+    // breakdown is localized in time. Numerics are the acf10 kit: 6-dp
+    // halfUpMean6 hourly means, 12-dp-rounded decimal products summed
+    // exactly inside the frame, and one fixed IEEE tree for r — both
+    // engines see identical operands. The single unpartitioned window
+    // runs over the hourly-COMPRESSED two-column frame (≤ |hours| rows —
+    // the documented compressed-frame exception; per-(pair) partitioning
+    // is the 100 TB sharding axis when many pairs are tracked).
+    "ts53_rolling_corr" -> ((s, dir) => {
+      val hourly = ev(s, dir)
+        .filter(col("event_type").isin("click", "view"))
+        .withColumn("bucket", date_trunc("hour", col("ts")))
+        .withColumn("xd", col("value").cast("decimal(18,6)"))
+        .groupBy(col("event_type"), col("bucket"))
+        .agg(sum(col("xd")).as("sx"), count(lit(1)).as("n"))
+        .withColumn("hm", halfUpMean6("sx", "n"))
+      val x = hourly.filter(col("event_type") === "click")
+        .select(col("bucket"), col("hm").as("x"))
+      val y = hourly.filter(col("event_type") === "view")
+        .select(col("bucket"), col("hm").as("y"))
+      val xy = x.join(y, Seq("bucket"))
+        .withColumn("xd", col("x").cast("decimal(18,6)"))
+        .withColumn("yd", col("y").cast("decimal(18,6)"))
+        .withColumn("pxy", expr("cast(round(x * y, 12) as decimal(28,12))"))
+        .withColumn("pxx", expr("cast(round(x * x, 12) as decimal(28,12))"))
+        .withColumn("pyy", expr("cast(round(y * y, 12) as decimal(28,12))"))
+      val wo = Window.orderBy(col("bucket"))
+      val w = wo.rowsBetween(-23, 0)
+      xy.withColumn("rn", row_number().over(wo))
+        .withColumn("sx", sum(col("xd")).over(w))
+        .withColumn("sy", sum(col("yd")).over(w))
+        .withColumn("sxy", sum(col("pxy")).over(w))
+        .withColumn("sxx", sum(col("pxx")).over(w))
+        .withColumn("syy", sum(col("pyy")).over(w))
+        .filter(col("rn") >= 24)
+        .withColumn("num", lit(24) * col("sxy").cast("double")
+          - col("sx").cast("double") * col("sy").cast("double"))
+        .withColumn("den", sqrt(
+          (lit(24) * col("sxx").cast("double")
+            - col("sx").cast("double") * col("sx").cast("double"))
+          * (lit(24) * col("syy").cast("double")
+            - col("sy").cast("double") * col("sy").cast("double"))))
+        .withColumn("r",
+          when(col("den") > 0, round(col("num") / col("den"), 6)))
+        .select(date_format(col("bucket"), "yyyy-MM-dd HH:mm:ss").as("bucket"),
+          col("r"))
+        .orderBy(col("bucket"))
+    }),
+
     // Maximum drawdown per series — the classic peak-to-trough metric, on
     // the hourly CLOSE (last value in each hour, deterministic by
     // (ts, event_id) DESC row_number). Numerics: running max and the final
@@ -3184,6 +3235,50 @@ object TimeSeries {
         |  FROM l2r WHERE rk = 1)
         |SELECT * FROM lvl1 UNION ALL SELECT * FROM lvl2
         |ORDER BY event_type, level, seg""".stripMargin,
+
+    "ts53_rolling_corr" ->
+      """WITH hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS bucket,
+        |    SUM(CAST(value AS DECIMAL(18,6))) AS sx, COUNT(*) AS n
+        |  FROM events WHERE event_type IN ('click', 'view')
+        |  GROUP BY 1, 2),
+        |hm AS (
+        |  SELECT event_type, bucket,
+        |    CAST((2 * CAST(sx * 1000000 AS BIGINT) + n) // (2 * n)
+        |      AS DOUBLE) / 1e6 AS hm
+        |  FROM hourly),
+        |xy AS (
+        |  SELECT a.bucket, a.hm AS x, b.hm AS y
+        |  FROM hm a JOIN hm b ON a.bucket = b.bucket
+        |  WHERE a.event_type = 'click' AND b.event_type = 'view'),
+        |p AS (
+        |  SELECT bucket, CAST(x AS DECIMAL(18,6)) AS xd,
+        |    CAST(y AS DECIMAL(18,6)) AS yd,
+        |    CAST(ROUND(x * y, 12) AS DECIMAL(28,12)) AS pxy,
+        |    CAST(ROUND(x * x, 12) AS DECIMAL(28,12)) AS pxx,
+        |    CAST(ROUND(y * y, 12) AS DECIMAL(28,12)) AS pyy
+        |  FROM xy),
+        |wnd AS (
+        |  SELECT bucket,
+        |    ROW_NUMBER() OVER wo AS rn,
+        |    SUM(xd) OVER w AS sx, SUM(yd) OVER w AS sy,
+        |    SUM(pxy) OVER w AS sxy, SUM(pxx) OVER w AS sxx,
+        |    SUM(pyy) OVER w AS syy
+        |  FROM p
+        |  WINDOW wo AS (ORDER BY bucket),
+        |    w AS (ORDER BY bucket ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)),
+        |rr AS (
+        |  SELECT bucket,
+        |    24 * CAST(sxy AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS num,
+        |    sqrt((24 * CAST(sxx AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |      * (24 * CAST(syy AS DOUBLE)
+        |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS den
+        |  FROM wnd WHERE rn >= 24)
+        |SELECT strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket,
+        |  CASE WHEN den > 0 THEN ROUND(num / den, 6) END AS r
+        |FROM rr ORDER BY bucket""".stripMargin,
 
     "ts52_max_drawdown" ->
       """WITH cl AS (
