@@ -105,7 +105,13 @@ object Bench {
     // process output, which decapitates a 166-query JSON line (r7's
     // BENCH artifact had parsed=null and the first ~96 timings were
     // unrecoverable). The file is the durable, diffable record.
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
+    // a prefix-FILTERED run must not clobber the committed full-board
+    // artifact (it silently shrank BENCH_FULL.json to the 3 ladder
+    // queries mid-round-10): partial runs default to BENCH_PARTIAL.json,
+    // which is gitignored scratch
+    val defaultOut =
+      if (positional.nonEmpty) "BENCH_PARTIAL.json" else "BENCH_FULL.json"
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", defaultOut)
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
         (fullLine + "\n").getBytes("UTF-8"))

@@ -1797,6 +1797,143 @@ object TimeSeries {
           col("runmax").as("peak_value"), col("close").as("trough_value"),
           col("dd").as("max_dd"), col("n_underwater"))
         .orderBy(col("event_type"))
+    }),
+
+    // HURST R/S LADDER (Hurst 1951; Mandelbrot–Wallis rescaled range):
+    // long-range-dependence diagnostic ts27's ACF can't give — mean R/S
+    // per dyadic block size n ∈ {16,32,64} over the hourly-mean series;
+    // R/S growing like n^H with H > 0.5 means persistent memory (the
+    // growth_vs_half column ≈ 2^H between consecutive rungs). Numerics
+    // are fully engine-independent BY CONSTRUCTION: block sizes are
+    // dyadic, so the block mean never needs a division — everything is
+    // scaled by n (y_i = n·x_i − Σx, exact decimals), cumulative
+    // deviations and Σy² stay decimal (order-independent), and the only
+    // IEEE ops are exact dyadic divisions (/n, /n³), one correctly-
+    // rounded sqrt, and one rounded quotient per block. Scale: runs on
+    // the hourly-COMPRESSED frame (≤ |hours| rows/series — documented
+    // exception), every window partitioned by (series, n, block); at
+    // 100 TB with many series the same plan shards on the series key.
+    "ts54_hurst_rs" -> ((s, dir) => {
+      val hourly = ev(s, dir)
+        .withColumn("bucket", date_trunc("hour", col("ts")))
+        .groupBy(col("event_type"), col("bucket"))
+        .agg(sum(sumExactCol(col("value"))).as("sx"), count(lit(1)).as("n"))
+        .withColumn("x", halfUpMean6("sx", "n"))
+        .withColumn("i", row_number().over(
+          Window.partitionBy(col("event_type")).orderBy(col("bucket")))
+          .cast("long"))
+        .select(col("event_type"), col("i"), col("x"))
+      val f = hourly
+        .withColumn("bn", explode(array(lit(16L), lit(32L), lit(64L))))
+        .withColumn("xd", col("x").cast("decimal(14,6)"))
+        .withColumn("blk", expr("(i - 1) div bn"))
+      val wb = Window.partitionBy(col("event_type"), col("bn"), col("blk"))
+      val wc = wb.orderBy(col("i"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val blocks = f
+        .withColumn("sum_x", sum(col("xd")).over(wb))
+        .withColumn("m", count(lit(1)).over(wb))
+        .filter(col("m") === col("bn"))
+        .withColumn("y", (col("bn").cast("decimal(10,0)") * col("xd")
+          - col("sum_x")).cast("decimal(14,6)"))
+        .withColumn("cz", sum(col("y")).over(wc))
+        .withColumn("y2", (col("y") * col("y")).cast("decimal(30,12)"))
+        .groupBy(col("event_type"), col("bn"), col("blk"))
+        .agg(max(col("cz")).as("maxc"), min(col("cz")).as("minc"),
+          sum(col("y2")).as("ss"))
+        .withColumn("rv", (col("maxc") - col("minc")).cast("double")
+          / col("bn").cast("double"))
+        .withColumn("sv", sqrt(col("ss").cast("double")
+          / (col("bn") * col("bn") * col("bn")).cast("double")))
+        .filter(col("sv") > 0)
+        .withColumn("rs", round(col("rv") / col("sv"), 6))
+      blocks
+        .withColumn("rsd", col("rs").cast("decimal(18,6)"))
+        .groupBy(col("event_type"), col("bn").as("block_n"))
+        .agg(count(lit(1)).as("n_blocks"), sum(col("rsd")).as("srs"),
+          max(col("rs")).as("max_rs"))
+        .withColumn("mean_rs", halfUpMean6("srs", "n_blocks"))
+        .withColumn("growth_vs_half", round(col("mean_rs")
+          / lag(col("mean_rs"), 1).over(
+            Window.partitionBy(col("event_type")).orderBy(col("block_n"))),
+          6))
+        .select(col("event_type"), col("block_n"), col("n_blocks"),
+          col("mean_rs"), col("max_rs"), col("growth_vs_half"))
+        .orderBy(col("event_type"), col("block_n"))
+    }),
+
+    // VARIANCE-RATIO TEST (Lo–MacKinlay 1988, uncorrected population
+    // form): VR(k) = Var(x_t − x_{t−k}) / (k · Var(x_t − x_{t−1})) over
+    // the hourly-mean series — 1 for a random walk, < 1 mean-reverting,
+    // > 1 trending; the mean-reversion complement to ts54's R/S memory
+    // ladder. Numerics: returns are exact decimal differences of 6-dp
+    // hourly means, each variance is the all-integer form n·Σr² − (Σr)²
+    // in exact decimals, and VR is ONE fixed IEEE tree over those exact
+    // operands (int64 products of counts, two decimal→double casts, one
+    // multiply, one divide — identical on both engines). Overlapping
+    // k-returns, no bias correction (documented). Scale: two hash
+    // aggregates over the hourly-compressed frame joined on the series
+    // key; windows partitioned per series throughout.
+    "ts55_variance_ratio" -> ((s, dir) => {
+      val w = Window.partitionBy(col("event_type")).orderBy(col("i"))
+      val hourly = ev(s, dir)
+        .withColumn("bucket", date_trunc("hour", col("ts")))
+        .groupBy(col("event_type"), col("bucket"))
+        .agg(sum(sumExactCol(col("value"))).as("sx"), count(lit(1)).as("n"))
+        .withColumn("x", halfUpMean6("sx", "n"))
+        .withColumn("i", row_number().over(
+          Window.partitionBy(col("event_type")).orderBy(col("bucket")))
+          .cast("long"))
+        .withColumn("xd", col("x").cast("decimal(14,6)"))
+        .select(col("event_type"), col("i"), col("xd"))
+        // three consumers (1-returns, k-return probe side, k-return build
+        // side) — materialize the ≤|hours|×|series| frame once instead of
+        // re-running the events scan per branch (ts42's barrier rule)
+        .localCheckpoint(true)
+      val base = hourly
+        .withColumn("r1", (col("xd") - lag(col("xd"), 1).over(w))
+          .cast("decimal(14,6)"))
+        .filter(col("r1").isNotNull)
+        .withColumn("q1", (col("r1") * col("r1")).cast("decimal(30,12)"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n1"),
+          sum(col("r1")).cast("decimal(14,6)").as("s1"),
+          sum(col("q1")).as("qq1"))
+        // count × decimal product stays DOUBLE × DOUBLE on BOTH engines:
+        // a bigint×decimal(38,12) multiply would exceed precision 38 and
+        // Spark silently reduces scale where DuckDB widens — the casts
+        // are exact (count < 2⁵³) resp. correctly rounded, so the IEEE
+        // product is identical on both
+        .withColumn("v1", expr("cast(n1 as double) * cast(qq1 as double)")
+          - expr("cast(s1 * s1 as double)"))
+      // lag by the VARIABLE k: re-join the series to itself on (i − k) —
+      // lag(col, k) needs a literal offset; the self-join is the exact
+      // same one-exchange shape (both sides partition on event_type)
+      val shifted = hourly.select(col("event_type").as("et2"),
+        col("i").as("j"), col("xd").as("xk"))
+      val lhs = hourly
+        .withColumn("k", explode(array(lit(2L), lit(4L), lit(8L))))
+      val rk = lhs
+        .join(shifted.hint("shuffle_hash"),
+          lhs("event_type") === shifted("et2")
+            && lhs("i") - lhs("k") === shifted("j"))
+        .drop("et2", "j")
+        .withColumn("rkv", (col("xd") - col("xk")).cast("decimal(14,6)"))
+        .withColumn("qk", (col("rkv") * col("rkv")).cast("decimal(30,12)"))
+        .groupBy(col("event_type"), col("k"))
+        .agg(count(lit(1)).as("nk"),
+          sum(col("rkv")).cast("decimal(14,6)").as("sk"),
+          sum(col("qk")).as("qqk"))
+        .withColumn("vk", expr("cast(nk as double) * cast(qqk as double)")
+          - expr("cast(sk * sk as double)"))
+      rk.join(broadcast(base.select(col("event_type"), col("n1"), col("v1"))),
+          Seq("event_type"))
+        .filter(col("v1") > 0)
+        .withColumn("vr", expr(
+          "round((vk * cast(n1 * n1 as double)) /" +
+            " (cast(k * nk * nk as double) * v1), 6)"))
+        .select(col("event_type"), col("k"), col("nk"), col("vr"))
+        .orderBy(col("event_type"), col("k"))
     })
   )
 
@@ -3306,7 +3443,117 @@ object TimeSeries {
         |  strftime(bucket, '%Y-%m-%d %H:%M:%S') AS trough_bucket,
         |  runmax AS peak_value, cl AS trough_value, ddv AS max_dd,
         |  CAST(nu AS BIGINT) AS n_underwater
-        |FROM r WHERE rk = 1 ORDER BY event_type""".stripMargin
+        |FROM r WHERE rk = 1 ORDER BY event_type""".stripMargin,
+
+    "ts54_hurst_rs" ->
+      """WITH hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS bucket,
+        |    SUM(CAST(value AS DECIMAL(18,6))) AS sx, COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |hm AS (
+        |  SELECT event_type,
+        |    CAST((2 * CAST(sx * 1000000 AS BIGINT) + n) // (2 * n)
+        |      AS DOUBLE) / 1e6 AS x,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY bucket) AS i
+        |  FROM hourly),
+        |f AS (
+        |  SELECT event_type, CAST(i AS BIGINT) AS i,
+        |    CAST(x AS DECIMAL(14,6)) AS xd, bn,
+        |    (CAST(i AS BIGINT) - 1) // bn AS blk
+        |  FROM hm CROSS JOIN (VALUES (CAST(16 AS BIGINT)), (32), (64))
+        |    AS s(bn)),
+        |b0 AS (
+        |  SELECT *,
+        |    SUM(xd) OVER (PARTITION BY event_type, bn, blk) AS sum_x,
+        |    COUNT(*) OVER (PARTITION BY event_type, bn, blk) AS m
+        |  FROM f),
+        |b1 AS (
+        |  SELECT event_type, bn, blk, i,
+        |    CAST(CAST(bn AS DECIMAL(10,0)) * xd - sum_x AS DECIMAL(14,6))
+        |      AS y
+        |  FROM b0 WHERE m = bn),
+        |b2 AS (
+        |  SELECT event_type, bn, blk, y,
+        |    SUM(y) OVER (PARTITION BY event_type, bn, blk ORDER BY i
+        |      ROWS UNBOUNDED PRECEDING) AS cz
+        |  FROM b1),
+        |g AS (
+        |  SELECT event_type, bn, blk, MAX(cz) AS maxc, MIN(cz) AS minc,
+        |    SUM(CAST(CAST(y AS DECIMAL(20,6)) * y AS DECIMAL(30,12)))
+        |      AS ss
+        |  FROM b2 GROUP BY 1, 2, 3),
+        |rsb AS (
+        |  SELECT event_type, bn,
+        |    ROUND((CAST(maxc - minc AS DOUBLE) / CAST(bn AS DOUBLE))
+        |      / sqrt(CAST(ss AS DOUBLE) / CAST(bn * bn * bn AS DOUBLE)), 6)
+        |      AS rs
+        |  FROM g
+        |  WHERE sqrt(CAST(ss AS DOUBLE) / CAST(bn * bn * bn AS DOUBLE)) > 0),
+        |agg AS (
+        |  SELECT event_type, bn AS block_n, COUNT(*) AS n_blocks,
+        |    SUM(CAST(rs AS DECIMAL(18,6))) AS srs, MAX(rs) AS max_rs
+        |  FROM rsb GROUP BY 1, 2),
+        |m2 AS (
+        |  SELECT event_type, block_n, n_blocks,
+        |    CAST((2 * CAST(srs * 1000000 AS BIGINT) + n_blocks)
+        |      // (2 * n_blocks) AS DOUBLE) / 1e6 AS mean_rs, max_rs
+        |  FROM agg)
+        |SELECT event_type, block_n, n_blocks, mean_rs, max_rs,
+        |  ROUND(mean_rs / LAG(mean_rs, 1) OVER (PARTITION BY event_type
+        |    ORDER BY block_n), 6) AS growth_vs_half
+        |FROM m2 ORDER BY event_type, block_n""".stripMargin,
+
+    "ts55_variance_ratio" ->
+      """WITH hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS bucket,
+        |    SUM(CAST(value AS DECIMAL(18,6))) AS sx, COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |hm AS (
+        |  SELECT event_type,
+        |    CAST(CAST((2 * CAST(sx * 1000000 AS BIGINT) + n) // (2 * n)
+        |      AS DOUBLE) / 1e6 AS DECIMAL(14,6)) AS xd,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY bucket)
+        |      AS BIGINT) AS i
+        |  FROM hourly),
+        |base AS (
+        |  SELECT event_type, COUNT(*) AS n1,
+        |    CAST(SUM(r1) AS DECIMAL(14,6)) AS s1,
+        |    SUM(CAST(CAST(r1 AS DECIMAL(20,6)) * r1 AS DECIMAL(30,12)))
+        |      AS qq1
+        |  FROM (
+        |    SELECT event_type,
+        |      CAST(xd - LAG(xd, 1) OVER (PARTITION BY event_type ORDER BY i)
+        |        AS DECIMAL(14,6)) AS r1
+        |    FROM hm)
+        |  WHERE r1 IS NOT NULL GROUP BY event_type),
+        |bv AS (
+        |  SELECT event_type, n1,
+        |    CAST(n1 AS DOUBLE) * CAST(qq1 AS DOUBLE)
+        |      - CAST(CAST(s1 AS DECIMAL(20,6)) * s1 AS DOUBLE) AS v1
+        |  FROM base),
+        |rk AS (
+        |  SELECT a.event_type, s.k,
+        |    CAST(a.xd - b.xd AS DECIMAL(14,6)) AS rkv
+        |  FROM hm a
+        |  CROSS JOIN (VALUES (CAST(2 AS BIGINT)), (4), (8)) AS s(k)
+        |  JOIN hm b ON b.event_type = a.event_type AND b.i = a.i - s.k),
+        |ka AS (
+        |  SELECT event_type, k, COUNT(*) AS nk,
+        |    CAST(SUM(rkv) AS DECIMAL(14,6)) AS sk,
+        |    SUM(CAST(CAST(rkv AS DECIMAL(20,6)) * rkv AS DECIMAL(30,12)))
+        |      AS qqk
+        |  FROM rk GROUP BY 1, 2),
+        |kv AS (
+        |  SELECT event_type, k, nk,
+        |    CAST(nk AS DOUBLE) * CAST(qqk AS DOUBLE)
+        |      - CAST(CAST(sk AS DECIMAL(20,6)) * sk AS DOUBLE) AS vk
+        |  FROM ka)
+        |SELECT kv.event_type, kv.k, kv.nk,
+        |  ROUND((vk * CAST(n1 * n1 AS DOUBLE)) /
+        |    (CAST(k * nk * nk AS DOUBLE) * v1), 6) AS vr
+        |FROM kv JOIN bv ON bv.event_type = kv.event_type
+        |WHERE v1 > 0
+        |ORDER BY kv.event_type, kv.k""".stripMargin
   )
 
   /** The ts21 closed-form EMA kernel as a DuckDB CTE pair (`<out>_pairs`,

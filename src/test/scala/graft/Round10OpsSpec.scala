@@ -211,4 +211,60 @@ class Round10OpsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == Map(1L -> 1L, 2L -> 1L, 9L -> 1L))
   }
+
+  /** Synthetic events table with closed-form R/S and VR answers: one point
+    * per hour so the hourly mean IS the value — "alt" alternates 9/11
+    * (perfectly anti-persistent), "ramp" climbs 1,2,3,… (pure trend). */
+  private lazy val hurstFixtureDir: String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-hurst-fixture")
+    graft.util.TempDirs.deleteOnExit(dir)
+    val rows = (0 until 128).flatMap { i =>
+      val ts = java.sql.Timestamp.valueOf(
+        java.time.LocalDateTime.of(2024, 1, 1, 0, 0).plusHours(i))
+      Seq(
+        (i.toLong * 2, ts, 1L, "alt", if (i % 2 == 0) 9.0 else 11.0, "{}"),
+        (i.toLong * 2 + 1, ts, 1L, "ramp", (i + 1).toDouble, "{}"))
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir.toString
+  }
+
+  test("ts54 kernel: alternating series has R/S = 1 at every size; " +
+    "a pure ramp matches the closed form and doubles per rung") {
+    val got = SparkEntry.queries("ts54_hurst_rs")(spark, hurstFixtureDir)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getDouble(3), if (r.isNullAt(5)) None else Some(r.getDouble(5))))
+      .toMap
+    for (n <- Seq(16L, 32L, 64L)) {
+      // alt: deviations ±1 → cumdev range 1, population std 1 → R/S ≡ 1
+      assert(got(("alt", n))._1 == 1.0, s"alt n=$n: ${got(("alt", n))}")
+      // ramp: R = n²/8 (cumdev parabola), S = √((n²−1)/12) (std of 1..n)
+      val expected = BigDecimal((n * n / 8.0) / math.sqrt((n * n - 1) / 12.0))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(got(("ramp", n))._1 - expected) < 1e-9,
+        s"ramp n=$n: got ${got(("ramp", n))._1}, want $expected")
+    }
+    // trend growth per size-doubling → 2 (H = 1); exact limit is
+    // 2·√((4n²−1)/(4(n²−1)))⁻¹-ish — just pin the asymptote loosely
+    val g = got(("ramp", 64L))._2.get
+    assert(g > 1.95 && g < 2.05, s"ramp growth_vs_half=$g")
+    assert(got(("alt", 64L))._2.contains(1.0))
+  }
+
+  test("ts55 kernel: alternating series has VR = 0 at even k; " +
+    "a zero-variance-of-differences series is excluded") {
+    val rows = SparkEntry.queries("ts55_variance_ratio")(spark, hurstFixtureDir)
+      .collect()
+    val byKey = rows.map(r =>
+      (r.getString(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    // alt: every even-k return is exactly 0 → Var = 0 → VR = 0
+    for (k <- Seq(2L, 4L, 8L))
+      assert(byKey(("alt", k)) == 0.0, s"alt k=$k: ${byKey(("alt", k))}")
+    // ramp: 1-returns are constant → Var(r₁) = 0 → v1 > 0 filter drops it
+    assert(!rows.exists(_.getString(0) == "ramp"),
+      "ramp must be excluded (zero base variance)")
+  }
 }
