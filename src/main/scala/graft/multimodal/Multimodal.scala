@@ -202,6 +202,45 @@ object Multimodal {
     }
   }
 
+  /** Silence-trim summary: leading/trailing quiet-sample runs and the
+    * exact integer energy/peak of the kept middle — every field a long so
+    * the oracle compare never meets a float. */
+  case class TrimmedAudio(media_id: Long, n_samples: Long, lead_trim: Long,
+      tail_trim: Long, n_kept: Long, kept_sum_sq: Long, peak: Long)
+
+  /** SILENCE TRIM over real WAV containers — the "strip lead-in/lead-out"
+    * stage of an audio-ingest pipeline: drop the longest prefix and suffix
+    * whose samples are all |s| < threshold, report what remains. An
+    * all-quiet clip is attributed entirely to lead_trim (tail 0, kept 0) —
+    * the oracle mirrors that convention. Same scale shape as
+    * [[audioFrames]]: per-row mapPartitions decode, ONE bounded summary
+    * row out per media, raw samples never reach a shuffle. */
+  def audioTrimSilence(media: Dataset[Container],
+      threshold: Int): Dataset[TrimmedAudio] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { c =>
+        val s = MediaCodecs.Wav.parse(c.payload).samples
+        val n = s.length
+        var lead = 0
+        while (lead < n && math.abs(s(lead).toInt) < threshold) lead += 1
+        var last = n - 1
+        while (last >= lead && math.abs(s(last).toInt) < threshold) last -= 1
+        val tail = if (lead >= n) 0L else (n - 1 - last).toLong
+        var sq = 0L; var peak = 0L
+        var i = lead
+        while (i <= last) {
+          val v = s(i).toLong
+          sq += v * v
+          if (math.abs(v) > peak) peak = math.abs(v)
+          i += 1
+        }
+        TrimmedAudio(c.media_id, n.toLong, lead.toLong, tail,
+          math.max(last - lead + 1, 0).toLong, sq, peak)
+      }
+    }
+  }
+
   /** One fixed-size thumbnail per image: source dims + per-channel sums of
     * the resized pixels (exact longs; any float is derived downstream).
     * Field order follows [[MediaCodecs.BmpImage.channels]]'s B,G,R pixel

@@ -645,6 +645,49 @@ object GasStoreQueries {
     spark.read.parquet(path)
   }
 
+  /** gs27's sink: [[graft.streaming.GasStream.KmvProcessor]] — streaming
+    * KMV distinct sketches on transformWithState MapState (window-start →
+    * bottom-16 hash sketch), RocksDB-pinned like [[streamCusum]].
+    * Snapshot rows append per micro-batch; the reader keeps max-n_seen. */
+  private val builtKmv = new java.util.WeakHashMap[SparkSession, String]()
+  private def streamKmv(spark: SparkSession): DataFrame = {
+    val path = builtKmv.synchronized {
+      Option(builtKmv.get(spark)).getOrElse {
+        val work = Files.createTempDirectory("graft-gas-kmv")
+        deleteOnExit(work)
+        val long = graft.store.LongStore.unpivot(
+          graft.transform.GasTransform(
+            graft.streaming.GasStream.readStream(spark, fixtureDir))
+            .withColumnRenamed("file_name", "_src")).drop("_src")
+          .filter(col("_field").isin("CO (ppm)", "Humidity (%r.h.)"))
+        val providerKey = "spark.sql.streaming.stateStore.providerClass"
+        val prevProvider = spark.conf.getOption(providerKey)
+        spark.conf.set(providerKey,
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        try {
+          graft.streaming.GasStream
+            .kmvStream(long, windowUs = 21600000000L, k = 16)
+            .writeStream
+            .format("parquet")
+            .option("path", s"$work/out")
+            .option("checkpointLocation", s"$work/ckpt")
+            .outputMode("append")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+            .awaitTermination()
+        } finally {
+          prevProvider match {
+            case Some(p) => spark.conf.set(providerKey, p)
+            case None => spark.conf.unset(providerKey)
+          }
+        }
+        builtKmv.put(spark, s"$work/out")
+        s"$work/out"
+      }
+    }
+    spark.read.parquet(path)
+  }
+
   /** gs16's sink: streaming per-window TOP-K — the "worst readings this
     * hour" dashboard tile, and the proof the engine's typed
     * [[graft.functions.TopKAggregator]] is a first-class STREAMING
@@ -1088,6 +1131,41 @@ object GasStoreQueries {
         .filter(col("rnk") <= 3)
         .select(col("_field"), col("word"), col("n"), col("rnk"))
         .orderBy(col("_field"), col("rnk"))
+    }),
+
+    // STREAMING KMV DISTINCT ESTIMATE — the live bottom-16 sketch read
+    // batch-side (max-n_seen snapshot = end-of-stream merge, micro-batch
+    // invariant), its (k−1)·2⁴⁸/h₍ₖ₎ estimate checked against the EXACT
+    // per-window distinct count from the batch store: err_ppm is the
+    // measured estimator error, computed on both engines, not assumed.
+    // All arithmetic after the sink is integer (hex→int via conv, one
+    // positive div) — hash-exact by construction.
+    "gs27_stream_kmv_distinct" -> ((s, _) => {
+      val wLast = Window.partitionBy(col("_field"), col("w_us"))
+        .orderBy(col("n_seen").desc)
+      val last = streamKmv(s)
+        .withColumn("rn", row_number().over(wLast))
+        .filter(col("rn") === 1)
+        .withColumn("k_used", size(col("hashes")).cast("long"))
+        .withColumn("h16", expr(
+          "cast(conv(substr(element_at(hashes, 16), 1, 12), 16, 10) as bigint)"))
+        .withColumn("n_est", when(col("k_used") === 16,
+          expr("(15L * 281474976710656L) div h16")).otherwise(col("k_used")))
+      val exact = store(s)
+        .filter(col("_field").isin("CO (ppm)", "Humidity (%r.h.)"))
+        .withColumn("us", unix_micros(col("_time")))
+        .withColumn("w_us",
+          expr("(us div 21600000000L) * 21600000000L"))
+        .withColumn("iv", greatest(least(
+          floor(col("_value") * 8.0).cast("long"), lit(511L)), lit(0L)))
+        .groupBy(col("_field"), col("w_us"))
+        .agg(countDistinct(col("iv")).cast("long").as("n_exact"))
+      last.join(exact, Seq("_field", "w_us"))
+        .withColumn("err_ppm",
+          expr("(abs(n_est - n_exact) * 1000000) div n_exact"))
+        .select(col("w_us"), col("_field"), col("n_seen"), col("k_used"),
+          col("n_est"), col("n_exact"), col("err_ppm"))
+        .orderBy(col("w_us"), col("_field"))
     }),
 
     // STREAMING CMS HEAVY HITTERS — the live sketch queried batch-side:
@@ -1742,6 +1820,54 @@ object GasStoreQueries {
 
     // CMS replay: same md5 seed family (hex-digit decode), same sealing
     // cutoff, probe grid 0..63, min-over-4-cells estimate, top-3
+    "gs27_stream_kmv_distinct" ->
+      s"""$prelude,
+         |pts AS (
+         |  SELECT _time, 'CO (ppm)' AS _field, "CO (ppm)" AS _value
+         |  FROM raw
+         |  UNION ALL
+         |  SELECT _time, 'Humidity (%r.h.)', "Humidity (%r.h.)"
+         |  FROM raw),
+         |ivs AS (
+         |  SELECT _field,
+         |    (epoch_us(_time) // 21600000000) * 21600000000 AS w_us,
+         |    GREATEST(LEAST(CAST(FLOOR(_value * 8.0) AS BIGINT), 511), 0)
+         |      AS iv
+         |  FROM pts),
+         |counts AS (
+         |  SELECT _field, w_us, COUNT(*) AS n_seen,
+         |    COUNT(DISTINCT iv) AS n_exact
+         |  FROM ivs GROUP BY 1, 2),
+         |dh AS (
+         |  SELECT DISTINCT _field, w_us, md5(iv::VARCHAR) AS h FROM ivs),
+         |rk AS (
+         |  SELECT _field, w_us, h,
+         |    ROW_NUMBER() OVER (PARTITION BY _field, w_us ORDER BY h) AS rn
+         |  FROM dh),
+         |sk AS (
+         |  SELECT _field, w_us, COUNT(*) AS k_used,
+         |    MAX(CASE WHEN rn = 16 THEN h END) AS h16
+         |  FROM rk WHERE rn <= 16 GROUP BY 1, 2),
+         |est AS (
+         |  SELECT _field, w_us, k_used,
+         |    CASE WHEN k_used = 16 THEN
+         |      (15::BIGINT * 281474976710656::BIGINT) //
+         |        list_sum(list_transform(range(0, 12), j ->
+         |          (strpos('0123456789abcdef',
+         |             substr(h16, CAST(j + 1 AS INT), 1)) - 1)::BIGINT
+         |          * (1::BIGINT << CAST(4 * (11 - j) AS INT))))
+         |    ELSE k_used END AS n_est
+         |  FROM sk)
+         |SELECT c.w_us, c._field, CAST(c.n_seen AS BIGINT) AS n_seen,
+         |  CAST(e.k_used AS BIGINT) AS k_used,
+         |  CAST(e.n_est AS BIGINT) AS n_est,
+         |  CAST(c.n_exact AS BIGINT) AS n_exact,
+         |  CAST((abs(e.n_est - c.n_exact) * 1000000) // c.n_exact AS BIGINT)
+         |    AS err_ppm
+         |FROM counts c JOIN est e
+         |  ON e._field = c._field AND e.w_us = c.w_us
+         |ORDER BY c.w_us, c._field""".stripMargin,
+
     "gs26_stream_cms" ->
       s"""$prelude,
          |pts AS (

@@ -308,6 +308,19 @@ object MultimodalQueries {
     // silence-trimming pass an audio corpus runs before transcription.
     // Frames never leave the executor; islands shuffle only the
     // O(frames) feature rows on the media key.
+    // silence trim (mm14's segmentation turned into the INGEST transform
+    // audio pipelines actually apply): strip the all-|s|<8192 prefix and
+    // suffix, keep the exact integer energy/peak of the middle; the
+    // oracle replays the synthetic WAV formula and the trim convention
+    // sample-for-sample
+    "mm19_audio_trim" -> ((s, dir) =>
+      Multimodal.audioTrimSilence(
+          Multimodal.syntheticContainers(
+            fanout(Tables.table(s, dir, "documents"))
+              .filter(col("doc_id") % 2 === 1)),
+          threshold = 8192).toDF()
+        .orderBy(col("media_id"))),
+
     "mm14_audio_segments" -> ((s, dir) => {
       val fr = Multimodal.audioFrames(
           Multimodal.syntheticContainers(
@@ -801,6 +814,43 @@ object MultimodalQueries {
     // (m*131 + i*17) mod 65536 as signed i16; frames of 16 (ragged tail
     // kept), energy threshold 16*(32768^2/3) = 5726623056, islands via
     // the rank-difference trick
+    "mm19_audio_trim" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id, 32 + doc_id % 64 AS n
+        |  FROM documents WHERE doc_id % 2 = 1),
+        |sm AS (
+        |  SELECT media_id, n, i,
+        |    CASE WHEN (media_id*131 + i*17) % 65536 >= 32768
+        |         THEN (media_id*131 + i*17) % 65536 - 65536
+        |         ELSE (media_id*131 + i*17) % 65536 END AS s
+        |  FROM m, range(0, 96) t(i) WHERE i < n),
+        |loud AS (
+        |  SELECT media_id, MAX(n) AS n,
+        |    MIN(CASE WHEN abs(s) >= 8192 THEN i END) AS first_loud,
+        |    MAX(CASE WHEN abs(s) >= 8192 THEN i END) AS last_loud
+        |  FROM sm GROUP BY media_id),
+        |tr AS (
+        |  SELECT media_id, n, COALESCE(first_loud, n) AS lead,
+        |    CASE WHEN first_loud IS NULL THEN 0
+        |         ELSE n - 1 - last_loud END AS tail,
+        |    last_loud
+        |  FROM loud),
+        |kept AS (
+        |  SELECT t.media_id,
+        |    CAST(SUM(s * s) AS BIGINT) AS kept_sum_sq,
+        |    CAST(MAX(abs(s)) AS BIGINT) AS peak
+        |  FROM tr t JOIN sm ON sm.media_id = t.media_id
+        |    AND sm.i >= t.lead AND sm.i <= t.last_loud
+        |  GROUP BY t.media_id)
+        |SELECT t.media_id, CAST(t.n AS BIGINT) AS n_samples,
+        |  CAST(t.lead AS BIGINT) AS lead_trim,
+        |  CAST(t.tail AS BIGINT) AS tail_trim,
+        |  CAST(t.n - t.lead - t.tail AS BIGINT) AS n_kept,
+        |  COALESCE(k.kept_sum_sq, 0) AS kept_sum_sq,
+        |  COALESCE(k.peak, 0) AS peak
+        |FROM tr t LEFT JOIN kept k ON k.media_id = t.media_id
+        |ORDER BY t.media_id""".stripMargin,
+
     "mm14_audio_segments" ->
       """WITH m AS (
         |  SELECT doc_id AS media_id, 32 + doc_id % 64 AS n

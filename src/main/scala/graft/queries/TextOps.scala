@@ -1414,6 +1414,66 @@ object TextOps {
         .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"),
           col("n_shared"), col("containment"))
         .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // RAKE KEYWORD EXTRACTION (Rose et al. 2010): candidate phrases are
+    // maximal runs of non-stopword tokens (gaps-and-islands split at the
+    // corpus stoplist), word score = degree/frequency where degree counts
+    // co-occurring words across a word's phrases, phrase score = Σ member
+    // word scores. tx16's TF-IDF ranks single TOKENS per doc; RAKE
+    // surfaces multi-word PHRASES corpus-wide — the complementary
+    // keyword surface. All-integer numerics: scores are micro-unit
+    // bigints ((deg·10⁶) div freq — positive operands, cn08's proven
+    // construct), so the hash compare is exact by construction. Scale:
+    // token explode is map-side, the island split is one (doc)-keyed
+    // window over tokens, word stats one hash agg (vocabulary-bounded,
+    // broadcast back), and the final top-15 is TakeOrderedAndProject.
+    "tx43_rake_keywords" -> ((s, dir) => {
+      val wd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      val toks = fanout(docs(s, dir))
+        .select(col("doc_id"), posexplode(expr(tokExpr)).as(Seq("pos", "w")))
+        .withColumn("stop",
+          expr(s"w IN $stopList") || col("w") === "")
+      val members = toks
+        .withColumn("grp", sum(when(col("stop"), 1L).otherwise(0L)).over(wd))
+        .filter(!col("stop"))
+      // phrases capped at 4 words (the RAKE convention: longer runs are
+      // rare and dominated by their length, not their salience)
+      val phrase = members
+        .groupBy(col("doc_id"), col("grp"))
+        .agg(
+          array_join(expr("transform(array_sort(" +
+            "collect_list(struct(pos, w))), p -> p.w)"), " ").as("phrase"),
+          count(lit(1)).cast("long").as("n_words"))
+        .filter(col("n_words") <= 4)
+        .localCheckpoint(true)
+      val wordStats = members
+        .join(phrase.select(col("doc_id"), col("grp"), col("n_words")),
+          Seq("doc_id", "grp"))
+        .groupBy(col("w"))
+        .agg(count(lit(1)).cast("long").as("freq"),
+          sum(col("n_words")).cast("long").as("deg"))
+        .withColumn("score_ppm", expr("(deg * 1000000) div freq"))
+      members
+        .join(phrase, Seq("doc_id", "grp"))
+        .join(broadcast(wordStats.select(col("w"), col("score_ppm"))),
+          Seq("w"))
+        .groupBy(col("doc_id"), col("grp"), col("phrase"), col("n_words"))
+        .agg(sum(col("score_ppm")).cast("long").as("p_score"))
+        .groupBy(col("phrase"), col("n_words"))
+        .agg(count(lit(1)).cast("long").as("n_occur"),
+          countDistinct(col("doc_id")).cast("long").as("n_docs"),
+          max(col("p_score")).as("score_ppm"))
+        // limit BEFORE the rank window: TakeOrderedAndProject does the
+        // top-15 with per-partition heaps; the row_number then runs on a
+        // 15-row frame (a global window over the full phrase table would
+        // single-partition-sort the whole vocabulary)
+        .orderBy(col("score_ppm").desc, col("phrase")).limit(15)
+        .withColumn("rnk", row_number().over(
+          Window.orderBy(col("score_ppm").desc, col("phrase"))).cast("long"))
+        .select(col("rnk"), col("phrase"), col("n_words"), col("n_occur"),
+          col("n_docs"), col("score_ppm"))
+        .orderBy(col("rnk"))
     })
   )
 
@@ -2448,6 +2508,46 @@ object TextOps {
          |JOIN per pa ON pa.doc_id = doc_a
          |JOIN per pb ON pb.doc_id = doc_b
          |ORDER BY doc_a, doc_b""".stripMargin
-    }
+    },
+
+    "tx43_rake_keywords" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest($dTok) AS w,
+         |    generate_subscripts($dTok, 1) AS pos
+         |  FROM documents),
+         |t2 AS (
+         |  SELECT doc_id, pos, w,
+         |    (w IN ('the', 'a', 'of', 'and', 'to', 'in', 'is') OR w = '')
+         |      AS stop
+         |  FROM toks),
+         |m AS (
+         |  SELECT doc_id, pos, w, grp FROM (
+         |    SELECT doc_id, pos, w, stop,
+         |      SUM(CASE WHEN stop THEN 1 ELSE 0 END) OVER (
+         |        PARTITION BY doc_id ORDER BY pos
+         |        ROWS UNBOUNDED PRECEDING) AS grp
+         |    FROM t2) WHERE NOT stop),
+         |ph AS (
+         |  SELECT doc_id, grp, string_agg(w, ' ' ORDER BY pos) AS phrase,
+         |    COUNT(*) AS n_words
+         |  FROM m GROUP BY 1, 2 HAVING COUNT(*) <= 4),
+         |ws AS (
+         |  SELECT w, COUNT(*) AS freq, SUM(n_words) AS deg
+         |  FROM m JOIN ph USING (doc_id, grp) GROUP BY w),
+         |wsc AS (SELECT w, (deg * 1000000) // freq AS score_ppm FROM ws),
+         |ps AS (
+         |  SELECT m.doc_id, m.grp, ph.phrase, ph.n_words,
+         |    SUM(score_ppm) AS p_score
+         |  FROM m JOIN ph USING (doc_id, grp) JOIN wsc USING (w)
+         |  GROUP BY 1, 2, 3, 4),
+         |agg AS (
+         |  SELECT phrase, CAST(n_words AS BIGINT) AS n_words,
+         |    COUNT(*) AS n_occur, COUNT(DISTINCT doc_id) AS n_docs,
+         |    CAST(MAX(p_score) AS BIGINT) AS score_ppm
+         |  FROM ps GROUP BY 1, 2)
+         |SELECT CAST(ROW_NUMBER() OVER (ORDER BY score_ppm DESC, phrase)
+         |    AS BIGINT) AS rnk,
+         |  phrase, n_words, n_occur, n_docs, score_ppm
+         |FROM agg ORDER BY score_ppm DESC, phrase LIMIT 15""".stripMargin
   )
 }

@@ -1256,6 +1256,71 @@ object VectorOps {
           round(col("n_hit").cast("double") / col("n_exact"), 6))
         .select(col("c1"), col("n_hit"), col("n_exact"), col("recall_at_5"))
         .orderBy(col("c1"))
+    }),
+
+    // MAXIMUM-INNER-PRODUCT search with norm-band pruning (the LEMP /
+    // FEXIPRO family, simplified): MIPS ranks by RAW dot product, where
+    // cosine's normalization is wrong (recommender scores, unnormalized
+    // OPT embeddings). The exact acceleration: partition the corpus into
+    // 16 norm bands; Cauchy–Schwarz gives every candidate in band b the
+    // certificate ip ≤ ‖q‖·max‖v‖_b, so a search that visits bands in
+    // decreasing bound order may STOP once the bound falls below the
+    // running kth score. Declaratively, this query emits the AUDIT of
+    // that search: the minimal safe scan set (bands whose bound ≥ the
+    // true kth score), its size, and n_missed — candidates outside the
+    // scan set that strictly beat the kth score, provably 0, computed
+    // not assumed (both engines count it). Scale: queries broadcast,
+    // the corpus streams map-side through both passes (top-k partials +
+    // a 16-cell-per-query band rollup); no candidate-grain shuffle.
+    "v34_mips_norm_bands" -> ((s, dir) => {
+      graft.functions.VectorFunctions.register(s)
+      val e = emb(s, dir)
+        .crossJoin(broadcast(emb(s, dir).agg(max(col("norm")).as("maxn"))))
+        .withColumn("band", least(floor(col("norm")
+          / (col("maxn") / lit(16.0))), lit(15.0)).cast("long"))
+        .localCheckpoint(true)
+      val qs = e.filter(expr("vec_id % 100 = 50"))
+        .select(col("vec_id").as("q_id"), col("emb").as("qe"),
+          col("norm").as("qn"))
+        .localCheckpoint(true)
+      val topk = udaf(new graft.functions.TopKAggregator(5))
+      val best = fanout(e)
+        .crossJoin(broadcast(qs))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("ipr", round(expr("graft_dot(qe, emb)"), 6))
+        .groupBy(col("q_id"))
+        .agg(topk(col("vec_id"), col("ipr")).as("top"))
+        .select(col("q_id"),
+          expr("element_at(top, 1).c_id").as("top1_id"),
+          expr("element_at(top, 1).sim").as("top1_ip"),
+          expr("element_at(top, 5).sim").as("kth_ip"))
+      val perBand = fanout(e)
+        .crossJoin(broadcast(qs.select(col("q_id"), col("qe"))))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("ipr", round(expr("graft_dot(qe, emb)"), 6))
+        .groupBy(col("q_id"), col("band"))
+        .agg(max(col("ipr")).as("max_ipr"), count(lit(1)).as("n_b"),
+          max(col("norm")).as("maxn_b"))
+      perBand
+        .join(broadcast(qs.select(col("q_id"), col("qn"))), Seq("q_id"))
+        .join(broadcast(best), Seq("q_id"))
+        .withColumn("ub", round(col("qn") * col("maxn_b"), 6))
+        .withColumn("scanned", col("ub") >= col("kth_ip"))
+        .groupBy(col("q_id"), col("kth_ip"), col("top1_id"), col("top1_ip"))
+        .agg(
+          sum(when(col("scanned"), lit(1L)).otherwise(lit(0L)))
+            .cast("long").as("bands_scanned"),
+          sum(when(col("scanned"), col("n_b")).otherwise(lit(0L)))
+            .cast("long").as("n_scanned"),
+          sum(col("n_b")).cast("long").as("n_corpus"),
+          sum(when(!col("scanned") && col("max_ipr") > col("kth_ip"),
+            lit(1L)).otherwise(lit(0L))).cast("long").as("n_missed"))
+        .withColumn("frac_scanned",
+          round(col("n_scanned").cast("double") / col("n_corpus"), 6))
+        .select(col("q_id"), col("top1_id"), col("top1_ip"), col("kth_ip"),
+          col("bands_scanned"), col("n_scanned"), col("n_corpus"),
+          col("frac_scanned"), col("n_missed"))
+        .orderBy(col("q_id"))
     })
   )
 
@@ -2838,7 +2903,54 @@ object VectorOps {
         |nx AS (SELECT COUNT(*) AS n_exact FROM ex)
         |SELECT c1, n_hit, n_exact,
         |  ROUND(CAST(n_hit AS DOUBLE) / n_exact, 6) AS recall_at_5
-        |FROM hits, nx ORDER BY c1""".stripMargin
+        |FROM hits, nx ORDER BY c1""".stripMargin,
+
+    "v34_mips_norm_bands" ->
+      s"""WITH $embSql,
+        |mx AS (SELECT MAX(norm) AS maxn FROM e),
+        |eb AS (
+        |  SELECT vec_id, emb, norm,
+        |    CAST(least(floor(norm / (maxn / 16.0)), 15.0) AS BIGINT) AS band
+        |  FROM e, mx),
+        |q AS (SELECT vec_id AS q_id, emb AS qe, norm AS qn FROM eb
+        |      WHERE vec_id % 100 = 50),
+        |p AS (
+        |  SELECT q_id, vec_id, band, norm,
+        |    ROUND(list_dot_product(qe, emb), 6) AS ipr
+        |  FROM eb, q WHERE vec_id <> q_id),
+        |r AS (
+        |  SELECT q_id, vec_id, ipr,
+        |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY ipr DESC, vec_id)
+        |      AS rnk
+        |  FROM p),
+        |best AS (
+        |  SELECT q_id,
+        |    MAX(CASE WHEN rnk = 1 THEN vec_id END) AS top1_id,
+        |    MAX(CASE WHEN rnk = 1 THEN ipr END) AS top1_ip,
+        |    MAX(CASE WHEN rnk = 5 THEN ipr END) AS kth_ip
+        |  FROM r WHERE rnk <= 5 GROUP BY q_id),
+        |pb AS (
+        |  SELECT q_id, band, MAX(ipr) AS max_ipr, COUNT(*) AS n_b,
+        |    MAX(norm) AS maxn_b
+        |  FROM p GROUP BY 1, 2),
+        |j AS (
+        |  SELECT pb.q_id, pb.band, pb.max_ipr, pb.n_b,
+        |    b.top1_id, b.top1_ip, b.kth_ip,
+        |    ROUND(q.qn * pb.maxn_b, 6) AS ub
+        |  FROM pb JOIN q ON q.q_id = pb.q_id
+        |  JOIN best b ON b.q_id = pb.q_id)
+        |SELECT q_id, top1_id, top1_ip, kth_ip,
+        |  CAST(SUM(CASE WHEN ub >= kth_ip THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS bands_scanned,
+        |  CAST(SUM(CASE WHEN ub >= kth_ip THEN n_b ELSE 0 END) AS BIGINT)
+        |    AS n_scanned,
+        |  CAST(SUM(n_b) AS BIGINT) AS n_corpus,
+        |  ROUND(CAST(SUM(CASE WHEN ub >= kth_ip THEN n_b ELSE 0 END)
+        |        AS DOUBLE)
+        |      / CAST(SUM(n_b) AS DOUBLE), 6) AS frac_scanned,
+        |  CAST(SUM(CASE WHEN ub < kth_ip AND max_ipr > kth_ip
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_missed
+        |FROM j GROUP BY 1, 2, 3, 4 ORDER BY q_id""".stripMargin
   )
 
   /** v30's replay: v21's LSH edge prefix, then 6 unrolled peel rounds

@@ -673,4 +673,79 @@ object GasStream {
     require(vs.nonEmpty, s"no committed upsert state under $statePath")
     new java.io.File(root, s"v${vs.max}").getPath
   }
+
+  /** KMV sketch for one open window: the ≤k smallest DISTINCT value
+    * hashes (hex strings — lexicographic order ≡ numeric order of the
+    * uniform hash) plus the cumulative row count for that window. */
+  case class KmvState(hashes: Seq[String], nSeen: Long)
+
+  /** One sketch snapshot, emitted per micro-batch per touched window.
+    * The batch overlay keeps only the max-`n_seen` row per (field,
+    * window) — the end-of-stream sketch, which is micro-batch-split
+    * INVARIANT (the merged bottom-k of all data), so AvailableNow's
+    * file batching can't leak into the result. */
+  case class KmvRow(_field: String, w_us: Long, n_seen: Long,
+      hashes: Seq[String])
+
+  /** STREAMING KMV ("k minimum values", Bar-Yossef et al. 2002) DISTINCT
+    * sketch on `transformWithState`, showcasing the API's `MapState`: the
+    * map key is the 6 h window start, the value the window's bottom-k
+    * hash sketch — state is FIXED at k hashes × open windows × fields by
+    * construction, however many points stream through (the estimator's
+    * whole point vs gs22's per-value histogram counters). Estimate read
+    * (batch side): k < 16 distinct → exact k; else n̂ = (k−1)·2⁴⁸/h₍ₖ₎
+    * on the first 12 hex digits. Values are clamped to the 512-cell
+    * grid ⌊8v⌋ ∈ [0,512) so the oracle can replay hashing exactly. */
+  class KmvProcessor(windowUs: Long, k: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, (String, java.sql.Timestamp, Double), KmvRow] {
+    import org.apache.spark.sql.streaming.{MapState, TimeMode, TimerValues, TTLConfig}
+    @transient private var sketches: MapState[Long, KmvState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      sketches = getHandle.getMapState[Long, KmvState]("kmv",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.product[KmvState], TTLConfig.NONE)
+
+    private def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+        .map(b => f"${b & 0xff}%02x").mkString
+
+    override def handleInputRows(field: String,
+        rows: Iterator[(String, java.sql.Timestamp, Double)],
+        timerValues: TimerValues): Iterator[KmvRow] = {
+      val touched = scala.collection.mutable.LinkedHashMap.empty[Long, KmvState]
+      rows.foreach { case (_, t, v) =>
+        val us = Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+        val w = Math.floorDiv(us, windowUs) * windowUs
+        val iv = Math.max(0L, Math.min(511L, math.floor(v * 8.0).toLong))
+        val h = md5hex(iv.toString)
+        val cur = touched.getOrElse(w,
+          if (sketches.containsKey(w)) sketches.getValue(w)
+          else KmvState(Nil, 0L))
+        val hs =
+          if (cur.hashes.contains(h)) cur.hashes
+          else (cur.hashes :+ h).sorted.take(k)
+        touched(w) = KmvState(hs, cur.nSeen + 1)
+      }
+      touched.foreach { case (w, st) => sketches.updateValue(w, st) }
+      touched.iterator.map { case (w, st) =>
+        KmvRow(field, w, st.nSeen, st.hashes)
+      }
+    }
+  }
+
+  /** [[KmvProcessor]] over the long gas stream (RocksDB state store
+    * required, as with [[cusumStreamTws]]). */
+  def kmvStream(long: DataFrame, windowUs: Long, k: Int): DataFrame = {
+    import long.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    long.select(col("_field"), col("_time"), col("_value"))
+      .as[(String, java.sql.Timestamp, Double)]
+      .groupByKey(_._1)
+      .transformWithState(new KmvProcessor(windowUs, k),
+        TimeMode.None(), OutputMode.Append())
+      .toDF()
+  }
 }

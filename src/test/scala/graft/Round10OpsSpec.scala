@@ -254,6 +254,84 @@ class Round10OpsSpec extends SparkSpec {
     assert(got(("alt", 64L))._2.contains(1.0))
   }
 
+  test("mm19 kernel: trim bounds, kept energy, and the all-quiet convention") {
+    import spark.implicits._
+    import graft.multimodal.{MediaCodecs, Multimodal}
+    // |s| < 8192 is quiet: lead = [0, 100], loud span = [9000, -20000],
+    // tail = [50, 8191]
+    val wavA = MediaCodecs.Wav.write(16000,
+      Array[Short](0, 100, 9000, -20000, 50, 8191), junkLen = 3)
+    val wavB = MediaCodecs.Wav.write(16000, Array[Short](1, -2, 3), junkLen = 0)
+    val media = Seq(Multimodal.Container(1L, wavA), Multimodal.Container(2L, wavB))
+      .toDS()
+    val got = Multimodal.audioTrimSilence(media, 8192).collect()
+      .map(r => r.media_id -> r).toMap
+    val a = got(1L)
+    assert((a.n_samples, a.lead_trim, a.tail_trim, a.n_kept) == (6L, 2L, 2L, 2L))
+    assert(a.kept_sum_sq == 9000L * 9000 + 20000L * 20000)
+    assert(a.peak == 20000L)
+    val b = got(2L)
+    // all-quiet: the whole clip is lead trim, nothing kept
+    assert((b.n_samples, b.lead_trim, b.tail_trim, b.n_kept) == (3L, 3L, 0L, 0L))
+    assert(b.kept_sum_sq == 0L && b.peak == 0L)
+  }
+
+  /** Tiny documents fixture with a hand-computable RAKE answer. */
+  private lazy val rakeFixtureDir: String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-rake-fixture")
+    graft.util.TempDirs.deleteOnExit(dir)
+    Seq(
+      (1L, "the quick fox and lazy dog", "en", "web", 26L),
+      (2L, "a quick fox", "en", "web", 11L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir.toString
+  }
+
+  test("tx43 kernel: island split at stopwords, degree/frequency scoring, " +
+    "tie-break by phrase") {
+    val rows = SparkEntry.queries("tx43_rake_keywords")(spark, rakeFixtureDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    // quick/fox: freq 2, deg 4 → 2e6 each; lazy/dog: freq 1, deg 2 → 2e6
+    // each; both phrases score 4e6 — the tie breaks alphabetically
+    assert(rows.toSeq == Seq(
+      (1L, "lazy dog", 2L, 1L, 1L, 4000000L),
+      (2L, "quick fox", 2L, 2L, 2L, 4000000L)))
+  }
+
+  test("v34 over sf0.001: the norm-band certificate holds (n_missed = 0, " +
+    "bounds consistent)") {
+    val rows = SparkEntry.queries("v34_mips_norm_bands")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (top1Ip, kth) = (r.getDouble(2), r.getDouble(3))
+      val (bands, scanned, corpus) = (r.getLong(4), r.getLong(5), r.getLong(6))
+      val missed = r.getLong(8)
+      assert(missed == 0L, s"lossless certificate violated: $r")
+      assert(top1Ip >= kth && bands >= 1L && bands <= 16L)
+      assert(scanned >= 5L && scanned <= corpus)
+    }
+  }
+
+  test("gs27 over the gas fixture: KMV estimate is exact below k, " +
+    "bounded-error at k, and stream agrees with the batch store") {
+    val rows = SparkEntry.queries("gs27_stream_kmv_distinct")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (kUsed, nEst, nExact, err) =
+        (r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))
+      assert(kUsed >= 1L && kUsed <= 16L)
+      // below k the sketch IS the distinct set: stream-vs-batch equality
+      // here hash-verifies the whole stateful path
+      if (kUsed < 16L) assert(nEst == nExact, s"sub-k estimate not exact: $r")
+      else assert(err < 1500000L, s"estimator error out of family range: $r")
+    }
+  }
+
   test("ts55 kernel: alternating series has VR = 0 at even k; " +
     "a zero-variance-of-differences series is excluded") {
     val rows = SparkEntry.queries("ts55_variance_ratio")(spark, hurstFixtureDir)
