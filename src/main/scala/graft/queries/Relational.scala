@@ -166,6 +166,50 @@ object Relational {
     // single shuffle on the dividend key, divisor cardinality folded to
     // a constant — vs the double-NOT-EXISTS spelling that plans nested
     // correlated anti-joins. Identical ANSI text on both engines.
+    // -- TABLE-GENERATING FUNCTION gallery (§2.10's UDTF surface, built
+    // in): stack (wide→long), inline (array-of-struct flattening),
+    // posexplode_outer (empty array → one NULL row — the OUTER
+    // semantics), explode over a MAP. One generator per branch, unioned
+    // into one frame with n/a cells pinned to ''/-1 instead of NULL
+    // (Spark sorts NULLS FIRST, DuckDB NULLS LAST — coalescing dodges
+    // the null-ordering divergence in the compare's row order). Each
+    // generator plans as a Generate node feeding the union — map-side
+    // fan-out, no shuffle until the final sort.
+    "q59_generator_gallery" -> ((s, dir) => {
+      val n = t(s, dir, "nation").filter(col("n_nationkey") <= 9)
+      val st = n.selectExpr("'stack' AS gen",
+        "CAST(n_nationkey AS BIGINT) AS key",
+        "stack(3, 'name_len', CAST(length(n_name) AS BIGINT)," +
+          " 'key_sq', CAST(n_nationkey * n_nationkey AS BIGINT)," +
+          " 'region', CAST(n_regionkey AS BIGINT)) AS (tag, v)")
+        .select(col("gen"), col("key"), col("tag"),
+          lit(-1L).as("pos"), col("v"))
+      val inl = n.selectExpr("'inline' AS gen",
+        "CAST(n_nationkey AS BIGINT) AS key",
+        "inline(array(" +
+          "named_struct('tag', 'a', 'v', CAST(n_nationkey AS BIGINT))," +
+          " named_struct('tag', 'b', 'v', CAST(n_nationkey * 2 AS BIGINT))))")
+        .select(col("gen"), col("key"), col("tag"),
+          lit(-1L).as("pos"), col("v"))
+      val pe = n.selectExpr("'pos_outer' AS gen",
+        "CAST(n_nationkey AS BIGINT) AS key",
+        "posexplode_outer(CASE WHEN n_nationkey % 4 = 0" +
+          " THEN CAST(array() AS array<bigint>)" +
+          " ELSE sequence(1L, CAST(n_nationkey % 4 AS BIGINT)) END)" +
+          " AS (pos, v)")
+        .select(col("gen"), col("key"), lit("").as("tag"),
+          coalesce(col("pos").cast("long"), lit(-1L)).as("pos"),
+          coalesce(col("v"), lit(-1L)).as("v"))
+      val me = n.selectExpr("'map' AS gen",
+        "CAST(n_nationkey AS BIGINT) AS key",
+        "explode(map('x', CAST(n_nationkey AS BIGINT)," +
+          " 'y', CAST(n_nationkey + 1 AS BIGINT))) AS (tag, v)")
+        .select(col("gen"), col("key"), col("tag"),
+          lit(-1L).as("pos"), col("v"))
+      st.unionByName(inl).unionByName(pe).unionByName(me)
+        .orderBy(col("gen"), col("key"), col("tag"), col("pos"))
+    }),
+
     "q58_relational_division" -> ((s, dir) => {
       t(s, dir, "orders").createOrReplaceTempView("orders")
       s.sql(
@@ -1632,6 +1676,41 @@ object Relational {
         |GROUP BY o_custkey
         |HAVING COUNT(DISTINCT quarter(o_orderdate)) = 4
         |ORDER BY c_custkey""".stripMargin,
+
+    "q59_generator_gallery" ->
+      """WITH n AS (
+        |  SELECT n_nationkey, n_name, n_regionkey
+        |  FROM nation WHERE n_nationkey <= 9),
+        |st AS (
+        |  SELECT 'stack' AS gen, CAST(n_nationkey AS BIGINT) AS key,
+        |    'name_len' AS tag, CAST(-1 AS BIGINT) AS pos,
+        |    CAST(len(n_name) AS BIGINT) AS v FROM n
+        |  UNION ALL
+        |  SELECT 'stack', n_nationkey, 'key_sq', -1,
+        |    n_nationkey * n_nationkey FROM n
+        |  UNION ALL
+        |  SELECT 'stack', n_nationkey, 'region', -1, n_regionkey FROM n),
+        |inl AS (
+        |  SELECT 'inline', n_nationkey, 'a', -1, n_nationkey FROM n
+        |  UNION ALL
+        |  SELECT 'inline', n_nationkey, 'b', -1, n_nationkey * 2 FROM n),
+        |pe AS (
+        |  SELECT 'pos_outer', n_nationkey, '', CAST(j AS BIGINT),
+        |    CAST(j + 1 AS BIGINT)
+        |  FROM n, range(0, 3) t(j) WHERE j < n_nationkey % 4
+        |  UNION ALL
+        |  SELECT 'pos_outer', n_nationkey, '', -1, -1 FROM n
+        |  WHERE n_nationkey % 4 = 0),
+        |me AS (
+        |  SELECT 'map', n_nationkey, 'x', -1, n_nationkey FROM n
+        |  UNION ALL
+        |  SELECT 'map', n_nationkey, 'y', -1, n_nationkey + 1 FROM n)
+        |SELECT gen, CAST(key AS BIGINT) AS key, tag,
+        |  CAST(pos AS BIGINT) AS pos, CAST(v AS BIGINT) AS v
+        |FROM (SELECT * FROM st UNION ALL SELECT * FROM inl
+        |      UNION ALL SELECT * FROM pe
+        |      UNION ALL SELECT * FROM me) u(gen, key, tag, pos, v)
+        |ORDER BY gen, key, tag, pos""".stripMargin,
 
     "q57_agg_filter" ->
       """SELECT o_orderpriority,

@@ -1474,6 +1474,60 @@ object TextOps {
         .select(col("rnk"), col("phrase"), col("n_words"), col("n_occur"),
           col("n_docs"), col("score_ppm"))
         .orderBy(col("rnk"))
+    }),
+
+    // CHAR-TRIGRAM LANGUAGE ID (Cavnar & Trenkle 1994 out-of-place
+    // measure) — the n-gram-profile upgrade of tx04's stopword heuristic:
+    // train top-20 trigram profiles per labeled lang on the even-doc_id
+    // half, classify the odd half by Σ|rank difference| (missing trigram
+    // = max penalty 20), emit the measured confusion matrix. Everything
+    // is INTEGER (counts, ranks, absolute differences) — hash-exact by
+    // construction; the accuracy itself is a measured output, not an
+    // assumption. Scale: trigram explode is map-side (first 256 chars
+    // per doc, bounded fan-out ×254), lang profiles are a ≤20×|langs|
+    // broadcast, per-doc scoring one (doc)-keyed aggregate, and the
+    // confusion rollup is |langs|² cells.
+    "tx44_chartrigram_langid" -> ((s, dir) => {
+      val base = fanout(docs(s, dir))
+        .withColumn("t", expr("substr(lower(text), 1, 256)"))
+        .filter(length(col("t")) >= 3)
+        .select(col("doc_id"), col("lang"), explode(expr(
+          "transform(sequence(1, length(t) - 2), i -> substring(t, i, 3))"))
+          .as("tg"))
+        .localCheckpoint(true)
+      val prof = base.filter(col("doc_id") % 2 === 0)
+        .groupBy(col("lang").as("plang"), col("tg"))
+        .agg(count(lit(1)).as("pc"))
+        .withColumn("prank", row_number().over(
+          Window.partitionBy(col("plang"))
+            .orderBy(col("pc").desc, col("tg"))).cast("long"))
+        .filter(col("prank") <= 20)
+        .select(col("plang"), col("tg"), col("prank"))
+        .localCheckpoint(true)
+      val dprof = base.filter(col("doc_id") % 2 === 1)
+        .groupBy(col("doc_id"), col("lang"), col("tg"))
+        .agg(count(lit(1)).as("dc"))
+        .withColumn("drank", row_number().over(
+          Window.partitionBy(col("doc_id"))
+            .orderBy(col("dc").desc, col("tg"))).cast("long"))
+        .filter(col("drank") <= 20)
+      val langs = prof.select(col("plang")).distinct()
+      val dist = dprof
+        .crossJoin(broadcast(langs))
+        .join(broadcast(prof), Seq("plang", "tg"), "left")
+        .withColumn("d", coalesce(
+          abs(col("drank") - col("prank")), lit(20L)))
+        .groupBy(col("doc_id"), col("lang"), col("plang"))
+        .agg(sum(col("d")).cast("long").as("sum_d"))
+      dist
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("doc_id"))
+            .orderBy(col("sum_d"), col("plang"))))
+        .filter(col("rn") === 1)
+        .groupBy(col("lang").as("actual"), col("plang").as("predicted"))
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(col("sum_d")).cast("long").as("sum_dist"))
+        .orderBy(col("actual"), col("predicted"))
     })
   )
 
@@ -2548,6 +2602,49 @@ object TextOps {
          |SELECT CAST(ROW_NUMBER() OVER (ORDER BY score_ppm DESC, phrase)
          |    AS BIGINT) AS rnk,
          |  phrase, n_words, n_occur, n_docs, score_ppm
-         |FROM agg ORDER BY score_ppm DESC, phrase LIMIT 15""".stripMargin
+         |FROM agg ORDER BY score_ppm DESC, phrase LIMIT 15""".stripMargin,
+
+    "tx44_chartrigram_langid" ->
+      """WITH base AS (
+        |  SELECT doc_id, lang, substr(lower(text), 1, 256) AS t
+        |  FROM documents
+        |  WHERE len(substr(lower(text), 1, 256)) >= 3),
+        |tri AS (
+        |  SELECT doc_id, lang,
+        |    unnest(list_transform(range(1, len(t) - 1),
+        |      i -> substr(t, CAST(i AS INT), 3))) AS tg
+        |  FROM base),
+        |pc AS (
+        |  SELECT lang AS plang, tg, COUNT(*) AS pc FROM tri
+        |  WHERE doc_id % 2 = 0 GROUP BY 1, 2),
+        |prof AS (
+        |  SELECT plang, tg, prank FROM (
+        |    SELECT plang, tg, ROW_NUMBER() OVER (
+        |      PARTITION BY plang ORDER BY pc DESC, tg) AS prank
+        |    FROM pc) WHERE prank <= 20),
+        |dc AS (
+        |  SELECT doc_id, lang, tg, COUNT(*) AS dc FROM tri
+        |  WHERE doc_id % 2 = 1 GROUP BY 1, 2, 3),
+        |dprof AS (
+        |  SELECT doc_id, lang, tg, drank FROM (
+        |    SELECT doc_id, lang, tg, ROW_NUMBER() OVER (
+        |      PARTITION BY doc_id ORDER BY dc DESC, tg) AS drank
+        |    FROM dc) WHERE drank <= 20),
+        |langs AS (SELECT DISTINCT plang FROM prof),
+        |dist AS (
+        |  SELECT d.doc_id, d.lang, l.plang,
+        |    SUM(COALESCE(abs(d.drank - p.prank), 20)) AS sum_d
+        |  FROM dprof d CROSS JOIN langs l
+        |  LEFT JOIN prof p ON p.plang = l.plang AND p.tg = d.tg
+        |  GROUP BY 1, 2, 3),
+        |pick AS (
+        |  SELECT doc_id, lang, plang, sum_d FROM (
+        |    SELECT doc_id, lang, plang, sum_d,
+        |      ROW_NUMBER() OVER (PARTITION BY doc_id
+        |        ORDER BY sum_d, plang) AS rn
+        |    FROM dist) WHERE rn = 1)
+        |SELECT lang AS actual, plang AS predicted, COUNT(*) AS n_docs,
+        |  CAST(SUM(sum_d) AS BIGINT) AS sum_dist
+        |FROM pick GROUP BY 1, 2 ORDER BY actual, predicted""".stripMargin
   )
 }

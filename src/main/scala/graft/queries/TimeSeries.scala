@@ -1934,6 +1934,72 @@ object TimeSeries {
             " (cast(k * nk * nk as double) * v1), 6)"))
         .select(col("event_type"), col("k"), col("nk"), col("vr"))
         .orderBy(col("event_type"), col("k"))
+    }),
+
+    // PAIR COINTEGRATION (Engle–Granger two-step, DF form without lag
+    // terms): hedge ratio β = Cov(x,y)/Var(x) over the click/view hourly
+    // means, then the spread e = y − βx tested for mean reversion by
+    // regressing Δe on e₍ₜ₋₁₎ — γ < 0 says the pair's spread reverts
+    // (ρ = 1+γ is its AR(1) speed). ts14 asks "do they co-move?"; this
+    // asks the TRADEABLE question "is a linear combination stationary?".
+    // Numerics: hourly means are 6-dp exact; β's moment sums are exact
+    // decimal products of 6-dp values (12-dp, associative); e is rounded
+    // to 6 dp the moment it's born so the γ regression's sums are again
+    // exact decimals; β/γ/ρ/sd are each ONE fixed IEEE tree over those
+    // exact operands. Scale: everything after the hourly rollup runs on
+    // the ≤|hours| two-column frame; with many pairs the same plan
+    // shards on the pair key.
+    "ts56_pair_cointegration" -> ((s, dir) => {
+      val hourly = ev(s, dir)
+        .filter(col("event_type").isin("click", "view"))
+        .withColumn("bucket", date_trunc("hour", col("ts")))
+        .groupBy(col("event_type"), col("bucket"))
+        .agg(sum(sumExactCol(col("value"))).as("sx"), count(lit(1)).as("n"))
+        .withColumn("hm", halfUpMean6("sx", "n"))
+      val x = hourly.filter(col("event_type") === "click")
+        .select(col("bucket"), col("hm").as("x"))
+      val y = hourly.filter(col("event_type") === "view")
+        .select(col("bucket"), col("hm").as("y"))
+      val xy = x.join(y, Seq("bucket"))
+        .withColumn("xd", col("x").cast("decimal(14,6)"))
+        .withColumn("yd", col("y").cast("decimal(14,6)"))
+        .withColumn("pxx", (col("xd") * col("xd")).cast("decimal(30,12)"))
+        .withColumn("pxy", (col("xd") * col("yd")).cast("decimal(30,12)"))
+        .localCheckpoint(true)
+      val mom = xy.agg(
+          count(lit(1)).as("n"),
+          sum(col("xd")).cast("decimal(14,6)").as("sx"),
+          sum(col("yd")).cast("decimal(14,6)").as("sy"),
+          sum(col("pxx")).as("sxx"), sum(col("pxy")).as("sxy"))
+        .withColumn("beta", expr(
+          "(cast(n as double) * cast(sxy as double)" +
+            " - cast(sx as double) * cast(sy as double)) /" +
+            " (cast(n as double) * cast(sxx as double)" +
+            " - cast(sx as double) * cast(sx as double))"))
+        .select(col("n"), col("beta"))
+      val e = xy.crossJoin(broadcast(mom))
+        .withColumn("e6", round(col("y") - col("beta") * col("x"), 6)
+          .cast("decimal(14,6)"))
+        .withColumn("i", row_number().over(Window.orderBy(col("bucket")))
+          .cast("long"))
+      val w = Window.orderBy(col("i"))
+      val d = e
+        .withColumn("ep", lag(col("e6"), 1).over(w))
+        .filter(col("ep").isNotNull)
+        .withColumn("de", (col("e6") - col("ep")).cast("decimal(14,6)"))
+        .withColumn("pee", (col("ep") * col("ep")).cast("decimal(30,12)"))
+        .withColumn("ped", (col("ep") * col("de")).cast("decimal(30,12)"))
+      d.groupBy(col("n"), col("beta"))
+        .agg(count(lit(1)).as("n_diff"),
+          sum(col("pee")).as("see"), sum(col("ped")).as("sed"),
+          sum((col("e6") * col("e6")).cast("decimal(30,12)")).as("se2"))
+        .withColumn("gamma",
+          expr("cast(sed as double) / cast(see as double)"))
+        .select(col("n"), col("n_diff"), round(col("beta"), 6).as("beta"),
+          round(col("gamma"), 6).as("gamma"),
+          round(lit(1.0) + col("gamma"), 6).as("rho"),
+          round(sqrt(expr("cast(se2 as double)")
+            / col("n_diff").cast("double")), 6).as("resid_sd"))
     })
   )
 
@@ -3553,7 +3619,69 @@ object TimeSeries {
         |    (CAST(k * nk * nk AS DOUBLE) * v1), 6) AS vr
         |FROM kv JOIN bv ON bv.event_type = kv.event_type
         |WHERE v1 > 0
-        |ORDER BY kv.event_type, kv.k""".stripMargin
+        |ORDER BY kv.event_type, kv.k""".stripMargin,
+
+    "ts56_pair_cointegration" ->
+      """WITH hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS bucket,
+        |    SUM(CAST(value AS DECIMAL(18,6))) AS sx, COUNT(*) AS n
+        |  FROM events WHERE event_type IN ('click', 'view')
+        |  GROUP BY 1, 2),
+        |hm AS (
+        |  SELECT event_type, bucket,
+        |    CAST((2 * CAST(sx * 1000000 AS BIGINT) + n) // (2 * n)
+        |      AS DOUBLE) / 1e6 AS hm
+        |  FROM hourly),
+        |xy AS (
+        |  SELECT a.bucket, a.hm AS x, b.hm AS y
+        |  FROM hm a JOIN hm b ON a.bucket = b.bucket
+        |  WHERE a.event_type = 'click' AND b.event_type = 'view'),
+        |p2 AS (
+        |  SELECT bucket, x, y,
+        |    CAST(x AS DECIMAL(14,6)) AS xd, CAST(y AS DECIMAL(14,6)) AS yd,
+        |    CAST(CAST(CAST(x AS DECIMAL(14,6)) AS DECIMAL(20,6))
+        |      * CAST(x AS DECIMAL(14,6)) AS DECIMAL(30,12)) AS pxx,
+        |    CAST(CAST(CAST(x AS DECIMAL(14,6)) AS DECIMAL(20,6))
+        |      * CAST(y AS DECIMAL(14,6)) AS DECIMAL(30,12)) AS pxy
+        |  FROM xy),
+        |mom AS (
+        |  SELECT COUNT(*) AS n, CAST(SUM(xd) AS DECIMAL(14,6)) AS sx,
+        |    CAST(SUM(yd) AS DECIMAL(14,6)) AS sy,
+        |    SUM(pxx) AS sxx, SUM(pxy) AS sxy
+        |  FROM p2),
+        |b AS (
+        |  SELECT n,
+        |    (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |    (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS beta
+        |  FROM mom),
+        |e AS (
+        |  SELECT CAST(ROUND(y - beta * x, 6) AS DECIMAL(14,6)) AS e6,
+        |    ROW_NUMBER() OVER (ORDER BY p2.bucket) AS i, n, beta
+        |  FROM p2, b),
+        |d AS (
+        |  SELECT i, n, beta, e6, LAG(e6, 1) OVER (ORDER BY i) AS ep
+        |  FROM e),
+        |d2 AS (
+        |  SELECT n, beta, e6, ep, CAST(e6 - ep AS DECIMAL(14,6)) AS de
+        |  FROM d WHERE ep IS NOT NULL),
+        |g AS (
+        |  SELECT n, beta, COUNT(*) AS n_diff,
+        |    SUM(CAST(CAST(ep AS DECIMAL(20,6)) * ep AS DECIMAL(30,12)))
+        |      AS see,
+        |    SUM(CAST(CAST(ep AS DECIMAL(20,6)) * de AS DECIMAL(30,12)))
+        |      AS sed,
+        |    SUM(CAST(CAST(e6 AS DECIMAL(20,6)) * e6 AS DECIMAL(30,12)))
+        |      AS se2
+        |  FROM d2 GROUP BY 1, 2)
+        |SELECT CAST(n AS BIGINT) AS n, CAST(n_diff AS BIGINT) AS n_diff,
+        |  ROUND(beta, 6) AS beta,
+        |  ROUND(CAST(sed AS DOUBLE) / CAST(see AS DOUBLE), 6) AS gamma,
+        |  ROUND(1.0 + CAST(sed AS DOUBLE) / CAST(see AS DOUBLE), 6) AS rho,
+        |  ROUND(sqrt(CAST(se2 AS DOUBLE) / CAST(n_diff AS DOUBLE)), 6)
+        |    AS resid_sd
+        |FROM g""".stripMargin
   )
 
   /** The ts21 closed-form EMA kernel as a DuckDB CTE pair (`<out>_pairs`,

@@ -316,6 +316,81 @@ class Round10OpsSpec extends SparkSpec {
     }
   }
 
+  /** click = pure ramp, view = 2·ramp + alternating ±1 noise: the pair is
+    * cointegrated with hedge ratio ≈ 2 and a perfectly anti-persistent
+    * spread (e flips sign hourly → γ near −2, ρ near −1). */
+  private lazy val cointFixtureDir: String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-coint-fixture")
+    graft.util.TempDirs.deleteOnExit(dir)
+    val rows = (0 until 128).flatMap { i =>
+      val ts = java.sql.Timestamp.valueOf(
+        java.time.LocalDateTime.of(2024, 1, 1, 0, 0).plusHours(i))
+      Seq(
+        (i.toLong * 2, ts, 1L, "click", (i + 1).toDouble, "{}"),
+        (i.toLong * 2 + 1, ts, 1L, "view",
+          2.0 * (i + 1) + (if (i % 2 == 0) 1.0 else -1.0), "{}"))
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir.toString
+  }
+
+  test("ts56 kernel: cointegrated ramp pair recovers the hedge ratio and " +
+    "an anti-persistent spread") {
+    val r = SparkEntry.queries("ts56_pair_cointegration")(
+      spark, cointFixtureDir).collect()
+    assert(r.length == 1)
+    val row = r.head
+    val (n, nDiff) = (row.getLong(0), row.getLong(1))
+    val (beta, gamma, rho) =
+      (row.getDouble(2), row.getDouble(3), row.getDouble(4))
+    assert(n == 128L && nDiff == 127L)
+    assert(math.abs(beta - 2.0) < 0.01, s"beta=$beta")
+    // alternating spread: e_t ≈ −e_{t−1} → γ ≈ −2, ρ ≈ −1
+    assert(gamma < -1.5 && gamma > -2.5, s"gamma=$gamma")
+    assert(math.abs(rho - (1.0 + gamma)) < 2e-6)
+    assert(row.getDouble(5) > 0.0) // resid_sd
+  }
+
+  test("tx44 over sf0.001: every odd doc classified once, labels from the " +
+    "training lang set") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("tx44_chartrigram_langid")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    val langs = graft.sources.Tables.table(spark, sf, "documents")
+      .select("lang").distinct().collect().map(_.getString(0)).toSet
+    rows.foreach { r =>
+      assert(langs.contains(r.getString(0)) && langs.contains(r.getString(1)))
+    }
+    val classified = rows.map(_.getLong(2)).sum
+    val expected = graft.sources.Tables.table(spark, sf, "documents")
+      .filter(col("doc_id") % 2 === 1)
+      .filter(length(expr("substr(lower(text), 1, 256)")) >= 3)
+      .count()
+    assert(classified == expected,
+      s"classified $classified of $expected test docs")
+  }
+
+  test("q59 kernel: generator cardinalities — 3 stack rows, 2 inline, " +
+    "2 map, and OUTER's null row for the empty array") {
+    val rows = SparkEntry.queries("q59_generator_gallery")(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getLong(4)))
+    val byGen = rows.groupBy(_._1)
+    assert(byGen("stack").length == 30 && byGen("inline").length == 20
+      && byGen("map").length == 20)
+    // keys 0, 4, 8 have empty arrays → exactly one (-1, -1) OUTER row each
+    val outerNullKeys = byGen("pos_outer")
+      .filter(r => r._4 == -1L && r._5 == -1L).map(_._2).sorted
+    assert(outerNullKeys.toSeq == Seq(0L, 4L, 8L))
+    // key 7 → sequence(1,3): pos 0,1,2 with v = pos+1
+    assert(byGen("pos_outer").filter(_._2 == 7L).map(r => (r._4, r._5))
+      .sorted.toSeq == Seq((0L, 1L), (1L, 2L), (2L, 3L)))
+  }
+
   test("gs27 over the gas fixture: KMV estimate is exact below k, " +
     "bounded-error at k, and stream agrees with the batch store") {
     val rows = SparkEntry.queries("gs27_stream_kmv_distinct")(spark, sf)
