@@ -688,6 +688,49 @@ object GasStoreQueries {
     spark.read.parquet(path)
   }
 
+  /** gs28's sink: [[graft.streaming.GasStream.TimerSealProcessor]] —
+    * event-time-timer-sealed windows (RocksDB-pinned). Rows are emitted
+    * exactly once, by the timer callback, so the reader takes them
+    * as-is. */
+  private val builtSeal = new java.util.WeakHashMap[SparkSession, String]()
+  private def streamTimerSeal(spark: SparkSession): DataFrame = {
+    val path = builtSeal.synchronized {
+      Option(builtSeal.get(spark)).getOrElse {
+        val work = Files.createTempDirectory("graft-gas-seal")
+        deleteOnExit(work)
+        val long = graft.store.LongStore.unpivot(
+          graft.transform.GasTransform(
+            graft.streaming.GasStream.readStream(spark, fixtureDir))
+            .withColumnRenamed("file_name", "_src")).drop("_src")
+          .filter(col("_field").isin("CO (ppm)", "Humidity (%r.h.)"))
+        val providerKey = "spark.sql.streaming.stateStore.providerClass"
+        val prevProvider = spark.conf.getOption(providerKey)
+        spark.conf.set(providerKey,
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        try {
+          graft.streaming.GasStream
+            .timerSealStream(long, windowUs = 21600000000L)
+            .writeStream
+            .format("parquet")
+            .option("path", s"$work/out")
+            .option("checkpointLocation", s"$work/ckpt")
+            .outputMode("append")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+            .awaitTermination()
+        } finally {
+          prevProvider match {
+            case Some(p) => spark.conf.set(providerKey, p)
+            case None => spark.conf.unset(providerKey)
+          }
+        }
+        builtSeal.put(spark, s"$work/out")
+        s"$work/out"
+      }
+    }
+    spark.read.parquet(path)
+  }
+
   /** gs16's sink: streaming per-window TOP-K — the "worst readings this
     * hour" dashboard tile, and the proof the engine's typed
     * [[graft.functions.TopKAggregator]] is a first-class STREAMING
@@ -1132,6 +1175,18 @@ object GasStoreQueries {
         .select(col("_field"), col("word"), col("n"), col("rnk"))
         .orderBy(col("_field"), col("rnk"))
     }),
+
+    // TIMER-SEALED STREAMING WINDOWS — the processor-owned emission
+    // protocol (event-time timers + MapState) reproducing the built-in
+    // append-mode seal: a window row exists iff its end has passed the
+    // watermark (max event − 30 min), with exact micro-unit integer
+    // aggregates. The oracle replays the seal rule and the aggregates
+    // from the raw CSVs.
+    "gs28_stream_timer_seal" -> ((s, _) =>
+      streamTimerSeal(s)
+        .select(col("w_us"), col("_field"), col("n_points"),
+          col("sum_micro"), col("min_micro"), col("max_micro"))
+        .orderBy(col("w_us"), col("_field"))),
 
     // STREAMING KMV DISTINCT ESTIMATE — the live bottom-16 sketch read
     // batch-side (max-n_seen snapshot = end-of-stream merge, micro-batch
@@ -1820,6 +1875,31 @@ object GasStoreQueries {
 
     // CMS replay: same md5 seed family (hex-digit decode), same sealing
     // cutoff, probe grid 0..63, min-over-4-cells estimate, top-3
+    "gs28_stream_timer_seal" ->
+      s"""$prelude,
+         |pts AS (
+         |  SELECT _time, 'CO (ppm)' AS _field, "CO (ppm)" AS _value
+         |  FROM raw
+         |  UNION ALL
+         |  SELECT _time, 'Humidity (%r.h.)', "Humidity (%r.h.)"
+         |  FROM raw),
+         |mx AS (SELECT MAX(_time) AS mx FROM pts),
+         |micro AS (
+         |  SELECT _field,
+         |    (epoch_us(_time) // 21600000000) * 21600000000 AS w_us,
+         |    CAST(CAST(_value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS m
+         |  FROM pts),
+         |agg AS (
+         |  SELECT w_us, _field, COUNT(*) AS n_points,
+         |    CAST(SUM(m) AS BIGINT) AS sum_micro,
+         |    MIN(m) AS min_micro, MAX(m) AS max_micro
+         |  FROM micro GROUP BY 1, 2)
+         |SELECT a.w_us, a._field, a.n_points, a.sum_micro,
+         |  a.min_micro, a.max_micro
+         |FROM agg a, mx
+         |WHERE a.w_us + 21600000000 <= epoch_us(mx - INTERVAL 30 MINUTE)
+         |ORDER BY a.w_us, a._field""".stripMargin,
+
     "gs27_stream_kmv_distinct" ->
       s"""$prelude,
          |pts AS (

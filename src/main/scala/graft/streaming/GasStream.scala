@@ -748,4 +748,87 @@ object GasStream {
         TimeMode.None(), OutputMode.Append())
       .toDF()
   }
+
+  /** One sealed window, emitted by the TIMER path (not the data path):
+    * exact integer aggregates in micro-units, the decimal-sum discipline
+    * carried through typed state. */
+  case class SealedWindow(_field: String, w_us: Long, n_points: Long,
+      sum_micro: Long, min_micro: Long, max_micro: Long)
+
+  /** Per-window running aggregate while the window is open. */
+  case class WinAgg(cnt: Long, sum: Long, mn: Long, mx: Long)
+
+  /** TIMER-SEALED tumbling windows on `transformWithState` — the third
+    * leg of the TWS showcase (gs15 ValueState, gs27 MapState, here
+    * EVENT-TIME TIMERS): rather than letting the built-in window
+    * aggregate decide emission, the processor owns the protocol —
+    * windows accumulate in MapState, a timer registered at each
+    * window's END fires once the WATERMARK passes it, and the expired-
+    * timer callback emits the sealed row and frees the state. This is
+    * the building block for custom emission policies the declarative
+    * window can't express (early partial emits, per-key deadlines,
+    * speculative seals); here it reproduces gs22's append-mode seal
+    * semantics exactly, which is what makes it oracle-checkable: a
+    * window is emitted iff window_end ≤ max event time − the 30 min
+    * watermark delay. Values enter PRE-CONVERTED to micro-unit longs
+    * (the decimal cast runs in Catalyst, where it is the proven
+    * cross-engine construct), so state and output are all-integer. */
+  class TimerSealProcessor(windowUs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, (String, java.sql.Timestamp, Long), SealedWindow] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, MapState, TimeMode, TimerValues, TTLConfig}
+    @transient private var wins: MapState[Long, WinAgg] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      wins = getHandle.getMapState[Long, WinAgg]("wins",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.product[WinAgg], TTLConfig.NONE)
+
+    override def handleInputRows(field: String,
+        rows: Iterator[(String, java.sql.Timestamp, Long)],
+        timerValues: TimerValues): Iterator[SealedWindow] = {
+      rows.foreach { case (_, t, micro) =>
+        val us = Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+        val w = Math.floorDiv(us, windowUs) * windowUs
+        val had = wins.containsKey(w)
+        val cur = if (had) wins.getValue(w)
+          else WinAgg(0L, 0L, Long.MaxValue, Long.MinValue)
+        wins.updateValue(w, WinAgg(cur.cnt + 1, cur.sum + micro,
+          math.min(cur.mn, micro), math.max(cur.mx, micro)))
+        // one timer per window, at its end (ms — the timer API's unit;
+        // the 6 h grid divides ms exactly)
+        if (!had) getHandle.registerTimer((w + windowUs) / 1000L)
+      }
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(field: String,
+        timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[SealedWindow] = {
+      val w = expiredTimerInfo.getExpiryTimeInMs() * 1000L - windowUs
+      if (wins.containsKey(w)) {
+        val a = wins.getValue(w)
+        wins.removeKey(w)
+        Iterator.single(SealedWindow(field, w, a.cnt, a.sum, a.mn, a.mx))
+      } else Iterator.empty
+    }
+  }
+
+  /** [[TimerSealProcessor]] over the long gas stream: micro-unit
+    * conversion in Catalyst, watermarked event time (timers need it),
+    * RocksDB state store required. */
+  def timerSealStream(long: DataFrame, windowUs: Long): DataFrame = {
+    import long.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    long
+      .withColumn("micro",
+        (col("_value").cast("decimal(18,6)") * 1000000).cast("long"))
+      .withWatermark("_time", "30 minutes")
+      .select(col("_field"), col("_time"), col("micro"))
+      .as[(String, java.sql.Timestamp, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new TimerSealProcessor(windowUs),
+        TimeMode.EventTime(), OutputMode.Append())
+      .toDF()
+  }
 }

@@ -391,6 +391,23 @@ class Round10OpsSpec extends SparkSpec {
       .sorted.toSeq == Seq((0L, 1L), (1L, 2L), (2L, 3L)))
   }
 
+  test("gs28 over the gas fixture: each sealed window emitted exactly once, " +
+    "aggregates internally consistent") {
+    val rows = SparkEntry.queries("gs28_stream_timer_seal")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    // the timer path must fire once per (window, field) — a duplicate
+    // here means a timer re-registration or a state leak
+    val keys = rows.map(r => (r.getLong(0), r.getString(1)))
+    assert(keys.distinct.length == keys.length)
+    rows.foreach { r =>
+      val (n, sum, mn, mx) =
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(n > 0 && mn <= mx)
+      assert(sum >= n * mn && sum <= n * mx)
+    }
+  }
+
   test("gs27 over the gas fixture: KMV estimate is exact below k, " +
     "bounded-error at k, and stream agrees with the batch store") {
     val rows = SparkEntry.queries("gs27_stream_kmv_distinct")(spark, sf)
