@@ -517,4 +517,33 @@ class PlanAuditSpec extends SparkSpec {
         s"$name: expected the checkpointed assignment frame:\n$p")
     }
   }
+
+  test("v34: queries broadcast, candidate grain aggregates map-side — " +
+    "no candidate-grain shuffle") {
+    val df = q("v34_mips_norm_bands")
+    df.collect()
+    val p = planString(df).split("== Initial Plan ==").head
+    // both corpus passes join the broadcast query set (the cross join of
+    // a broadcast 1-row/5-row frame plans as BroadcastNestedLoopJoin —
+    // fine HERE because the small side is the broadcast, never the corpus)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"query set is not broadcast:\n$p")
+    // the only hash exchanges are on (q_id)/(q_id, band) AFTER partial
+    // aggregation — the candidate grain (|q|×|corpus| rows) never shuffles
+    val shuffles = countShuffles(p)
+    assert(shuffles <= 4, s"expected ≤4 post-aggregate exchanges, got $shuffles:\n$p")
+    assert(p.contains("partial_graft_topk") || p.contains("ObjectHashAggregate"),
+      s"top-k partial aggregate missing — candidates would shuffle raw:\n$p")
+  }
+
+  test("tx43: the corpus-wide top-15 plans TakeOrderedAndProject, and word " +
+    "scores broadcast back") {
+    val df = q("tx43_rake_keywords")
+    df.collect()
+    val p = planString(df).split("== Initial Plan ==").head
+    assert(p.contains("TakeOrderedAndProject"),
+      s"phrase top-15 fell back to a global sort:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"vocabulary scores are not broadcast:\n$p")
+  }
 }
