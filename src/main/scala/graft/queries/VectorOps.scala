@@ -1258,6 +1258,85 @@ object VectorOps {
         .orderBy(col("c1"))
     }),
 
+    // GRAPH-BASED ANN BEAM SEARCH — the graph pillar (HNSW/NSG family,
+    // single-layer form) completing the index taxonomy: LSH (v03), IVF
+    // (v05/v27), PQ (v12/v13), binary (v17), cascade (v32), and now a
+    // NEIGHBORHOOD GRAPH walked greedily. Build: top-4 out-neighbors per
+    // vertex among IVF same-cell candidates (the bounded-candidate
+    // discipline — never all-pairs). Search: from a fixed global entry
+    // point, 3 unrolled beam-width-4 hops — frontier joins the graph,
+    // new candidates are scored against the query, the visited set
+    // accumulates, the next frontier is its top-4. Result: top-5 of the
+    // visited set, with measured recall@5 against the exact ground
+    // truth — accuracy is an OUTPUT, not an assumption. Scale: the walk
+    // shuffles only (q_id, vec_id) frames bounded by beam×degree×hops
+    // per query; scoring joins the corpus by id (hash join on the id
+    // key); the graph build is v31's cell-bounded pair join.
+    "v35_graph_beam_search" -> ((s, dir) => {
+      graft.functions.VectorFunctions.register(s)
+      val e = emb(s, dir)
+      val cells = coarseAssign(e, sqrtSeedCents(e)).localCheckpoint(true)
+      val ga = cells.select(col("cell"), col("vec_id").as("src"),
+        col("emb").as("es"), col("norm").as("ns"))
+      val gb = cells.select(col("cell"), col("vec_id").as("dst"),
+        col("emb").as("ed"), col("norm").as("nd"))
+      val wK = Window.partitionBy(col("src"))
+        .orderBy(col("esim").desc, col("dst"))
+      val graph = ga.join(gb, Seq("cell")).filter(col("src") =!= col("dst"))
+        .withColumn("esim",
+          round(expr("graft_dot(es, ed)") / (col("ns") * col("nd")), 6))
+        .withColumn("rn", row_number().over(wK)).filter(col("rn") <= 4)
+        .select(col("src"), col("dst"))
+        .localCheckpoint(true)
+      val corpus = e.select(col("vec_id").as("cid"), col("emb").as("ce"),
+        col("norm").as("cn")).localCheckpoint(true)
+      val qs = e.filter(expr("vec_id % 100 = 50"))
+        .select(col("vec_id").as("q_id"), col("emb").as("qe"),
+          col("norm").as("qn"))
+      def score(df: DataFrame): DataFrame = df
+        .join(corpus, Seq("cid"))
+        .join(broadcast(qs), Seq("q_id"))
+        .filter(col("cid") =!= col("q_id"))
+        .withColumn("sim",
+          round(expr("graft_dot(qe, ce)") / (col("qn") * col("cn")), 6))
+        .select(col("q_id"), col("cid"), col("sim"))
+      val entry = e.agg(min(col("vec_id")).as("cid"))
+      val wB = Window.partitionBy(col("q_id"))
+        .orderBy(col("sim").desc, col("cid"))
+      var visited = score(
+        qs.select(col("q_id")).crossJoin(broadcast(entry)))
+      var frontier = visited
+      for (_ <- 1 to 3) {
+        val cand = frontier.select(col("q_id"), col("cid"))
+          .join(graph, col("cid") === col("src"))
+          .select(col("q_id"), col("dst").as("cid")).distinct()
+        visited = visited.unionByName(score(cand)).distinct()
+        frontier = visited.withColumn("rn", row_number().over(wB))
+          .filter(col("rn") <= 4).drop("rn")
+      }
+      val nv = visited.groupBy(col("q_id"))
+        .agg(count(lit(1)).cast("long").as("n_visited"))
+      val approx = visited
+        .withColumn("rnk", row_number().over(wB)).filter(col("rnk") <= 5)
+      val exact = cosineTopK(e, qs.select(col("q_id"),
+          col("qe"), col("qn")), 5)
+        .select(col("q_id"), col("c_id").as("cid"))
+        .localCheckpoint(true)
+      val hits = approx.join(exact, Seq("q_id", "cid"), "left_semi")
+        .groupBy(col("q_id")).agg(count(lit(1)).cast("long").as("n_hit"))
+      approx.filter(col("rnk") === 1)
+        .select(col("q_id"), col("cid").as("top1_id"),
+          col("sim").as("top1_sim"))
+        .join(nv, Seq("q_id"))
+        .join(hits, Seq("q_id"), "left")
+        .withColumn("n_hit", coalesce(col("n_hit"), lit(0L)))
+        .withColumn("recall_at_5",
+          round(col("n_hit").cast("double") / 5.0, 6))
+        .select(col("q_id"), col("top1_id"), col("top1_sim"),
+          col("n_visited"), col("n_hit"), col("recall_at_5"))
+        .orderBy(col("q_id"))
+    }),
+
     // MAXIMUM-INNER-PRODUCT search with norm-band pruning (the LEMP /
     // FEXIPRO family, simplified): MIPS ranks by RAW dot product, where
     // cosine's normalization is wrong (recommender scores, unnormalized
@@ -2905,6 +2984,8 @@ object VectorOps {
         |  ROUND(CAST(n_hit AS DOUBLE) / n_exact, 6) AS recall_at_5
         |FROM hits, nx ORDER BY c1""".stripMargin,
 
+    "v35_graph_beam_search" -> beamSql,
+
     "v34_mips_norm_bands" ->
       s"""WITH $embSql,
         |mx AS (SELECT MAX(norm) AS maxn FROM e),
@@ -3032,6 +3113,85 @@ object VectorOps {
     * text is CTE bodies only (no WITH), so callers can prepend RECURSIVE. */
   // def, not val: the oracle map interpolates this during object init,
   // BEFORE a later-declared val would be assigned (a val here reads null)
+  /** v35's replay: v31's IVF cells → top-4 kNN graph → three unrolled
+    * beam-4 hops from the min-id entry → top-5 of the visited set with
+    * recall vs the exact ground truth. */
+  private def beamSql: String = {
+    def hop(i: Int) = {
+      val p = i - 1
+      s"""f$p AS (
+         |  SELECT q_id, cid FROM (
+         |    SELECT q_id, cid, ROW_NUMBER() OVER (PARTITION BY q_id
+         |      ORDER BY sim DESC, cid) AS rn FROM v$p) WHERE rn <= 4),
+         |c$i AS (
+         |  SELECT DISTINCT f.q_id, g.dst AS cid
+         |  FROM f$p f JOIN g ON g.src = f.cid),
+         |s$i AS (
+         |  SELECT c.q_id, c.cid,
+         |    round(list_dot_product(q.qe, e$i.emb)
+         |      / (q.qn * e$i.norm), 6) AS sim
+         |  FROM c$i c JOIN e e$i ON e$i.vec_id = c.cid
+         |  JOIN q ON q.q_id = c.q_id
+         |  WHERE c.cid <> c.q_id),
+         |v$i AS (
+         |  SELECT DISTINCT q_id, cid, sim FROM (
+         |    SELECT * FROM v$p UNION ALL SELECT * FROM s$i))""".stripMargin
+    }
+    s"""WITH $embSql,
+       |nn AS (SELECT CAST(CEIL(SQRT(COUNT(*))) AS BIGINT) AS kk FROM e),
+       |cents AS (SELECT vec_id AS clabel, emb AS cvec, norm AS cnorm
+       |          FROM e, nn WHERE vec_id < kk),
+       |cells AS (SELECT vec_id, emb, norm, clabel AS cell FROM (
+       |  SELECT e.vec_id, e.emb, e.norm, c.clabel,
+       |    ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+       |      round(list_dot_product(e.emb, c.cvec)
+       |        / (e.norm * c.cnorm), 6) DESC, c.clabel) AS rn
+       |  FROM e, cents c) WHERE rn = 1),
+       |g AS (SELECT src, dst FROM (
+       |  SELECT a.vec_id AS src, b.vec_id AS dst,
+       |    ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+       |      round(list_dot_product(a.emb, b.emb)
+       |        / (a.norm * b.norm), 6) DESC, b.vec_id) AS rn
+       |  FROM cells a JOIN cells b
+       |    ON a.cell = b.cell AND a.vec_id <> b.vec_id)
+       |  WHERE rn <= 4),
+       |q AS (SELECT vec_id AS q_id, emb AS qe, norm AS qn FROM e
+       |      WHERE vec_id % 100 = 50),
+       |ep AS (SELECT MIN(vec_id) AS cid FROM e),
+       |v0 AS (
+       |  SELECT q.q_id, ep.cid,
+       |    round(list_dot_product(q.qe, c.emb) / (q.qn * c.norm), 6) AS sim
+       |  FROM q CROSS JOIN ep JOIN e c ON c.vec_id = ep.cid
+       |  WHERE ep.cid <> q.q_id),
+       |${hop(1)},
+       |${hop(2)},
+       |${hop(3)},
+       |ap AS (
+       |  SELECT q_id, cid, sim, rnk FROM (
+       |    SELECT q_id, cid, sim, ROW_NUMBER() OVER (PARTITION BY q_id
+       |      ORDER BY sim DESC, cid) AS rnk FROM v3) WHERE rnk <= 5),
+       |nv AS (SELECT q_id, COUNT(*) AS n_visited FROM v3 GROUP BY q_id),
+       |px AS (
+       |  SELECT q.q_id, c.vec_id AS cid,
+       |    round(list_dot_product(q.qe, c.emb) / (q.qn * c.norm), 6) AS sim
+       |  FROM e c, q WHERE c.vec_id <> q.q_id),
+       |ex AS (SELECT q_id, cid FROM (
+       |  SELECT q_id, cid, ROW_NUMBER() OVER (PARTITION BY q_id
+       |    ORDER BY sim DESC, cid) AS rnk FROM px) WHERE rnk <= 5),
+       |ht AS (
+       |  SELECT a.q_id, COUNT(*) AS n_hit
+       |  FROM ap a SEMI JOIN ex ON ex.q_id = a.q_id AND ex.cid = a.cid
+       |  GROUP BY a.q_id)
+       |SELECT a.q_id, a.cid AS top1_id, a.sim AS top1_sim,
+       |  CAST(nv.n_visited AS BIGINT) AS n_visited,
+       |  CAST(COALESCE(ht.n_hit, 0) AS BIGINT) AS n_hit,
+       |  ROUND(CAST(COALESCE(ht.n_hit, 0) AS DOUBLE) / 5.0, 6)
+       |    AS recall_at_5
+       |FROM ap a JOIN nv ON nv.q_id = a.q_id
+       |LEFT JOIN ht ON ht.q_id = a.q_id
+       |WHERE a.rnk = 1 ORDER BY a.q_id""".stripMargin
+  }
+
   private def embSql: String =
     """e AS (
       |  SELECT vec_id, embedding::DOUBLE[] AS emb,

@@ -437,4 +437,19 @@ class Round10OpsSpec extends SparkSpec {
     assert(!rows.exists(_.getString(0) == "ramp"),
       "ramp must be excluded (zero base variance)")
   }
+
+  test("v35 over sf0.001: beam-search visited set is walk-bounded and " +
+    "recall is a true fraction of measured hits") {
+    val rows = SparkEntry.queries("v35_graph_beam_search")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nVisited, nHit, recall) =
+        (r.getLong(3), r.getLong(4), r.getDouble(5))
+      // entry point + 3 hops of (beam 4 × degree 4) = 1 + 3·16 max scored
+      assert(nVisited >= 1L && nVisited <= 49L, s"walk bound violated: $r")
+      assert(nHit >= 0L && nHit <= 5L)
+      assert(math.abs(recall - nHit / 5.0) < 1e-9,
+        s"recall must be derived from n_hit: $r")
+    }
+  }
 }
