@@ -241,6 +241,44 @@ object Multimodal {
     }
   }
 
+  /** Dynamic-range summary: every field an exact long, buckets are sample
+    * BIT LENGTHS (≈6 dB ladder — one extra bit doubles amplitude). */
+  case class AudioDynRange(media_id: Long, n_samples: Long, peak_bucket: Long,
+      floor_bucket: Long, range_buckets: Long, n_quiet: Long)
+
+  /** LOUDNESS / DYNAMIC RANGE over real WAV containers — the
+    * level-screening pass an audio corpus runs before normalization:
+    * bucket each sample at bit_length(|s|) (0 = digital silence, 16 =
+    * full-scale), report the peak and floor occupied buckets, their span
+    * (the clip's dynamic range in ~6 dB steps), and the quiet-sample count
+    * under the mm19 threshold. Integer bit-length instead of 20·log₁₀
+    * keeps the whole query libm-free — a dB-scale measure with NO float
+    * anywhere, so the oracle compare is exact by construction. Same scale
+    * shape as [[audioTrimSilence]]: map-side decode, one bounded row out
+    * per media. */
+  def audioDynamicRange(media: Dataset[Container],
+      quietThreshold: Int): Dataset[AudioDynRange] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { c =>
+        val s = MediaCodecs.Wav.parse(c.payload).samples
+        var peak = 0; var floor = Int.MaxValue; var quiet = 0L
+        s.foreach { v =>
+          val a = math.abs(v.toInt)
+          if (a < quietThreshold) quiet += 1L
+          if (a > 0) {
+            val b = 32 - Integer.numberOfLeadingZeros(a)
+            if (b > peak) peak = b
+            if (b < floor) floor = b
+          }
+        }
+        if (floor == Int.MaxValue) floor = 0
+        AudioDynRange(c.media_id, s.length.toLong, peak.toLong, floor.toLong,
+          (peak - floor).toLong, quiet)
+      }
+    }
+  }
+
   /** One fixed-size thumbnail per image: source dims + per-channel sums of
     * the resized pixels (exact longs; any float is derived downstream).
     * Field order follows [[MediaCodecs.BmpImage.channels]]'s B,G,R pixel

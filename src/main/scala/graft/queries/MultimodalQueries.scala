@@ -321,6 +321,18 @@ object MultimodalQueries {
           threshold = 8192).toDF()
         .orderBy(col("media_id"))),
 
+    // dynamic-range screen: bit-length (~6 dB) loudness buckets, exact
+    // integers end to end — dB analytics with zero libm exposure; the
+    // oracle replays the sample formula and DuckDB's bin() digit count
+    // stands in for numberOfLeadingZeros
+    "mm20_dynamic_range" -> ((s, dir) =>
+      Multimodal.audioDynamicRange(
+          Multimodal.syntheticContainers(
+            fanout(Tables.table(s, dir, "documents"))
+              .filter(col("doc_id") % 2 === 1)),
+          quietThreshold = 8192).toDF()
+        .orderBy(col("media_id"))),
+
     "mm14_audio_segments" -> ((s, dir) => {
       val fr = Multimodal.audioFrames(
           Multimodal.syntheticContainers(
@@ -850,6 +862,36 @@ object MultimodalQueries {
         |  COALESCE(k.peak, 0) AS peak
         |FROM tr t LEFT JOIN kept k ON k.media_id = t.media_id
         |ORDER BY t.media_id""".stripMargin,
+
+    // replay of mm20: same synthetic samples as mm19; bucket =
+    // length(bin(abs(s))) — DuckDB's minimal binary-digit count IS the
+    // bit length for positive ints (abs(-32768) = 32768 → 16)
+    "mm20_dynamic_range" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id, 32 + doc_id % 64 AS n
+        |  FROM documents WHERE doc_id % 2 = 1),
+        |sm AS (
+        |  SELECT media_id,
+        |    CASE WHEN (media_id*131 + i*17) % 65536 >= 32768
+        |         THEN (media_id*131 + i*17) % 65536 - 65536
+        |         ELSE (media_id*131 + i*17) % 65536 END AS s
+        |  FROM m, range(0, 96) t(i) WHERE i < n),
+        |b AS (
+        |  SELECT media_id, abs(s) AS a,
+        |    CASE WHEN s = 0 THEN 0 ELSE length(bin(abs(s))) END AS bucket
+        |  FROM sm)
+        |SELECT media_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_samples,
+        |  CAST(COALESCE(MAX(CASE WHEN a > 0 THEN bucket END), 0) AS BIGINT)
+        |    AS peak_bucket,
+        |  CAST(COALESCE(MIN(CASE WHEN a > 0 THEN bucket END), 0) AS BIGINT)
+        |    AS floor_bucket,
+        |  CAST(COALESCE(MAX(CASE WHEN a > 0 THEN bucket END)
+        |    - MIN(CASE WHEN a > 0 THEN bucket END), 0) AS BIGINT)
+        |    AS range_buckets,
+        |  CAST(SUM(CASE WHEN a < 8192 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_quiet
+        |FROM b GROUP BY media_id ORDER BY media_id""".stripMargin,
 
     "mm14_audio_segments" ->
       """WITH m AS (

@@ -22,6 +22,17 @@ object Relational {
 
   private def t(s: SparkSession, dir: String, n: String) = Tables.table(s, dir, n)
 
+  /** Typed inputs/output for q60's cogroup — micros-epoch longs instead of
+    * Timestamp fields so the encoder surface stays primitive and the day
+    * arithmetic is explicit integer math ([[Math.floorDiv]], matching
+    * DuckDB's flooring `//`; ship lag CAN be negative in this data, where
+    * Spark SQL's truncating `div` would diverge). */
+  case class CgOrder(k: Long, odate_us: Long, status: String)
+  case class CgLine(k: Long, ship_us: Long, ln: Int, qty: Long)
+  case class CgRecon(o_orderkey: Long, o_orderstatus: String, n_lines: Long,
+      qty_total: Long, first_ship_qty: Long, first_lag_days: Long,
+      last_lag_days: Long, lag_span_days: Long)
+
   /** Bucketed copies of lineitem/orders on the join key (SURVEY.md §4),
     * memoized per (session, sfDir): the bucketing shuffle is paid ONCE at
     * write time, then every q28 run (and any other same-key join) reads
@@ -99,6 +110,57 @@ object Relational {
       |GROUP BY anc ORDER BY root""".stripMargin
 
   val queries: Map[String, Q] = Map(
+    // -- TYPED COGROUP with per-group SECONDARY SORT (§2.10's typed
+    // Dataset surface): KeyValueGroupedDataset.cogroupSorted merges each
+    // order with its lineitems as two co-shuffled iterators, the lineitem
+    // side arriving ship-date-ordered WITHOUT an in-memory per-group sort
+    // — Spark plans it as one exchange per side + sortWithinPartitions,
+    // so group size never binds executor memory (the 100 TB-safe way to
+    // write per-key merge logic that windows can't express). The
+    // reconciliation emits order-sorted facts: line count, exact qty
+    // total, the qty of the FIRST-shipped line (order-dependent — proves
+    // the sortedness), and floor-div day lags. Orders with no lines pin
+    // sentinels (-999999), never NULL (null sort order differs across
+    // engines). Oracle: plain join + window SQL over the same subset.
+    "q60_typed_cogroup" -> ((s, dir) => {
+      import s.implicits._
+      val day = 86400000000L
+      val orders = t(s, dir, "orders")
+        .filter(col("o_orderkey") % 10 === 0)
+        .select(col("o_orderkey").as("k"),
+          unix_micros(col("o_orderdate").cast("timestamp")).as("odate_us"),
+          col("o_orderstatus").as("status"))
+        .as[CgOrder]
+      val lines = t(s, dir, "lineitem")
+        .filter(col("l_orderkey") % 10 === 0)
+        .select(col("l_orderkey").as("k"),
+          unix_micros(col("l_shipdate").cast("timestamp")).as("ship_us"),
+          col("l_linenumber").as("ln"),
+          col("l_quantity").cast("long").as("qty"))
+        .as[CgLine]
+      orders.groupByKey(_.k)
+        .cogroupSorted(lines.groupByKey(_.k))()(col("ship_us"), col("ln")) {
+          (k, os, ls) =>
+            os.map { o =>
+              var n = 0L; var qty = 0L
+              var firstQty = -999999L
+              var firstLag = -999999L; var lastLag = -999999L
+              ls.foreach { l =>
+                if (n == 0L) {
+                  firstQty = l.qty
+                  firstLag = Math.floorDiv(l.ship_us - o.odate_us, day)
+                }
+                lastLag = Math.floorDiv(l.ship_us - o.odate_us, day)
+                n += 1L; qty += l.qty
+              }
+              val span = if (n == 0L) 0L else lastLag - firstLag
+              CgRecon(k, o.status, n, qty, firstQty, firstLag, lastLag, span)
+            }
+        }
+        .toDF()
+        .orderBy(col("o_orderkey"))
+    }),
+
     // -- RECURSIVE CTE (WITH RECURSIVE — new in Spark 4): the iterative
     // front door next to q29's correlated one. Each part walks its
     // digit-trim ancestry to a single-digit root — the BOM-explosion /
@@ -1652,6 +1714,33 @@ object Relational {
     "q29_correlated_subquery" -> q29Sql,
 
     "q43_recursive_hierarchy" -> q43Sql,
+
+    // join + window replay of the cogroup merge: first-shipped line via
+    // ROW_NUMBER over (ship_us, linenumber) — the same secondary-sort
+    // order; day lags floor-divide (`//`) matching Scala's floorDiv
+    "q60_typed_cogroup" ->
+      """WITH l AS (
+        |  SELECT l_orderkey AS k, epoch_us(l_shipdate) AS ship_us,
+        |    CAST(l_quantity AS BIGINT) AS qty,
+        |    ROW_NUMBER() OVER (PARTITION BY l_orderkey
+        |      ORDER BY epoch_us(l_shipdate), l_linenumber) AS rn
+        |  FROM lineitem WHERE l_orderkey % 10 = 0)
+        |SELECT o.o_orderkey, o.o_orderstatus,
+        |  CAST(COUNT(l.k) AS BIGINT) AS n_lines,
+        |  CAST(COALESCE(SUM(l.qty), 0) AS BIGINT) AS qty_total,
+        |  CAST(COALESCE(MAX(CASE WHEN l.rn = 1 THEN l.qty END), -999999)
+        |    AS BIGINT) AS first_ship_qty,
+        |  CAST(COALESCE(MIN((l.ship_us - epoch_us(o.o_orderdate))
+        |    // 86400000000), -999999) AS BIGINT) AS first_lag_days,
+        |  CAST(COALESCE(MAX((l.ship_us - epoch_us(o.o_orderdate))
+        |    // 86400000000), -999999) AS BIGINT) AS last_lag_days,
+        |  CAST(COALESCE(MAX((l.ship_us - epoch_us(o.o_orderdate))
+        |    // 86400000000) - MIN((l.ship_us - epoch_us(o.o_orderdate))
+        |    // 86400000000), 0) AS BIGINT) AS lag_span_days
+        |FROM orders o LEFT JOIN l ON l.k = o.o_orderkey
+        |WHERE o.o_orderkey % 10 = 0
+        |GROUP BY o.o_orderkey, o.o_orderstatus
+        |ORDER BY o.o_orderkey""".stripMargin,
 
     // classic-SQL equivalent of the pipe chain — pipes are Spark-side
     // syntax; the plan and semantics are this GROUP BY

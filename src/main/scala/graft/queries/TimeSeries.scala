@@ -2000,6 +2000,48 @@ object TimeSeries {
           round(lit(1.0) + col("gamma"), 6).as("rho"),
           round(sqrt(expr("cast(se2 as double)")
             / col("n_diff").cast("double")), 6).as("resid_sd"))
+    }),
+
+    // ALLEN'S INTERVAL ALGEBRA: classify each day's 'error' activity
+    // interval against its 'purchase' interval into one of the 13 Allen
+    // relations (before/meets/overlaps/starts/during/finishes/equals +
+    // inverses) — the temporal-reasoning primitive behind incident
+    // overlap triage ("did the error burst CONTAIN the purchase window or
+    // merely overlap it?"). The ladder orders equality tests before the
+    // strict ones, so degenerate (point) intervals classify identically
+    // on both engines by construction. Plan: ONE events scan, ONE shuffle
+    // (conditional min/max to a |days|-row frame); the classification is
+    // a map-side CASE over that tiny frame. Intervals are closed, in
+    // exact epoch micros.
+    "ts57_allen_relations" -> ((s, dir) => {
+      ev(s, dir)
+        .filter(col("event_type").isin("error", "purchase"))
+        .withColumn("day", to_date(col("ts")))
+        .withColumn("us", unix_micros(col("ts")))
+        .groupBy(col("day"))
+        .agg(
+          min(when(col("event_type") === "error", col("us"))).as("sa"),
+          max(when(col("event_type") === "error", col("us"))).as("ea"),
+          min(when(col("event_type") === "purchase", col("us"))).as("sb"),
+          max(when(col("event_type") === "purchase", col("us"))).as("eb"))
+        .filter(col("sa").isNotNull && col("sb").isNotNull)
+        .withColumn("relation",
+          when(col("sa") === col("sb") && col("ea") === col("eb"), "equals")
+            .when(col("ea") < col("sb"), "before")
+            .when(col("sa") > col("eb"), "after")
+            .when(col("ea") === col("sb"), "meets")
+            .when(col("eb") === col("sa"), "met_by")
+            .when(col("sa") === col("sb") && col("ea") < col("eb"), "starts")
+            .when(col("sa") === col("sb"), "started_by")
+            .when(col("ea") === col("eb") && col("sa") > col("sb"), "finishes")
+            .when(col("ea") === col("eb"), "finished_by")
+            .when(col("sa") > col("sb") && col("ea") < col("eb"), "during")
+            .when(col("sa") < col("sb") && col("ea") > col("eb"), "contains")
+            .when(col("sa") < col("sb"), "overlaps")
+            .otherwise("overlapped_by"))
+        .select(col("day"), col("sa"), col("ea"), col("sb"), col("eb"),
+          col("relation"))
+        .orderBy(col("day"))
     })
   )
 
@@ -3681,7 +3723,36 @@ object TimeSeries {
         |  ROUND(1.0 + CAST(sed AS DOUBLE) / CAST(see AS DOUBLE), 6) AS rho,
         |  ROUND(sqrt(CAST(se2 AS DOUBLE) / CAST(n_diff AS DOUBLE)), 6)
         |    AS resid_sd
-        |FROM g""".stripMargin
+        |FROM g""".stripMargin,
+
+    // the identical CASE ladder — relation names agree string-for-string
+    "ts57_allen_relations" ->
+      """WITH iv AS (
+        |  SELECT CAST(ts AS DATE) AS day,
+        |    MIN(CASE WHEN event_type = 'error' THEN epoch_us(ts) END) AS sa,
+        |    MAX(CASE WHEN event_type = 'error' THEN epoch_us(ts) END) AS ea,
+        |    MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+        |      AS sb,
+        |    MAX(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+        |      AS eb
+        |  FROM events WHERE event_type IN ('error', 'purchase')
+        |  GROUP BY 1)
+        |SELECT day, sa, ea, sb, eb,
+        |  CASE WHEN sa = sb AND ea = eb THEN 'equals'
+        |       WHEN ea < sb THEN 'before'
+        |       WHEN sa > eb THEN 'after'
+        |       WHEN ea = sb THEN 'meets'
+        |       WHEN eb = sa THEN 'met_by'
+        |       WHEN sa = sb AND ea < eb THEN 'starts'
+        |       WHEN sa = sb THEN 'started_by'
+        |       WHEN ea = eb AND sa > sb THEN 'finishes'
+        |       WHEN ea = eb THEN 'finished_by'
+        |       WHEN sa > sb AND ea < eb THEN 'during'
+        |       WHEN sa < sb AND ea > eb THEN 'contains'
+        |       WHEN sa < sb THEN 'overlaps'
+        |       ELSE 'overlapped_by' END AS relation
+        |FROM iv WHERE sa IS NOT NULL AND sb IS NOT NULL
+        |ORDER BY day""".stripMargin
   )
 
   /** The ts21 closed-form EMA kernel as a DuckDB CTE pair (`<out>_pairs`,

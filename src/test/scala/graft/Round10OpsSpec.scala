@@ -438,6 +438,105 @@ class Round10OpsSpec extends SparkSpec {
       "ramp must be excluded (zero base variance)")
   }
 
+  /** Order 10: three lines incl. a ship BEFORE the order date at a
+    * half-day offset (floorDiv must floor to −2, where truncation would
+    * give −1); order 20: no lines → sentinel row; order 13: filtered. */
+  private lazy val cogroupFixtureDir: String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-cogroup-fixture")
+    graft.util.TempDirs.deleteOnExit(dir)
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    Seq(
+      (10L, 1L, "F", 100.0, ts("2024-01-10 00:00:00"), "1-URGENT"),
+      (20L, 2L, "O", 50.0, ts("2024-01-05 00:00:00"), "2-HIGH"),
+      (13L, 3L, "F", 10.0, ts("2024-01-01 00:00:00"), "3-MEDIUM"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    Seq(
+      (10L, 1L, 1L, 1, 7.0, 70.0, 0.0, 0.0, "N", "O",
+        ts("2024-01-08 12:00:00")),
+      (10L, 1L, 1L, 2, 3.0, 30.0, 0.0, 0.0, "N", "O",
+        ts("2024-01-10 00:00:00")),
+      (10L, 1L, 1L, 3, 2.0, 20.0, 0.0, 0.0, "N", "O",
+        ts("2024-01-15 00:00:00")),
+      (13L, 1L, 1L, 1, 9.0, 90.0, 0.0, 0.0, "N", "O",
+        ts("2024-01-02 00:00:00")))
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    dir.toString
+  }
+
+  test("q60 kernel: cogroup merge sees ship-sorted lines, floors negative " +
+    "lags, and pins sentinels for line-less orders") {
+    val rows = SparkEntry.queries("q60_typed_cogroup")(spark, cogroupFixtureDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+    assert(rows.toSeq == Seq(
+      // first line ships 1.5 days EARLY: floorDiv → −2 (truncate would say −1)
+      (10L, "F", 3L, 12L, 7L, -2L, 5L, 7L),
+      (20L, "O", 0L, 0L, -999999L, -999999L, -999999L, 0L)))
+  }
+
+  /** One day per Allen relation the events data can't be trusted to
+    * exhibit: during, before, overlaps, meets, equals. */
+  private lazy val allenFixtureDir: String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-allen-fixture")
+    graft.util.TempDirs.deleteOnExit(dir)
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    var id = 0L
+    def e(t: String, typ: String) = { id += 1; (id, ts(t), 1L, typ, 1.0, "{}") }
+    Seq(
+      e("2024-02-01 01:00:00", "error"), e("2024-02-01 02:00:00", "error"),
+      e("2024-02-01 00:00:00", "purchase"), e("2024-02-01 03:00:00", "purchase"),
+      e("2024-02-02 00:00:00", "error"), e("2024-02-02 01:00:00", "error"),
+      e("2024-02-02 02:00:00", "purchase"), e("2024-02-02 03:00:00", "purchase"),
+      e("2024-02-03 00:00:00", "error"), e("2024-02-03 02:00:00", "error"),
+      e("2024-02-03 01:00:00", "purchase"), e("2024-02-03 03:00:00", "purchase"),
+      e("2024-02-04 00:00:00", "error"), e("2024-02-04 01:00:00", "error"),
+      e("2024-02-04 01:00:00", "purchase"), e("2024-02-04 02:00:00", "purchase"),
+      e("2024-02-05 01:00:00", "error"), e("2024-02-05 02:00:00", "error"),
+      e("2024-02-05 01:00:00", "purchase"), e("2024-02-05 02:00:00", "purchase"),
+      e("2024-02-06 01:00:00", "error")) // no purchase that day → dropped
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir.toString
+  }
+
+  test("ts57 kernel: the Allen ladder classifies crafted interval pairs") {
+    val rows = SparkEntry.queries("ts57_allen_relations")(spark, allenFixtureDir)
+      .collect().map(r => r.getDate(0).toString -> r.getString(5))
+    assert(rows.toSeq == Seq(
+      "2024-02-01" -> "during", "2024-02-02" -> "before",
+      "2024-02-03" -> "overlaps", "2024-02-04" -> "meets",
+      "2024-02-05" -> "equals"))
+  }
+
+  test("mm20 kernel: parser-side bit-length buckets match the closed-form " +
+    "synthetic samples for every media") {
+    val rows = SparkEntry.queries("mm20_dynamic_range")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    def bl(a: Int) = 32 - Integer.numberOfLeadingZeros(a)
+    rows.foreach { r =>
+      val id = r.getLong(0); val n = (32 + id % 64).toInt
+      val abs = (0 until n).map { i =>
+        val u = ((id * 131 + i * 17) % 65536).toInt
+        math.abs(if (u >= 32768) u - 65536 else u)
+      }
+      val nz = abs.filter(_ > 0)
+      val peak = if (nz.isEmpty) 0L else bl(nz.max).toLong
+      val floor = if (nz.isEmpty) 0L else bl(nz.min).toLong
+      assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5)) ==
+        (n.toLong, peak, floor, peak - floor, abs.count(_ < 8192).toLong),
+        s"media $id")
+    }
+  }
+
   test("v35 over sf0.001: beam-search visited set is walk-bounded and " +
     "recall is a true fraction of measured hits") {
     val rows = SparkEntry.queries("v35_graph_beam_search")(spark, sf).collect()
