@@ -731,6 +731,54 @@ object GasStoreQueries {
     spark.read.parquet(path)
   }
 
+  /** gs29's sink: CHAINED STREAMING AGGREGATIONS (Spark 4's
+    * multiple-stateful-operator support): hourly per-field
+    * count/exact-decimal-total windows feed a SECOND 6 h windowed
+    * aggregate IN THE SAME streaming query — `window(window_time(w))`
+    * keys the outer state by the sealed inner window's event time, so
+    * the whole rollup pyramid runs incrementally with bounded state
+    * (fields × open windows at EACH level) and no intermediate sink.
+    * Append mode end to end: an hour flows downstream once the
+    * watermark passes its end; a 6 h bucket seals once the watermark
+    * passes ITS end — by containment every hour inside a sealed bucket
+    * is already sealed, so the oracle's replay is exactly "all points,
+    * 6 h buckets with end ≤ max − 30 min". */
+  private val builtTwoLevel = new java.util.WeakHashMap[SparkSession, String]()
+  private def streamTwoLevel(spark: SparkSession): DataFrame = {
+    val path = builtTwoLevel.synchronized {
+      Option(builtTwoLevel.get(spark)).getOrElse {
+        val work = Files.createTempDirectory("graft-gas-twolevel")
+        deleteOnExit(work)
+        val long = graft.store.LongStore.unpivot(
+          graft.transform.GasTransform(
+            graft.streaming.GasStream.readStream(spark, fixtureDir))
+            .withColumnRenamed("file_name", "_src")).drop("_src")
+        long.withWatermark("_time", "30 minutes")
+          .groupBy(window(col("_time"), "1 hour"), col("_field"))
+          .agg(count(lit(1)).as("n_points"),
+            sum(sumExactCol(col("_value"))).as("total"))
+          .groupBy(window(window_time(col("window")), "6 hours"),
+            col("_field"))
+          .agg(count(lit(1)).as("n_hours"),
+            sum(col("n_points")).as("n_points"),
+            sum(col("total")).as("total"))
+          .select(col("window.start").as("_bucket"), col("_field"),
+            col("n_hours"), col("n_points"), col("total"))
+          .writeStream
+          .format("parquet")
+          .option("path", s"$work/out")
+          .option("checkpointLocation", s"$work/ckpt")
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+          .awaitTermination()
+        builtTwoLevel.put(spark, s"$work/out")
+        s"$work/out"
+      }
+    }
+    spark.read.parquet(path)
+  }
+
   /** gs16's sink: streaming per-window TOP-K — the "worst readings this
     * hour" dashboard tile, and the proof the engine's typed
     * [[graft.functions.TopKAggregator]] is a first-class STREAMING
@@ -1187,6 +1235,19 @@ object GasStoreQueries {
         .select(col("w_us"), col("_field"), col("n_points"),
           col("sum_micro"), col("min_micro"), col("max_micro"))
         .orderBy(col("w_us"), col("_field"))),
+
+    // CHAINED STREAMING WINDOWS — the hourly→6 h rollup pyramid as ONE
+    // streaming query (two stateful aggregates back to back); the read
+    // side just projects the sealed outer windows for one field. No
+    // division anywhere: counts + the exact decimal total (cast double
+    // at the edge).
+    "gs29_stream_two_level" -> ((s, _) =>
+      streamTwoLevel(s)
+        .filter(col("_field") === "CO (ppm)")
+        .select(unix_micros(col("_bucket")).as("b_us"), col("_field"),
+          col("n_hours"), col("n_points"),
+          col("total").cast("double").as("total"))
+        .orderBy(col("b_us"))),
 
     // STREAMING KMV DISTINCT ESTIMATE — the live bottom-16 sketch read
     // batch-side (max-n_seen snapshot = end-of-stream merge, micro-batch
@@ -1828,6 +1889,28 @@ object GasStoreQueries {
          |SELECT epoch_us(ws) AS b_us, _field, n_points, mean_value
          |FROM agg, mx
          |WHERE ws + INTERVAL 2 HOUR <= mx - INTERVAL 30 MINUTE
+         |ORDER BY b_us""".stripMargin,
+
+    // replay of gs29: all points into epoch-aligned 6 h buckets (DuckDB
+    // time_bucket's 2000-01-03 origin sits a whole number of 6 h periods
+    // from Spark's 1970 epoch — same grid), n_hours = distinct populated
+    // hours, seal rule = gs07's end ≤ max − 30 min; counts pinned BIGINT
+    "gs29_stream_two_level" ->
+      s"""$prelude,
+         |pts AS (
+         |  SELECT _time, "CO (ppm)" AS v FROM raw),
+         |mx AS (SELECT MAX(_time) AS mx FROM pts),
+         |b AS (
+         |  SELECT time_bucket(INTERVAL '6 hours', _time) AS ws,
+         |    CAST(COUNT(DISTINCT date_trunc('hour', _time)) AS BIGINT)
+         |      AS n_hours,
+         |    CAST(COUNT(*) AS BIGINT) AS n_points,
+         |    CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE) AS total
+         |  FROM pts GROUP BY ws)
+         |SELECT epoch_us(ws) AS b_us, 'CO (ppm)' AS _field,
+         |  n_hours, n_points, total
+         |FROM b, mx
+         |WHERE ws + INTERVAL 6 HOUR <= mx - INTERVAL 30 MINUTE
          |ORDER BY b_us""".stripMargin,
 
     // 6 h sealed-window means (gs07's decimal-total/count discipline),

@@ -161,6 +161,40 @@ object Relational {
         .orderBy(col("o_orderkey"))
     }),
 
+    // -- PIPELINE RUN-METRICS via Dataset.observe (§2.10's observability
+    // surface): named aggregate metrics ride a REAL downstream action on
+    // the same single scan — zero extra passes, which is how a 100 TB
+    // ingest job reports row counts / null rates / freshness bounds
+    // without re-reading anything. The observed values (count, exact
+    // decimal quantity sum, returned-row count, ship-date freshness
+    // bounds) come back to the driver as ONE metric row — the documented
+    // exception to the no-collect rule, like CC's convergence scalar —
+    // and are re-emitted as the result frame. The driving action is the
+    // per-flag count the monitor would publish anyway; the oracle
+    // recomputes the same aggregates declaratively.
+    "q61_observe_metrics" -> ((s, dir) => {
+      import s.implicits._
+      val obs = org.apache.spark.sql.Observation()
+      val li = t(s, dir, "lineitem").observe(obs,
+        count(lit(1)).as("n_rows"),
+        sum(col("l_quantity").cast("decimal(18,6)")).cast("double")
+          .as("qty_sum"),
+        count(when(col("l_returnflag") === "R", 1)).as("n_returned"),
+        min(unix_micros(col("l_shipdate").cast("timestamp")))
+          .as("min_ship_us"),
+        max(unix_micros(col("l_shipdate").cast("timestamp")))
+          .as("max_ship_us"))
+      li.groupBy(col("l_returnflag")).agg(count(lit(1))).collect()
+      val m = obs.get
+      Seq((m("n_rows").asInstanceOf[Long],
+          m("qty_sum").asInstanceOf[Double],
+          m("n_returned").asInstanceOf[Long],
+          m("min_ship_us").asInstanceOf[Long],
+          m("max_ship_us").asInstanceOf[Long]))
+        .toDF("n_rows", "qty_sum", "n_returned", "min_ship_us",
+          "max_ship_us")
+    }),
+
     // -- RECURSIVE CTE (WITH RECURSIVE — new in Spark 4): the iterative
     // front door next to q29's correlated one. Each part walks its
     // digit-trim ancestry to a single-digit root — the BOM-explosion /
@@ -1714,6 +1748,16 @@ object Relational {
     "q29_correlated_subquery" -> q29Sql,
 
     "q43_recursive_hierarchy" -> q43Sql,
+
+    // declarative recomputation of the observed metric row
+    "q61_observe_metrics" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS qty_sum,
+        |  CAST(COUNT(CASE WHEN l_returnflag = 'R' THEN 1 END) AS BIGINT)
+        |    AS n_returned,
+        |  MIN(epoch_us(l_shipdate)) AS min_ship_us,
+        |  MAX(epoch_us(l_shipdate)) AS max_ship_us
+        |FROM lineitem""".stripMargin,
 
     // join + window replay of the cogroup merge: first-shipped line via
     // ROW_NUMBER over (ship_us, linenumber) — the same secondary-sort

@@ -1337,6 +1337,67 @@ object VectorOps {
         .orderBy(col("q_id"))
     }),
 
+    // JOHNSON-LINDENSTRAUSS RANDOM PROJECTION with a measured distortion
+    // certificate: project the 64-dim corpus to k=16 dims through a
+    // deterministic ±1 sign matrix (hash of (i,j) — the Achlioptas
+    // database-friendly construction), then AUDIT the embedding the way
+    // JL promises to behave: for sampled pairs, the ratio of
+    // squared distances ‖pa−pb‖²/(k·‖a−b‖²) — a ±1-entry column has unit
+    // variance, so ‖p‖²/k estimates ‖x‖² directly — which concentrates
+    // around 1 with sd ≈ √(2/k). The whole query is INTEGER: inputs
+    // snap to the 6-dp micro-lattice via decimal cast (floats sit far
+    // from half-way points, so the cast is cross-engine exact),
+    // projections are ±-sums of micro-ints, distances are exact integer
+    // sums of squares; the ONLY float ops are the final fixed
+    // tree (p2/16)/d2. Scale: the projection is a
+    // ×k map-side fan-out + one (vec_id, j) aggregate — the 100 TB way
+    // to cut ANN storage 4× before any index is built; the audit joins
+    // only the sampled pair frame.
+    "v36_random_projection" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val base = e
+        .select(col("vec_id"), posexplode(col("emb")).as(Seq("i", "x")))
+        .withColumn("xm",
+          expr("cast(cast(x as decimal(18,6)) * 1000000 as bigint)"))
+      val js = s.range(0, 16).toDF("j")
+      // sign from an md5 hex digit, not a linear-congruential form: an
+      // affine pattern makes the k sign columns SHIFTS of one sequence
+      // (pairwise correlated projections — observed distortion 28 on this
+      // corpus); the hash decorrelates them. 64×16 md5s per vector is
+      // one-time index-build cost, map-side.
+      val proj = base
+        .join(broadcast(js))
+        .withColumn("sgn",
+          when(expr("cast(conv(substr(md5(cast(concat(cast(i as string), " +
+            "'_', cast(j as string)) as binary)), 1, 1), 16, 10) as bigint)")
+            % 2 === 0, lit(1L)).otherwise(lit(-1L)))
+        .groupBy(col("vec_id"), col("j"))
+        .agg(sum(col("sgn") * col("xm")).as("pm"))
+      def pairs(df: DataFrame, v: String) = (
+        df.filter(col("vec_id") % 50 === 0)
+          .withColumnRenamed(v, s"${v}_a"),
+        df.filter((col("vec_id") - 1) % 50 === 0)
+          .withColumn("vec_id", col("vec_id") - 1)
+          .withColumnRenamed(v, s"${v}_b"))
+      val (pa, pb) = pairs(proj, "pm")
+      val d2p = pa.join(pb, Seq("vec_id", "j"))
+        .groupBy(col("vec_id"))
+        .agg(sum((col("pm_a") - col("pm_b")) * (col("pm_a") - col("pm_b")))
+          .as("d2_proj_m2"))
+      val (ba, bb) = pairs(base.select(col("vec_id"), col("i"), col("xm")), "xm")
+      val d2o = ba.join(bb, Seq("vec_id", "i"))
+        .groupBy(col("vec_id"))
+        .agg(sum((col("xm_a") - col("xm_b")) * (col("xm_a") - col("xm_b")))
+          .as("d2_orig_m2"))
+      d2o.join(d2p, Seq("vec_id"))
+        .filter(col("d2_orig_m2") > 0L)
+        .select(col("vec_id").as("pair_id"), col("d2_orig_m2"),
+          col("d2_proj_m2"),
+          ((col("d2_proj_m2").cast("double") / lit(16.0))
+            / col("d2_orig_m2").cast("double")).as("distortion"))
+        .orderBy(col("pair_id"))
+    }),
+
     // MAXIMUM-INNER-PRODUCT search with norm-band pruning (the LEMP /
     // FEXIPRO family, simplified): MIPS ranks by RAW dot product, where
     // cosine's normalization is wrong (recommender scores, unnormalized
@@ -2985,6 +3046,40 @@ object VectorOps {
         |FROM hits, nx ORDER BY c1""".stripMargin,
 
     "v35_graph_beam_search" -> beamSql,
+
+    // same ±1 sign hash, same micro-int lattice; every integer SUM pinned
+    // to BIGINT (DuckDB would widen to HUGEINT)
+    "v36_random_projection" ->
+      s"""WITH $embSql,
+        |base AS (
+        |  SELECT vec_id, i,
+        |    CAST(CAST(emb[i + 1] AS DECIMAL(18,6)) * 1000000 AS BIGINT)
+        |      AS xm
+        |  FROM e, range(0, 64) t(i)),
+        |proj AS (
+        |  SELECT vec_id, j,
+        |    CAST(SUM(CASE WHEN (strpos('0123456789abcdef',
+        |        substr(md5(i::VARCHAR || '_' || j::VARCHAR), 1, 1)) - 1)
+        |        % 2 = 0
+        |      THEN xm ELSE -xm END) AS BIGINT) AS pm
+        |  FROM base, range(0, 16) u(j) GROUP BY vec_id, j),
+        |d2p AS (
+        |  SELECT a.vec_id,
+        |    CAST(SUM((a.pm - b.pm) * (a.pm - b.pm)) AS BIGINT) AS d2_proj_m2
+        |  FROM proj a JOIN proj b
+        |    ON b.vec_id = a.vec_id + 1 AND b.j = a.j
+        |  WHERE a.vec_id % 50 = 0 GROUP BY a.vec_id),
+        |d2o AS (
+        |  SELECT a.vec_id,
+        |    CAST(SUM((a.xm - b.xm) * (a.xm - b.xm)) AS BIGINT) AS d2_orig_m2
+        |  FROM base a JOIN base b
+        |    ON b.vec_id = a.vec_id + 1 AND b.i = a.i
+        |  WHERE a.vec_id % 50 = 0 GROUP BY a.vec_id)
+        |SELECT o.vec_id AS pair_id, o.d2_orig_m2, p.d2_proj_m2,
+        |  CAST(p.d2_proj_m2 AS DOUBLE) / 16.0 / CAST(o.d2_orig_m2 AS DOUBLE)
+        |    AS distortion
+        |FROM d2o o JOIN d2p p ON p.vec_id = o.vec_id
+        |WHERE o.d2_orig_m2 > 0 ORDER BY pair_id""".stripMargin,
 
     "v34_mips_norm_bands" ->
       s"""WITH $embSql,

@@ -537,6 +537,57 @@ class Round10OpsSpec extends SparkSpec {
     }
   }
 
+  test("q61 kernel: observed metrics equal the fixture's hand-computed " +
+    "aggregates") {
+    val rows = SparkEntry.queries("q61_observe_metrics")(spark, cogroupFixtureDir)
+      .collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    def us(s: String) =
+      java.sql.Timestamp.valueOf(s).getTime * 1000L
+    assert(r.getLong(0) == 4L)                    // 4 fixture lineitems
+    assert(r.getDouble(1) == 21.0)                // 7 + 3 + 2 + 9
+    assert(r.getLong(2) == 0L)                    // no 'R' returnflags
+    assert(r.getLong(3) == us("2024-01-02 00:00:00"))
+    assert(r.getLong(4) == us("2024-01-15 00:00:00"))
+  }
+
+  test("v36 over sf0.001: distortion is exactly (p2/16)/d2 and inside " +
+    "the JL concentration envelope") {
+    val rows = SparkEntry.queries("v36_random_projection")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (d2o, d2p, dist) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(d2o > 0L && d2p >= 0L)
+      assert(dist == d2p.toDouble / 16.0 / d2o.toDouble)
+      // k=16 sign projection: sd ≈ sqrt(2/k) ≈ 0.35; 0.05..5 is > 8 sd
+      assert(dist > 0.05 && dist < 5.0, s"distortion out of envelope: $r")
+    }
+  }
+
+  test("gs29 over the gas fixture: the chained streaming rollup equals " +
+    "the batch recomputation under the seal rule") {
+    val pts = SparkEntry.queries("gs01_field_filter")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(2)))
+    val six = 21600000000L
+    val cutoff = pts.map(_._1).max - 30L * 60 * 1000000
+    val expected = pts.groupBy(_._1 / six)
+      .filter { case (b, _) => (b + 1) * six <= cutoff }
+      .map { case (b, vs) =>
+        b * six -> ((vs.map(_._1 / 3600000000L).distinct.length.toLong,
+          vs.length.toLong,
+          vs.map(v => BigDecimal(v._2)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble))
+      }
+    val rows = SparkEntry.queries("gs29_stream_two_level")(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length == expected.size)
+    rows.foreach { r =>
+      val exp = expected(r.getLong(0))
+      assert((r.getLong(2), r.getLong(3), r.getDouble(4)) == exp,
+        s"bucket ${r.getLong(0)}")
+    }
+  }
+
   test("v35 over sf0.001: beam-search visited set is walk-bounded and " +
     "recall is a true fraction of measured hits") {
     val rows = SparkEntry.queries("v35_graph_beam_search")(spark, sf).collect()
