@@ -2002,6 +2002,90 @@ object TimeSeries {
             / col("n_diff").cast("double")), 6).as("resid_sd"))
     }),
 
+    // GRANGER CAUSALITY (lag-1, both directions): does last hour's click
+    // level improve the prediction of this hour's view level beyond
+    // views' own history — and vice versa? Restricted model y~y₋₁ vs
+    // unrestricted y~y₋₁+x₋₁, closed-form 2-predictor OLS from exact
+    // decimal moments (ts56's discipline: 6-dp hourly means, 12-dp exact
+    // products, decimal sums), then F = (RSS_r − RSS_u)·(n−3)/RSS_u and
+    // the R² pair as ONE fixed IEEE tree per output — the n-scaled
+    // centered moments cancel in every reported ratio, so no value
+    // depends on the scaling. Lags are previous CALENDAR HOUR (an
+    // interval self-join, not lag-over-rows: gaps make "previous row"
+    // data-dependent; the hour grid is not). Plan: one events scan to
+    // the hourly frame, one tiny self-join, both directions ride the
+    // SAME joined frame via a 2-struct explode, one final aggregate.
+    "ts58_granger_causality" -> ((s, dir) => {
+      val hourly = ev(s, dir)
+        .filter(col("event_type").isin("click", "view"))
+        .withColumn("bucket", date_trunc("hour", col("ts")))
+        .groupBy(col("event_type"), col("bucket"))
+        .agg(sum(sumExactCol(col("value"))).as("sx"), count(lit(1)).as("n"))
+        .withColumn("hm", halfUpMean6("sx", "n"))
+      val c = hourly.filter(col("event_type") === "click")
+        .select(col("bucket"), col("hm").as("c"))
+      val v = hourly.filter(col("event_type") === "view")
+        .select(col("bucket"), col("hm").as("v"))
+      val cur = c.join(v, Seq("bucket")).localCheckpoint(true)
+      val prev = cur.select(
+        (col("bucket") + expr("INTERVAL 1 HOUR")).as("bucket"),
+        col("c").as("cp"), col("v").as("vp"))
+      val dirs = cur.join(prev, Seq("bucket"))
+        .select(explode(array(
+          struct(lit("click->view").as("dn"), col("v").as("y"),
+            col("vp").as("yl"), col("cp").as("xl")),
+          struct(lit("view->click").as("dn"), col("c").as("y"),
+            col("cp").as("yl"), col("vp").as("xl")))).as("t"))
+        .select(col("t.dn").as("direction"), col("t.y").as("y"),
+          col("t.yl").as("yl"), col("t.xl").as("xl"))
+        .withColumn("yd", col("y").cast("decimal(14,6)"))
+        .withColumn("y1", col("yl").cast("decimal(14,6)"))
+        .withColumn("x1", col("xl").cast("decimal(14,6)"))
+        .withColumn("pyy", (col("yd") * col("yd")).cast("decimal(30,12)"))
+        .withColumn("p11", (col("y1") * col("y1")).cast("decimal(30,12)"))
+        .withColumn("p22", (col("x1") * col("x1")).cast("decimal(30,12)"))
+        .withColumn("p1y", (col("y1") * col("yd")).cast("decimal(30,12)"))
+        .withColumn("p2y", (col("x1") * col("yd")).cast("decimal(30,12)"))
+        .withColumn("p12", (col("y1") * col("x1")).cast("decimal(30,12)"))
+      dirs.groupBy(col("direction"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("yd")).cast("decimal(14,6)").as("sy"),
+          sum(col("y1")).cast("decimal(14,6)").as("s1"),
+          sum(col("x1")).cast("decimal(14,6)").as("s2"),
+          sum(col("pyy")).as("syy"), sum(col("p11")).as("s11"),
+          sum(col("p22")).as("s22"), sum(col("p1y")).as("s1y"),
+          sum(col("p2y")).as("s2y"), sum(col("p12")).as("s12"))
+        // every centered moment and every output below is the SAME
+        // double expression tree the oracle spells — order of operations
+        // included
+        .withColumn("cyy", expr("cast(n as double) * cast(syy as double)" +
+          " - cast(sy as double) * cast(sy as double)"))
+        .withColumn("c11", expr("cast(n as double) * cast(s11 as double)" +
+          " - cast(s1 as double) * cast(s1 as double)"))
+        .withColumn("c22", expr("cast(n as double) * cast(s22 as double)" +
+          " - cast(s2 as double) * cast(s2 as double)"))
+        .withColumn("c1y", expr("cast(n as double) * cast(s1y as double)" +
+          " - cast(s1 as double) * cast(sy as double)"))
+        .withColumn("c2y", expr("cast(n as double) * cast(s2y as double)" +
+          " - cast(s2 as double) * cast(sy as double)"))
+        .withColumn("c12", expr("cast(n as double) * cast(s12 as double)" +
+          " - cast(s1 as double) * cast(s2 as double)"))
+        .withColumn("det", expr("c11 * c22 - c12 * c12"))
+        .withColumn("b1", expr("(c1y * c22 - c2y * c12) / det"))
+        .withColumn("b2", expr("(c2y * c11 - c1y * c12) / det"))
+        .withColumn("rssu", expr("cyy - b1 * c1y - b2 * c2y"))
+        .withColumn("rssr", expr("cyy - c1y * c1y / c11"))
+        .withColumn("f_stat", expr(
+          "(rssr - rssu) * (cast(n as double) - 3.0) / rssu"))
+        .select(col("direction"), col("n"),
+          round(col("b1"), 6).as("beta_ylag"),
+          round(col("b2"), 6).as("beta_xlag"),
+          round(col("f_stat"), 6).as("f_stat"),
+          round(expr("1.0 - rssr / cyy"), 6).as("r2_r"),
+          round(expr("1.0 - rssu / cyy"), 6).as("r2_u"))
+        .orderBy(col("direction"))
+    }),
+
     // ALLEN'S INTERVAL ALGEBRA: classify each day's 'error' activity
     // interval against its 'purchase' interval into one of the 13 Allen
     // relations (before/meets/overlaps/starts/during/finishes/equals +
@@ -3724,6 +3808,91 @@ object TimeSeries {
         |  ROUND(sqrt(CAST(se2 AS DOUBLE) / CAST(n_diff AS DOUBLE)), 6)
         |    AS resid_sd
         |FROM g""".stripMargin,
+
+    // identical moment pipeline; the two directions are the two SELECTs
+    // of a UNION ALL; every double expression is token-matched to the
+    // Spark tree (decimal multiplies carry the (20,6) widen — DuckDB
+    // multiplies DECIMAL(14,6) pairs in int64 and overflows without it)
+    "ts58_granger_causality" ->
+      """WITH hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS bucket,
+        |    SUM(CAST(value AS DECIMAL(18,6))) AS sx, COUNT(*) AS n
+        |  FROM events WHERE event_type IN ('click', 'view')
+        |  GROUP BY 1, 2),
+        |hm AS (
+        |  SELECT event_type, bucket,
+        |    CAST((2 * CAST(sx * 1000000 AS BIGINT) + n) // (2 * n)
+        |      AS DOUBLE) / 1e6 AS hm
+        |  FROM hourly),
+        |cur AS (
+        |  SELECT a.bucket, a.hm AS c, b.hm AS v
+        |  FROM hm a JOIN hm b ON a.bucket = b.bucket
+        |  WHERE a.event_type = 'click' AND b.event_type = 'view'),
+        |pairs AS (
+        |  SELECT t.bucket, t.c, t.v, p.c AS cp, p.v AS vp
+        |  FROM cur t JOIN cur p
+        |    ON p.bucket + INTERVAL 1 HOUR = t.bucket),
+        |dirs AS (
+        |  SELECT 'click->view' AS direction, v AS y, vp AS yl, cp AS xl
+        |  FROM pairs
+        |  UNION ALL
+        |  SELECT 'view->click', c, cp, vp FROM pairs),
+        |p2 AS (
+        |  SELECT direction,
+        |    CAST(y AS DECIMAL(14,6)) AS yd,
+        |    CAST(yl AS DECIMAL(14,6)) AS y1,
+        |    CAST(xl AS DECIMAL(14,6)) AS x1
+        |  FROM dirs),
+        |p3 AS (
+        |  SELECT direction, yd, y1, x1,
+        |    CAST(CAST(yd AS DECIMAL(20,6)) * yd AS DECIMAL(30,12)) AS pyy,
+        |    CAST(CAST(y1 AS DECIMAL(20,6)) * y1 AS DECIMAL(30,12)) AS p11,
+        |    CAST(CAST(x1 AS DECIMAL(20,6)) * x1 AS DECIMAL(30,12)) AS p22,
+        |    CAST(CAST(y1 AS DECIMAL(20,6)) * yd AS DECIMAL(30,12)) AS p1y,
+        |    CAST(CAST(x1 AS DECIMAL(20,6)) * yd AS DECIMAL(30,12)) AS p2y,
+        |    CAST(CAST(y1 AS DECIMAL(20,6)) * x1 AS DECIMAL(30,12)) AS p12
+        |  FROM p2),
+        |mom AS (
+        |  SELECT direction, COUNT(*) AS n,
+        |    CAST(SUM(yd) AS DECIMAL(14,6)) AS sy,
+        |    CAST(SUM(y1) AS DECIMAL(14,6)) AS s1,
+        |    CAST(SUM(x1) AS DECIMAL(14,6)) AS s2,
+        |    SUM(pyy) AS syy, SUM(p11) AS s11, SUM(p22) AS s22,
+        |    SUM(p1y) AS s1y, SUM(p2y) AS s2y, SUM(p12) AS s12
+        |  FROM p3 GROUP BY direction),
+        |cm AS (
+        |  SELECT direction, n,
+        |    CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS cyy,
+        |    CAST(n AS DOUBLE) * CAST(s11 AS DOUBLE)
+        |      - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) AS c11,
+        |    CAST(n AS DOUBLE) * CAST(s22 AS DOUBLE)
+        |      - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) AS c22,
+        |    CAST(n AS DOUBLE) * CAST(s1y AS DOUBLE)
+        |      - CAST(s1 AS DOUBLE) * CAST(sy AS DOUBLE) AS c1y,
+        |    CAST(n AS DOUBLE) * CAST(s2y AS DOUBLE)
+        |      - CAST(s2 AS DOUBLE) * CAST(sy AS DOUBLE) AS c2y,
+        |    CAST(n AS DOUBLE) * CAST(s12 AS DOUBLE)
+        |      - CAST(s1 AS DOUBLE) * CAST(s2 AS DOUBLE) AS c12
+        |  FROM mom),
+        |sol AS (
+        |  SELECT direction, n, cyy, c11, c1y, c2y,
+        |    (c1y * c22 - c2y * c12) / (c11 * c22 - c12 * c12) AS b1,
+        |    (c2y * c11 - c1y * c12) / (c11 * c22 - c12 * c12) AS b2
+        |  FROM cm),
+        |rss AS (
+        |  SELECT direction, n, cyy, b1, b2,
+        |    cyy - b1 * c1y - b2 * c2y AS rssu,
+        |    cyy - c1y * c1y / c11 AS rssr
+        |  FROM sol)
+        |SELECT direction, CAST(n AS BIGINT) AS n,
+        |  ROUND(b1, 6) AS beta_ylag,
+        |  ROUND(b2, 6) AS beta_xlag,
+        |  ROUND((rssr - rssu) * (CAST(n AS DOUBLE) - 3.0) / rssu, 6)
+        |    AS f_stat,
+        |  ROUND(1.0 - rssr / cyy, 6) AS r2_r,
+        |  ROUND(1.0 - rssu / cyy, 6) AS r2_u
+        |FROM rss ORDER BY direction""".stripMargin,
 
     // the identical CASE ladder — relation names agree string-for-string
     "ts57_allen_relations" ->

@@ -1337,6 +1337,71 @@ object VectorOps {
         .orderBy(col("q_id"))
     }),
 
+    // DELTA-INDEX MERGE — how production ANN serves a GROWING corpus
+    // without rebuilding: the bulk sits in the IVF index (centroids
+    // trained on it alone), fresh arrivals accumulate in a small
+    // UNINDEXED delta that is brute-force scanned and unioned into every
+    // query's candidate set — the FAISS/Lucene "main segment + in-memory
+    // segment" pattern. Queries probe nprobe=2 cells of main + ALL of
+    // delta; exact cosine on the union; measured recall@5 against the
+    // full-corpus ground truth shows what the merge restores (an
+    // index-only search is blind to the unindexed 5% by construction).
+    // Scale: the delta is small BY DEFINITION (it is what compaction
+    // hasn't folded in yet) and scans as a broadcast-queries map-side
+    // pass; the main side is v27's O(q·√n) cell-bounded probe; the union
+    // meets at a per-query top-5 window over ≤ (2·√n + |delta|) rows.
+    "v37_delta_index_merge" -> ((s, dir) => {
+      graft.functions.VectorFunctions.register(s)
+      val e = emb(s, dir)
+      val main = e.filter(col("vec_id") % 20 =!= 0)
+      val delta = e.filter(col("vec_id") % 20 === 0)
+      val cents = sqrtSeedCents(main).localCheckpoint(true)
+      val cells = coarseAssign(main, cents)
+      val wProbe = Window.partitionBy(col("vec_id"))
+        .orderBy(col("csim").desc, col("clabel"))
+      val probes = cellSims(e.filter(expr("vec_id % 100 = 50")), cents)
+        .withColumn("crn", row_number().over(wProbe))
+        .filter(col("crn") <= 2)
+        .select(col("vec_id").as("q_id"), col("emb").as("qe"),
+          col("norm").as("qn"), col("clabel").as("cell"))
+      val qs = e.filter(expr("vec_id % 100 = 50"))
+        .select(col("vec_id").as("q_id"), col("emb").as("qe"),
+          col("norm").as("qn"))
+      val mainCand = cells.join(broadcast(probes), Seq("cell"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("sim",
+          round(expr("graft_dot(qe, emb)") / (col("qn") * col("norm")), 6))
+        .select(col("q_id"), col("vec_id").as("c_id"), col("sim"),
+          lit("main").as("src"))
+      val deltaCand = delta.crossJoin(broadcast(qs))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("sim",
+          round(expr("graft_dot(qe, emb)") / (col("qn") * col("norm")), 6))
+        .select(col("q_id"), col("vec_id").as("c_id"), col("sim"),
+          lit("delta").as("src"))
+      val wTop = Window.partitionBy(col("q_id"))
+        .orderBy(col("sim").desc, col("c_id"))
+      val top5 = mainCand.unionByName(deltaCand)
+        .withColumn("rnk", row_number().over(wTop).cast("long"))
+        .filter(col("rnk") <= 5)
+        .localCheckpoint(true)
+      val exact = cosineTopK(e, qs, 5).select(col("q_id"), col("c_id"))
+      val hits = top5.join(exact, Seq("q_id", "c_id"), "left_semi")
+        .groupBy(col("q_id")).agg(count(lit(1)).cast("long").as("n_hit"))
+      val nd = top5.groupBy(col("q_id"))
+        .agg(sum(when(col("src") === "delta", 1L).otherwise(0L))
+          .as("n_delta"))
+      top5.filter(col("rnk") === 1)
+        .select(col("q_id"), col("c_id").as("top1_id"),
+          col("src").as("top1_src"), col("sim").as("top1_sim"))
+        .join(nd, Seq("q_id"))
+        .join(hits, Seq("q_id"), "left")
+        .withColumn("n_hit", coalesce(col("n_hit"), lit(0L)))
+        .withColumn("recall_at_5",
+          round(col("n_hit").cast("double") / 5.0, 6))
+        .orderBy(col("q_id"))
+    }),
+
     // JOHNSON-LINDENSTRAUSS RANDOM PROJECTION with a measured distortion
     // certificate: project the 64-dim corpus to k=16 dims through a
     // deterministic ±1 sign matrix (hash of (i,j) — the Achlioptas
@@ -3046,6 +3111,70 @@ object VectorOps {
         |FROM hits, nx ORDER BY c1""".stripMargin,
 
     "v35_graph_beam_search" -> beamSql,
+
+    // main/delta replay: sqrt-cents from MAIN only, nprobe-2 probes,
+    // delta brute union, shared top-5 ladder, full-corpus ground truth
+    "v37_delta_index_merge" ->
+      s"""WITH $embSql,
+        |m AS (SELECT * FROM e WHERE vec_id % 20 <> 0),
+        |d AS (SELECT * FROM e WHERE vec_id % 20 = 0),
+        |nn AS (SELECT CAST(CEIL(SQRT(COUNT(*))) AS BIGINT) AS kk FROM m),
+        |cents AS (SELECT vec_id AS clabel, emb AS cvec, norm AS cnorm
+        |          FROM m, nn WHERE vec_id < kk),
+        |cells AS (SELECT vec_id, emb, norm, clabel AS cell FROM (
+        |  SELECT m.vec_id, m.emb, m.norm, c.clabel,
+        |    ROW_NUMBER() OVER (PARTITION BY m.vec_id ORDER BY
+        |      round(list_dot_product(m.emb, c.cvec)
+        |        / (m.norm * c.cnorm), 6) DESC, c.clabel) AS rn
+        |  FROM m, cents c) WHERE rn = 1),
+        |q AS (SELECT vec_id AS q_id, emb AS qe, norm AS qn FROM e
+        |      WHERE vec_id % 100 = 50),
+        |pr AS (SELECT q_id, qe, qn, cell FROM (
+        |  SELECT q.q_id, q.qe, q.qn, c.clabel AS cell,
+        |    ROW_NUMBER() OVER (PARTITION BY q.q_id ORDER BY
+        |      round(list_dot_product(q.qe, c.cvec)
+        |        / (q.qn * c.cnorm), 6) DESC, c.clabel) AS crn
+        |  FROM q, cents c) WHERE crn <= 2),
+        |mc AS (
+        |  SELECT p.q_id, cl.vec_id AS c_id,
+        |    round(list_dot_product(p.qe, cl.emb)
+        |      / (p.qn * cl.norm), 6) AS sim,
+        |    'main' AS src
+        |  FROM pr p JOIN cells cl ON cl.cell = p.cell
+        |  WHERE cl.vec_id <> p.q_id),
+        |dc AS (
+        |  SELECT q.q_id, d.vec_id AS c_id,
+        |    round(list_dot_product(q.qe, d.emb) / (q.qn * d.norm), 6)
+        |      AS sim,
+        |    'delta' AS src
+        |  FROM q, d WHERE d.vec_id <> q.q_id),
+        |u AS (SELECT * FROM mc UNION ALL SELECT * FROM dc),
+        |t5 AS (SELECT q_id, c_id, sim, src, rnk FROM (
+        |  SELECT q_id, c_id, sim, src, ROW_NUMBER() OVER (
+        |    PARTITION BY q_id ORDER BY sim DESC, c_id) AS rnk FROM u)
+        |  WHERE rnk <= 5),
+        |px AS (SELECT q.q_id, c.vec_id AS c_id,
+        |    round(list_dot_product(q.qe, c.emb) / (q.qn * c.norm), 6)
+        |      AS sim
+        |  FROM e c, q WHERE c.vec_id <> q.q_id),
+        |ex AS (SELECT q_id, c_id FROM (
+        |  SELECT q_id, c_id, ROW_NUMBER() OVER (PARTITION BY q_id
+        |    ORDER BY sim DESC, c_id) AS rnk FROM px) WHERE rnk <= 5),
+        |ht AS (SELECT a.q_id, COUNT(*) AS n_hit FROM t5 a
+        |  SEMI JOIN ex ON ex.q_id = a.q_id AND ex.c_id = a.c_id
+        |  GROUP BY a.q_id),
+        |ndl AS (SELECT q_id,
+        |    CAST(SUM(CASE WHEN src = 'delta' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_delta
+        |  FROM t5 GROUP BY q_id)
+        |SELECT a.q_id, a.c_id AS top1_id, a.src AS top1_src,
+        |  a.sim AS top1_sim, ndl.n_delta,
+        |  CAST(COALESCE(ht.n_hit, 0) AS BIGINT) AS n_hit,
+        |  ROUND(CAST(COALESCE(ht.n_hit, 0) AS DOUBLE) / 5.0, 6)
+        |    AS recall_at_5
+        |FROM t5 a JOIN ndl ON ndl.q_id = a.q_id
+        |LEFT JOIN ht ON ht.q_id = a.q_id
+        |WHERE a.rnk = 1 ORDER BY a.q_id""".stripMargin,
 
     // same ±1 sign hash, same micro-int lattice; every integer SUM pinned
     // to BIGINT (DuckDB would widen to HUGEINT)

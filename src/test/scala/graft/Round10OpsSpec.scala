@@ -588,6 +588,56 @@ class Round10OpsSpec extends SparkSpec {
     }
   }
 
+  /** click = sawtooth (t mod 7), view = 3·click₋₁ ± 0.5 alternating noise:
+    * click Granger-causes view (near-perfect unrestricted fit), while
+    * view's own lag explains little. */
+  private lazy val grangerFixtureDir: String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-granger-fixture")
+    graft.util.TempDirs.deleteOnExit(dir)
+    val rows = (0 until 128).flatMap { t =>
+      val ts = java.sql.Timestamp.valueOf(
+        java.time.LocalDateTime.of(2024, 3, 1, 0, 0).plusHours(t))
+      val click = (t % 7 + 1).toDouble
+      val view = 3.0 * ((t - 1 + 7) % 7 + 1) +
+        (if (t % 2 == 0) 0.5 else -0.5)
+      Seq((t.toLong * 2, ts, 1L, "click", click, "{}"),
+        (t.toLong * 2 + 1, ts, 1L, "view", view, "{}"))
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir.toString
+  }
+
+  test("ts58 kernel: the planted causal direction dominates and R2 obeys " +
+    "the nesting inequality") {
+    val rows = SparkEntry.queries("ts58_granger_causality")(
+      spark, grangerFixtureDir).collect()
+    val byDir = rows.map(r => r.getString(0) ->
+      (r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6))).toMap
+    val (bx, f, r2r, r2u) = byDir("click->view")
+    assert(math.abs(bx - 3.0) < 0.05, s"beta_xlag should recover 3: $bx")
+    assert(f > 100.0, s"planted causality must dominate: F=$f")
+    assert(r2u > 0.95 && r2u >= r2r - 1e-9)
+    // the unrestricted model can never fit worse than the restricted one
+    rows.foreach(r => assert(r.getDouble(6) >= r.getDouble(5) - 1e-9))
+  }
+
+  test("v37 over sf0.001: merge invariants — recall derived from hits, " +
+    "delta contribution bounded, top1 is rank 1 of the union") {
+    val rows = SparkEntry.queries("v37_delta_index_merge")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nDelta, nHit, recall) =
+        (r.getLong(4), r.getLong(5), r.getDouble(6))
+      assert(nDelta >= 0L && nDelta <= 5L)
+      assert(nHit >= 0L && nHit <= 5L)
+      assert(math.abs(recall - nHit / 5.0) < 1e-9)
+      assert(Set("main", "delta").contains(r.getString(2)))
+    }
+  }
+
   test("v35 over sf0.001: beam-search visited set is walk-bounded and " +
     "recall is a true fraction of measured hits") {
     val rows = SparkEntry.queries("v35_graph_beam_search")(spark, sf).collect()
