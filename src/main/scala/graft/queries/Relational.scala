@@ -161,6 +161,37 @@ object Relational {
         .orderBy(col("o_orderkey"))
     }),
 
+    // -- IGNORE NULLS window gallery (§2.5's null-skipping analytic
+    // forms): forward-fill via LAST_VALUE...IGNORE NULLS over a running
+    // frame (THE standard SQL gap-fill spelling), previous-non-null via
+    // LAG...IGNORE NULLS, and NTH_VALUE...IGNORE NULLS — the sparse
+    // "carry last observation forward" family every reporting stack
+    // writes. NULLs are synthesized (price visible only on 'F' orders)
+    // and every output is COALESCE-pinned to -1 so no nullable column
+    // reaches the cross-engine sort. Spark spells the modifier outside
+    // the call parens, DuckDB inside — same ANSI semantics, which the
+    // oracle compare proves cell-for-cell. One window sort serves all
+    // three functions (shared WINDOW clause).
+    "q62_ignore_nulls_window" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql(
+        """WITH o AS (
+          |  SELECT o_custkey, o_orderkey,
+          |    CASE WHEN o_orderstatus = 'F' THEN o_totalprice END AS x
+          |  FROM orders WHERE o_custkey % 20 = 0)
+          |SELECT o_custkey, o_orderkey,
+          |  COALESCE(x, -1.0) AS x,
+          |  COALESCE(LAST_VALUE(x) IGNORE NULLS OVER w, -1.0) AS ffill,
+          |  COALESCE(LAG(x, 1) IGNORE NULLS OVER (PARTITION BY o_custkey
+          |    ORDER BY o_orderkey), -1.0) AS prev_nn,
+          |  COALESCE(NTH_VALUE(x, 2) IGNORE NULLS OVER w, -1.0)
+          |    AS second_nn
+          |FROM o
+          |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey
+          |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          |ORDER BY o_custkey, o_orderkey""".stripMargin)
+    }),
+
     // -- PIPELINE RUN-METRICS via Dataset.observe (§2.10's observability
     // surface): named aggregate metrics ride a REAL downstream action on
     // the same single scan — zero extra passes, which is how a 100 TB
@@ -1748,6 +1779,25 @@ object Relational {
     "q29_correlated_subquery" -> q29Sql,
 
     "q43_recursive_hierarchy" -> q43Sql,
+
+    // DuckDB spells IGNORE NULLS inside the call parens; semantics match
+    // the Spark text cell-for-cell
+    "q62_ignore_nulls_window" ->
+      """WITH o AS (
+        |  SELECT o_custkey, o_orderkey,
+        |    CASE WHEN o_orderstatus = 'F' THEN o_totalprice END AS x
+        |  FROM orders WHERE o_custkey % 20 = 0)
+        |SELECT o_custkey, o_orderkey,
+        |  COALESCE(x, -1.0) AS x,
+        |  COALESCE(LAST_VALUE(x IGNORE NULLS) OVER w, -1.0) AS ffill,
+        |  COALESCE(LAG(x, 1 IGNORE NULLS) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderkey), -1.0) AS prev_nn,
+        |  COALESCE(NTH_VALUE(x, 2 IGNORE NULLS) OVER w, -1.0)
+        |    AS second_nn
+        |FROM o
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
 
     // declarative recomputation of the observed metric row
     "q61_observe_metrics" ->

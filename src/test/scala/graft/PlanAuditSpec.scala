@@ -536,6 +536,32 @@ class PlanAuditSpec extends SparkSpec {
       s"top-k partial aggregate missing — candidates would shuffle raw:\n$p")
   }
 
+  test("q60: cogroup merge plans CoGroup with per-side sort — no Window, " +
+    "no per-group materialization") {
+    val df = q("q60_typed_cogroup")
+    df.collect()
+    val p = planString(df).split("== Initial Plan ==").head
+    assert(p.contains("CoGroup"), s"expected a CoGroup physical node:\n$p")
+    // the secondary sort is sortWithinPartitions under the cogroup, never
+    // a window (a window would buffer whole groups)
+    assert(!p.contains("Window"), s"cogroup must not plan a window:\n$p")
+    // one hash exchange per side + the presentation range sort
+    val shuffles = countShuffles(p)
+    assert(shuffles <= 3, s"expected ≤3 exchanges (2 sides + order), " +
+      s"got $shuffles:\n$p")
+  }
+
+  test("v37: probes and queries broadcast; the only non-broadcast join " +
+    "grain is cell-bounded") {
+    val df = q("v37_delta_index_merge")
+    df.collect()
+    val p = planString(df).split("== Initial Plan ==").head
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"probe/query frames are not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"a non-broadcast cartesian appeared — the corpus would pair-blow:\n$p")
+  }
+
   test("tx43: the corpus-wide top-15 plans TakeOrderedAndProject, and word " +
     "scores broadcast back") {
     val df = q("tx43_rake_keywords")
