@@ -779,6 +779,45 @@ object GasStoreQueries {
     spark.read.parquet(path)
   }
 
+  /** gs30's sink: COMPLETE output mode — the live dashboard-counter shape:
+    * an unwindowed per-field aggregate whose WHOLE result table is
+    * re-emitted each trigger to a memory sink; the final snapshot (equal
+    * by construction to the batch aggregate over everything seen) is
+    * materialized to parquet at end-of-stream. Complete mode is only sane
+    * when |groups| is small — state AND output are the |fields|-row table
+    * itself, which is exactly the global-counters use case; windowed/keyed
+    * history stays in the append-mode queries (gs07-gs29). */
+  private val builtComplete = new java.util.WeakHashMap[SparkSession, String]()
+  private def streamCompleteTotals(spark: SparkSession): DataFrame = {
+    val path = builtComplete.synchronized {
+      Option(builtComplete.get(spark)).getOrElse {
+        val work = Files.createTempDirectory("graft-gas-complete")
+        deleteOnExit(work)
+        val long = graft.store.LongStore.unpivot(
+          graft.transform.GasTransform(
+            graft.streaming.GasStream.readStream(spark, fixtureDir))
+            .withColumnRenamed("file_name", "_src")).drop("_src")
+        long.groupBy(col("_field"))
+          .agg(count(lit(1)).as("n_points"),
+            sum(sumExactCol(col("_value"))).as("total"),
+            max(col("_time")).as("latest"))
+          .writeStream
+          .format("memory")
+          .queryName("gs30_totals")
+          .option("checkpointLocation", s"$work/ckpt")
+          .outputMode("complete")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+          .awaitTermination()
+        spark.table("gs30_totals")
+          .write.mode("overwrite").parquet(s"$work/out")
+        builtComplete.put(spark, s"$work/out")
+        s"$work/out"
+      }
+    }
+    spark.read.parquet(path)
+  }
+
   /** gs16's sink: streaming per-window TOP-K — the "worst readings this
     * hour" dashboard tile, and the proof the engine's typed
     * [[graft.functions.TopKAggregator]] is a first-class STREAMING
@@ -1235,6 +1274,18 @@ object GasStoreQueries {
         .select(col("w_us"), col("_field"), col("n_points"),
           col("sum_micro"), col("min_micro"), col("max_micro"))
         .orderBy(col("w_us"), col("_field"))),
+
+    // COMPLETE-MODE GLOBAL COUNTERS — the whole-stream per-field totals
+    // snapshot (no watermark, no windows: every point ever seen counts);
+    // end-of-stream snapshot ≡ the batch aggregate, which the oracle
+    // recomputes from the raw CSVs directly
+    "gs30_stream_complete_totals" -> ((s, _) =>
+      streamCompleteTotals(s)
+        .filter(col("_field").isin("CO (ppm)", "Humidity (%r.h.)"))
+        .select(col("_field"), col("n_points"),
+          col("total").cast("double").as("total"),
+          unix_micros(col("latest")).as("latest_us"))
+        .orderBy(col("_field"))),
 
     // CHAINED STREAMING WINDOWS — the hourly→6 h rollup pyramid as ONE
     // streaming query (two stateful aggregates back to back); the read
@@ -1890,6 +1941,19 @@ object GasStoreQueries {
          |FROM agg, mx
          |WHERE ws + INTERVAL 2 HOUR <= mx - INTERVAL 30 MINUTE
          |ORDER BY b_us""".stripMargin,
+
+    // gs30 replay: the complete-mode snapshot is just the batch aggregate
+    "gs30_stream_complete_totals" ->
+      s"""$prelude,
+         |pts AS (
+         |  SELECT _time, 'CO (ppm)' AS _field, "CO (ppm)" AS _value
+         |  FROM raw
+         |  UNION ALL
+         |  SELECT _time, 'Humidity (%r.h.)', "Humidity (%r.h.)" FROM raw)
+         |SELECT _field, CAST(COUNT(*) AS BIGINT) AS n_points,
+         |  CAST(SUM(CAST(_value AS DECIMAL(18,6))) AS DOUBLE) AS total,
+         |  MAX(epoch_us(_time)) AS latest_us
+         |FROM pts GROUP BY _field ORDER BY _field""".stripMargin,
 
     // replay of gs29: all points into epoch-aligned 6 h buckets (DuckDB
     // time_bucket's 2000-01-03 origin sits a whole number of 6 h periods

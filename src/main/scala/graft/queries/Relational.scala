@@ -161,6 +161,34 @@ object Relational {
         .orderBy(col("o_orderkey"))
     }),
 
+    // -- MAP higher-order-function gallery (§2.8's map-typed sibling of
+    // q27's array gallery): map_concat builds the record, transform_values
+    // rewrites every cell, map_filter drops odd cells ('key2' = 2k+1 is
+    // ALWAYS odd — the branch that proves filtering happens), explode
+    // flattens back to relational rows. Maps never leave the executor as
+    // maps; the oracle computes the surviving cells as a plain UNION —
+    // Spark's map algebra must land on relational semantics exactly.
+    // All map ops are map-side expressions; the only exchange is the
+    // presentation sort.
+    "q63_map_functions" -> ((s, dir) => {
+      t(s, dir, "nation").createOrReplaceTempView("nation")
+      s.sql(
+        """WITH m AS (
+          |  SELECT n_nationkey,
+          |    map_filter(
+          |      transform_values(
+          |        map_concat(
+          |          map('name_len', CAST(length(n_name) AS BIGINT)),
+          |          map('key2', CAST(n_nationkey * 2 AS BIGINT),
+          |              'region', CAST(n_regionkey AS BIGINT))),
+          |        (k, v) -> v + 1),
+          |      (k, v) -> v % 2 = 0) AS mm
+          |  FROM nation)
+          |SELECT n_nationkey, tag, v
+          |FROM m LATERAL VIEW explode(mm) t AS tag, v
+          |ORDER BY n_nationkey, tag""".stripMargin)
+    }),
+
     // -- IGNORE NULLS window gallery (§2.5's null-skipping analytic
     // forms): forward-fill via LAST_VALUE...IGNORE NULLS over a running
     // frame (THE standard SQL gap-fill spelling), previous-non-null via
@@ -1779,6 +1807,20 @@ object Relational {
     "q29_correlated_subquery" -> q29Sql,
 
     "q43_recursive_hierarchy" -> q43Sql,
+
+    // relational recomputation of the surviving map cells
+    "q63_map_functions" ->
+      """WITH cells AS (
+        |  SELECT n_nationkey, 'name_len' AS tag,
+        |    CAST(length(n_name) + 1 AS BIGINT) AS v FROM nation
+        |  UNION ALL
+        |  SELECT n_nationkey, 'key2', CAST(n_nationkey * 2 + 1 AS BIGINT)
+        |  FROM nation
+        |  UNION ALL
+        |  SELECT n_nationkey, 'region', CAST(n_regionkey + 1 AS BIGINT)
+        |  FROM nation)
+        |SELECT n_nationkey, tag, v FROM cells WHERE v % 2 = 0
+        |ORDER BY n_nationkey, tag""".stripMargin,
 
     // DuckDB spells IGNORE NULLS inside the call parens; semantics match
     // the Spark text cell-for-cell

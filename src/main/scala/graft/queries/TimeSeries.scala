@@ -2002,6 +2002,34 @@ object TimeSeries {
             / col("n_diff").cast("double")), 6).as("resid_sd"))
     }),
 
+    // OUT-OF-ORDER ARRIVAL diagnostic — the ingest-quality metric that
+    // sizes a stream's WATERMARK: in arrival order (event_id), how often
+    // does event time step backwards, and by how much at worst? The
+    // max-backstep answers "what delay bound loses no data"; inv_ppm
+    // (adjacent inversions per million, integer floor-div — positive so
+    // both engines agree) trends the disorder rate per type. One window
+    // sort per type, then a plain aggregate — O(n log n) in each
+    // partition, no pair blowup.
+    "ts59_out_of_order" -> ((s, dir) => {
+      val w = Window.partitionBy(col("event_type")).orderBy(col("event_id"))
+      ev(s, dir)
+        .select(col("event_type"), col("event_id"),
+          unix_micros(col("ts")).as("us"))
+        .withColumn("prev_us", lag(col("us"), 1).over(w))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("us") < col("prev_us"), 1L).otherwise(0L))
+            .as("n_inversions"),
+          max(when(col("us") < col("prev_us"),
+            col("prev_us") - col("us"))).as("mb"))
+        .withColumn("max_backstep_us", coalesce(col("mb"), lit(0L)))
+        .withColumn("inv_ppm",
+          expr("n_inversions * 1000000 div (n - 1)"))
+        .select(col("event_type"), col("n"), col("n_inversions"),
+          col("max_backstep_us"), col("inv_ppm"))
+        .orderBy(col("event_type"))
+    }),
+
     // GRANGER CAUSALITY (lag-1, both directions): does last hour's click
     // level improve the prediction of this hour's view level beyond
     // views' own history — and vice versa? Restricted model y~y₋₁ vs
@@ -3808,6 +3836,22 @@ object TimeSeries {
         |  ROUND(sqrt(CAST(se2 AS DOUBLE) / CAST(n_diff AS DOUBLE)), 6)
         |    AS resid_sd
         |FROM g""".stripMargin,
+
+    // same lag-in-arrival-order replay; `//` vs `div` agree (positive)
+    "ts59_out_of_order" ->
+      """WITH o AS (
+        |  SELECT event_type, epoch_us(ts) AS us,
+        |    LAG(epoch_us(ts), 1) OVER (PARTITION BY event_type
+        |      ORDER BY event_id) AS prev_us
+        |  FROM events)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CASE WHEN us < prev_us THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_inversions,
+        |  CAST(COALESCE(MAX(CASE WHEN us < prev_us THEN prev_us - us END),
+        |    0) AS BIGINT) AS max_backstep_us,
+        |  CAST(SUM(CASE WHEN us < prev_us THEN 1 ELSE 0 END) * 1000000
+        |    // (COUNT(*) - 1) AS BIGINT) AS inv_ppm
+        |FROM o GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // identical moment pipeline; the two directions are the two SELECTs
     // of a UNION ALL; every double expression is token-matched to the

@@ -638,6 +638,63 @@ class Round10OpsSpec extends SparkSpec {
     }
   }
 
+  test("gs30 over the gas fixture: the complete-mode snapshot equals the " +
+    "batch aggregate") {
+    val pts = SparkEntry.queries("gs01_field_filter")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(2)))
+    val rows = SparkEntry.queries("gs30_stream_complete_totals")(spark, sf)
+      .collect().filter(_.getString(0) == "CO (ppm)")
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getLong(1) == pts.length.toLong)
+    assert(r.getDouble(2) == pts.map(p => BigDecimal(p._2)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble)
+    assert(r.getLong(3) == pts.map(_._1).max)
+  }
+
+  /** event_id order 0..5 with ts hours 0,2,1,3,3,5: two adjacent
+    * backsteps? no — one (2→1); equal stamps are NOT inversions. */
+  private lazy val oooFixtureDir: String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ooo-fixture")
+    graft.util.TempDirs.deleteOnExit(dir)
+    def ts(h: Int) = java.sql.Timestamp.valueOf(
+      java.time.LocalDateTime.of(2024, 4, 1, 0, 0).plusHours(h))
+    Seq((0L, ts(0)), (1L, ts(2)), (2L, ts(1)), (3L, ts(3)), (4L, ts(3)),
+      (5L, ts(5)))
+      .map { case (id, t) => (id, t, 1L, "click", 1.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir.toString
+  }
+
+  test("ts59 kernel: counts exactly the planted backstep, ties are not " +
+    "inversions, ppm floors") {
+    val rows = SparkEntry.queries("ts59_out_of_order")(spark, oooFixtureDir)
+      .collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ==
+      (6L, 1L, 3600000000L, 200000L)) // 1 inversion / 5 pairs = 200000 ppm
+  }
+
+  test("q63 kernel: the filtered-out branch never survives and every " +
+    "surviving cell is even and recomputable") {
+    val nation = graft.sources.Tables.table(spark, sf, "nation")
+      .select("n_nationkey", "n_name", "n_regionkey").collect()
+      .map(r => (r.getAs[Number](0).longValue(), r.getString(1),
+        r.getAs[Number](2).longValue()))
+    val expected = nation.flatMap { case (k, name, reg) =>
+      Seq(("name_len", name.length + 1L), ("region", reg + 1L))
+        .filter(_._2 % 2 == 0).map { case (tag, v) => (k, tag, v) }
+    }.sortBy(t => (t._1, t._2))
+    val got = SparkEntry.queries("q63_map_functions")(spark, sf).collect()
+      .map(r => (r.getAs[Number](0).longValue(), r.getString(1),
+        r.getAs[Number](2).longValue()))
+    assert(!got.exists(_._2 == "key2"), "odd-always branch must be filtered")
+    assert(got.toSeq == expected.toSeq)
+  }
+
   test("v35 over sf0.001: beam-search visited set is walk-bounded and " +
     "recall is a true fraction of measured hits") {
     val rows = SparkEntry.queries("v35_graph_beam_search")(spark, sf).collect()
