@@ -254,6 +254,64 @@ object Relational {
           "max_ship_us")
     }),
 
+    // -- ORDERED-SET AGGREGATES (§2.4's ANSI front door):
+    // percentile_cont / percentile_disc WITHIN GROUP (ORDER BY ...) and
+    // median — the inverse-distribution forms the SQL standard spells,
+    // planned by Spark into ordinary sort-based aggregates (no window, no
+    // global sort). l_quantity holds integer values, so every cont
+    // interpolation lands on an exact quarter (a + (b−a)·f with f ∈
+    // {0, ¼, ½, ¾} — dyadic, bit-exact on both engines); disc picks an
+    // actual row value. The oracle runs the IDENTICAL text in DuckDB —
+    // the point of the query is that the standard's syntax AND its
+    // interpolation semantics agree cross-engine.
+    "q64_within_group" -> ((s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+      s.sql(
+        """SELECT l_returnflag, COUNT(*) AS n,
+          |  percentile_cont(0.25) WITHIN GROUP (ORDER BY l_quantity)
+          |    AS p25,
+          |  percentile_cont(0.5) WITHIN GROUP (ORDER BY l_quantity)
+          |    AS p50,
+          |  percentile_cont(0.75) WITHIN GROUP (ORDER BY l_quantity)
+          |    AS p75,
+          |  percentile_disc(0.25) WITHIN GROUP (ORDER BY l_quantity)
+          |    AS p25_disc,
+          |  median(l_quantity) AS med
+          |FROM lineitem GROUP BY l_returnflag
+          |ORDER BY l_returnflag""".stripMargin)
+    }),
+
+    // -- ANSI TRY_* GALLERY (§2.8's error-safe arithmetic surface): this
+    // session runs ANSI mode, where overflow / ÷0 / bad casts RAISE — the
+    // try_ family is the documented per-expression opt-out a pipeline
+    // uses to quarantine bad cells instead of failing a 100 TB job.
+    // try_add/try_multiply overflow → NULL (the 2⁶² multiplier overflows
+    // for any count ≥ 2, exercising the NULL arm on real data; cnt·cnt
+    // exercises the value arm), try_divide ÷0 → NULL, try_cast non-numeric
+    // → NULL. The oracle mirrors the SEMANTICS, not hand-computed results:
+    // arithmetic is widened to HUGEINT and range-checked back to BIGINT
+    // (DuckDB's ÷0 already yields NULL, and TRY_CAST is native) — so both
+    // engines compute every branch from the data.
+    "q65_try_arithmetic" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql(
+        """WITH g AS (
+          |  SELECT o_orderstatus, COUNT(*) AS cnt,
+          |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+          |      AS price_sum
+          |  FROM orders GROUP BY o_orderstatus)
+          |SELECT o_orderstatus, cnt,
+          |  try_add(9223372036854775807, cnt) AS add_overflow,
+          |  try_add(cnt, 1) AS add_ok,
+          |  try_multiply(4611686018427387904, cnt) AS mul_overflow,
+          |  try_multiply(cnt, cnt) AS mul_ok,
+          |  try_divide(price_sum, CAST(cnt - cnt AS DOUBLE)) AS div_zero,
+          |  try_divide(price_sum, 2.0) AS div_half,
+          |  try_cast(o_orderstatus AS INT) AS cast_bad,
+          |  try_cast(CAST(cnt AS STRING) AS INT) AS cast_ok
+          |FROM g ORDER BY o_orderstatus""".stripMargin)
+    }),
+
     // -- RECURSIVE CTE (WITH RECURSIVE — new in Spark 4): the iterative
     // front door next to q29's correlated one. Each part walks its
     // digit-trim ancestry to a single-digit root — the BOM-explosion /
@@ -1807,6 +1865,50 @@ object Relational {
     "q29_correlated_subquery" -> q29Sql,
 
     "q43_recursive_hierarchy" -> q43Sql,
+
+    // the IDENTICAL statement text — the query is the syntax+semantics
+    // parity proof for the ordered-set aggregate family
+    "q64_within_group" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |  percentile_cont(0.25) WITHIN GROUP (ORDER BY l_quantity) AS p25,
+        |  percentile_cont(0.5) WITHIN GROUP (ORDER BY l_quantity) AS p50,
+        |  percentile_cont(0.75) WITHIN GROUP (ORDER BY l_quantity) AS p75,
+        |  percentile_disc(0.25) WITHIN GROUP (ORDER BY l_quantity)
+        |    AS p25_disc,
+        |  median(l_quantity) AS med
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
+    // semantics mirror, not result literals: HUGEINT-widened arithmetic
+    // range-checked back to BIGINT replays try_add/try_multiply; DuckDB's
+    // native ÷0→NULL and TRY_CAST replay the rest — every branch computed
+    // from the data on both engines
+    "q65_try_arithmetic" ->
+      """WITH g AS (
+        |  SELECT o_orderstatus, COUNT(*) AS cnt,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+        |      AS price_sum
+        |  FROM orders GROUP BY o_orderstatus),
+        |h AS (
+        |  SELECT o_orderstatus, cnt, price_sum,
+        |    CAST(9223372036854775807 AS HUGEINT) + cnt AS ha,
+        |    CAST(4611686018427387904 AS HUGEINT) * cnt AS hm,
+        |    CAST(cnt AS HUGEINT) * cnt AS hmok
+        |  FROM g)
+        |SELECT o_orderstatus, cnt,
+        |  CASE WHEN ha BETWEEN -9223372036854775808 AND 9223372036854775807
+        |    THEN CAST(ha AS BIGINT) END AS add_overflow,
+        |  cnt + 1 AS add_ok,
+        |  CASE WHEN hm BETWEEN -9223372036854775808 AND 9223372036854775807
+        |    THEN CAST(hm AS BIGINT) END AS mul_overflow,
+        |  CASE WHEN hmok BETWEEN -9223372036854775808
+        |      AND 9223372036854775807
+        |    THEN CAST(hmok AS BIGINT) END AS mul_ok,
+        |  price_sum / CAST(cnt - cnt AS DOUBLE) AS div_zero,
+        |  price_sum / 2.0 AS div_half,
+        |  TRY_CAST(o_orderstatus AS INT) AS cast_bad,
+        |  TRY_CAST(CAST(cnt AS VARCHAR) AS INT) AS cast_ok
+        |FROM h ORDER BY o_orderstatus""".stripMargin,
 
     // relational recomputation of the surviving map cells
     "q63_map_functions" ->

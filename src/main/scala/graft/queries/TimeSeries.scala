@@ -2154,6 +2154,120 @@ object TimeSeries {
         .select(col("day"), col("sa"), col("ea"), col("sb"), col("eb"),
           col("relation"))
         .orderBy(col("day"))
+    }),
+
+    // MANN–KENDALL TREND TEST (the nonparametric partner of ts35's
+    // Theil–Sen slope): per event_type, S = Σ_{i<j} sign(x_j − x_i) over
+    // the hourly means, the tie-corrected variance numerator
+    // n(n−1)(2n+5) − Σ t(t−1)(2t+5), Kendall's τ_a, and the
+    // continuity-corrected z — "is there ANY monotone trend?" answered
+    // without assuming linearity or normality. Everything except the two
+    // final rounded outputs is exact 64-bit integer arithmetic: hourly
+    // means live in 1e-6 micro-units ([[hourlyMicroMean]]), so sign
+    // comparisons, tie groups and the variance polynomial are all integer
+    // — bit-identical on both engines by construction; z and τ are each
+    // ONE fixed IEEE tree over those integers. Scale: the pair join runs
+    // on the PRE-COMPRESSED hourly frame (|hours|² per series, ts35's
+    // class — 720² here), never on raw events; many series shard on g.
+    "ts60_mann_kendall" -> ((s, dir) => {
+      val h = hourlyMicroMean(s, dir).localCheckpoint(true)
+      val later = h.select(col("g"), col("bucket").as("bj"), col("m").as("mj"))
+      val sStat = h.join(later, Seq("g"))
+        .filter(col("bucket") < col("bj"))
+        .groupBy(col("g"))
+        .agg(sum(when(col("mj") > col("m"), 1L)
+          .when(col("mj") < col("m"), -1L).otherwise(0L)).as("s_stat"))
+      val ties = h.groupBy(col("g"), col("m")).agg(count(lit(1)).as("t"))
+        .groupBy(col("g"))
+        .agg(sum(col("t") * (col("t") - 1) * (lit(2) * col("t") + 5))
+          .as("tie_term"))
+      val nn = h.groupBy(col("g")).agg(count(lit(1)).as("n"))
+      sStat.join(ties, Seq("g")).join(nn, Seq("g"))
+        .withColumn("var_num",
+          col("n") * (col("n") - 1) * (lit(2) * col("n") + 5) - col("tie_term"))
+        .select(col("g").as("event_type"), col("n"), col("s_stat"),
+          col("tie_term"), col("var_num"),
+          round(expr("case when s_stat > 0 then" +
+            " (cast(s_stat as double) - 1.0) / sqrt(cast(var_num as double) / 18.0)" +
+            " when s_stat < 0 then" +
+            " (cast(s_stat as double) + 1.0) / sqrt(cast(var_num as double) / 18.0)" +
+            " else 0.0 end"), 6).as("z"),
+          round(expr("cast(s_stat as double) /" +
+            " (cast(n as double) * (cast(n as double) - 1.0) / 2.0)"), 6)
+            .as("tau"))
+        .orderBy(col("event_type"))
+    }),
+
+    // WILDER RSI, SMA-14 form (the momentum oscillator, on the simple
+    // 14-bucket moving averages rather than the recursive smoothing — the
+    // windowed form is order-free and exactly portable): per event_type,
+    // hourly-mean deltas split into integer micro-unit gains/losses,
+    // 14-bucket rolling sums via ONE window frame, RSI = 100·G/(G+L)
+    // computed as an exact integer floor-division in 1e-6 units (both
+    // operands non-negative, so Spark `div` ≡ DuckDB `//`), flat windows
+    // (G+L=0) pinned to 50 by convention on both engines. Headroom:
+    // G ≤ 14·max|Δ| ≤ 7.9e9 micro, ×1e8 = 7.9e17 < 2⁶³. Deltas are over
+    // OBSERVED buckets (documented: gaps collapse, no fill) — the grid
+    // join stays out of the hot path. One scan, one shuffle to the hourly
+    // frame, one window sort per series.
+    "ts61_rsi" -> ((s, dir) => {
+      val w = Window.partitionBy(col("g")).orderBy(col("bucket"))
+      val d = hourlyMicroMean(s, dir)
+        .withColumn("delta", col("m") - lag(col("m"), 1).over(w))
+        .filter(col("delta").isNotNull)
+        .withColumn("gain", greatest(col("delta"), lit(0L)))
+        .withColumn("loss", greatest(-col("delta"), lit(0L)))
+      val w14 = w.rowsBetween(-13, 0)
+      d.withColumn("rn", row_number().over(w))
+        .withColumn("g14", sum(col("gain")).over(w14))
+        .withColumn("l14", sum(col("loss")).over(w14))
+        .filter(col("rn") >= 14)
+        .select(col("g").as("event_type"), col("bucket"),
+          col("g14").as("gain_sum"), col("l14").as("loss_sum"),
+          expr("case when g14 + l14 = 0 then cast(50.0 as double)" +
+            " else cast((g14 * 100000000) div (g14 + l14) as double) / 1e6" +
+            " end").as("rsi"))
+        .orderBy(col("event_type"), col("bucket"))
+    }),
+
+    // WALD–WOLFOWITZ RUNS TEST (randomness screen): per event_type, code
+    // each hourly mean as above/not-above the series' own mean threshold
+    // (integer micro-units — the tie convention "equal counts as below"
+    // is identical on both engines because the comparison is integer),
+    // count the runs, and z-score the run count against its exact
+    // two-state expectation μ = 1 + 2·n₁·n₀/n,
+    // σ² = 2·n₁·n₀·(2·n₁·n₀ − n) / (n²·(n−1)). A trending series (ts60)
+    // and an oscillating one both fail this differently — too FEW runs
+    // vs too MANY — so the signed z is the diagnostic. All counts exact
+    // integers; μ/σ²/z are ONE fixed IEEE tree; a degenerate series
+    // (all one side) pins z to 0. Same scale shape as ts60 minus the
+    // pair join: hourly frame, one window sort, one aggregate.
+    "ts62_runs_test" -> ((s, dir) => {
+      val h = hourlyMicroMean(s, dir)
+      val thr = h.groupBy(col("g"))
+        .agg(expr("sum(m) div count(1)").as("tau_m"))
+      val w = Window.partitionBy(col("g")).orderBy(col("bucket"))
+      h.join(broadcast(thr), Seq("g"))
+        .withColumn("sgn", when(col("m") > col("tau_m"), 1L).otherwise(0L))
+        .withColumn("prev", lag(col("sgn"), 1).over(w))
+        .withColumn("brk",
+          when(col("prev").isNull || col("sgn") =!= col("prev"), 1L)
+            .otherwise(0L))
+        .groupBy(col("g"))
+        .agg(count(lit(1)).as("n"), sum(col("sgn")).as("n_above"),
+          sum(col("brk")).as("n_runs"))
+        .select(col("g").as("event_type"), col("n"), col("n_above"),
+          col("n_runs"),
+          round(expr("case when n_above = 0 or n_above = n then 0.0 else" +
+            " (cast(n_runs as double) -" +
+            "  (1.0 + 2.0 * cast(n_above * (n - n_above) as double)" +
+            "   / cast(n as double))) /" +
+            " sqrt(2.0 * cast(n_above * (n - n_above) as double)" +
+            "  * (2.0 * cast(n_above * (n - n_above) as double)" +
+            "     - cast(n as double))" +
+            "  / (cast(n as double) * cast(n as double)" +
+            "     * (cast(n as double) - 1.0))) end"), 6).as("z"))
+        .orderBy(col("event_type"))
     })
   )
 
@@ -2161,6 +2275,20 @@ object TimeSeries {
     * shared with ts22's double-smoothing: decay powers fold literal 0.8
     * factors (never `pow`), per-term rounding + exact-decimal sums make the
     * aggregate order-independent. Returns (g, i, ema) unrounded. */
+  /** Hourly mean per event_type in exact 1e-6 micro-units as a BIGINT —
+    * `(g, bucket, m)` with m = halfUpMean6 kept in integer form. Shared by
+    * the ts60/ts61/ts62 trend/momentum/randomness tests so every
+    * downstream comparison, difference and sum stays exact 64-bit integer
+    * arithmetic on both engines (the oracle twin is the
+    * `(2·sx·10⁶ + n) // (2n)` fragment). One events scan, one shuffle. */
+  private def hourlyMicroMean(s: SparkSession, dir: String): DataFrame =
+    ev(s, dir)
+      .withColumn("bucket", date_trunc("hour", col("ts")))
+      .groupBy(col("event_type").as("g"), col("bucket"))
+      .agg(sum(sumExactCol(col("value"))).as("sx"), count(lit(1)).as("n"))
+      .select(col("g"), col("bucket"),
+        expr("(2 * cast(sx * 1000000 as bigint) + n) div (2 * n)").as("m"))
+
   /** Shared ACF estimator for ts27/ts40: per series key `g`, the
     * autocorrelation at lags 1–10 — r_L = Σ(xᵢ−μ)(xᵢ₊L−μ) / Σ(xᵢ−μ)²,
     * μ via [[halfUpMean6]]; ten lead() columns share ONE window sort,
@@ -2194,6 +2322,15 @@ object TimeSeries {
           .as("acf"),
         col("n_pairs"))
   }
+
+  /** Shared DuckDB replay of [[hourlyMicroMean]] — one CTE body (no WITH)
+    * ending in `hm(g, bucket, m)` with m the exact micro-unit BIGINT mean. */
+  private def hourlyMicroSql: String =
+    """hm AS (
+      |  SELECT event_type AS g, date_trunc('hour', ts) AS bucket,
+      |    (2 * CAST(SUM(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT)
+      |       + COUNT(*)) // (2 * COUNT(*)) AS m
+      |  FROM events GROUP BY 1, 2)""".stripMargin
 
   /** Shared DuckDB replay of [[acf10]] — CTE bodies only (no WITH),
     * ending in `a(g, lag, acf, n_pairs)`: centered series by row-number
@@ -3965,7 +4102,97 @@ object TimeSeries {
         |       WHEN sa < sb THEN 'overlaps'
         |       ELSE 'overlapped_by' END AS relation
         |FROM iv WHERE sa IS NOT NULL AND sb IS NOT NULL
-        |ORDER BY day""".stripMargin
+        |ORDER BY day""".stripMargin,
+
+    // integer micro-unit hourly means -> all-integer S / ties / variance
+    // polynomial; z and tau are the identical one-tree IEEE spellings
+    "ts60_mann_kendall" ->
+      s"""WITH $hourlyMicroSql,
+        |pr AS (
+        |  SELECT a.g,
+        |    CASE WHEN b.m > a.m THEN 1 WHEN b.m < a.m THEN -1 ELSE 0 END
+        |      AS sgn
+        |  FROM hm a JOIN hm b ON a.g = b.g AND a.bucket < b.bucket),
+        |s AS (SELECT g, CAST(SUM(sgn) AS BIGINT) AS s_stat FROM pr
+        |      GROUP BY g),
+        |tie AS (
+        |  SELECT g,
+        |    CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
+        |  FROM (SELECT g, m, COUNT(*) AS t FROM hm GROUP BY g, m)
+        |  GROUP BY g),
+        |nn AS (SELECT g, COUNT(*) AS n FROM hm GROUP BY g),
+        |vv AS (
+        |  SELECT s.g, nn.n, s.s_stat, tie.tie_term,
+        |    CAST(nn.n * (nn.n - 1) * (2 * nn.n + 5) - tie.tie_term
+        |      AS BIGINT) AS var_num
+        |  FROM s JOIN tie ON s.g = tie.g JOIN nn ON s.g = nn.g)
+        |SELECT g AS event_type, n, s_stat, tie_term, var_num,
+        |  ROUND(CASE WHEN s_stat > 0 THEN
+        |      (CAST(s_stat AS DOUBLE) - 1.0)
+        |        / sqrt(CAST(var_num AS DOUBLE) / 18.0)
+        |    WHEN s_stat < 0 THEN
+        |      (CAST(s_stat AS DOUBLE) + 1.0)
+        |        / sqrt(CAST(var_num AS DOUBLE) / 18.0)
+        |    ELSE 0.0 END, 6) AS z,
+        |  ROUND(CAST(s_stat AS DOUBLE) /
+        |    (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0) / 2.0), 6) AS tau
+        |FROM vv ORDER BY event_type""".stripMargin,
+
+    // integer gains/losses, 14-row window sums, RSI as the exact
+    // floor-division in micro-units (both operands non-negative)
+    "ts61_rsi" ->
+      s"""WITH $hourlyMicroSql,
+        |d AS (
+        |  SELECT g, bucket,
+        |    m - lag(m, 1) OVER (PARTITION BY g ORDER BY bucket) AS delta
+        |  FROM hm),
+        |gl AS (
+        |  SELECT g, bucket,
+        |    GREATEST(delta, 0) AS gain, GREATEST(-delta, 0) AS loss
+        |  FROM d WHERE delta IS NOT NULL),
+        |r AS (
+        |  SELECT g, bucket,
+        |    ROW_NUMBER() OVER (PARTITION BY g ORDER BY bucket) AS rn,
+        |    CAST(SUM(gain) OVER (PARTITION BY g ORDER BY bucket
+        |      ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS BIGINT) AS g14,
+        |    CAST(SUM(loss) OVER (PARTITION BY g ORDER BY bucket
+        |      ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS BIGINT) AS l14
+        |  FROM gl)
+        |SELECT g AS event_type, bucket, g14 AS gain_sum, l14 AS loss_sum,
+        |  CASE WHEN g14 + l14 = 0 THEN CAST(50.0 AS DOUBLE)
+        |    ELSE CAST((g14 * 100000000) // (g14 + l14) AS DOUBLE) / 1e6
+        |  END AS rsi
+        |FROM r WHERE rn >= 14 ORDER BY event_type, bucket""".stripMargin,
+
+    // identical integer coding (equal-to-threshold counts as below), runs
+    // by lag-breaks, one-tree z with the degenerate-series guard
+    "ts62_runs_test" ->
+      s"""WITH $hourlyMicroSql,
+        |thr AS (SELECT g, SUM(m) // COUNT(*) AS tau_m FROM hm GROUP BY g),
+        |coded AS (
+        |  SELECT hm.g, hm.bucket,
+        |    CASE WHEN hm.m > thr.tau_m THEN 1 ELSE 0 END AS sgn
+        |  FROM hm JOIN thr ON hm.g = thr.g),
+        |brks AS (
+        |  SELECT g, sgn,
+        |    lag(sgn, 1) OVER (PARTITION BY g ORDER BY bucket) AS prev
+        |  FROM coded),
+        |agg AS (
+        |  SELECT g, COUNT(*) AS n, CAST(SUM(sgn) AS BIGINT) AS n_above,
+        |    CAST(SUM(CASE WHEN prev IS NULL OR sgn <> prev THEN 1 ELSE 0
+        |      END) AS BIGINT) AS n_runs
+        |  FROM brks GROUP BY g)
+        |SELECT g AS event_type, n, n_above, n_runs,
+        |  ROUND(CASE WHEN n_above = 0 OR n_above = n THEN 0.0 ELSE
+        |    (CAST(n_runs AS DOUBLE) -
+        |     (1.0 + 2.0 * CAST(n_above * (n - n_above) AS DOUBLE)
+        |      / CAST(n AS DOUBLE))) /
+        |    sqrt(2.0 * CAST(n_above * (n - n_above) AS DOUBLE)
+        |     * (2.0 * CAST(n_above * (n - n_above) AS DOUBLE)
+        |        - CAST(n AS DOUBLE))
+        |     / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+        |        * (CAST(n AS DOUBLE) - 1.0))) END, 6) AS z
+        |FROM agg ORDER BY event_type""".stripMargin
   )
 
   /** The ts21 closed-form EMA kernel as a DuckDB CTE pair (`<out>_pairs`,
