@@ -327,6 +327,58 @@ object Multimodal {
     }
   }
 
+  /** Histogram-equalization summary: every field an exact long, so the
+    * oracle compare never meets a float. */
+  case class EqualizedImage(media_id: Long, n_px: Long, n_levels: Long,
+      eq_sum: Long, eq_min: Long, eq_max: Long)
+
+  /** HISTOGRAM EQUALIZATION over real BMP containers — the contrast
+    * normalization an image-ingest pipeline runs before feature
+    * extraction: build the 256-level histogram over ALL channel bytes,
+    * remap each level through the integer CDF transfer function
+    * new(v) = (cdf(v) − cdf_min)·255 div (n − cdf_min) (cdf_min = the
+    * count of the darkest occupied level; a single-level image maps to 0
+    * by convention — both mirrored by the oracle), and reduce the
+    * equalized image to exact integer aggregates. The summary is
+    * LEVEL-SET arithmetic (Σ h(v)·new(v)), deliberately independent of
+    * pixel order — mm06/mm13/mm15 already pin layout; this pins the CDF
+    * remap itself. Scale shape: map-side decode + a 256-long histogram
+    * per image, ONE bounded row out per media; pixels never shuffle. */
+  def histogramEqualize(media: Dataset[Container]): Dataset[EqualizedImage] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { c =>
+        val b = c.payload
+        if (b.length >= 2 && b(0) == 'B' && b(1) == 'M') {
+          val img = MediaCodecs.Bmp.parse(b)
+          val hist = new Array[Long](256)
+          img.channels.foreach(v => hist(v) += 1L)
+          val n = img.channels.length.toLong
+          var cdfMin = 0L
+          var v = 0
+          while (v < 256 && cdfMin == 0L) { cdfMin = hist(v); v += 1 }
+          var cdf = 0L; var eqSum = 0L
+          var eqMin = Long.MaxValue; var eqMax = Long.MinValue
+          var nLevels = 0L
+          v = 0
+          while (v < 256) {
+            if (hist(v) > 0L) {
+              cdf += hist(v)
+              val nv =
+                if (n == cdfMin) 0L else (cdf - cdfMin) * 255L / (n - cdfMin)
+              eqSum += hist(v) * nv
+              if (nv < eqMin) eqMin = nv
+              if (nv > eqMax) eqMax = nv
+              nLevels += 1L
+            }
+            v += 1
+          }
+          Some(EqualizedImage(c.media_id, n, nLevels, eqSum, eqMin, eqMax))
+        } else None
+      }
+    }
+  }
+
   /** One ViT-style patch: grid position + exact per-channel sums over a
     * p×p tile (ragged right/bottom tiles keep their true pixel count).
     * Field order follows [[MediaCodecs.BmpImage.channels]]'s B,G,R pixel

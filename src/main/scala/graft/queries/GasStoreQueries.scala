@@ -221,6 +221,51 @@ object GasStoreQueries {
     spark.read.parquet(path)
   }
 
+  /** gs31's sink: UNION OF TWO INDEPENDENTLY-WATERMARKED STREAMS — two
+    * sensor feeds (CO delayed ≤ 30 min, Humidity ≤ 60 min) landing in ONE
+    * windowed aggregate. Spark's multi-input rule: the stateful operator
+    * advances on the MIN of the per-input watermarks, so the
+    * slower-delayed feed gates sealing for BOTH fields — the one union
+    * semantics a multi-source pipeline must get right, and exactly what
+    * the oracle replays (cutoff = LEAST(max(CO) − 30 min,
+    * max(Hum) − 60 min)). State: one (count, exact decimal total) record
+    * per open window × field — bounded by construction. Append mode:
+    * each window emitted exactly once. */
+  private val builtUnion = new java.util.WeakHashMap[SparkSession, String]()
+  private def streamUnion(spark: SparkSession): DataFrame = {
+    val path = builtUnion.synchronized {
+      Option(builtUnion.get(spark)).getOrElse {
+        val work = Files.createTempDirectory("graft-gas-union")
+        deleteOnExit(work)
+        def branch(field: String, delay: String) =
+          graft.store.LongStore.unpivot(
+            graft.transform.GasTransform(
+              graft.streaming.GasStream.readStream(spark, fixtureDir))
+              .withColumnRenamed("file_name", "_src")).drop("_src")
+            .filter(col("_field") === field)
+            .withWatermark("_time", delay)
+        branch("CO (ppm)", "30 minutes")
+          .unionByName(branch("Humidity (%r.h.)", "60 minutes"))
+          .groupBy(window(col("_time"), "6 hours"), col("_field"))
+          .agg(count(lit(1)).as("n_points"),
+            sum(col("_value").cast("decimal(18,6)")).as("total_dec"))
+          .select(col("window.start").as("_bucket"), col("_field"),
+            col("n_points"), col("total_dec"))
+          .writeStream
+          .format("parquet")
+          .option("path", s"$work/out")
+          .option("checkpointLocation", s"$work/ckpt")
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+          .awaitTermination()
+        builtUnion.put(spark, s"$work/out")
+        s"$work/out"
+      }
+    }
+    spark.read.parquet(path)
+  }
+
   /** gs25's sink: plain TUMBLING 6 h mean ingredients (count + exact
     * decimal total) per field — the simplest member of the windowed-sink
     * family (gs07 slides, gs21 does OHLC, gs22 histograms; this is the
@@ -1300,6 +1345,16 @@ object GasStoreQueries {
           col("total").cast("double").as("total"))
         .orderBy(col("b_us"))),
 
+    // UNION OF TWO INDEPENDENTLY-WATERMARKED STREAMS — the multi-feed
+    // ingestion shape; the semantic point is the GLOBAL watermark
+    // (min across inputs): the 60 min-delayed feed gates window sealing
+    // for BOTH fields, and the oracle replays exactly that LEAST() rule.
+    "gs31_stream_union_watermarks" -> ((s, _) =>
+      streamUnion(s)
+        .select(unix_micros(col("_bucket")).as("b_us"), col("_field"),
+          col("n_points"), col("total_dec").cast("double").as("total"))
+        .orderBy(col("b_us"), col("_field"))),
+
     // STREAMING KMV DISTINCT ESTIMATE — the live bottom-16 sketch read
     // batch-side (max-n_seen snapshot = end-of-stream merge, micro-batch
     // invariant), its (k−1)·2⁴⁸/h₍ₖ₎ estimate checked against the EXACT
@@ -1954,6 +2009,34 @@ object GasStoreQueries {
          |  CAST(SUM(CAST(_value AS DECIMAL(18,6))) AS DOUBLE) AS total,
          |  MAX(epoch_us(_time)) AS latest_us
          |FROM pts GROUP BY _field ORDER BY _field""".stripMargin,
+
+    // replay of gs31: per-branch max event time minus its OWN delay,
+    // sealed at the MIN of the two (Spark's multi-input global-watermark
+    // rule); counts pinned BIGINT, total an exact decimal sum cast once
+    "gs31_stream_union_watermarks" ->
+      s"""$prelude,
+         |pts AS (
+         |  SELECT _time, 'CO (ppm)' AS _field, "CO (ppm)" AS _value
+         |  FROM raw
+         |  UNION ALL
+         |  SELECT _time, 'Humidity (%r.h.)', "Humidity (%r.h.)" FROM raw),
+         |wm AS (
+         |  SELECT LEAST(
+         |    (SELECT MAX(_time) FROM pts WHERE _field = 'CO (ppm)')
+         |      - INTERVAL 30 MINUTE,
+         |    (SELECT MAX(_time) FROM pts WHERE _field = 'Humidity (%r.h.)')
+         |      - INTERVAL 60 MINUTE) AS cut),
+         |agg AS (
+         |  SELECT epoch_us(_time) // 21600000000 AS wi, _field,
+         |    COUNT(*) AS n_points,
+         |    SUM(CAST(_value AS DECIMAL(18,6))) AS total_dec
+         |  FROM pts GROUP BY wi, _field)
+         |SELECT wi * 21600000000 AS b_us, _field,
+         |  CAST(n_points AS BIGINT) AS n_points,
+         |  CAST(total_dec AS DOUBLE) AS total
+         |FROM agg, wm
+         |WHERE (wi + 1) * 21600000000 <= epoch_us(cut)
+         |ORDER BY b_us, _field""".stripMargin,
 
     // replay of gs29: all points into epoch-aligned 6 h buckets (DuckDB
     // time_bucket's 2000-01-03 origin sits a whole number of 6 h periods

@@ -392,7 +392,22 @@ object MultimodalQueries {
       }
       Multimodal.pngIntegrity(corrupted).toDF()
         .orderBy(col("media_id"))
-    })
+    }),
+
+    // HISTOGRAM EQUALIZATION through the real BMP parser — the contrast
+    // normalization stage (decode → 256-level histogram → integer CDF
+    // remap → features). The summary is level-set arithmetic (deliberately
+    // pixel-order-free; mm06/mm13/mm15 already pin layout), so the oracle
+    // replays the channel-byte formula as a VALUE multiset and runs the
+    // identical CDF transfer function in SQL — a wrong cdf_min, an
+    // off-by-one in the divisor, or a biased division flips the sums.
+    "mm21_hist_equalization" -> ((s, dir) =>
+      Multimodal.histogramEqualize(
+          Multimodal.syntheticContainers(
+            fanout(Tables.table(s, dir, "documents"))
+              .filter(col("doc_id") % 2 === 0)))
+        .toDF()
+        .orderBy(col("media_id")))
   )
 
   val oracle: Map[String, String] = Map(
@@ -973,6 +988,43 @@ object MultimodalQueries {
         |         list_transform(range(0, w*h*3),
         |           j -> (media_id*37 + j*11) % 256)),
         |         (acc, v) -> (acc*31 + v) % 1000000007) END AS checksum
-        |FROM m ORDER BY media_id""".stripMargin
+        |FROM m ORDER BY media_id""".stripMargin,
+
+    // the channel-byte formula as a value multiset (order-free by
+    // design), then the IDENTICAL integer CDF transfer function:
+    // new(v) = (cdf(v) − cdf_min)·255 // (n − cdf_min), single-level
+    // images pinned to 0 — all-integer, so the compare is exact
+    "mm21_hist_equalization" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id,
+        |    (4 + doc_id % 5) * (3 + doc_id % 4) * 3 AS npx
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |v AS (
+        |  -- fixed-range + filter (the mm15 convention — no correlated
+        |  -- table function); 144 = max npx = 8·6·3
+        |  SELECT media_id, npx, (media_id * 31 + j) % 256 AS v
+        |  FROM m, range(0, 144) tj(j) WHERE j < npx),
+        |hist AS (
+        |  SELECT media_id, npx, v, COUNT(*) AS hc
+        |  FROM v GROUP BY 1, 2, 3),
+        |c AS (
+        |  SELECT media_id, npx, v, hc,
+        |    CAST(SUM(hc) OVER (PARTITION BY media_id ORDER BY v)
+        |      AS BIGINT) AS cdf
+        |  FROM hist),
+        |mn AS (SELECT media_id, MIN(cdf) AS cdfmin FROM c
+        |       GROUP BY media_id),
+        |eq AS (
+        |  SELECT c.media_id, c.npx, c.hc,
+        |    CASE WHEN c.npx = mn.cdfmin THEN 0
+        |      ELSE ((c.cdf - mn.cdfmin) * 255) // (c.npx - mn.cdfmin)
+        |    END AS nv
+        |  FROM c JOIN mn ON c.media_id = mn.media_id)
+        |SELECT media_id, CAST(MAX(npx) AS BIGINT) AS n_px,
+        |  COUNT(*) AS n_levels,
+        |  CAST(SUM(hc * nv) AS BIGINT) AS eq_sum,
+        |  CAST(MIN(nv) AS BIGINT) AS eq_min,
+        |  CAST(MAX(nv) AS BIGINT) AS eq_max
+        |FROM eq GROUP BY media_id ORDER BY media_id""".stripMargin
   )
 }

@@ -1528,7 +1528,43 @@ object TextOps {
         .agg(count(lit(1)).cast("long").as("n_docs"),
           sum(col("sum_d")).cast("long").as("sum_dist"))
         .orderBy(col("actual"), col("predicted"))
-    })
+    }),
+
+    // READABILITY SCORING (Flesch reading-ease + Flesch–Kincaid grade —
+    // the difficulty dial an instruction-data curriculum filters on):
+    // words = \S+ islands, sentences = [.!?]+ terminator groups (floored
+    // at 1 so headline-like fragments still score), syllables = the
+    // standard vowel-group heuristic [aeiouy]+ over the lowercased text.
+    // All three counts are integers from THREE regexp passes sharing one
+    // scan (RE2/Java-regex-common character classes only — no \b, no
+    // lookaround); the two scores are each ONE fixed IEEE tree over those
+    // integers. Patterns go through the DataFrame API (lit), never a SQL
+    // string literal, so no escape-processing divergence can creep in.
+    // Pure map-side per-doc work + presentation sort — embarrassingly
+    // parallel at any corpus size.
+    "tx45_readability" -> ((s, dir) =>
+      fanout(docs(s, dir))
+        .withColumn("n_words",
+          size(regexp_extract_all(col("text"), lit("\\S+"), lit(0)))
+            .cast("long"))
+        .withColumn("n_sentences",
+          size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0)))
+            .cast("long"))
+        .withColumn("n_syllables",
+          size(regexp_extract_all(lower(col("text")), lit("[aeiouy]+"),
+            lit(0))).cast("long"))
+        .withColumn("wp", greatest(col("n_words"), lit(1L)).cast("double"))
+        .withColumn("sp", greatest(col("n_sentences"), lit(1L))
+          .cast("double"))
+        .select(col("doc_id"), col("n_words"), col("n_sentences"),
+          col("n_syllables"),
+          round(lit(206.835) - lit(1.015) * (col("wp") / col("sp"))
+            - lit(84.6) * (col("n_syllables").cast("double") / col("wp")), 6)
+            .as("fre"),
+          round(lit(0.39) * (col("wp") / col("sp"))
+            + lit(11.8) * (col("n_syllables").cast("double") / col("wp"))
+            - lit(15.59), 6).as("fk_grade"))
+        .orderBy(col("doc_id")))
   )
 
   /** tx39's single-fold CDC cutter as a shared (doc_id, source, chunk)
@@ -2645,6 +2681,31 @@ object TextOps {
         |    FROM dist) WHERE rn = 1)
         |SELECT lang AS actual, plang AS predicted, COUNT(*) AS n_docs,
         |  CAST(SUM(sum_d) AS BIGINT) AS sum_dist
-        |FROM pick GROUP BY 1, 2 ORDER BY actual, predicted""".stripMargin
+        |FROM pick GROUP BY 1, 2 ORDER BY actual, predicted""".stripMargin,
+
+    // the same three RE2/Java-common patterns (backslashes literal in a
+    // DuckDB string), then the identical one-tree score spellings
+    "tx45_readability" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT)
+        |      AS n_words,
+        |    CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT)
+        |      AS n_sentences,
+        |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+        |      AS BIGINT) AS n_syllables
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, n_words, n_sentences, n_syllables,
+        |    CAST(GREATEST(n_words, 1) AS DOUBLE) AS wp,
+        |    CAST(GREATEST(n_sentences, 1) AS DOUBLE) AS sp
+        |  FROM c)
+        |SELECT doc_id, n_words, n_sentences, n_syllables,
+        |  ROUND(206.835 - 1.015 * (wp / sp)
+        |    - 84.6 * (CAST(n_syllables AS DOUBLE) / wp), 6) AS fre,
+        |  ROUND(0.39 * (wp / sp)
+        |    + 11.8 * (CAST(n_syllables AS DOUBLE) / wp) - 15.59, 6)
+        |    AS fk_grade
+        |FROM p ORDER BY doc_id""".stripMargin
   )
 }

@@ -1526,6 +1526,51 @@ object VectorOps {
           col("bands_scanned"), col("n_scanned"), col("n_corpus"),
           col("frac_scanned"), col("n_missed"))
         .orderBy(col("q_id"))
+    }),
+
+    // EMBEDDING DRIFT MONITOR (the model-rollout health check an embedding
+    // pipeline runs before mixing vectors from two encoder versions into
+    // one index): per label, the centroid of the even-id half vs the
+    // odd-id half — cosine between the two centroids, the L2 shift, and
+    // the worst single-dimension displacement. Centroid coordinates are
+    // 6-dp-rounded (v02's construction) then snapped to the v36 integer
+    // micro-lattice, so the cross-half dot products and the L2 sum are
+    // EXACT 64-bit integer arithmetic — cosine/shift are each one fixed
+    // IEEE tree over those integers (n0sq·n1sq would overflow 2⁶³, so the
+    // denominator is sqrt(n0sq)·sqrt(n1sq), spelled identically in the
+    // oracle). Plan: one embeddings scan → (label, half, dim) partial-agg
+    // (the only data-sized shuffle); everything after runs on the
+    // |labels|×2×64-row centroid frame.
+    "v38_embedding_drift" -> ((s, dir) => {
+      val cent = emb(s, dir)
+        .withColumn("half", (col("vec_id") % 2).cast("int"))
+        .select(col("label"), col("half"),
+          posexplode(col("emb")).as(Seq("pos", "val")))
+        .groupBy(col("label"), col("half"), col("pos"))
+        .agg(count(lit(1)).as("nv"), round(avg(col("val")), 6).as("c6"))
+        .withColumn("cm",
+          expr("cast(round(c6 * 1000000, 0) as bigint)"))
+      val c0 = cent.filter(col("half") === 0)
+        .select(col("label"), col("pos"), col("cm").as("cm0"),
+          col("nv").as("nv0"))
+      val c1 = cent.filter(col("half") === 1)
+        .select(col("label"), col("pos"), col("cm").as("cm1"),
+          col("nv").as("nv1"))
+      c0.join(c1, Seq("label", "pos"))
+        .groupBy(col("label"))
+        .agg(max(col("nv0")).as("n0"), max(col("nv1")).as("n1"),
+          sum(col("cm0") * col("cm1")).as("dot"),
+          sum(col("cm0") * col("cm0")).as("n0sq"),
+          sum(col("cm1") * col("cm1")).as("n1sq"),
+          sum((col("cm0") - col("cm1")) * (col("cm0") - col("cm1")))
+            .as("l2"),
+          max(abs(col("cm0") - col("cm1"))).as("max_dim_shift_micro"))
+        .select(col("label"), col("n0"), col("n1"),
+          round(expr("cast(dot as double) / (sqrt(cast(n0sq as double))" +
+            " * sqrt(cast(n1sq as double)))"), 6).as("cos_drift"),
+          round(expr("sqrt(cast(l2 as double)) / 1e6"), 6).as("l2_shift"),
+          col("max_dim_shift_micro"))
+        .orderBy(col("label"))
     })
   )
 
@@ -3255,7 +3300,40 @@ object VectorOps {
         |      / CAST(SUM(n_b) AS DOUBLE), 6) AS frac_scanned,
         |  CAST(SUM(CASE WHEN ub < kth_ip AND max_ipr > kth_ip
         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_missed
-        |FROM j GROUP BY 1, 2, 3, 4 ORDER BY q_id""".stripMargin
+        |FROM j GROUP BY 1, 2, 3, 4 ORDER BY q_id""".stripMargin,
+
+    // v02's rounded-centroid construction snapped to the integer micro
+    // lattice; exact integer dot/L2 sums; identical one-tree cos/shift
+    "v38_embedding_drift" ->
+      """WITH cent AS (
+        |  SELECT label, CAST(vec_id % 2 AS INT) AS half, sub - 1 AS pos,
+        |    COUNT(*) AS nv, ROUND(AVG(val), 6) AS c6
+        |  FROM (SELECT label, vec_id, unnest(embedding::DOUBLE[]) AS val,
+        |          generate_subscripts(embedding, 1) AS sub
+        |        FROM embeddings)
+        |  GROUP BY 1, 2, 3),
+        |cm AS (SELECT label, half, pos, nv,
+        |         CAST(ROUND(c6 * 1000000, 0) AS BIGINT) AS cm
+        |       FROM cent),
+        |j AS (
+        |  SELECT a.label, a.pos, a.cm AS cm0, b.cm AS cm1,
+        |    a.nv AS nv0, b.nv AS nv1
+        |  FROM cm a JOIN cm b ON a.label = b.label AND a.pos = b.pos
+        |    AND a.half = 0 AND b.half = 1),
+        |agg AS (
+        |  SELECT label, MAX(nv0) AS n0, MAX(nv1) AS n1,
+        |    CAST(SUM(cm0 * cm1) AS BIGINT) AS dot,
+        |    CAST(SUM(cm0 * cm0) AS BIGINT) AS n0sq,
+        |    CAST(SUM(cm1 * cm1) AS BIGINT) AS n1sq,
+        |    CAST(SUM((cm0 - cm1) * (cm0 - cm1)) AS BIGINT) AS l2,
+        |    MAX(abs(cm0 - cm1)) AS max_dim_shift_micro
+        |  FROM j GROUP BY label)
+        |SELECT label, n0, n1,
+        |  ROUND(CAST(dot AS DOUBLE) / (sqrt(CAST(n0sq AS DOUBLE))
+        |    * sqrt(CAST(n1sq AS DOUBLE))), 6) AS cos_drift,
+        |  ROUND(sqrt(CAST(l2 AS DOUBLE)) / 1e6, 6) AS l2_shift,
+        |  max_dim_shift_micro
+        |FROM agg ORDER BY label""".stripMargin
   )
 
   /** v30's replay: v21's LSH edge prefix, then 6 unrolled peel rounds

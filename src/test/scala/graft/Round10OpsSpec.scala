@@ -709,4 +709,25 @@ class Round10OpsSpec extends SparkSpec {
         s"recall must be derived from n_hit: $r")
     }
   }
+
+  test("mm21 equalization kernel: closed forms through the real BMP codec") {
+    import spark.implicits._
+    import graft.multimodal.{MediaCodecs, Multimodal}
+    // two-level: hist{0:3, 255:3}, cdf_min=3 → new(0)=0, new(255)=255
+    val twoLevel = MediaCodecs.Bmp.write(2, 1, Array(0, 0, 0, 255, 255, 255))
+    // single-level: n == cdf_min → everything pinned to 0 by convention
+    val flat = MediaCodecs.Bmp.write(2, 2, Array.fill(12)(7))
+    // three-level with a non-exact division: hist{10:2, 20:1, 30:3},
+    // cdf_min=2, n=6 → new(20) = 1·255/4 = 63 (floor), new(30) = 255
+    val tri = MediaCodecs.Bmp.write(2, 1, Array(10, 10, 20, 30, 30, 30))
+    val media = Seq(
+      Multimodal.Container(2L, twoLevel),
+      Multimodal.Container(4L, flat),
+      Multimodal.Container(6L, tri)).toDS()
+    val got = Multimodal.histogramEqualize(media)
+      .collect().map(e => e.media_id -> e).toMap
+    assert(got(2L) == Multimodal.EqualizedImage(2L, 6, 2, 765, 0, 255))
+    assert(got(4L) == Multimodal.EqualizedImage(4L, 12, 1, 0, 0, 0))
+    assert(got(6L) == Multimodal.EqualizedImage(6L, 6, 3, 828, 0, 255))
+  }
 }
