@@ -379,6 +379,49 @@ object Multimodal {
     }
   }
 
+  /** One dominant-color row: all fields exact longs. `code` packs the
+    * per-channel high bits as (b≥128)·4 + (g≥128)·2 + (r≥128) — the
+    * 8-cell RGB cube corner the pixel falls in. */
+  case class DominantColor(media_id: Long, rank: Long, code: Long,
+      n_px_code: Long, n_px: Long)
+
+  /** DOMINANT-COLOR EXTRACTION over real BMP containers — the palette
+    * summarization stage (thumbnail search, near-black/near-white frame
+    * screens): quantize every pixel to its RGB-cube corner (1 bit per
+    * channel, 8 cells) and keep each image's top-2 cells by
+    * (count DESC, code ASC). The 8-cell histogram is built map-side in
+    * one decode pass; TWO bounded rows leave per image — pixels never
+    * shuffle. Integer end to end. */
+  def dominantColors(media: Dataset[Container]): Dataset[DominantColor] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { c =>
+        val b = c.payload
+        if (b.length >= 2 && b(0) == 'B' && b(1) == 'M') {
+          val img = MediaCodecs.Bmp.parse(b)
+          val counts = new Array[Long](8)
+          val nPx = img.channels.length / 3
+          var p = 0
+          while (p < nPx) {
+            val base = p * 3
+            // channels is B,G,R per pixel (BmpImage doc)
+            val code = (if (img.channels(base) >= 128) 4 else 0) |
+              (if (img.channels(base + 1) >= 128) 2 else 0) |
+              (if (img.channels(base + 2) >= 128) 1 else 0)
+            counts(code) += 1L
+            p += 1
+          }
+          val top = (0 until 8).filter(counts(_) > 0L)
+            .sortBy(code => (-counts(code), code)).take(2)
+          top.zipWithIndex.map { case (code, i) =>
+            DominantColor(c.media_id, i + 1L, code.toLong, counts(code),
+              nPx.toLong)
+          }
+        } else Nil
+      }
+    }
+  }
+
   /** One ViT-style patch: grid position + exact per-channel sums over a
     * p×p tile (ragged right/bottom tiles keep their true pixel count).
     * Field order follows [[MediaCodecs.BmpImage.channels]]'s B,G,R pixel

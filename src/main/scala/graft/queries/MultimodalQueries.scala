@@ -407,7 +407,21 @@ object MultimodalQueries {
             fanout(Tables.table(s, dir, "documents"))
               .filter(col("doc_id") % 2 === 0)))
         .toDF()
-        .orderBy(col("media_id")))
+        .orderBy(col("media_id"))),
+
+    // DOMINANT-COLOR EXTRACTION through the real BMP parser — each pixel
+    // quantized to its RGB-cube corner (1 bit/channel), top-2 cells per
+    // image by (count DESC, code ASC). The oracle re-derives every
+    // pixel's (b,g,r) from the channel formula (B,G,R layout — a channel
+    // mixup changes codes) and replays the rank rule; decode is
+    // map-side, two bounded rows out per image.
+    "mm22_dominant_colors" -> ((s, dir) =>
+      Multimodal.dominantColors(
+          Multimodal.syntheticContainers(
+            fanout(Tables.table(s, dir, "documents"))
+              .filter(col("doc_id") % 2 === 0)))
+        .toDF()
+        .orderBy(col("media_id"), col("rank")))
   )
 
   val oracle: Map[String, String] = Map(
@@ -1025,6 +1039,33 @@ object MultimodalQueries {
         |  CAST(SUM(hc * nv) AS BIGINT) AS eq_sum,
         |  CAST(MIN(nv) AS BIGINT) AS eq_min,
         |  CAST(MAX(nv) AS BIGINT) AS eq_max
-        |FROM eq GROUP BY media_id ORDER BY media_id""".stripMargin
+        |FROM eq GROUP BY media_id ORDER BY media_id""".stripMargin,
+
+    // per-pixel (b,g,r) from the B,G,R channel formula, the identical
+    // cube-corner code, and the same (count DESC, code ASC) rank rule
+    "mm22_dominant_colors" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |px AS (
+        |  SELECT media_id, w * h AS n_px,
+        |    CASE WHEN (media_id * 31 + p * 3) % 256 >= 128
+        |      THEN 4 ELSE 0 END
+        |    + CASE WHEN (media_id * 31 + p * 3 + 1) % 256 >= 128
+        |      THEN 2 ELSE 0 END
+        |    + CASE WHEN (media_id * 31 + p * 3 + 2) % 256 >= 128
+        |      THEN 1 ELSE 0 END AS code
+        |  FROM m, range(0, 48) tp(p) WHERE p < w * h),
+        |cnt AS (
+        |  SELECT media_id, n_px, code, COUNT(*) AS n_px_code
+        |  FROM px GROUP BY 1, 2, 3),
+        |r AS (
+        |  SELECT media_id, code, n_px_code, n_px,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY media_id
+        |      ORDER BY n_px_code DESC, code) AS BIGINT) AS rank
+        |  FROM cnt)
+        |SELECT media_id, rank, CAST(code AS BIGINT) AS code,
+        |  n_px_code, n_px
+        |FROM r WHERE rank <= 2 ORDER BY media_id, rank""".stripMargin
   )
 }

@@ -312,6 +312,38 @@ object Relational {
           |FROM g ORDER BY o_orderstatus""".stripMargin)
     }),
 
+    // -- XML EXTRACTION front doors (§2.8's third semi-structured format
+    // next to JSON q17 and VARIANT q45): the same record extracted two
+    // ways — the Hive-lineage xpath_* scalar functions and Spark 4's
+    // from_xml-to-struct — and proven equal to each other AND to the
+    // oracle in one projection. The XML is BUILT from table columns
+    // (nation names carry no markup characters), so the oracle replays
+    // extraction with plain regexp over the identical generated text —
+    // it never needs an XML engine. All map-side; the only exchange is
+    // the presentation sort.
+    "q66_xml_extract" -> ((s, dir) => {
+      t(s, dir, "nation").createOrReplaceTempView("nation")
+      s.sql(
+        """WITH x AS (
+          |  SELECT n_nationkey,
+          |    concat('<r><k>', CAST(n_nationkey AS STRING), '</k><nm>',
+          |      n_name, '</nm><rg>', CAST(n_regionkey AS STRING),
+          |      '</rg></r>') AS doc
+          |  FROM nation),
+          |p AS (
+          |  SELECT n_nationkey, doc,
+          |    xpath_long(doc, '/r/k/text()') AS xp_k,
+          |    xpath_string(doc, '/r/nm/text()') AS xp_nm,
+          |    xpath_long(doc, '/r/rg/text()') AS xp_rg,
+          |    from_xml(doc, 'k BIGINT, nm STRING, rg BIGINT') AS st
+          |  FROM x)
+          |SELECT n_nationkey, xp_k, xp_nm, xp_rg,
+          |  (xp_k = st.k AND xp_nm = st.nm AND xp_rg = st.rg)
+          |    AS parsers_agree,
+          |  CAST(length(doc) AS BIGINT) AS doc_len
+          |FROM p ORDER BY n_nationkey""".stripMargin)
+    }),
+
     // -- RECURSIVE CTE (WITH RECURSIVE — new in Spark 4): the iterative
     // front door next to q29's correlated one. Each part walks its
     // digit-trim ancestry to a single-digit root — the BOM-explosion /
@@ -1865,6 +1897,25 @@ object Relational {
     "q29_correlated_subquery" -> q29Sql,
 
     "q43_recursive_hierarchy" -> q43Sql,
+
+    // the identical generated text, extraction replayed with regexp —
+    // DuckDB never parses XML; parsers_agree is TRUE by construction
+    // whenever both Spark parsers read the same values the regexp does
+    "q66_xml_extract" ->
+      """WITH x AS (
+        |  SELECT n_nationkey,
+        |    concat('<r><k>', CAST(n_nationkey AS VARCHAR), '</k><nm>',
+        |      n_name, '</nm><rg>', CAST(n_regionkey AS VARCHAR),
+        |      '</rg></r>') AS doc
+        |  FROM nation)
+        |SELECT n_nationkey,
+        |  CAST(regexp_extract(doc, '<k>([0-9]+)</k>', 1) AS BIGINT) AS xp_k,
+        |  regexp_extract(doc, '<nm>([^<]*)</nm>', 1) AS xp_nm,
+        |  CAST(regexp_extract(doc, '<rg>([0-9]+)</rg>', 1) AS BIGINT)
+        |    AS xp_rg,
+        |  TRUE AS parsers_agree,
+        |  CAST(length(doc) AS BIGINT) AS doc_len
+        |FROM x ORDER BY n_nationkey""".stripMargin,
 
     // the IDENTICAL statement text — the query is the syntax+semantics
     // parity proof for the ordered-set aggregate family

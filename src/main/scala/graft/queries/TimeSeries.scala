@@ -2268,6 +2268,36 @@ object TimeSeries {
             "  / (cast(n as double) * cast(n as double)" +
             "     * (cast(n as double) - 1.0))) end"), 6).as("z"))
         .orderBy(col("event_type"))
+    }),
+
+    // RUNNING-RECORD TRACKER ("new all-time high" alerts — the
+    // monitoring twin of ts32's threshold rules, but the threshold is
+    // the series' own past): per event_type, an hourly mean is a RECORD
+    // when it strictly exceeds every earlier hour (the first hour counts
+    // — vacuous truth, same on both engines). All integer micro-units:
+    // the running max is a window max over an UNBOUNDED PRECEDING..-1
+    // frame (one sort per series, no self-join), the summary one
+    // aggregate. Record cadence falling off is the signature of a
+    // saturating metric; records clustering late signals regime change —
+    // first/last record timestamps expose both.
+    "ts63_record_highs" -> ((s, dir) => {
+      val w = Window.partitionBy(col("g")).orderBy(col("bucket"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      hourlyMicroMean(s, dir)
+        .withColumn("pm", max(col("m")).over(w))
+        .withColumn("is_rec",
+          when(col("pm").isNull || col("m") > col("pm"), 1L).otherwise(0L))
+        .groupBy(col("g"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("is_rec")).as("n_records"),
+          min(when(col("is_rec") === 1L, col("bucket")))
+            .as("first_record"),
+          max(when(col("is_rec") === 1L, col("bucket")))
+            .as("last_record"),
+          max(col("m")).as("max_micro"))
+        .select(col("g").as("event_type"), col("n"), col("n_records"),
+          col("first_record"), col("last_record"), col("max_micro"))
+        .orderBy(col("event_type"))
     })
   )
 
@@ -4192,7 +4222,27 @@ object TimeSeries {
         |        - CAST(n AS DOUBLE))
         |     / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
         |        * (CAST(n AS DOUBLE) - 1.0))) END, 6) AS z
-        |FROM agg ORDER BY event_type""".stripMargin
+        |FROM agg ORDER BY event_type""".stripMargin,
+
+    // same strictly-greater-than-running-max coding (first row a record
+    // by vacuous truth); all integer micro-units
+    "ts63_record_highs" ->
+      s"""WITH $hourlyMicroSql,
+        |r AS (
+        |  SELECT g, bucket, m,
+        |    MAX(m) OVER (PARTITION BY g ORDER BY bucket
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+        |  FROM hm),
+        |coded AS (
+        |  SELECT g, bucket, m,
+        |    CASE WHEN pm IS NULL OR m > pm THEN 1 ELSE 0 END AS is_rec
+        |  FROM r)
+        |SELECT g AS event_type, COUNT(*) AS n,
+        |  CAST(SUM(is_rec) AS BIGINT) AS n_records,
+        |  MIN(CASE WHEN is_rec = 1 THEN bucket END) AS first_record,
+        |  MAX(CASE WHEN is_rec = 1 THEN bucket END) AS last_record,
+        |  MAX(m) AS max_micro
+        |FROM coded GROUP BY g ORDER BY event_type""".stripMargin
   )
 
   /** The ts21 closed-form EMA kernel as a DuckDB CTE pair (`<out>_pairs`,

@@ -207,8 +207,11 @@ object VectorOps {
     // vertex-keyed shuffles of two longs per round, nothing corpus-sized.
     "v10_embedding_dedup" -> ((s, dir) => {
       graft.functions.VectorFunctions.register(s)
-      val pairs = lshPairs(emb(s, dir), planes = 60, bands = 15, width = 4,
-        multiProbe = true)
+      // density-scaled width (gate scale derives the original (60,15,4)
+      // dials exactly — oracle unchanged); fixed width was the ladder's
+      // 32× DNF
+      val pairs = lshPairsScaled(emb(s, dir), maxBands = 15,
+        planesBudget = 60, multiProbe = true)
         .select(col("vec_a").as("src"), col("vec_b").as("dst"))
       val comp = graft.operators.ConnectedComponents.minLabel(pairs)
       emb(s, dir).select(col("vec_id"))
@@ -863,7 +866,10 @@ object VectorOps {
     // argument.
     "v21_pagerank" -> ((s, dir) => {
       graft.functions.VectorFunctions.register(s)
-      val edges = lshPairs(emb(s, dir), planes = 60, bands = 15, width = 4)
+      // density-scaled width (derives (60,15,4) at gate scale — oracle
+      // unchanged); the fixed-width edge stage was the ladder's 473 s
+      val edges = lshPairsScaled(emb(s, dir), maxBands = 15,
+        planesBudget = 60)
         .select(col("vec_a").as("src"), col("vec_b").as("dst"))
       graft.operators.PageRank.integerRanks(edges, iters = 3)
         .select(col("id").as("vec_id"), col("deg"), col("rank"))
@@ -1006,7 +1012,10 @@ object VectorOps {
     // extra rounds past convergence are no-ops — see KCore scaladoc).
     "v30_kcore" -> ((s, dir) => {
       graft.functions.VectorFunctions.register(s)
-      val edges = lshPairs(emb(s, dir), planes = 60, bands = 15, width = 4)
+      // density-scaled width (derives (60,15,4) at gate scale — oracle
+      // unchanged); the fixed-width edge stage was the ladder's 587 s
+      val edges = lshPairsScaled(emb(s, dir), maxBands = 15,
+        planesBudget = 60)
         .select(col("vec_a").as("a"), col("vec_b").as("b"))
       graft.operators.KCore.core(edges, k = 3, rounds = 6)
         .select(col("id").as("vec_id"), col("core_deg"))
@@ -1571,6 +1580,46 @@ object VectorOps {
           round(expr("sqrt(cast(l2 as double)) / 1e6"), 6).as("l2_shift"),
           col("max_dim_shift_micro"))
         .orderBy(col("label"))
+    }),
+
+    // IVF CELL-BALANCE AUDIT (the index-health dial behind v05/v27's
+    // probe-latency guarantees): at 100 TB a skewed inverted file makes
+    // nprobe meaningless — one hot cell IS the corpus. This measures the
+    // v16/v27 adaptive index (k = ⌈n/64⌉) directly: min/max cell size,
+    // the imbalance factor max/⟨cell⟩ = max·k/n, and what fraction of
+    // the corpus the top decile of cells holds. Ranking runs on the CELL
+    // DIRECTORY (n/64 rows — index metadata, 64× compressed), not the
+    // corpus; its one unpartitioned window is a directory sort, the same
+    // class as ts31's bucket ranking. All counts integer; the two
+    // fractions are one-tree doubles.
+    "v39_ivf_balance" -> ((s, dir) => {
+      graft.functions.VectorFunctions.register(s)
+      val e = emb(s, dir)
+      // cells feeds three consumers (stats, ranking, coverage) — one
+      // eager checkpoint, v16's discipline
+      val cells = kmeansAssign(e, kmeansCentroidsAdaptive(e, iters = 2))
+        .groupBy(col("cid")).agg(count(lit(1)).as("sz"))
+        .localCheckpoint(true)
+      val stats = cells.agg(
+        count(lit(1)).as("n_cells"),
+        sum(col("sz")).cast("long").as("n"),
+        min(col("sz")).as("min_cell"),
+        max(col("sz")).as("max_cell"))
+      val ranked = cells.withColumn("rk",
+        row_number().over(Window.orderBy(col("sz").desc, col("cid")))
+          .cast("long"))
+      val top = ranked.crossJoin(broadcast(stats))
+        .filter(col("rk") <=
+          expr("cast(ceil(cast(n_cells as double) / 10.0) as bigint)"))
+        .agg(sum(col("sz")).cast("long").as("top_sz"),
+          count(lit(1)).as("top_decile_cells"))
+      stats.crossJoin(broadcast(top))
+        .select(col("n"), col("n_cells"), col("min_cell"), col("max_cell"),
+          col("top_decile_cells"),
+          round(expr("cast(max_cell as double) * cast(n_cells as double)" +
+            " / cast(n as double)"), 6).as("imbalance"),
+          round(expr("cast(top_sz as double) / cast(n as double)"), 6)
+            .as("top_decile_frac"))
     })
   )
 
@@ -1831,6 +1880,32 @@ object VectorOps {
         round(expr("graft_dot(emb_a, emb_b)") / (col("norm_a") * col("norm_b")), 6))
       .filter(col("sim") >= 0.3)
       .select(col("vec_a"), col("vec_b"), col("sim"))
+
+  /** Density-scaled band width: hold expected bucket occupancy ≈ 64 as
+    * the corpus grows (DensityScaledLshSpec / PLANS.md "the v09
+    * finding"): w-bit bands put n/2^w vectors in a bucket, so the
+    * random-collision candidate volume is ∝ n²/2^w — FIXED w is
+    * quadratic in n. The round-10 graph cost ladder measured exactly
+    * that: at 32× data the fixed-width (60,15,4) pipelines went
+    * v10 DNF / v21 473 s / v30 587 s. w = max(4, bit_length(⌈n/64⌉))
+    * holds occupancy (and per-row shuffle volume) constant; the floor 4
+    * makes the derived config BIT-IDENTICAL to the literal dials at the
+    * sf0.01 oracle-gate scale (n=500 → w=4), so the DuckDB replays stay
+    * exact while the ladder scales the width. */
+  private[graft] def scaledWidth(n: Long): Int =
+    math.max(4, 64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, (n - 1) / 64)))
+
+  /** [[lshPairs]] with the width dial derived from the corpus size and
+    * the band count fitted to the 62-bit signature budget. The one
+    * driver-side `count()` is the documented scalar exception (CC's
+    * convergence class): the plan's literal dials must be known to BUILD
+    * the plan. */
+  private def lshPairsScaled(e: DataFrame, maxBands: Int,
+      planesBudget: Int, multiProbe: Boolean = false): DataFrame = {
+    val w = scaledWidth(e.count())
+    val bands = math.max(2, math.min(maxBands, planesBudget / w))
+    lshPairs(e, planes = bands * w, bands = bands, width = w, multiProbe)
+  }
 
   val oracle: Map[String, String] = Map(
     "v01_cosine_topk" ->
@@ -3333,7 +3408,34 @@ object VectorOps {
         |    * sqrt(CAST(n1sq AS DOUBLE))), 6) AS cos_drift,
         |  ROUND(sqrt(CAST(l2 AS DOUBLE)) / 1e6, 6) AS l2_shift,
         |  max_dim_shift_micro
-        |FROM agg ORDER BY label""".stripMargin
+        |FROM agg ORDER BY label""".stripMargin,
+
+    // the v16 adaptive-k assignment replay, then pure directory
+    // arithmetic — identical rank rule (sz DESC, cid) and one-tree
+    // fractions
+    "v39_ivf_balance" ->
+      s"""WITH $kmeansSqlAdaptive,
+         |cells AS (SELECT cid, COUNT(*) AS sz FROM af GROUP BY cid),
+         |st AS (
+         |  SELECT COUNT(*) AS n_cells, CAST(SUM(sz) AS BIGINT) AS n,
+         |    MIN(sz) AS min_cell, MAX(sz) AS max_cell
+         |  FROM cells),
+         |rk AS (
+         |  SELECT sz, ROW_NUMBER() OVER (ORDER BY sz DESC, cid) AS rk
+         |  FROM cells),
+         |top AS (
+         |  SELECT CAST(SUM(sz) AS BIGINT) AS top_sz,
+         |    COUNT(*) AS top_decile_cells
+         |  FROM rk, st
+         |  WHERE rk <= CAST(ceil(CAST(n_cells AS DOUBLE) / 10.0)
+         |    AS BIGINT))
+         |SELECT st.n, st.n_cells, st.min_cell, st.max_cell,
+         |  top.top_decile_cells,
+         |  ROUND(CAST(st.max_cell AS DOUBLE) * CAST(st.n_cells AS DOUBLE)
+         |    / CAST(st.n AS DOUBLE), 6) AS imbalance,
+         |  ROUND(CAST(top.top_sz AS DOUBLE) / CAST(st.n AS DOUBLE), 6)
+         |    AS top_decile_frac
+         |FROM st, top""".stripMargin
   )
 
   /** v30's replay: v21's LSH edge prefix, then 6 unrolled peel rounds

@@ -85,4 +85,22 @@ class DensityScaledLshSpec extends SparkSpec {
     assert(wideNoise.toDouble <= narrowNoise.toDouble / 50,
       s"expected >=50x dilution, got narrow=$narrowNoise wide=$wideNoise")
   }
+
+  test("scaledWidth: occupancy-64 derivation, and the oracle-gate floor") {
+    // the registered v10/v21/v30 pipelines derive their width from the
+    // corpus size; these pins make the contract explicit
+    assert(VectorOps.scaledWidth(500) == 4, "sf0.01 gate: MUST equal the " +
+      "literal width-4 dials the DuckDB oracles replay")
+    assert(VectorOps.scaledWidth(5000) == 7) // sf0.1 bench
+    assert(VectorOps.scaledWidth(16000) == 8) // 8x stress rung
+    assert(VectorOps.scaledWidth(64000) == 10) // 32x stress rung
+    assert(VectorOps.scaledWidth(1) == 4, "tiny corpora keep the floor")
+    // occupancy n/2^w stays in [32, 64] above the floor — the invariant
+    // that makes candidate volume linear in n
+    for (n <- Seq(10000L, 100000L, 1000000L, 100000000L)) {
+      val w = VectorOps.scaledWidth(n)
+      val occ = n.toDouble / (1L << w)
+      assert(occ <= 64.0 && occ > 31.0, s"n=$n w=$w occ=$occ")
+    }
+  }
 }

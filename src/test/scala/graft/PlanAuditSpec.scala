@@ -572,4 +572,49 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"),
       s"vocabulary scores are not broadcast:\n$p")
   }
+
+  test("ts60: the Mann–Kendall pair stage is an equi-join on the series " +
+    "key, never a cartesian") {
+    val df = q("ts60_mann_kendall")
+    df.collect()
+    val p = planString(df).split("== Initial Plan ==").head
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"),
+      s"pair join is not keyed on g:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"pair stage degenerated to a cross product over ALL series:\n$p")
+  }
+
+  test("ts61: RSI costs the hourly agg + one window sort + the " +
+    "presentation sort — no self-join, no extra exchange") {
+    val df = q("ts61_rsi")
+    df.collect()
+    val p = planString(df).split("== Initial Plan ==").head
+    assert(!p.contains("Join"), s"RSI must not plan a join:\n$p")
+    val shuffles = countShuffles(p)
+    assert(shuffles <= 3, s"expected ≤3 exchanges (agg, window, order), " +
+      s"got $shuffles:\n$p")
+  }
+
+  test("tx45/q66/mm21/mm22: per-row galleries stay map-side — the only " +
+    "exchange is the presentation sort") {
+    for (name <- Seq("tx45_readability", "q66_xml_extract",
+        "mm21_hist_equalization", "mm22_dominant_colors")) {
+      val df = q(name)
+      df.collect()
+      val p = planString(df).split("== Initial Plan ==").head
+      assert(countShuffles(p) <= 1,
+        s"$name: expected only the presentation sort exchange:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$name planned a cartesian:\n$p")
+    }
+  }
+
+  test("v39: balance stats broadcast onto the cell directory — no " +
+    "directory-sized shuffle joins") {
+    val df = q("v39_ivf_balance")
+    df.collect()
+    val p = planString(df).split("== Initial Plan ==").head
+    assert(!p.contains("CartesianProduct"),
+      s"one-row stat frames must broadcast, not cartesian:\n$p")
+  }
 }
