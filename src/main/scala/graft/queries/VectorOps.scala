@@ -72,9 +72,12 @@ object VectorOps {
         .orderBy(col("label"), col("pos")))
 ,
     // LSH-bucketed near-dup (the ANN scale path): see [[lshPairs]].
+    // Density-scaled width (derives the original (16,4,4) at gate scale —
+    // oracle unchanged); 62-plane budget keeps all 4 bands at any width.
     "v03_ann_lsh" -> ((s, dir) => {
       graft.functions.VectorFunctions.register(s)
-      lshPairs(emb(s, dir)).orderBy(col("vec_a"), col("vec_b"))
+      lshPairsScaled(emb(s, dir), maxBands = 4, planesBudget = 62)
+        .orderBy(col("vec_a"), col("vec_b"))
     }),
 
     // ANN quality measurement: recall of the LSH path (v03's pipeline)
@@ -192,7 +195,10 @@ object VectorOps {
     // scale-up experiment times (PLANS.md).
     "v09_ann_pairs_hi" -> ((s, dir) => {
       graft.functions.VectorFunctions.register(s)
-      lshPairs(emb(s, dir), planes = 60, bands = 15, width = 4,
+      // density-scaled width (derives (60,15,4) at gate scale — oracle
+      // unchanged): the fix for this query's historical 32× out-of-disk
+      // DNF (VLADDER provenance) — candidate volume is now linear in n
+      lshPairsScaled(emb(s, dir), maxBands = 15, planesBudget = 60,
         multiProbe = true).orderBy(col("vec_a"), col("vec_b"))
     }),
 
@@ -966,7 +972,10 @@ object VectorOps {
     // (id, id) frames; embeddings never move past the LSH scoring.
     "v28_graph_triangles" -> ((s, dir) => {
       graft.functions.VectorFunctions.register(s)
-      val edges = lshPairs(emb(s, dir), planes = 60, bands = 15, width = 4)
+      // density-scaled width (derives (60,15,4) at gate scale — oracle
+      // unchanged), v10/v21/v30's edge-stage discipline
+      val edges = lshPairsScaled(emb(s, dir), maxBands = 15,
+        planesBudget = 60)
         .select(col("vec_a").as("a"), col("vec_b").as("b"))
       graft.operators.Triangles.perVertexCounts(edges)
         .select(col("id").as("vec_id"), col("n_tri"))
