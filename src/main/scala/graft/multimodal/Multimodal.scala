@@ -379,6 +379,70 @@ object Multimodal {
     }
   }
 
+  /** Integral-image quadrant summary: all exact longs; `sat_ok` is the
+    * construction certificate (SAT box lookups ≡ direct accumulation). */
+  case class IntegralQuads(media_id: Long, width: Long, height: Long,
+      q_tl: Long, q_tr: Long, q_bl: Long, q_br: Long, total: Long,
+      sat_ok: Boolean)
+
+  /** INTEGRAL IMAGE (summed-area table) over real BMP containers — the
+    * O(1)-box-query primitive behind Haar features / SSD block matching:
+    * build the SAT over the GREEN channel, answer the four quadrant box
+    * queries via the 4-corner identity, and CERTIFY the construction by
+    * comparing against direct per-pixel accumulation computed in the same
+    * pass (`sat_ok` — the oracle pins it TRUE and replays the direct
+    * sums, so a wrong corner sign or an off-by-one border flips either
+    * the sums or the certificate). Exact integer arithmetic; map-side
+    * decode, ONE bounded row out per image. */
+  def integralQuadrants(media: Dataset[Container]): Dataset[IntegralQuads] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { c =>
+        val b = c.payload
+        if (b.length >= 2 && b(0) == 'B' && b(1) == 'M') {
+          val img = MediaCodecs.Bmp.parse(b)
+          val w = img.width; val h = img.height
+          def g(x: Int, y: Int): Long = img.channels((y * w + x) * 3 + 1).toLong
+          // SAT with a zero border: sat(x, y) = Σ g over [0,x)×[0,y)
+          val sat = Array.ofDim[Long](h + 1, w + 1)
+          var y = 0
+          while (y < h) {
+            var rowSum = 0L
+            var x = 0
+            while (x < w) {
+              rowSum += g(x, y)
+              sat(y + 1)(x + 1) = sat(y)(x + 1) + rowSum
+              x += 1
+            }
+            y += 1
+          }
+          // box [x0,x1)×[y0,y1) via the 4-corner identity
+          def box(x0: Int, y0: Int, x1: Int, y1: Int): Long =
+            sat(y1)(x1) - sat(y0)(x1) - sat(y1)(x0) + sat(y0)(x0)
+          def direct(x0: Int, y0: Int, x1: Int, y1: Int): Long = {
+            var s = 0L
+            var yy = y0
+            while (yy < y1) {
+              var xx = x0
+              while (xx < x1) { s += g(xx, yy); xx += 1 }
+              yy += 1
+            }
+            s
+          }
+          val (w2, h2) = (w / 2, h / 2)
+          val quads = Seq((0, 0, w2, h2), (w2, 0, w, h2),
+            (0, h2, w2, h), (w2, h2, w, h))
+          val viaSat = quads.map { case (x0, y0, x1, y1) => box(x0, y0, x1, y1) }
+          val viaDirect = quads.map { case (x0, y0, x1, y1) => direct(x0, y0, x1, y1) }
+          Some(IntegralQuads(c.media_id, w.toLong, h.toLong,
+            viaSat(0), viaSat(1), viaSat(2), viaSat(3),
+            box(0, 0, w, h), viaSat == viaDirect &&
+              box(0, 0, w, h) == direct(0, 0, w, h)))
+        } else None
+      }
+    }
+  }
+
   /** One dominant-color row: all fields exact longs. `code` packs the
     * per-channel high bits as (b≥128)·4 + (g≥128)·2 + (r≥128) — the
     * 8-cell RGB cube corner the pixel falls in. */

@@ -266,6 +266,49 @@ object GasStoreQueries {
     spark.read.parquet(path)
   }
 
+  /** gs32's sink: STREAMING SET AGGREGATION — the occupied-bin SET per
+    * (6 h window × field) via collect_set over the gs22 value bins,
+    * SORT-PINNED at the edge (an unordered collect is nondeterministic
+    * under partitioning and has no place in an oracle-checked engine).
+    * The set showcases a streaming aggregate whose state is a BOUNDED
+    * container by construction: ≤ 16 bin ids per open window × field,
+    * whatever the throughput — the collect that IS safe on a stream,
+    * where collect_list of raw points would grow with volume. Append
+    * mode + 30 min watermark = the gs07/gs22 sealing contract. */
+  private val builtBinSet = new java.util.WeakHashMap[SparkSession, String]()
+  private def streamBinSet(spark: SparkSession): DataFrame = {
+    val path = builtBinSet.synchronized {
+      Option(builtBinSet.get(spark)).getOrElse {
+        val work = Files.createTempDirectory("graft-gas-binset")
+        deleteOnExit(work)
+        val long = graft.store.LongStore.unpivot(
+          graft.transform.GasTransform(
+            graft.streaming.GasStream.readStream(spark, fixtureDir))
+            .withColumnRenamed("file_name", "_src")).drop("_src")
+          .filter(col("_field").isin("CO (ppm)", "Humidity (%r.h.)"))
+        long.withWatermark("_time", "30 minutes")
+          .groupBy(window(col("_time"), "6 hours"), col("_field"))
+          .agg(sort_array(collect_set(
+            greatest(least(floor(col("_value") / 8.0), lit(15L)), lit(0L))))
+            .as("bins"),
+            count(lit(1)).as("n_points"))
+          .select(col("window.start").as("_bucket"), col("_field"),
+            col("bins"), col("n_points"))
+          .writeStream
+          .format("parquet")
+          .option("path", s"$work/out")
+          .option("checkpointLocation", s"$work/ckpt")
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+          .awaitTermination()
+        builtBinSet.put(spark, s"$work/out")
+        s"$work/out"
+      }
+    }
+    spark.read.parquet(path)
+  }
+
   /** gs25's sink: plain TUMBLING 6 h mean ingredients (count + exact
     * decimal total) per field — the simplest member of the windowed-sink
     * family (gs07 slides, gs21 does OHLC, gs22 histograms; this is the
@@ -1345,6 +1388,15 @@ object GasStoreQueries {
           col("total").cast("double").as("total"))
         .orderBy(col("b_us"))),
 
+    // STREAMING SET AGGREGATION — sorted occupied-bin sets per sealed
+    // window: the bounded-container collect (≤16 ids per window × field,
+    // throughput-independent), sort-pinned so the array compare is exact.
+    "gs32_stream_bin_set" -> ((s, _) =>
+      streamBinSet(s)
+        .select(unix_micros(col("_bucket")).as("b_us"), col("_field"),
+          col("bins"), col("n_points"))
+        .orderBy(col("b_us"), col("_field"))),
+
     // UNION OF TWO INDEPENDENTLY-WATERMARKED STREAMS — the multi-feed
     // ingestion shape; the semantic point is the GLOBAL watermark
     // (min across inputs): the 60 min-delayed feed gates window sealing
@@ -2009,6 +2061,36 @@ object GasStoreQueries {
          |  CAST(SUM(CAST(_value AS DECIMAL(18,6))) AS DOUBLE) AS total,
          |  MAX(epoch_us(_time)) AS latest_us
          |FROM pts GROUP BY _field ORDER BY _field""".stripMargin,
+
+    // replay of gs32: distinct bins first, then the ordered list
+    // aggregate (DuckDB can't combine DISTINCT with ORDER BY in one
+    // list()); same gs22 binning + sealing cutoff
+    "gs32_stream_bin_set" ->
+      s"""$prelude,
+         |pts AS (
+         |  SELECT _time, 'CO (ppm)' AS _field, "CO (ppm)" AS _value
+         |  FROM raw
+         |  UNION ALL
+         |  SELECT _time, 'Humidity (%r.h.)', "Humidity (%r.h.)" FROM raw),
+         |mx AS (SELECT MAX(_time) AS mx FROM pts),
+         |binned AS (
+         |  SELECT epoch_us(_time) // 21600000000 AS wi, _field,
+         |    greatest(least(CAST(floor(_value / 8.0) AS BIGINT), 15), 0)
+         |      AS bin
+         |  FROM pts),
+         |nb AS (
+         |  SELECT wi, _field, COUNT(*) AS n_points
+         |  FROM binned GROUP BY wi, _field),
+         |db AS (SELECT DISTINCT wi, _field, bin FROM binned),
+         |sets AS (
+         |  SELECT wi, _field, list(bin ORDER BY bin) AS bins
+         |  FROM db GROUP BY wi, _field)
+         |SELECT s.wi * 21600000000 AS b_us, s._field, s.bins, nb.n_points
+         |FROM sets s JOIN nb ON s.wi = nb.wi AND s._field = nb._field,
+         |  mx
+         |WHERE (s.wi + 1) * 21600000000
+         |  <= epoch_us(mx - INTERVAL 30 MINUTE)
+         |ORDER BY b_us, s._field""".stripMargin,
 
     // replay of gs31: per-branch max event time minus its OWN delay,
     // sealed at the MIN of the two (Spark's multi-input global-watermark

@@ -421,7 +421,20 @@ object MultimodalQueries {
             fanout(Tables.table(s, dir, "documents"))
               .filter(col("doc_id") % 2 === 0)))
         .toDF()
-        .orderBy(col("media_id"), col("rank")))
+        .orderBy(col("media_id"), col("rank"))),
+
+    // INTEGRAL IMAGE (summed-area table) through the real BMP parser —
+    // the O(1) box-query primitive, certified in-engine (SAT corner
+    // lookups vs direct accumulation in the same pass) and replayed by
+    // the oracle as direct green-channel quadrant sums from the pixel
+    // formula, with sat_ok pinned TRUE.
+    "mm23_integral_quads" -> ((s, dir) =>
+      Multimodal.integralQuadrants(
+          Multimodal.syntheticContainers(
+            fanout(Tables.table(s, dir, "documents"))
+              .filter(col("doc_id") % 2 === 0)))
+        .toDF()
+        .orderBy(col("media_id")))
   )
 
   val oracle: Map[String, String] = Map(
@@ -1066,6 +1079,32 @@ object MultimodalQueries {
         |  FROM cnt)
         |SELECT media_id, rank, CAST(code AS BIGINT) AS code,
         |  n_px_code, n_px
-        |FROM r WHERE rank <= 2 ORDER BY media_id, rank""".stripMargin
+        |FROM r WHERE rank <= 2 ORDER BY media_id, rank""".stripMargin,
+
+    // direct green-channel quadrant sums from the pixel formula
+    // (channel index 3·(y·w+x)+1); half-open [x0,x1)×[y0,y1) boxes with
+    // integer-floor midpoints — sat_ok pinned TRUE
+    "mm23_integral_quads" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |px AS (
+        |  SELECT media_id, w, h, x, y,
+        |    (media_id * 31 + (y * w + x) * 3 + 1) % 256 AS gv
+        |  FROM m, range(0, 8) tx(x), range(0, 6) ty(y)
+        |  WHERE x < w AND y < h)
+        |SELECT media_id,
+        |  CAST(MIN(w) AS BIGINT) AS width, CAST(MIN(h) AS BIGINT) AS height,
+        |  CAST(SUM(CASE WHEN x < w // 2 AND y < h // 2 THEN gv ELSE 0 END)
+        |    AS BIGINT) AS q_tl,
+        |  CAST(SUM(CASE WHEN x >= w // 2 AND y < h // 2 THEN gv ELSE 0 END)
+        |    AS BIGINT) AS q_tr,
+        |  CAST(SUM(CASE WHEN x < w // 2 AND y >= h // 2 THEN gv ELSE 0 END)
+        |    AS BIGINT) AS q_bl,
+        |  CAST(SUM(CASE WHEN x >= w // 2 AND y >= h // 2 THEN gv ELSE 0
+        |    END) AS BIGINT) AS q_br,
+        |  CAST(SUM(gv) AS BIGINT) AS total,
+        |  TRUE AS sat_ok
+        |FROM px GROUP BY media_id ORDER BY media_id""".stripMargin
   )
 }

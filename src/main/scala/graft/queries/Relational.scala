@@ -344,6 +344,25 @@ object Relational {
           |FROM p ORDER BY n_nationkey""".stripMargin)
     }),
 
+    // -- ORDERED STRING/ARRAY AGGREGATION (§2.4): listagg ... WITHIN
+    // GROUP (new in Spark 4 — the ANSI spelling) next to the
+    // sort_array(collect_list(...)) idiom. Both are order-PINNED —
+    // unordered collect is nondeterministic under partitioning and has
+    // no place in an oracle-checked engine; the deterministic forms are
+    // what a pipeline should ship anyway. DuckDB spells the same
+    // semantics string_agg(x, sep ORDER BY x) / list(x ORDER BY x).
+    "q67_listagg" -> ((s, dir) => {
+      t(s, dir, "nation").createOrReplaceTempView("nation")
+      s.sql(
+        """SELECT n_regionkey,
+          |  listagg(n_name, '|') WITHIN GROUP (ORDER BY n_name)
+          |    AS names,
+          |  sort_array(collect_list(n_nationkey)) AS keys,
+          |  COUNT(*) AS n
+          |FROM nation GROUP BY n_regionkey
+          |ORDER BY n_regionkey""".stripMargin)
+    }),
+
     // -- RECURSIVE CTE (WITH RECURSIVE — new in Spark 4): the iterative
     // front door next to q29's correlated one. Each part walks its
     // digit-trim ancestry to a single-digit root — the BOM-explosion /
@@ -1897,6 +1916,15 @@ object Relational {
     "q29_correlated_subquery" -> q29Sql,
 
     "q43_recursive_hierarchy" -> q43Sql,
+
+    // same order-pinned semantics in DuckDB's spellings
+    "q67_listagg" ->
+      """SELECT n_regionkey,
+        |  string_agg(n_name, '|' ORDER BY n_name) AS names,
+        |  list(n_nationkey ORDER BY n_nationkey) AS keys,
+        |  COUNT(*) AS n
+        |FROM nation GROUP BY n_regionkey
+        |ORDER BY n_regionkey""".stripMargin,
 
     // the identical generated text, extraction replayed with regexp —
     // DuckDB never parses XML; parsers_agree is TRUE by construction

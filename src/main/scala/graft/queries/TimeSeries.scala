@@ -2298,6 +2298,43 @@ object TimeSeries {
         .select(col("g").as("event_type"), col("n"), col("n_records"),
           col("first_record"), col("last_record"), col("max_micro"))
         .orderBy(col("event_type"))
+    }),
+
+    // DAILY DOWNTIME/SLA REPORT (the ops rollup behind ts45's burn rate):
+    // per day, how many of the 24 hour slots saw at least one 'error'
+    // event, and the longest error-FREE run of hour slots (the maintenance
+    // window the day actually offered). Clean runs are within-day only
+    // (documented — no midnight wraparound). All integer: the hour grid
+    // is a 24-element sequence exploded against the |days| frame, runs
+    // are gaps-and-islands (slot − row_number is constant inside an
+    // island). Scale: everything after the distinct (day, hour) collapse
+    // runs on ≤ 24·|days| rows.
+    "ts64_downtime_sla" -> ((s, dir) => {
+      val errHours = ev(s, dir)
+        .filter(col("event_type") === "error")
+        .select(to_date(col("ts")).as("day"),
+          hour(col("ts")).cast("long").as("hr"))
+        .distinct()
+      val days = errHours.select(col("day")).distinct()
+      val grid = days.select(col("day"),
+        explode(expr("sequence(0L, 23L)")).as("hr"))
+      val clear = grid.join(errHours, Seq("day", "hr"), "left_anti")
+      val w = Window.partitionBy(col("day")).orderBy(col("hr"))
+      val runs = clear
+        .withColumn("grp", col("hr") - (row_number().over(w).cast("long") - 1))
+        .groupBy(col("day"), col("grp"))
+        .agg(count(lit(1)).as("run_len"))
+        .groupBy(col("day"))
+        .agg(max(col("run_len")).as("longest_clear_run"))
+      errHours.groupBy(col("day"))
+        .agg(count(lit(1)).as("error_hours"))
+        .withColumn("uptime_hours", lit(24L) - col("error_hours"))
+        .join(runs, Seq("day"), "left")
+        .withColumn("longest_clear_run",
+          coalesce(col("longest_clear_run"), lit(0L)))
+        .select(col("day"), col("error_hours"), col("uptime_hours"),
+          col("longest_clear_run"))
+        .orderBy(col("day"))
     })
   )
 
@@ -4242,7 +4279,36 @@ object TimeSeries {
         |  MIN(CASE WHEN is_rec = 1 THEN bucket END) AS first_record,
         |  MAX(CASE WHEN is_rec = 1 THEN bucket END) AS last_record,
         |  MAX(m) AS max_micro
-        |FROM coded GROUP BY g ORDER BY event_type""".stripMargin
+        |FROM coded GROUP BY g ORDER BY event_type""".stripMargin,
+
+    // identical grid/islands construction; counts pinned BIGINT
+    "ts64_downtime_sla" ->
+      """WITH eh AS (
+        |  SELECT DISTINCT CAST(ts AS DATE) AS day,
+        |    CAST(extract(hour FROM ts) AS BIGINT) AS hr
+        |  FROM events WHERE event_type = 'error'),
+        |grid AS (
+        |  SELECT d.day, CAST(t.hr AS BIGINT) AS hr
+        |  FROM (SELECT DISTINCT day FROM eh) d, range(0, 24) t(hr)),
+        |clear AS (
+        |  SELECT g.day, g.hr FROM grid g
+        |  WHERE NOT EXISTS (SELECT 1 FROM eh
+        |    WHERE eh.day = g.day AND eh.hr = g.hr)),
+        |runs AS (
+        |  SELECT day,
+        |    hr - (ROW_NUMBER() OVER (PARTITION BY day ORDER BY hr) - 1)
+        |      AS grp
+        |  FROM clear),
+        |longest AS (
+        |  SELECT day, CAST(MAX(run_len) AS BIGINT) AS longest_clear_run
+        |  FROM (SELECT day, grp, COUNT(*) AS run_len FROM runs
+        |        GROUP BY day, grp)
+        |  GROUP BY day)
+        |SELECT e.day, COUNT(*) AS error_hours,
+        |  24 - COUNT(*) AS uptime_hours,
+        |  COALESCE(MAX(l.longest_clear_run), 0) AS longest_clear_run
+        |FROM eh e LEFT JOIN longest l ON e.day = l.day
+        |GROUP BY e.day ORDER BY e.day""".stripMargin
   )
 
   /** The ts21 closed-form EMA kernel as a DuckDB CTE pair (`<out>_pairs`,
