@@ -65,7 +65,11 @@ class DeterminismLintSpec extends SparkSpec {
     "v15_kmeans" -> Seq("AVG over double"),
     "v20_centroid_classify" -> Seq("AVG over double"),
     "v24_ivf_nprobe_curve" -> Seq("AVG over double"),
-    "v25_kmeans_elbow" -> Seq("AVG over double")
+    "v25_kmeans_elbow" -> Seq("AVG over double"),
+    // v38's half-split centroids: the same audited round(avg, 6)
+    // pattern as v02, then SNAPPED to the integer micro-lattice before
+    // any cross-half product — everything downstream is exact int64
+    "v38_embedding_drift" -> Seq("AVG over double")
   )
 
   test("board-wide audit: float aggregates confined to the audited allowlist") {
