@@ -363,6 +363,32 @@ object Relational {
           |ORDER BY n_regionkey""".stripMargin)
     }),
 
+    // -- UNION BY NAME WITH MISSING COLUMNS (§2.7's schema-drift form of
+    // set union — how a pipeline appends a feed that gained or lost
+    // columns without positional corruption): unionByName(allowMissing
+    // Columns = true) null-fills each side's absent columns BY NAME,
+    // where positional UNION ALL would silently misalign. The rollup
+    // counts the null-filled cells per source so the compare proves the
+    // fill pattern, not just row counts; sums are exact-decimal with
+    // NULLs pinned to 0 before summing.
+    "q68_union_missing_columns" -> ((s, dir) => {
+      val a = t(s, dir, "orders")
+        .select(col("o_orderkey").as("k"), col("o_totalprice").as("price"))
+        .withColumn("src", lit("orders"))
+      val b = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("k"), col("l_quantity").as("qty"))
+        .withColumn("src", lit("lineitem"))
+      a.unionByName(b, allowMissingColumns = true)
+        .groupBy(col("src"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("price").isNull, 1L).otherwise(0L))
+            .as("n_null_price"),
+          sum(when(col("qty").isNull, 1L).otherwise(0L)).as("n_null_qty"),
+          sumExact(coalesce(col("price"), lit(0.0))).as("price_total"),
+          sumExact(coalesce(col("qty"), lit(0.0))).as("qty_total"))
+        .orderBy(col("src"))
+    }),
+
     // -- RECURSIVE CTE (WITH RECURSIVE — new in Spark 4): the iterative
     // front door next to q29's correlated one. Each part walks its
     // digit-trim ancestry to a single-digit root — the BOM-explosion /
@@ -1916,6 +1942,27 @@ object Relational {
     "q29_correlated_subquery" -> q29Sql,
 
     "q43_recursive_hierarchy" -> q43Sql,
+
+    // the name-aligned union replayed as an explicit NULL-filled
+    // UNION ALL — the semantics unionByName(allowMissingColumns) gives
+    "q68_union_missing_columns" ->
+      """WITH u AS (
+        |  SELECT o_orderkey AS k, o_totalprice AS price,
+        |    CAST(NULL AS DOUBLE) AS qty, 'orders' AS src
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT l_orderkey, CAST(NULL AS DOUBLE), l_quantity, 'lineitem'
+        |  FROM lineitem)
+        |SELECT src, COUNT(*) AS n,
+        |  CAST(SUM(CASE WHEN price IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_null_price,
+        |  CAST(SUM(CASE WHEN qty IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_null_qty,
+        |  CAST(SUM(CAST(COALESCE(price, 0.0) AS DECIMAL(18,6)))
+        |    AS DOUBLE) AS price_total,
+        |  CAST(SUM(CAST(COALESCE(qty, 0.0) AS DECIMAL(18,6))) AS DOUBLE)
+        |    AS qty_total
+        |FROM u GROUP BY src ORDER BY src""".stripMargin,
 
     // same order-pinned semantics in DuckDB's spellings
     "q67_listagg" ->

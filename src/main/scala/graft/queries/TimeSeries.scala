@@ -2335,6 +2335,79 @@ object TimeSeries {
         .select(col("day"), col("error_hours"), col("uptime_hours"),
           col("longest_clear_run"))
         .orderBy(col("day"))
+    }),
+
+    // TWO-SAMPLE KOLMOGOROV–SMIRNOV TEST (distribution-drift detection —
+    // the nonparametric sibling of ts42's binned PSI, but bin-free): per
+    // event_type, did the value DISTRIBUTION change between the first
+    // half of the month (day ≤ 15) and the rest? The statistic is
+    // engineered exact: values live in integer micro-units, the ECDF
+    // difference is maximized as the CROSS-MULTIPLIED integer
+    // |cum1·n2 − cum2·n1| (no per-step float division anywhere), and
+    // only the final D = d_num/(n1·n2) and the α=0.05 critical value
+    // 1.358·√((n1+n2)/(n1·n2)) are IEEE — each ONE fixed tree, with the
+    // reject flag compared on the identical trees so even the boundary
+    // agrees. One window sort per type over the DISTINCT value frame.
+    "ts65_ks_two_sample" -> ((s, dir) => {
+      val pts = ev(s, dir)
+        .withColumn("mval",
+          expr("cast(cast(value as decimal(18,6)) * 1000000 as bigint)"))
+        .withColumn("h1",
+          when(dayofmonth(col("ts")) <= 15, 1L).otherwise(0L))
+        .select(col("event_type").as("g"), col("mval"), col("h1"))
+      val cells = pts.groupBy(col("g"), col("mval"))
+        .agg(sum(col("h1")).as("c1"),
+          sum(lit(1L) - col("h1")).as("c2"))
+        .localCheckpoint(true) // feeds the cumsum AND the totals
+      val w = Window.partitionBy(col("g")).orderBy(col("mval"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val cum = cells
+        .withColumn("cum1", sum(col("c1")).over(w))
+        .withColumn("cum2", sum(col("c2")).over(w))
+      val tot = cells.groupBy(col("g"))
+        .agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
+      cum.join(broadcast(tot), Seq("g"))
+        .groupBy(col("g"), col("n1"), col("n2"))
+        .agg(max(abs(col("cum1") * col("n2") - col("cum2") * col("n1")))
+          .as("d_num"))
+        .select(col("g").as("event_type"), col("n1"), col("n2"),
+          col("d_num"),
+          round(expr("cast(d_num as double)" +
+            " / (cast(n1 as double) * cast(n2 as double))"), 6).as("d"),
+          expr("cast(d_num as double)" +
+            " / (cast(n1 as double) * cast(n2 as double))" +
+            " > 1.358 * sqrt((cast(n1 as double) + cast(n2 as double))" +
+            " / (cast(n1 as double) * cast(n2 as double)))").as("reject"))
+        .orderBy(col("event_type"))
+    }),
+
+    // BENFORD FIRST-DIGIT AUDIT (the data-forensics screen for
+    // fabricated or clipped numeric feeds): per event_type, the observed
+    // leading-digit distribution of the micro-unit values vs Benford's
+    // log₁₀(1+1/d) law, one row per (type, digit) with the chi-square
+    // contribution. The leading digit comes from the INTEGER's decimal
+    // rendering (int64 → string is portable; float formatting is not),
+    // expected counts and chi² terms are each ONE fixed IEEE tree over
+    // (n, literal p_d) — the nine Benford constants are shared literal
+    // spellings. Zero-valued points are excluded (no leading digit).
+    "ts66_benford_digits" -> ((s, dir) => {
+      val pts = ev(s, dir)
+        .withColumn("mval",
+          expr("cast(cast(value as decimal(18,6)) * 1000000 as bigint)"))
+        .filter(col("mval") > 0L)
+        .withColumn("digit",
+          expr("cast(substring(cast(mval as string), 1, 1) as bigint)"))
+      val obs = pts.groupBy(col("event_type"), col("digit"))
+        .agg(count(lit(1)).as("obs"))
+      val tot = pts.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      obs.join(broadcast(tot), Seq("event_type"))
+        .withColumn("p", expr(BenfordPCase))
+        .select(col("event_type"), col("digit"), col("obs"), col("n"),
+          round(expr("cast(n as double) * p"), 6).as("expected"),
+          round(expr("(cast(obs as double) - cast(n as double) * p)" +
+            " * (cast(obs as double) - cast(n as double) * p)" +
+            " / (cast(n as double) * p)"), 6).as("chi2_term"))
+        .orderBy(col("event_type"), col("digit"))
     })
   )
 
@@ -2389,6 +2462,17 @@ object TimeSeries {
           .as("acf"),
         col("n_pairs"))
   }
+
+  /** digit → Benford log₁₀(1+1/d) probability as a CASE over shared
+    * literal spellings — embedded VERBATIM in the ts66 oracle (both
+    * engines parse the same decimal literal to the same double on
+    * promotion). */
+  private val BenfordPCase: String =
+    "case digit when 1 then 0.301029995663981" +
+      " when 2 then 0.176091259055681 when 3 then 0.1249387366083" +
+      " when 4 then 0.096910013008056 when 5 then 0.079181246047625" +
+      " when 6 then 0.066946789630613 when 7 then 0.057991946977687" +
+      " when 8 then 0.051152522447381 else 0.045757490560675 end"
 
   /** Shared DuckDB replay of [[hourlyMicroMean]] — one CTE body (no WITH)
     * ending in `hm(g, bucket, m)` with m the exact micro-unit BIGINT mean. */
@@ -4308,7 +4392,68 @@ object TimeSeries {
         |  24 - COUNT(*) AS uptime_hours,
         |  COALESCE(MAX(l.longest_clear_run), 0) AS longest_clear_run
         |FROM eh e LEFT JOIN longest l ON e.day = l.day
-        |GROUP BY e.day ORDER BY e.day""".stripMargin
+        |GROUP BY e.day ORDER BY e.day""".stripMargin,
+
+    // identical integer ECDF cross-multiplication; distinct mvals per
+    // group make the default RANGE cumsum frame equal to ROWS
+    "ts65_ks_two_sample" ->
+      """WITH pts AS (
+        |  SELECT event_type AS g,
+        |    CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS mval,
+        |    CASE WHEN extract(day FROM ts) <= 15 THEN 1 ELSE 0 END AS h1
+        |  FROM events),
+        |cells AS (
+        |  SELECT g, mval, CAST(SUM(h1) AS BIGINT) AS c1,
+        |    CAST(SUM(1 - h1) AS BIGINT) AS c2
+        |  FROM pts GROUP BY g, mval),
+        |cum AS (
+        |  SELECT g, c1, c2,
+        |    CAST(SUM(c1) OVER (PARTITION BY g ORDER BY mval) AS BIGINT)
+        |      AS cum1,
+        |    CAST(SUM(c2) OVER (PARTITION BY g ORDER BY mval) AS BIGINT)
+        |      AS cum2
+        |  FROM cells),
+        |tot AS (
+        |  SELECT g, CAST(SUM(c1) AS BIGINT) AS n1,
+        |    CAST(SUM(c2) AS BIGINT) AS n2
+        |  FROM cells GROUP BY g),
+        |d AS (
+        |  SELECT c.g, t.n1, t.n2,
+        |    MAX(abs(c.cum1 * t.n2 - c.cum2 * t.n1)) AS d_num
+        |  FROM cum c JOIN tot t ON c.g = t.g
+        |  GROUP BY c.g, t.n1, t.n2)
+        |SELECT g AS event_type, n1, n2, d_num,
+        |  ROUND(CAST(d_num AS DOUBLE)
+        |    / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)), 6) AS d,
+        |  CAST(d_num AS DOUBLE)
+        |    / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
+        |    > 1.358 * sqrt((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+        |      / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))) AS reject
+        |FROM d ORDER BY event_type""".stripMargin,
+
+    // int64 decimal rendering is portable (float formatting is not);
+    // the Benford CASE literals are the identical spellings
+    "ts66_benford_digits" ->
+      s"""WITH pts AS (
+        |  SELECT event_type,
+        |    CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS mval
+        |  FROM events),
+        |pos AS (
+        |  SELECT event_type,
+        |    CAST(substr(CAST(mval AS VARCHAR), 1, 1) AS BIGINT) AS digit
+        |  FROM pts WHERE mval > 0),
+        |obs AS (SELECT event_type, digit, COUNT(*) AS obs FROM pos
+        |        GROUP BY 1, 2),
+        |tot AS (SELECT event_type, COUNT(*) AS n FROM pos GROUP BY 1),
+        |j AS (
+        |  SELECT o.event_type, o.digit, o.obs, t.n, $BenfordPCase AS p
+        |  FROM obs o JOIN tot t ON o.event_type = t.event_type)
+        |SELECT event_type, digit, obs, n,
+        |  ROUND(CAST(n AS DOUBLE) * p, 6) AS expected,
+        |  ROUND((CAST(obs AS DOUBLE) - CAST(n AS DOUBLE) * p)
+        |    * (CAST(obs AS DOUBLE) - CAST(n AS DOUBLE) * p)
+        |    / (CAST(n AS DOUBLE) * p), 6) AS chi2_term
+        |FROM j ORDER BY event_type, digit""".stripMargin
   )
 
   /** The ts21 closed-form EMA kernel as a DuckDB CTE pair (`<out>_pairs`,
