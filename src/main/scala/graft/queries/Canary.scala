@@ -101,6 +101,18 @@ object Canary {
       nat(s, dir)
         .select(col("n_nationkey").cast("long").as("key"),
           expr("(n_nationkey * 10 + 3) div 7").cast("long").as("q"))
+        .orderBy(col("key"))),
+
+    // construct: non-dyadic DECIMAL literal promoted through DOUBLE
+    // arithmetic (the ts66 Benford-constant pattern: both engines parse
+    // 0.301029995663981 as a decimal and promote it to the same double
+    // when it meets a DOUBLE operand — red here means the driver's
+    // literal typing or promotion moved)
+    "cn09_decimal_literal" -> ((s, dir) =>
+      nat(s, dir)
+        .select(col("n_nationkey").cast("long").as("key"),
+          round(expr("cast(n_nationkey + 1 as double)" +
+            " * 0.301029995663981"), 6).as("v"))
         .orderBy(col("key")))
   )
 
@@ -148,6 +160,12 @@ object Canary {
     "cn08_intdiv" ->
       """SELECT CAST(n_nationkey AS BIGINT) AS key,
         |  CAST((n_nationkey * 10 + 3) // 7 AS BIGINT) AS q
+        |FROM nation ORDER BY key""".stripMargin,
+
+    "cn09_decimal_literal" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS key,
+        |  ROUND(CAST(n_nationkey + 1 AS DOUBLE) * 0.301029995663981, 6)
+        |    AS v
         |FROM nation ORDER BY key""".stripMargin
   )
 }

@@ -389,6 +389,33 @@ object Relational {
         .orderBy(col("src"))
     }),
 
+    // -- PARAMETERIZED SQL front doors (§2.8): named parameter markers
+    // (spark.sql(text, args) — the injection-safe API a service layer
+    // uses) and EXECUTE IMMEDIATE ... USING (the SQL-script spelling,
+    // new in Spark 4) — the SAME filter run through both binding paths
+    // and cross-proven in one projection (q66's parsers_agree pattern).
+    // The oracle inlines the literals: parameter binding must be
+    // observationally identical to literal substitution.
+    "q69_param_markers" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders")
+      val named = s.sql(
+        """SELECT o_orderstatus, COUNT(*) AS n,
+          |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+          |    AS total
+          |FROM orders
+          |WHERE o_orderstatus <> :skip AND o_totalprice > :minp
+          |GROUP BY o_orderstatus""".stripMargin,
+        Map("skip" -> "P", "minp" -> 1000.0))
+      val exec = s.sql(
+        "EXECUTE IMMEDIATE 'SELECT o_orderstatus AS st, COUNT(*) AS n2 " +
+          "FROM orders WHERE o_orderstatus <> ? AND o_totalprice > ? " +
+          "GROUP BY o_orderstatus' USING 'P', 1000.0D")
+      named.join(exec, named("o_orderstatus") === exec("st"))
+        .select(named("o_orderstatus"), named("n"), named("total"),
+          (named("n") === exec("n2")).as("paths_agree"))
+        .orderBy(named("o_orderstatus"))
+    }),
+
     // -- RECURSIVE CTE (WITH RECURSIVE — new in Spark 4): the iterative
     // front door next to q29's correlated one. Each part walks its
     // digit-trim ancestry to a single-digit root — the BOM-explosion /
@@ -1942,6 +1969,16 @@ object Relational {
     "q29_correlated_subquery" -> q29Sql,
 
     "q43_recursive_hierarchy" -> q43Sql,
+
+    // literals inlined — binding must equal substitution
+    "q69_param_markers" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+        |    AS total,
+        |  TRUE AS paths_agree
+        |FROM orders
+        |WHERE o_orderstatus <> 'P' AND o_totalprice > 1000.0
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     // the name-aligned union replayed as an explicit NULL-filled
     // UNION ALL — the semantics unionByName(allowMissingColumns) gives
