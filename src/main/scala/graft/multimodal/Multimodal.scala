@@ -379,6 +379,39 @@ object Multimodal {
     }
   }
 
+  /** Clipping summary: every field an exact long (first_clip = −1 when
+    * the clip never saturates). */
+  case class ClippingReport(media_id: Long, n_samples: Long,
+      n_clipped: Long, max_clip_run: Long, first_clip: Long)
+
+  /** CLIPPING DETECTOR over real WAV containers — the saturation screen
+    * an audio corpus runs before any gain-sensitive feature: count
+    * samples at |s| ≥ threshold (near full-scale), the LONGEST
+    * consecutive clipped run (sustained saturation ruins a clip; a
+    * single tick doesn't), and where clipping first appears. One decode
+    * pass, exact integers, one bounded row out per media. */
+  def audioClipping(media: Dataset[Container],
+      threshold: Int): Dataset[ClippingReport] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { c =>
+        val s = MediaCodecs.Wav.parse(c.payload).samples
+        var nClip = 0L; var run = 0L; var maxRun = 0L
+        var first = -1L
+        var i = 0
+        while (i < s.length) {
+          if (math.abs(s(i).toInt) >= threshold) {
+            nClip += 1L; run += 1L
+            if (run > maxRun) maxRun = run
+            if (first < 0L) first = i.toLong
+          } else run = 0L
+          i += 1
+        }
+        ClippingReport(c.media_id, s.length.toLong, nClip, maxRun, first)
+      }
+    }
+  }
+
   /** Integral-image quadrant summary: all exact longs; `sat_ok` is the
     * construction certificate (SAT box lookups ≡ direct accumulation). */
   case class IntegralQuads(media_id: Long, width: Long, height: Long,

@@ -434,6 +434,20 @@ object MultimodalQueries {
             fanout(Tables.table(s, dir, "documents"))
               .filter(col("doc_id") % 2 === 0)))
         .toDF()
+        .orderBy(col("media_id"))),
+
+    // CLIPPING DETECTOR through the real WAV parser — count / longest
+    // run / first index of near-full-scale samples (|s| ≥ 32760). The
+    // oracle re-derives each sample's signed value from the content
+    // formula and replays the run arithmetic with gaps-and-islands —
+    // a sign-reconstruction slip or an off-by-one run boundary flips
+    // the counts. Map-side decode, one bounded row per clip.
+    "mm24_clipping" -> ((s, dir) =>
+      Multimodal.audioClipping(
+          Multimodal.syntheticContainers(
+            fanout(Tables.table(s, dir, "documents"))
+              .filter(col("doc_id") % 2 === 1)),
+          threshold = 32760).toDF()
         .orderBy(col("media_id")))
   )
 
@@ -1105,6 +1119,38 @@ object MultimodalQueries {
         |    END) AS BIGINT) AS q_br,
         |  CAST(SUM(gv) AS BIGINT) AS total,
         |  TRUE AS sat_ok
-        |FROM px GROUP BY media_id ORDER BY media_id""".stripMargin
+        |FROM px GROUP BY media_id ORDER BY media_id""".stripMargin,
+
+    // sample formula → clipped iff raw v ∈ [32760, 32776] (|signed| ≥
+    // 32760 on both sides of the i16 wrap); runs via gaps-and-islands;
+    // clip-free media pinned (0, 0, −1)
+    "mm24_clipping" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id, 32 + doc_id % 64 AS n
+        |  FROM documents WHERE doc_id % 2 = 1),
+        |smp AS (
+        |  SELECT media_id, n, i, (media_id * 131 + i * 17) % 65536 AS v
+        |  FROM m, range(0, 96) t(i) WHERE i < n),
+        |clip AS (SELECT media_id, i FROM smp
+        |         WHERE v BETWEEN 32760 AND 32776),
+        |runs AS (
+        |  SELECT media_id, i,
+        |    i - ROW_NUMBER() OVER (PARTITION BY media_id ORDER BY i)
+        |      AS grp
+        |  FROM clip),
+        |per_run AS (
+        |  SELECT media_id, grp, COUNT(*) AS rl, MIN(i) AS fi
+        |  FROM runs GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT media_id, CAST(SUM(rl) AS BIGINT) AS n_clipped,
+        |    CAST(MAX(rl) AS BIGINT) AS max_clip_run,
+        |    MIN(fi) AS first_clip
+        |  FROM per_run GROUP BY media_id)
+        |SELECT m.media_id, CAST(m.n AS BIGINT) AS n_samples,
+        |  COALESCE(a.n_clipped, 0) AS n_clipped,
+        |  COALESCE(a.max_clip_run, 0) AS max_clip_run,
+        |  COALESCE(a.first_clip, -1) AS first_clip
+        |FROM m LEFT JOIN agg a ON m.media_id = a.media_id
+        |ORDER BY m.media_id""".stripMargin
   )
 }

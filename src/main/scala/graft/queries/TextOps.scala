@@ -1564,8 +1564,51 @@ object TextOps {
           round(lit(0.39) * (col("wp") / col("sp"))
             + lit(11.8) * (col("n_syllables").cast("double") / col("wp"))
             - lit(15.59), 6).as("fk_grade"))
-        .orderBy(col("doc_id")))
+        .orderBy(col("doc_id"))),
+
+    // MARKUP STRIP (the HTML-cleanup pass every web-corpus pipeline runs
+    // before quality/dedup): drop <...> tags, decode the four core
+    // entities, collapse whitespace runs, trim. The corpus rows are
+    // plain text (0 tags — they prove the pass is a no-op on clean
+    // input); two INJECTED rows carry real markup — nested tags, an
+    // unclosed tag, entities, multi-space runs — shared verbatim with
+    // the oracle (mm02's injected-fixture discipline), so the tag
+    // regex, entity order and collapse behavior are all hash-pinned.
+    // Pure map-side; patterns via the DataFrame API (no SQL-literal
+    // escape divergence).
+    "tx46_markup_strip" -> ((s, dir) => {
+      val base = docs(s, dir).select(col("doc_id"), col("text"))
+      val extra = s.range(1).select(lit(1000001L).as("doc_id"),
+        lit(TX46_HTML_ROW).as("text"))
+        .unionByName(s.range(1).select(lit(1000002L).as("doc_id"),
+          lit(TX46_BROKEN_ROW).as("text")))
+      fanout(base.unionByName(extra))
+        .withColumn("n_tags",
+          size(regexp_extract_all(col("text"), lit("<[^>]*>"), lit(0)))
+            .cast("long"))
+        .withColumn("stripped",
+          regexp_replace(col("text"), "<[^>]*>", " "))
+        .withColumn("decoded",
+          regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+            col("stripped"), "&amp;", "&"), "&lt;", "<"), "&gt;", ">"),
+            "&quot;", "\""))
+        .withColumn("clean",
+          trim(regexp_replace(col("decoded"), "\\s+", " ")))
+        .select(col("doc_id"), col("n_tags"),
+          length(col("text")).cast("long").as("raw_len"),
+          length(col("clean")).cast("long").as("clean_len"),
+          substring(col("clean"), 1, 48).as("clean_prefix"))
+        .orderBy(col("doc_id"))
+    })
   )
+
+  /** Injected markup fixtures — shared verbatim by tx46 and its oracle. */
+  private val TX46_HTML_ROW =
+    "<p>Hello <b>world</b> &amp; friends</p>  <div class=\"x\">tail" +
+      "   text &lt;kept&gt;</div>"
+  private val TX46_BROKEN_ROW =
+    "plain &quot;quoted&quot; start <span>open tag never closed " +
+      "and   wide   gaps"
 
   /** tx39's single-fold CDC cutter as a shared (doc_id, source, chunk)
     * stream — one md5 per character position (see the tx39 comment for
@@ -2706,6 +2749,33 @@ object TextOps {
         |  ROUND(0.39 * (wp / sp)
         |    + 11.8 * (CAST(n_syllables AS DOUBLE) / wp) - 15.59, 6)
         |    AS fk_grade
-        |FROM p ORDER BY doc_id""".stripMargin
+        |FROM p ORDER BY doc_id""".stripMargin,
+
+    // same injected fixtures verbatim; DuckDB regexp_replace needs the
+    // 'g' flag (Spark's replaces all matches by default), entities via
+    // replace() which is all-occurrences on both
+    "tx46_markup_strip" ->
+      ("""WITH extra AS (
+        |  SELECT 1000001 AS doc_id, '""" + TX46_HTML_ROW + """' AS text
+        |  UNION ALL
+        |  SELECT 1000002, '""" + TX46_BROKEN_ROW + """'),
+        |all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id, text FROM extra),
+        |c AS (
+        |  SELECT doc_id, text,
+        |    len(regexp_extract_all(text, '<[^>]*>')) AS n_tags,
+        |    trim(regexp_replace(
+        |      replace(replace(replace(replace(
+        |        regexp_replace(text, '<[^>]*>', ' ', 'g'),
+        |        '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
+        |        '&quot;', '"'),
+        |      '\s+', ' ', 'g')) AS clean
+        |  FROM all_docs)
+        |SELECT doc_id, CAST(n_tags AS BIGINT) AS n_tags,
+        |  CAST(length(text) AS BIGINT) AS raw_len,
+        |  CAST(length(clean) AS BIGINT) AS clean_len,
+        |  substr(clean, 1, 48) AS clean_prefix
+        |FROM c ORDER BY doc_id""").stripMargin
   )
 }

@@ -1629,6 +1629,43 @@ object VectorOps {
             " / cast(n as double)"), 6).as("imbalance"),
           round(expr("cast(top_sz as double) / cast(n as double)"), 6)
             .as("top_decile_frac"))
+    }),
+
+    // SQ8 QUANTIZATION-DISTORTION AUDIT (the error dial behind v11's
+    // 4× storage cut, per label — which classes can afford the lossy
+    // index?): reconstruction error ‖x − dequant(quant(x))‖² per vector
+    // through v11's EXACT quantize/dequantize expressions, then
+    // per-label mean/max. Per-vector error is a single sequential fold
+    // (zip_with + aggregate ≡ DuckDB's list ops in list order),
+    // 12-dp-rounded into exact decimals so the label mean is
+    // order-independent; mean/max are one-tree finals. One corpus scan
+    // + a one-row broadcast of the min/max arrays — fully linear.
+    "v40_sq8_distortion" -> ((s, dir) => {
+      graft.functions.VectorFunctions.register(s)
+      val e = emb(s, dir)
+      val mm = e.select(posexplode(col("emb")).as(Seq("pos", "x")))
+        .groupBy(col("pos")).agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("mn")))).as("mns"),
+          array_sort(collect_list(struct(col("pos"), col("mx")))).as("mxs"))
+        .select(expr("transform(mns, s -> s.mn)").as("mn"),
+          expr("transform(mxs, s -> s.mx)").as("mx"))
+      e.crossJoin(broadcast(mm))
+        .withColumn("dq", expr(
+          "transform(emb, (x, i) -> mn[i] +" +
+            " cast(round((x - mn[i]) * 255.0D / (mx[i] - mn[i])) as int)" +
+            " * (mx[i] - mn[i]) / 255.0D)"))
+        .withColumn("err", expr(
+          "cast(round(aggregate(zip_with(emb, dq, (x, y) ->" +
+            " (x - y) * (x - y)), 0D, (acc, z) -> acc + z), 12)" +
+            " as decimal(28,12))"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n"), sum(col("err")).as("se"),
+          max(col("err")).as("me"))
+        .select(col("label"), col("n"),
+          round(expr("cast(se as double) / cast(n as double)"), 6)
+            .as("mean_sq_err"),
+          round(col("me").cast("double"), 6).as("max_sq_err"))
+        .orderBy(col("label"))
     })
   )
 
@@ -3444,7 +3481,40 @@ object VectorOps {
          |    / CAST(st.n AS DOUBLE), 6) AS imbalance,
          |  ROUND(CAST(top.top_sz AS DOUBLE) / CAST(st.n AS DOUBLE), 6)
          |    AS top_decile_frac
-         |FROM st, top""".stripMargin
+         |FROM st, top""".stripMargin,
+
+    // v11's exact dequantize replay → per-vector squared error as the
+    // same in-list sequential fold, 12-dp decimal terms, one-tree finals
+    "v40_sq8_distortion" ->
+      """WITH e AS (
+        |  SELECT vec_id, label, embedding::DOUBLE[] AS emb
+        |  FROM embeddings),
+        |d AS (SELECT unnest(embedding::DOUBLE[]) AS x,
+        |        generate_subscripts(embedding, 1) AS sub FROM embeddings),
+        |mmr AS (SELECT sub, MIN(x) AS mn, MAX(x) AS mx FROM d GROUP BY sub),
+        |mma AS (SELECT list(mn ORDER BY sub) AS mn,
+        |          list(mx ORDER BY sub) AS mx FROM mmr),
+        |err AS (
+        |  SELECT label,
+        |    CAST(ROUND(list_sum(list_transform(range(0, 64), i ->
+        |      (emb[CAST(i + 1 AS INT)] - (mn[CAST(i + 1 AS INT)] +
+        |        CAST(round((emb[CAST(i + 1 AS INT)] - mn[CAST(i + 1 AS INT)])
+        |               * 255.0 / (mx[CAST(i + 1 AS INT)]
+        |                 - mn[CAST(i + 1 AS INT)])) AS INT)
+        |          * (mx[CAST(i + 1 AS INT)] - mn[CAST(i + 1 AS INT)])
+        |          / 255.0))
+        |      * (emb[CAST(i + 1 AS INT)] - (mn[CAST(i + 1 AS INT)] +
+        |        CAST(round((emb[CAST(i + 1 AS INT)] - mn[CAST(i + 1 AS INT)])
+        |               * 255.0 / (mx[CAST(i + 1 AS INT)]
+        |                 - mn[CAST(i + 1 AS INT)])) AS INT)
+        |          * (mx[CAST(i + 1 AS INT)] - mn[CAST(i + 1 AS INT)])
+        |          / 255.0)))), 12) AS DECIMAL(28,12)) AS err
+        |  FROM e, mma)
+        |SELECT label, COUNT(*) AS n,
+        |  ROUND(CAST(SUM(err) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+        |    AS mean_sq_err,
+        |  ROUND(CAST(MAX(err) AS DOUBLE), 6) AS max_sq_err
+        |FROM err GROUP BY label ORDER BY label""".stripMargin
   )
 
   /** v30's replay: v21's LSH edge prefix, then 6 unrolled peel rounds
