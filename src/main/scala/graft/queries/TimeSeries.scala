@@ -2408,6 +2408,30 @@ object TimeSeries {
             " * (cast(obs as double) - cast(n as double) * p)" +
             " / (cast(n as double) * p)"), 6).as("chi2_term"))
         .orderBy(col("event_type"), col("digit"))
+    }),
+
+    // PEAK DETECTION (the alert-dedup primitive behind "notify on the
+    // SPIKE, not on every elevated sample"): per event_type, hourly
+    // means that strictly exceed BOTH ±1 neighbors (which must exist —
+    // series edges can't be peaks), with a ±2-window prominence
+    // (m − max of the up-to-4 neighbors, absent ones floored to −1,
+    // valid because micro means are ≥ 0). All integer micro-units; the
+    // four neighbor columns share ONE window sort per series.
+    "ts67_peaks" -> ((s, dir) => {
+      val w = Window.partitionBy(col("g")).orderBy(col("bucket"))
+      hourlyMicroMean(s, dir)
+        .withColumn("pm1", lag(col("m"), 1).over(w))
+        .withColumn("nm1", lead(col("m"), 1).over(w))
+        .withColumn("pm2", lag(col("m"), 2).over(w))
+        .withColumn("nm2", lead(col("m"), 2).over(w))
+        .filter(col("pm1").isNotNull && col("nm1").isNotNull &&
+          col("m") > col("pm1") && col("m") > col("nm1"))
+        .select(col("g").as("event_type"), col("bucket"), col("m"),
+          (col("m") - greatest(coalesce(col("pm1"), lit(-1L)),
+            coalesce(col("nm1"), lit(-1L)),
+            coalesce(col("pm2"), lit(-1L)),
+            coalesce(col("nm2"), lit(-1L)))).as("prominence"))
+        .orderBy(col("event_type"), col("bucket"))
     })
   )
 
@@ -4453,7 +4477,23 @@ object TimeSeries {
         |  ROUND((CAST(obs AS DOUBLE) - CAST(n AS DOUBLE) * p)
         |    * (CAST(obs AS DOUBLE) - CAST(n AS DOUBLE) * p)
         |    / (CAST(n AS DOUBLE) * p), 6) AS chi2_term
-        |FROM j ORDER BY event_type, digit""".stripMargin
+        |FROM j ORDER BY event_type, digit""".stripMargin,
+
+    // identical strict-both-neighbors rule and −1-floored ±2 prominence
+    "ts67_peaks" ->
+      s"""WITH $hourlyMicroSql,
+        |nb AS (
+        |  SELECT g, bucket, m,
+        |    lag(m, 1) OVER w AS pm1, lead(m, 1) OVER w AS nm1,
+        |    lag(m, 2) OVER w AS pm2, lead(m, 2) OVER w AS nm2
+        |  FROM hm WINDOW w AS (PARTITION BY g ORDER BY bucket))
+        |SELECT g AS event_type, bucket, m,
+        |  m - GREATEST(COALESCE(pm1, -1), COALESCE(nm1, -1),
+        |    COALESCE(pm2, -1), COALESCE(nm2, -1)) AS prominence
+        |FROM nb
+        |WHERE pm1 IS NOT NULL AND nm1 IS NOT NULL
+        |  AND m > pm1 AND m > nm1
+        |ORDER BY event_type, bucket""".stripMargin
   )
 
   /** The ts21 closed-form EMA kernel as a DuckDB CTE pair (`<out>_pairs`,

@@ -1666,6 +1666,44 @@ object VectorOps {
             .as("mean_sq_err"),
           round(col("me").cast("double"), 6).as("max_sq_err"))
         .orderBy(col("label"))
+    }),
+
+    // RETRIEVAL-QUALITY EVAL (nDCG@5 + MRR — the ranking-aware metrics
+    // recall can't see: an index that returns all 5 true neighbors in
+    // reverse order has recall 1.0 and poor nDCG): v05's 2-probe IVF
+    // ranking judged against v01's exact top-5 ground truth. ALL-INTEGER
+    // by construction: the DCG discount weights are FIXED micro-unit
+    // literals ⌊10⁶/log₂(r+1)⌋ (no libm at runtime), rel ∈ {0,1}, so
+    // DCG sums, the ideal (2948457 = Σ weights), nDCG in ppm and MRR in
+    // micro are exact 64-bit arithmetic — hash-portable with no float
+    // anywhere. The exact arm is the same bounded ground-truth
+    // diagnostic as v04/v06 (|queries| × corpus, queries a broadcast).
+    "v41_retrieval_quality" -> ((s, dir) => {
+      graft.functions.VectorFunctions.register(s)
+      val e = emb(s, dir)
+      val qs = e.filter(expr("vec_id % 100 = 0"))
+        .select(col("vec_id").as("q_id"), col("emb").as("qe"),
+          col("norm").as("qn"))
+      val exact = cosineTopK(e, qs, 5)
+        .select(col("q_id"), col("c_id")).withColumn("hit", lit(1L))
+      ivfTopK(e).select(col("q_id"), col("rnk"), col("c_id"))
+        .join(exact, Seq("q_id", "c_id"), "left")
+        .withColumn("rel", coalesce(col("hit"), lit(0L)))
+        .withColumn("w", expr("case rnk when 1 then 1000000L" +
+          " when 2 then 630929L when 3 then 500000L" +
+          " when 4 then 430676L else 386852L end"))
+        .groupBy(col("q_id"))
+        .agg(sum(col("rel")).as("n_hits"),
+          min(when(col("rel") === 1L, col("rnk"))).as("fr"),
+          sum(col("rel") * col("w")).as("dcg_micro"))
+        .withColumn("first_hit_rank", coalesce(col("fr"), lit(0L)))
+        .select(col("q_id"), col("n_hits"), col("first_hit_rank"),
+          expr("case when first_hit_rank > 0" +
+            " then 1000000 div first_hit_rank else 0L end")
+            .as("mrr_micro"),
+          col("dcg_micro"),
+          expr("(dcg_micro * 1000000) div 2948457").as("ndcg_ppm"))
+        .orderBy(col("q_id"))
     })
   )
 
@@ -3514,7 +3552,78 @@ object VectorOps {
         |  ROUND(CAST(SUM(err) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
         |    AS mean_sq_err,
         |  ROUND(CAST(MAX(err) AS DOUBLE), 6) AS max_sq_err
-        |FROM err GROUP BY label ORDER BY label""".stripMargin
+        |FROM err GROUP BY label ORDER BY label""".stripMargin,
+
+    // v05's IVF replay judged against v01's exact top-5; the same fixed
+    // micro-unit DCG weights — integer end to end
+    "v41_retrieval_quality" ->
+      """WITH e AS (
+        |  SELECT vec_id, label, embedding::DOUBLE[] AS emb,
+        |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+        |  FROM embeddings),
+        |cd AS (
+        |  SELECT label, sub AS pos, ROUND(AVG(val), 6) AS cv
+        |  FROM (SELECT label, unnest(embedding::DOUBLE[]) AS val,
+        |          generate_subscripts(embedding, 1) AS sub FROM embeddings)
+        |  GROUP BY label, sub),
+        |cent AS (
+        |  SELECT label AS clabel, cvec,
+        |    sqrt(list_dot_product(cvec, cvec)) AS cnorm
+        |  FROM (SELECT label, list(cv ORDER BY pos) AS cvec FROM cd
+        |        GROUP BY label)),
+        |sims AS (
+        |  SELECT vec_id, emb, norm, clabel,
+        |    ROUND(list_dot_product(emb, cvec) / (norm * cnorm), 6) AS csim
+        |  FROM e, cent),
+        |assign AS (
+        |  SELECT vec_id, emb, norm, clabel AS cell FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+        |      ORDER BY csim DESC, clabel) AS crn FROM sims)
+        |  WHERE crn = 1),
+        |probes AS (
+        |  SELECT vec_id AS q_id, emb AS qe, norm AS qn, clabel AS cell
+        |  FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+        |      ORDER BY csim DESC, clabel) AS crn FROM sims
+        |    WHERE vec_id % 100 = 0)
+        |  WHERE crn <= 2),
+        |cand AS (
+        |  SELECT q_id, vec_id AS c_id,
+        |    ROUND(list_dot_product(qe, emb) / (qn * norm), 6) AS sim
+        |  FROM assign JOIN probes USING (cell) WHERE vec_id <> q_id),
+        |ivf AS (
+        |  SELECT q_id, c_id, rnk FROM (
+        |    SELECT q_id, c_id, ROW_NUMBER() OVER (PARTITION BY q_id
+        |      ORDER BY sim DESC, c_id) AS rnk FROM cand)
+        |  WHERE rnk <= 5),
+        |q2 AS (SELECT vec_id AS q_id, emb AS qe, norm AS qn FROM e
+        |       WHERE vec_id % 100 = 0),
+        |exc AS (
+        |  SELECT q_id, vec_id AS c_id, ROW_NUMBER() OVER (
+        |    PARTITION BY q_id ORDER BY sim DESC, vec_id) AS xr
+        |  FROM (SELECT q_id, vec_id,
+        |          ROUND(list_dot_product(qe, emb) / (qn * norm), 6) AS sim
+        |        FROM e, q2 WHERE vec_id <> q_id)),
+        |ex AS (SELECT q_id, c_id FROM exc WHERE xr <= 5),
+        |sc AS (
+        |  SELECT i.q_id, i.rnk,
+        |    CASE WHEN ex.c_id IS NOT NULL THEN 1 ELSE 0 END AS rel,
+        |    CASE i.rnk WHEN 1 THEN 1000000 WHEN 2 THEN 630929
+        |      WHEN 3 THEN 500000 WHEN 4 THEN 430676 ELSE 386852 END AS w
+        |  FROM ivf i LEFT JOIN ex ON ex.q_id = i.q_id
+        |    AND ex.c_id = i.c_id),
+        |ag AS (
+        |  SELECT q_id, CAST(SUM(rel) AS BIGINT) AS n_hits,
+        |    MIN(CASE WHEN rel = 1 THEN rnk END) AS fr,
+        |    CAST(SUM(rel * w) AS BIGINT) AS dcg_micro
+        |  FROM sc GROUP BY q_id)
+        |SELECT q_id, n_hits,
+        |  CAST(COALESCE(fr, 0) AS BIGINT) AS first_hit_rank,
+        |  CAST(CASE WHEN COALESCE(fr, 0) > 0 THEN 1000000 // fr
+        |    ELSE 0 END AS BIGINT) AS mrr_micro,
+        |  dcg_micro,
+        |  CAST((dcg_micro * 1000000) // 2948457 AS BIGINT) AS ndcg_ppm
+        |FROM ag ORDER BY q_id""".stripMargin
   )
 
   /** v30's replay: v21's LSH edge prefix, then 6 unrolled peel rounds
