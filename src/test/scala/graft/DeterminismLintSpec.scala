@@ -69,7 +69,10 @@ class DeterminismLintSpec extends SparkSpec {
     // v38's half-split centroids: the same audited round(avg, 6)
     // pattern as v02, then SNAPPED to the integer micro-lattice before
     // any cross-half product — everything downstream is exact int64
-    "v38_embedding_drift" -> Seq("AVG over double")
+    "v38_embedding_drift" -> Seq("AVG over double"),
+    // v41 embeds v05's IVF pipeline (its audited rounded-centroid AVG);
+    // every metric DOWNSTREAM of the ranking is exact integer
+    "v41_retrieval_quality" -> Seq("AVG over double")
   )
 
   test("board-wide audit: float aggregates confined to the audited allowlist") {
