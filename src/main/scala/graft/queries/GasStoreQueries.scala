@@ -309,6 +309,52 @@ object GasStoreQueries {
     spark.read.parquet(path)
   }
 
+  /** gs33's sink: STREAMING FIRST-DIGIT PROFILE — ts66's Benford
+    * construct as a live aggregate (the data-forensics screen run at
+    * ingest, where a saturated sensor or a stuck scale shows up as a
+    * digit-histogram shift window over window). Stateless map side
+    * (micro conversion + int64 rendering digit), then a windowed count
+    * whose state is ≤ 9 digit cells per (open window × field) — bounded
+    * by construction. Append mode + 30 min watermark = the gs07/gs22
+    * sealing contract. */
+  private val builtDigits = new java.util.WeakHashMap[SparkSession, String]()
+  private def streamDigitProfile(spark: SparkSession): DataFrame = {
+    val path = builtDigits.synchronized {
+      Option(builtDigits.get(spark)).getOrElse {
+        val work = Files.createTempDirectory("graft-gas-digits")
+        deleteOnExit(work)
+        val long = graft.store.LongStore.unpivot(
+          graft.transform.GasTransform(
+            graft.streaming.GasStream.readStream(spark, fixtureDir))
+            .withColumnRenamed("file_name", "_src")).drop("_src")
+          .filter(col("_field").isin("CO (ppm)", "Humidity (%r.h.)"))
+        long
+          .withColumn("micro", expr(
+            "cast(cast(_value as decimal(18,6)) * 1000000 as bigint)"))
+          .filter(col("micro") > 0L)
+          .withColumn("digit", expr(
+            "cast(substring(cast(micro as string), 1, 1) as bigint)"))
+          .withWatermark("_time", "30 minutes")
+          .groupBy(window(col("_time"), "6 hours"), col("_field"),
+            col("digit"))
+          .agg(count(lit(1)).as("n_points"))
+          .select(col("window.start").as("_bucket"), col("_field"),
+            col("digit"), col("n_points"))
+          .writeStream
+          .format("parquet")
+          .option("path", s"$work/out")
+          .option("checkpointLocation", s"$work/ckpt")
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+          .awaitTermination()
+        builtDigits.put(spark, s"$work/out")
+        s"$work/out"
+      }
+    }
+    spark.read.parquet(path)
+  }
+
   /** gs25's sink: plain TUMBLING 6 h mean ingredients (count + exact
     * decimal total) per field — the simplest member of the windowed-sink
     * family (gs07 slides, gs21 does OHLC, gs22 histograms; this is the
@@ -1388,6 +1434,14 @@ object GasStoreQueries {
           col("total").cast("double").as("total"))
         .orderBy(col("b_us"))),
 
+    // STREAMING FIRST-DIGIT PROFILE — ts66's Benford forensics as a
+    // live windowed count (≤ 9 cells per window × field).
+    "gs33_stream_digit_profile" -> ((s, _) =>
+      streamDigitProfile(s)
+        .select(unix_micros(col("_bucket")).as("b_us"), col("_field"),
+          col("digit"), col("n_points"))
+        .orderBy(col("b_us"), col("_field"), col("digit"))),
+
     // STREAMING SET AGGREGATION — sorted occupied-bin sets per sealed
     // window: the bounded-container collect (≤16 ids per window × field,
     // throughput-independent), sort-pinned so the array compare is exact.
@@ -2061,6 +2115,31 @@ object GasStoreQueries {
          |  CAST(SUM(CAST(_value AS DECIMAL(18,6))) AS DOUBLE) AS total,
          |  MAX(epoch_us(_time)) AS latest_us
          |FROM pts GROUP BY _field ORDER BY _field""".stripMargin,
+
+    // replay of gs33: ts66's micro/digit construct + the sealing cutoff
+    "gs33_stream_digit_profile" ->
+      s"""$prelude,
+         |pts AS (
+         |  SELECT _time, 'CO (ppm)' AS _field, "CO (ppm)" AS _value
+         |  FROM raw
+         |  UNION ALL
+         |  SELECT _time, 'Humidity (%r.h.)', "Humidity (%r.h.)" FROM raw),
+         |mx AS (SELECT MAX(_time) AS mx FROM pts),
+         |dig AS (
+         |  SELECT epoch_us(_time) // 21600000000 AS wi, _field,
+         |    CAST(substr(CAST(CAST(CAST(_value AS DECIMAL(18,6)) * 1000000
+         |      AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+         |  FROM pts
+         |  WHERE CAST(CAST(_value AS DECIMAL(18,6)) * 1000000 AS BIGINT)
+         |    > 0),
+         |agg AS (
+         |  SELECT wi, _field, digit, COUNT(*) AS n_points
+         |  FROM dig GROUP BY wi, _field, digit)
+         |SELECT wi * 21600000000 AS b_us, _field, digit, n_points
+         |FROM agg, mx
+         |WHERE (wi + 1) * 21600000000
+         |  <= epoch_us(mx - INTERVAL 30 MINUTE)
+         |ORDER BY b_us, _field, digit""".stripMargin,
 
     // replay of gs32: distinct bins first, then the ordered list
     // aggregate (DuckDB can't combine DISTINCT with ORDER BY in one
