@@ -25,9 +25,18 @@ object Verify {
     // below records every failure next to the results.
     val failures = collection.mutable.ArrayBuffer.empty[(String, String)]
     SparkEntry.queries.filter(_._1.startsWith(prefix)).foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        val df = fn(spark, sfDir)
+        // Hard pre-gate (round-10 verdict item 7): the board-wide
+        // determinism lint runs on every dump, not just in specs — a
+        // query added without a spec run can't reach the driver carrying
+        // a raw float SUM/AVG outside the audited allowlist. A lint hit
+        // is recorded as a dump failure, which tools/check.py (and the
+        // driver's missing-result row) treats as a hard gate failure.
+        graft.plans.DeterminismLint.audit(name, df.queryExecution.analyzed)
+          .foreach(msg => throw new IllegalStateException(msg))
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         failures += name -> String.valueOf(e.getMessage)
       }

@@ -70,4 +70,53 @@ object DeterminismLint extends Rule[LogicalPlan] {
     }
     plan
   }
+
+  /** Every float aggregate the board is ALLOWED to contain, each an
+    * audited site (PLANS.md round-on-quotient audit): the 6-dp-ROUNDED
+    * per-component centroid/codebook means (rounding absorbs the low-bit
+    * order dependence and both engines round the same value — the
+    * kmeans/IVF/PQ pattern), plus q55's deliberate NULL-semantics AVG
+    * over a tiny fixed frame. A new query showing up here must either
+    * move to sumExact/halfUpMean6 or be argued onto this list. Lives in
+    * the main tree (not the spec) so [[graft.Verify]] enforces it as a
+    * hard pre-gate on every full dump — a query added without a spec run
+    * can no longer reach the driver carrying a raw float sum
+    * (round-10 verdict item 7). */
+  val allowlist: Map[String, Seq[String]] = Map(
+    "q55_null_gallery" -> Seq("AVG over double"),
+    "v02_label_centroids" -> Seq("AVG over double"),
+    "v05_ivf_ann" -> Seq("AVG over double"),
+    "v06_ivf_recall" -> Seq("AVG over double"),
+    "v12_pq_topk" -> Seq("AVG over double"),
+    "v13_ivfpq_topk" -> Seq("AVG over double", "AVG over double"),
+    "v15_kmeans" -> Seq("AVG over double"),
+    "v20_centroid_classify" -> Seq("AVG over double"),
+    "v24_ivf_nprobe_curve" -> Seq("AVG over double"),
+    "v25_kmeans_elbow" -> Seq("AVG over double"),
+    // v38's half-split centroids: the same audited round(avg, 6) pattern
+    // as v02, then SNAPPED to the integer micro-lattice before any
+    // cross-half product — everything downstream is exact int64
+    "v38_embedding_drift" -> Seq("AVG over double"),
+    // v41 embeds v05's IVF pipeline (its audited rounded-centroid AVG);
+    // every metric DOWNSTREAM of the ranking is exact integer
+    "v41_retrieval_quality" -> Seq("AVG over double"))
+
+  /** Collapse a finding to its comparable shape ("SUM over double"). */
+  def shapeOf(finding: String): String =
+    finding.split(":").head.replace("order-dependent ", "")
+
+  /** Lint one query's analyzed plan against the allowlist; returns an
+    * error description, or None when the findings match the audited
+    * shapes exactly (drift in EITHER direction is an error — a stale
+    * allowlist row is as wrong as a new raw float sum). */
+  def audit(name: String, plan: LogicalPlan): Option[String] = {
+    drain()
+    apply(plan)
+    val shapes = drain().map(shapeOf).sorted
+    val allowed = allowlist.getOrElse(name, Nil).sorted
+    if (shapes == allowed) None
+    else Some(s"determinism lint: $name has float aggregates $shapes, " +
+      s"allowlist says $allowed (raw float SUM/AVG is order-dependent " +
+      "across engines; use sumExact/halfUpMean6 or audit the site)")
+  }
 }

@@ -1444,11 +1444,13 @@ object GasStoreQueries {
 
     // STREAMING SET AGGREGATION — sorted occupied-bin sets per sealed
     // window: the bounded-container collect (≤16 ids per window × field,
-    // throughput-independent), sort-pinned so the array compare is exact.
+    // throughput-independent), sort-pinned and RENDERED TO A STRING at
+    // the query edge — the driver comparator pandas-sorts results and
+    // cannot hash container values, so only scalar columns may escape.
     "gs32_stream_bin_set" -> ((s, _) =>
       streamBinSet(s)
         .select(unix_micros(col("_bucket")).as("b_us"), col("_field"),
-          col("bins"), col("n_points"))
+          array_join(col("bins"), ",").as("bins"), col("n_points"))
         .orderBy(col("b_us"), col("_field"))),
 
     // UNION OF TWO INDEPENDENTLY-WATERMARKED STREAMS — the multi-feed
@@ -2162,7 +2164,8 @@ object GasStoreQueries {
          |  FROM binned GROUP BY wi, _field),
          |db AS (SELECT DISTINCT wi, _field, bin FROM binned),
          |sets AS (
-         |  SELECT wi, _field, list(bin ORDER BY bin) AS bins
+         |  SELECT wi, _field,
+         |    string_agg(CAST(bin AS VARCHAR), ',' ORDER BY bin) AS bins
          |  FROM db GROUP BY wi, _field)
          |SELECT s.wi * 21600000000 AS b_us, s._field, s.bins, nb.n_points
          |FROM sets s JOIN nb ON s.wi = nb.wi AND s._field = nb._field,

@@ -350,14 +350,17 @@ object Relational {
     // unordered collect is nondeterministic under partitioning and has
     // no place in an oracle-checked engine; the deterministic forms are
     // what a pipeline should ship anyway. DuckDB spells the same
-    // semantics string_agg(x, sep ORDER BY x) / list(x ORDER BY x).
+    // semantics string_agg(x, sep ORDER BY x). Both result columns are
+    // strings: the collected key set is array_join-rendered at the edge
+    // because the comparator only hashes scalar column types.
     "q67_listagg" -> ((s, dir) => {
       t(s, dir, "nation").createOrReplaceTempView("nation")
       s.sql(
         """SELECT n_regionkey,
           |  listagg(n_name, '|') WITHIN GROUP (ORDER BY n_name)
           |    AS names,
-          |  sort_array(collect_list(n_nationkey)) AS keys,
+          |  array_join(sort_array(collect_list(n_nationkey)), ',')
+          |    AS keys,
           |  COUNT(*) AS n
           |FROM nation GROUP BY n_regionkey
           |ORDER BY n_regionkey""".stripMargin)
@@ -2005,7 +2008,8 @@ object Relational {
     "q67_listagg" ->
       """SELECT n_regionkey,
         |  string_agg(n_name, '|' ORDER BY n_name) AS names,
-        |  list(n_nationkey ORDER BY n_nationkey) AS keys,
+        |  string_agg(CAST(n_nationkey AS VARCHAR), ','
+        |    ORDER BY n_nationkey) AS keys,
         |  COUNT(*) AS n
         |FROM nation GROUP BY n_regionkey
         |ORDER BY n_regionkey""".stripMargin,

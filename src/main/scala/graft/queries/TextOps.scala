@@ -164,22 +164,36 @@ object TextOps {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
-    // exact n-gram Jaccard similarity on a deterministic pair sample
+    // exact n-gram Jaccard on a deterministic pair sample, INTERSECTING
+    // pairs only — the tx35-style shingle-keyed inverted-index join
+    // (r10 verdict item 8: this retired the board's last non-ground-
+    // truth cartesian). Pair generation is one shingle-keyed shuffle
+    // whose volume is Σ_shingle |A-postings|·|B-postings| — bounded by
+    // the shared-shingle structure, not the |A|×|B| grid — and the
+    // Jaccard stays EXACT (no df cap: every shared shingle counts;
+    // the 1/37 × 1/41 id sample is what bounds the posting lists).
+    // Zero-intersection pairs carry jaccard 0 by definition and are no
+    // longer enumerated.
     "tx06_ngram_jaccard" -> ((s, dir) => {
       val sh = fanout(docs(s, dir))
         .selectExpr("doc_id", s"$tokExpr AS tk")
         .where(expr("size(tk) >= 3"))
         .selectExpr("doc_id",
-          "array_distinct(transform(sequence(1, size(tk) - 2), i -> concat_ws(' ', element_at(tk, i), element_at(tk, i + 1), element_at(tk, i + 2)))) AS sh")
+          "explode(array_distinct(transform(sequence(1, size(tk) - 2), i -> concat_ws(' ', element_at(tk, i), element_at(tk, i + 1), element_at(tk, i + 2))))) AS sh")
+      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
       val a = sh.filter(expr("doc_id % 37 = 0"))
-        .select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+        .select(col("sh"), col("doc_id").as("doc_a"))
       val b = sh.filter(expr("doc_id % 41 = 0"))
-        .select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
-      a.crossJoin(broadcast(b))
+        .select(col("sh"), col("doc_id").as("doc_b"))
+      a.join(b, Seq("sh"))
         .filter(col("doc_a") < col("doc_b"))
-        .withColumn("n_inter", expr("size(array_intersect(sh_a, sh_b))").cast("long"))
-        .withColumn("n_union",
-          (expr("size(sh_a)") + expr("size(sh_b)")).cast("long") - col("n_inter"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(count(lit(1)).as("n_inter"))
+        .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")),
+          Seq("doc_a"))
+        .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")),
+          Seq("doc_b"))
+        .withColumn("n_union", col("n_a") + col("n_b") - col("n_inter"))
         // unrounded integer-ratio division: identical IEEE result on any
         // engine; round(·,6) would be engine-dependent when v₂(n_union)=7
         // puts the quotient exactly on a half-way point (ts29 class)
@@ -473,8 +487,8 @@ object TextOps {
     // containment evidence and capping them is exactly what bounds the
     // scale shape — the inverted-index self-join fans out ≤ C(50,2)
     // pairs per shingle, so pair generation is one shingle-keyed shuffle,
-    // linear in corpus tokens, NEVER all-pairs (contrast tx06's
-    // crossJoin, which is a sample-bounded diagnostic). Intersections
+    // linear in corpus tokens, NEVER all-pairs (tx06 now rides the same
+    // inverted-index join over its id sample). Intersections
     // arrive as pair-keyed counts from one groupBy; sizes join back on
     // doc id. Both containment directions are checked; pairs at ≥ 0.5
     // in either direction are reported.
@@ -1734,9 +1748,10 @@ object TextOps {
          |    len(a.sh) + len(b.sh) - len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS n_union
          |  FROM sh a, sh b
          |  WHERE a.doc_id % 37 = 0 AND b.doc_id % 41 = 0 AND a.doc_id < b.doc_id)
-         |SELECT doc_a, doc_b, n_inter, n_union,
+         |SELECT doc_a, doc_b, CAST(n_inter AS BIGINT) AS n_inter,
+         |  CAST(n_union AS BIGINT) AS n_union,
          |  CAST(n_inter AS DOUBLE) / n_union AS jaccard
-         |FROM p ORDER BY doc_a, doc_b""".stripMargin,
+         |FROM p WHERE n_inter >= 1 ORDER BY doc_a, doc_b""".stripMargin,
 
     "tx07_fingerprint" ->
       """SELECT doc_id,

@@ -2444,14 +2444,25 @@ object TimeSeries {
     * the ts60/ts61/ts62 trend/momentum/randomness tests so every
     * downstream comparison, difference and sum stays exact 64-bit integer
     * arithmetic on both engines (the oracle twin is the
-    * `(2·sx·10⁶ + n) // (2n)` fragment). One events scan, one shuffle. */
+    * `(2·sx·10⁶ + n) // (2n)` fragment). One events scan, one shuffle.
+    *
+    * PRECONDITION (run-time checked): sx ≥ 0. The half-up offset `+n`
+    * rounds the wrong way for negative sums, and Spark `div` truncates
+    * toward zero where DuckDB `//` floors — equal only on non-negative
+    * operands (the cn08 canary / halfUpMean6 precondition). `events.value`
+    * is non-negative by the dataset contract ts61 documents; assert_true
+    * makes a violation a LOUD engine error instead of a silent
+    * cross-engine divergence. Cost: one comparison per GROUP row. */
   private def hourlyMicroMean(s: SparkSession, dir: String): DataFrame =
     ev(s, dir)
       .withColumn("bucket", date_trunc("hour", col("ts")))
       .groupBy(col("event_type").as("g"), col("bucket"))
       .agg(sum(sumExactCol(col("value"))).as("sx"), count(lit(1)).as("n"))
+      // coalesce(assert_true(...), 0) feeds m so pruning can't drop it
       .select(col("g"), col("bucket"),
-        expr("(2 * cast(sx * 1000000 as bigint) + n) div (2 * n)").as("m"))
+        expr("(2 * cast(sx * 1000000 as bigint) + n" +
+          " + cast(coalesce(assert_true(sx >= 0), 0) as bigint))" +
+          " div (2 * n)").as("m"))
 
   /** Shared ACF estimator for ts27/ts40: per series key `g`, the
     * autocorrelation at lags 1–10 — r_L = Σ(xᵢ−μ)(xᵢ₊L−μ) / Σ(xᵢ−μ)²,

@@ -1368,9 +1368,18 @@ object VectorOps {
     // hasn't folded in yet) and scans as a broadcast-queries map-side
     // pass; the main side is v27's O(q·√n) cell-bounded probe; the union
     // meets at a per-query top-5 window over ≤ (2·√n + |delta|) rows.
+    // The registered query's cost tracks SERVING, not diagnostics
+    // (r10 verdict item 5): the full-corpus recall@5 ground truth is
+    // computed only for a scale-capped AUDIT SUBSAMPLE of the queries —
+    // stride 100·max(1, n/500), i.e. every query at the sf0.01 oracle
+    // gate (bit-identical results, oracle untouched) but a fixed ~5
+    // queries at any stress rung, so the exact arm stays O(n) while the
+    // served path keeps its 1.4× cell-bounded shape. Unaudited queries
+    // emit NULL n_hit/recall (no such rows exist at gate scale).
     "v37_delta_index_merge" -> ((s, dir) => {
       graft.functions.VectorFunctions.register(s)
       val e = emb(s, dir)
+      val auditStride = 100L * math.max(1L, e.count() / 500L)
       val main = e.filter(col("vec_id") % 20 =!= 0)
       val delta = e.filter(col("vec_id") % 20 === 0)
       val cents = sqrtSeedCents(main).localCheckpoint(true)
@@ -1403,7 +1412,8 @@ object VectorOps {
         .withColumn("rnk", row_number().over(wTop).cast("long"))
         .filter(col("rnk") <= 5)
         .localCheckpoint(true)
-      val exact = cosineTopK(e, qs, 5).select(col("q_id"), col("c_id"))
+      val auditQs = qs.filter(col("q_id") % auditStride === 50L)
+      val exact = cosineTopK(e, auditQs, 5).select(col("q_id"), col("c_id"))
       val hits = top5.join(exact, Seq("q_id", "c_id"), "left_semi")
         .groupBy(col("q_id")).agg(count(lit(1)).cast("long").as("n_hit"))
       val nd = top5.groupBy(col("q_id"))
@@ -1414,9 +1424,12 @@ object VectorOps {
           col("src").as("top1_src"), col("sim").as("top1_sim"))
         .join(nd, Seq("q_id"))
         .join(hits, Seq("q_id"), "left")
-        .withColumn("n_hit", coalesce(col("n_hit"), lit(0L)))
+        .withColumn("audited", col("q_id") % auditStride === 50L)
+        .withColumn("n_hit",
+          when(col("audited"), coalesce(col("n_hit"), lit(0L))))
         .withColumn("recall_at_5",
-          round(col("n_hit").cast("double") / 5.0, 6))
+          when(col("audited"), round(col("n_hit").cast("double") / 5.0, 6)))
+        .drop("audited")
         .orderBy(col("q_id"))
     }),
 
@@ -1649,11 +1662,17 @@ object VectorOps {
           array_sort(collect_list(struct(col("pos"), col("mx")))).as("mxs"))
         .select(expr("transform(mns, s -> s.mn)").as("mn"),
           expr("transform(mxs, s -> s.mx)").as("mx"))
+      // mx[i] = mn[i] (a corpus-wide constant dimension) would divide by
+      // zero — a job failure under ANSI mode that the DuckDB oracle does
+      // not share (the v11 pattern). A constant dimension quantizes
+      // losslessly, so its reconstruction IS x (error contribution 0);
+      // the oracle carries the same branch.
       e.crossJoin(broadcast(mm))
         .withColumn("dq", expr(
-          "transform(emb, (x, i) -> mn[i] +" +
+          "transform(emb, (x, i) -> CASE WHEN mx[i] = mn[i] THEN x" +
+            " ELSE mn[i] +" +
             " cast(round((x - mn[i]) * 255.0D / (mx[i] - mn[i])) as int)" +
-            " * (mx[i] - mn[i]) / 255.0D)"))
+            " * (mx[i] - mn[i]) / 255.0D END)"))
         .withColumn("err", expr(
           "cast(round(aggregate(zip_with(emb, dq, (x, y) ->" +
             " (x - y) * (x - y)), 0D, (acc, z) -> acc + z), 12)" +
@@ -1986,8 +2005,16 @@ object VectorOps {
     * the plan. */
   private def lshPairsScaled(e: DataFrame, maxBands: Int,
       planesBudget: Int, multiProbe: Boolean = false): DataFrame = {
-    val w = scaledWidth(e.count())
+    // Clamp the derived width so ≥2 bands always fit the signature
+    // budget: without it, w > planesBudget/2 makes bands floor at 2 and
+    // planes = 2w exceed the budget (and lshCandidates' (1 << w) - 1
+    // mask overflows Int at w ≥ 31). Unreachable below ~10^11 vectors
+    // for the 60-plane budget, but the derivation's domain must match
+    // the invariant it assumes, not the data sizes we happen to run.
+    val w = math.min(scaledWidth(e.count()), planesBudget / 2)
     val bands = math.max(2, math.min(maxBands, planesBudget / w))
+    require(bands * w <= planesBudget && w < 31,
+      s"LSH signature budget violated: bands=$bands width=$w budget=$planesBudget")
     lshPairs(e, planes = bands * w, bands = bands, width = w, multiProbe)
   }
 
@@ -3535,6 +3562,8 @@ object VectorOps {
         |err AS (
         |  SELECT label,
         |    CAST(ROUND(list_sum(list_transform(range(0, 64), i ->
+        |      CASE WHEN mx[CAST(i + 1 AS INT)] = mn[CAST(i + 1 AS INT)]
+        |      THEN 0.0 ELSE
         |      (emb[CAST(i + 1 AS INT)] - (mn[CAST(i + 1 AS INT)] +
         |        CAST(round((emb[CAST(i + 1 AS INT)] - mn[CAST(i + 1 AS INT)])
         |               * 255.0 / (mx[CAST(i + 1 AS INT)]
@@ -3546,7 +3575,7 @@ object VectorOps {
         |               * 255.0 / (mx[CAST(i + 1 AS INT)]
         |                 - mn[CAST(i + 1 AS INT)])) AS INT)
         |          * (mx[CAST(i + 1 AS INT)] - mn[CAST(i + 1 AS INT)])
-        |          / 255.0)))), 12) AS DECIMAL(28,12)) AS err
+        |          / 255.0)) END)), 12) AS DECIMAL(28,12)) AS err
         |  FROM e, mma)
         |SELECT label, COUNT(*) AS n,
         |  ROUND(CAST(SUM(err) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)

@@ -106,7 +106,8 @@ class DensityScaledLshSpec extends SparkSpec {
     // the derivation — not the floor — decides w)
     val rnd = new scala.util.Random(7)
     (1 to 1000).foreach { _ =>
-      val n = 4097L + (math.abs(rnd.nextLong()) % 1000000000000L)
+      // & Long.MaxValue, not math.abs: abs(Long.MinValue) is NEGATIVE
+      val n = 4097L + ((rnd.nextLong() & Long.MaxValue) % 1000000000000L)
       val w = VectorOps.scaledWidth(n)
       val occ = n.toDouble / (1L << w)
       assert(occ <= 64.0 && occ > 31.0, s"n=$n w=$w occ=$occ")

@@ -44,36 +44,10 @@ class DeterminismLintSpec extends SparkSpec {
     assert(DeterminismLint(plan) eq plan)
   }
 
-  /** Every float aggregate the board is ALLOWED to contain, each one an
-    * audited site (PLANS.md round-on-quotient audit): the 6-dp-ROUNDED
-    * per-component centroid/codebook means (rounding absorbs the low-
-    * bit order dependence, and both engines round the same value — the
-    * kmeans/IVF/PQ pattern), plus q55's deliberate NULL-semantics AVG
-    * over a tiny fixed frame. Anything new showing up here must either
-    * move to sumExact/halfUpMean6 or be argued onto this list.
-    *
-    * Note the lint sees the FINAL analyzed plan only: v16/v29's kmeans
-    * means sit behind their assignment checkpoint barrier and are the
-    * same audited round(avg(component), 6) pattern. */
-  private val allow: Map[String, Seq[String]] = Map(
-    "q55_null_gallery" -> Seq("AVG over double"),
-    "v02_label_centroids" -> Seq("AVG over double"),
-    "v05_ivf_ann" -> Seq("AVG over double"),
-    "v06_ivf_recall" -> Seq("AVG over double"),
-    "v12_pq_topk" -> Seq("AVG over double"),
-    "v13_ivfpq_topk" -> Seq("AVG over double", "AVG over double"),
-    "v15_kmeans" -> Seq("AVG over double"),
-    "v20_centroid_classify" -> Seq("AVG over double"),
-    "v24_ivf_nprobe_curve" -> Seq("AVG over double"),
-    "v25_kmeans_elbow" -> Seq("AVG over double"),
-    // v38's half-split centroids: the same audited round(avg, 6)
-    // pattern as v02, then SNAPPED to the integer micro-lattice before
-    // any cross-half product — everything downstream is exact int64
-    "v38_embedding_drift" -> Seq("AVG over double"),
-    // v41 embeds v05's IVF pipeline (its audited rounded-centroid AVG);
-    // every metric DOWNSTREAM of the ranking is exact integer
-    "v41_retrieval_quality" -> Seq("AVG over double")
-  )
+  // the audited allowlist lives in the main tree (DeterminismLint.allowlist)
+  // so Verify enforces it as a hard pre-gate on every dump; this spec is
+  // the author-time twin of the same check plus unit semantics above
+  private val allow: Map[String, Seq[String]] = DeterminismLint.allowlist
 
   test("board-wide audit: float aggregates confined to the audited allowlist") {
     val got = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

@@ -117,6 +117,31 @@ class RegistrySpec extends SparkSpec {
         s"driver hash is type-sensitive): ${offenders.mkString("; ")}")
   }
 
+  test("every registered query's result schema is scalar-only (container hash trap)") {
+    // Round-10's only two non-green cells (gs32, q67) were ARRAY-typed
+    // result columns: the driver comparator pandas-sorts the result frame
+    // and numpy arrays raise `unhashable type` in factorize, so the query
+    // lands as ERR — untested — regardless of value equality. Containers
+    // must be rendered to strings at the query edge (array_join /
+    // concat_ws; oracle string_agg). Authoritative run-time gate:
+    // tools/check.py fails on LIST/ARRAY/STRUCT/MAP in either side's
+    // final projection; this is the author-time first line over the
+    // Spark-side analyzed schema (no execution needed).
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        fn(spark, sf).schema.fields.collect {
+          case f if f.dataType.isInstanceOf[ArrayType] ||
+            f.dataType.isInstanceOf[MapType] ||
+            f.dataType.isInstanceOf[StructType] =>
+            s"$name.${f.name}: ${f.dataType.simpleString}"
+        }
+    }
+    assert(offenders.isEmpty,
+      "container-typed result columns (driver pandas comparator cannot " +
+        s"hash them — render to string at the edge): ${offenders.mkString("; ")}")
+  }
+
   test("every registered query is documented in SURVEY.md (the graded inventory)") {
     // SURVEY §2 is the coverage contract the judge audits line by line; a
     // query that ships without a SURVEY mention is invisible to that
