@@ -41,9 +41,12 @@ object GasPipeline {
         .collect().map(_.getString(0)).sorted
       if (names.nonEmpty) {
         val transformed = GasTransform(fresh)
+        // Writer parallelism scaled to the day-file size (the round-11
+        // single-writer funnel finding — see LongStore.writersFor).
         LongStore.write(
           LongStore.unpivot(transformed.withColumnRenamed("file_name", "_src")),
-          storePath)
+          storePath,
+          writersPerPartition = LongStore.writersFor(spark, inputDir))
         GasIngest.appendToLedger(fresh, ledgerPath)
       }
       import spark.implicits._

@@ -419,6 +419,32 @@ object Relational {
         .orderBy(named("o_orderstatus"))
     }),
 
+    // -- KEYSET PAGINATION (the deep-paging pattern that survives scale
+    // where OFFSET cannot: OFFSET n scans-and-discards n rows on every
+    // page, so page depth is O(n) per request; the keyset form seeks to
+    // the last-seen (date, key) boundary with an indexable range
+    // predicate and reads ONE page). Page 3 (rows 101–150 of orders by
+    // (o_orderdate, o_orderkey)): the boundary is the top-100's last row
+    // (a TakeOrderedAndProject, never a full sort), the page fetch a
+    // pushed composite-range filter + top-50. The DuckDB oracle computes
+    // the SAME page via LIMIT/OFFSET — a cross-construction proof that
+    // the keyset predicate is exactly the offset semantics. The
+    // composite predicate is spelled explicitly (d > b OR (d = b AND
+    // k > bk)) — the form that pushes to the scan as an OR of ranges.
+    "q72_keyset_pagination" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql(
+        """WITH b AS (
+          |  SELECT o_orderdate AS bd, o_orderkey AS bk
+          |  FROM orders ORDER BY o_orderdate, o_orderkey
+          |  LIMIT 1 OFFSET 99)
+          |SELECT o_orderkey, o_orderdate, o_totalprice
+          |FROM orders, b
+          |WHERE o_orderdate > bd
+          |   OR (o_orderdate = bd AND o_orderkey > bk)
+          |ORDER BY o_orderdate, o_orderkey LIMIT 50""".stripMargin)
+    }),
+
     // -- RECURSIVE CTE (WITH RECURSIVE — new in Spark 4): the iterative
     // front door next to q29's correlated one. Each part walks its
     // digit-trim ancestry to a single-digit root — the BOM-explosion /
@@ -1982,6 +2008,14 @@ object Relational {
         |FROM orders
         |WHERE o_orderstatus <> 'P' AND o_totalprice > 1000.0
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    // the OFFSET construction of the same page — keyset ≡ offset is the
+    // cross-proof (unique o_orderkey makes the order total, so both
+    // constructions name the same 50 rows)
+    "q72_keyset_pagination" ->
+      """SELECT o_orderkey, o_orderdate, o_totalprice
+        |FROM orders ORDER BY o_orderdate, o_orderkey
+        |LIMIT 50 OFFSET 100""".stripMargin,
 
     // the name-aligned union replayed as an explicit NULL-filled
     // UNION ALL — the semantics unionByName(allowMissingColumns) gives

@@ -1613,6 +1613,39 @@ object TextOps {
           length(col("clean")).cast("long").as("clean_len"),
           substring(col("clean"), 1, 48).as("clean_prefix"))
         .orderBy(col("doc_id"))
+    }),
+
+    // UNIGRAM TOTAL-VARIATION DRIFT (the distribution-shift check a
+    // corpus pipeline runs between two slices before mixing them —
+    // TVD = ½ Σ_w |p₀(w) − p₁(w)| over the shared vocabulary): slices
+    // are the deterministic doc_id parity halves; the per-token drift
+    // score |c₀·N₁ − c₁·N₀| and the TVD numerator stay EXACT int64
+    // cross-multiplications (never per-token float ratios, whose sum
+    // would be order-dependent), with ONE final IEEE division for the
+    // reported TVD. Output: the 10 most drifted tokens, each row also
+    // carrying the corpus-level TVD. Scale: one token-keyed count
+    // aggregate + a one-row totals broadcast + a top-10
+    // TakeOrderedAndProject over the vocabulary — never the corpus.
+    "tx47_unigram_tvd_drift" -> ((s, dir) => {
+      val tok = fanout(docs(s, dir))
+        .selectExpr("doc_id", s"explode($tokExpr) AS tk")
+      val cnt = tok.groupBy(col("tk"))
+        .agg(sum(when(expr("doc_id % 2 = 0"), 1L).otherwise(0L)).as("c0"),
+          sum(when(expr("doc_id % 2 = 1"), 1L).otherwise(0L)).as("c1"))
+      val tot = cnt.agg(sum(col("c0")).as("n0"), sum(col("c1")).as("n1"))
+      val scored = cnt.crossJoin(broadcast(tot))
+        .withColumn("drift_num", abs(col("c0") * col("n1") -
+          col("c1") * col("n0")))
+      val tvd = scored.agg(sum(col("drift_num")).as("sn"),
+        max(col("n0")).as("n0"), max(col("n1")).as("n1"))
+        .select(col("n0"), col("n1"),
+          expr("cast(sn as double) / cast(2 * n0 * n1 as double)")
+            .as("tvd"))
+      scored.select(col("tk"), col("c0"), col("c1"), col("drift_num"))
+        .orderBy(col("drift_num").desc, col("tk"))
+        .limit(10)
+        .crossJoin(broadcast(tvd))
+        .orderBy(col("drift_num").desc, col("tk"))
     })
   )
 
@@ -2791,6 +2824,34 @@ object TextOps {
         |  CAST(length(text) AS BIGINT) AS raw_len,
         |  CAST(length(clean) AS BIGINT) AS clean_len,
         |  substr(clean, 1, 48) AS clean_prefix
-        |FROM c ORDER BY doc_id""").stripMargin
+        |FROM c ORDER BY doc_id""").stripMargin,
+
+    // identical parity halves and int64 cross-multiplied drift; the TVD
+    // division is the same one tree
+    "tx47_unigram_tvd_drift" ->
+      s"""WITH tok AS (
+        |  SELECT doc_id, unnest($dTok) AS tk FROM documents),
+        |cnt AS (
+        |  SELECT tk,
+        |    CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS c0,
+        |    CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS c1
+        |  FROM tok GROUP BY tk),
+        |tot AS (SELECT CAST(SUM(c0) AS BIGINT) AS n0,
+        |               CAST(SUM(c1) AS BIGINT) AS n1 FROM cnt),
+        |scored AS (
+        |  SELECT tk, c0, c1, abs(c0 * n1 - c1 * n0) AS drift_num
+        |  FROM cnt, tot),
+        |tv AS (
+        |  SELECT n0, n1,
+        |    CAST(CAST(SUM(drift_num) AS BIGINT) AS DOUBLE)
+        |      / CAST(2 * n0 * n1 AS DOUBLE) AS tvd
+        |  FROM scored, tot GROUP BY n0, n1),
+        |top AS (
+        |  SELECT tk, c0, c1, drift_num FROM scored
+        |  ORDER BY drift_num DESC, tk LIMIT 10)
+        |SELECT top.tk, top.c0, top.c1, top.drift_num, tv.n0, tv.n1, tv.tvd
+        |FROM top, tv ORDER BY drift_num DESC, tk""".stripMargin
   )
 }

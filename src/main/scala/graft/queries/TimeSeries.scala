@@ -2432,6 +2432,107 @@ object TimeSeries {
             coalesce(col("pm2"), lit(-1L)),
             coalesce(col("nm2"), lit(-1L)))).as("prominence"))
         .orderBy(col("event_type"), col("bucket"))
+    }),
+
+    // TRIMMED MEAN (the robust location estimate a metrics pipeline
+    // publishes when single outliers must not move the headline number):
+    // per event_type, drop the k = ⌊n/10⌋ smallest and largest VALUES
+    // (ties broken by event_id so the trim set is deterministic on both
+    // engines), then the exact integer-micro half-up mean of the
+    // survivors next to the untrimmed mean — the gap between the two IS
+    // the outlier pressure. All integer: ranks from one window sort,
+    // sums exact decimals, means the shared (2·sx·10⁶+n) div (2n)
+    // fragment (values ≥ 0 per the ts61 dataset contract). Scale: one
+    // window sort per series + one aggregate, series-keyed shuffles.
+    "ts68_trimmed_mean" -> ((s, dir) => {
+      val wr = Window.partitionBy(col("g"))
+        .orderBy(col("value"), col("event_id"))
+      ev(s, dir)
+        .select(col("event_type").as("g"), col("event_id"), col("value"))
+        .withColumn("r", row_number().over(wr).cast("long"))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy(col("g"))))
+        .withColumn("keep",
+          col("r") > expr("n div 10") && col("r") <= col("n") - expr("n div 10"))
+        .groupBy(col("g"))
+        .agg(max(col("n")).as("n"),
+          max(expr("n div 10")).as("k_trim"),
+          sum(when(col("keep"), sumExactCol(col("value")))).as("tsum"),
+          sum(when(col("keep"), 1L)).as("tn"),
+          sum(sumExactCol(col("value"))).as("sx"))
+        .select(col("g").as("event_type"), col("n"), col("k_trim"),
+          expr("(2 * cast(tsum * 1000000 as bigint) + tn) div (2 * tn)")
+            .as("trimmed_micro"),
+          expr("(2 * cast(sx * 1000000 as bigint) + n) div (2 * n)")
+            .as("mean_micro"))
+        .orderBy(col("event_type"))
+    }),
+
+    // SHEWHART INDIVIDUALS / MOVING-RANGE CONTROL CHART (the SPC
+    // workhorse behind "is this hour out of control?"): per event_type
+    // over hourly means, center = half-up mean(m), MR̄ = half-up mean of
+    // |mᵢ − mᵢ₋₁|, and the ±2.66·MR̄ limits (2.66 = 3/d₂ with d₂ = 1.128
+    // for subgroup size 2 — the standard table constant, used here as
+    // the exact rational 2660/1000 so the breach rule is pure INTEGER
+    // cross-multiplication: 1000·|m − center| > 2660·MR̄; no float
+    // anywhere in the query). Output: chart geometry + breach census
+    // per series. One window sort (the lag) + two aggregates, all
+    // series-keyed; the geometry joins back as a broadcast.
+    "ts69_individuals_chart" -> ((s, dir) => {
+      val w = Window.partitionBy(col("g")).orderBy(col("bucket"))
+      val hm = hourlyMicroMean(s, dir)
+        .withColumn("pm", lag(col("m"), 1).over(w))
+      val geom = hm.groupBy(col("g"))
+        .agg(count(lit(1)).as("n_hours"),
+          sum(col("m")).as("sm"),
+          sum(when(col("pm").isNotNull, abs(col("m") - col("pm"))))
+            .as("smr"),
+          sum(when(col("pm").isNotNull, 1L)).as("nmr"))
+        // greatest(nmr, 1): a 1-hour series has no moving range — NULL
+        // mrbar (and zero breaches) instead of an ANSI divide-by-zero
+        .select(col("g"), col("n_hours"),
+          expr("(2 * sm + n_hours) div (2 * n_hours)").as("center"),
+          expr("(2 * smr + nmr) div (2 * greatest(nmr, 1L))").as("mrbar"))
+      hm.join(broadcast(geom), Seq("g"))
+        .withColumn("breach",
+          when(abs(col("m") - col("center")) * lit(1000L) >
+            col("mrbar") * lit(2660L), 1L).otherwise(0L))
+        .groupBy(col("g"), col("n_hours"), col("center"), col("mrbar"))
+        .agg(sum(col("breach")).as("n_breach"),
+          min(when(col("breach") === 1L, col("bucket"))).as("first_breach"))
+        .select(col("g").as("event_type"), col("n_hours"), col("center"),
+          col("mrbar"), col("n_breach"), col("first_breach"))
+        .orderBy(col("event_type"))
+    }),
+
+    // COX–STUART TREND TEST (the sign-test cousin of ts60's Mann–Kendall:
+    // O(n) paired comparisons instead of O(n²), the cheap first screen a
+    // pipeline runs before paying for the full test): per event_type,
+    // hour i pairs with hour i+h (h = ⌊n/2⌋; an odd middle hour drops),
+    // count strict rises/falls (ties drop), S = max(pos, neg), z =
+    // (2S − mp)/√mp — integer throughout with ONE final IEEE tree (sqrt
+    // is correctly rounded by IEEE-754, so the cn03 libm-drift class
+    // does not apply). Pairing is a row_number self-join on the
+    // pre-compressed hourly frame (ts60's |hours| cost class).
+    "ts70_cox_stuart" -> ((s, dir) => {
+      val w = Window.partitionBy(col("g")).orderBy(col("bucket"))
+      val idx = hourlyMicroMean(s, dir)
+        .withColumn("i", row_number().over(w).cast("long"))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy(col("g"))))
+      val a = idx.filter(col("i") <= expr("n div 2"))
+        .select(col("g"), (col("i") + expr("n div 2")).as("j"),
+          col("m").as("m1"))
+      val b = idx.select(col("g"), col("i").as("j"), col("m").as("m2"))
+      a.join(b, Seq("g", "j"))
+        .groupBy(col("g"))
+        .agg(sum(when(col("m2") > col("m1"), 1L).otherwise(0L)).as("n_pos"),
+          sum(when(col("m2") < col("m1"), 1L).otherwise(0L)).as("n_neg"))
+        .withColumn("mp", col("n_pos") + col("n_neg"))
+        .select(col("g").as("event_type"), col("n_pos"), col("n_neg"),
+          col("mp").as("n_pairs"),
+          expr("case when mp = 0 then 0.0D else" +
+            " cast(2 * greatest(n_pos, n_neg) - mp as double)" +
+            " / sqrt(cast(mp as double)) end").as("z"))
+        .orderBy(col("event_type"))
     })
   )
 
@@ -4504,7 +4605,87 @@ object TimeSeries {
         |FROM nb
         |WHERE pm1 IS NOT NULL AND nm1 IS NOT NULL
         |  AND m > pm1 AND m > nm1
-        |ORDER BY event_type, bucket""".stripMargin
+        |ORDER BY event_type, bucket""".stripMargin,
+
+    // identical (value, event_id)-ranked trim set; counts pinned BIGINT
+    "ts68_trimmed_mean" ->
+      """WITH rk AS (
+        |  SELECT event_type AS g, event_id, value,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type
+        |      ORDER BY value, event_id) AS r,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS n
+        |  FROM events),
+        |ag AS (
+        |  SELECT g, MAX(n) AS n, MAX(n // 10) AS k_trim,
+        |    SUM(CASE WHEN r > n // 10 AND r <= n - n // 10
+        |      THEN CAST(value AS DECIMAL(18,6)) END) AS tsum,
+        |    CAST(SUM(CASE WHEN r > n // 10 AND r <= n - n // 10
+        |      THEN 1 END) AS BIGINT) AS tn,
+        |    SUM(CAST(value AS DECIMAL(18,6))) AS sx
+        |  FROM rk GROUP BY g)
+        |SELECT g AS event_type, CAST(n AS BIGINT) AS n,
+        |  CAST(k_trim AS BIGINT) AS k_trim,
+        |  (2 * CAST(tsum * 1000000 AS BIGINT) + tn) // (2 * tn)
+        |    AS trimmed_micro,
+        |  (2 * CAST(sx * 1000000 AS BIGINT) + n) // (2 * n) AS mean_micro
+        |FROM ag ORDER BY event_type""".stripMargin,
+
+    // identical integer chart geometry and 1000/2660 cross-multiplied
+    // breach rule
+    "ts69_individuals_chart" ->
+      s"""WITH $hourlyMicroSql,
+        |lg AS (
+        |  SELECT g, bucket, m,
+        |    lag(m, 1) OVER (PARTITION BY g ORDER BY bucket) AS pm
+        |  FROM hm),
+        |geom AS (
+        |  SELECT g, COUNT(*) AS n_hours, SUM(m) AS sm,
+        |    SUM(CASE WHEN pm IS NOT NULL THEN abs(m - pm) END) AS smr,
+        |    CAST(SUM(CASE WHEN pm IS NOT NULL THEN 1 END) AS BIGINT)
+        |      AS nmr
+        |  FROM lg GROUP BY g),
+        |gm AS (
+        |  SELECT g, CAST(n_hours AS BIGINT) AS n_hours,
+        |    (2 * CAST(sm AS BIGINT) + n_hours) // (2 * n_hours) AS center,
+        |    (2 * CAST(smr AS BIGINT) + nmr) // (2 * GREATEST(nmr, 1))
+        |      AS mrbar
+        |  FROM geom),
+        |coded AS (
+        |  SELECT l.g, gm.n_hours, gm.center, gm.mrbar, l.bucket,
+        |    CASE WHEN abs(l.m - gm.center) * 1000 > gm.mrbar * 2660
+        |      THEN 1 ELSE 0 END AS breach
+        |  FROM lg l JOIN gm ON l.g = gm.g)
+        |SELECT g AS event_type, n_hours, center, mrbar,
+        |  CAST(SUM(breach) AS BIGINT) AS n_breach,
+        |  MIN(CASE WHEN breach = 1 THEN bucket END) AS first_breach
+        |FROM coded GROUP BY g, n_hours, center, mrbar
+        |ORDER BY event_type""".stripMargin,
+
+    // identical i ↔ i+⌊n/2⌋ pairing and one-tree z (sqrt is
+    // IEEE-correctly-rounded on both engines)
+    "ts70_cox_stuart" ->
+      s"""WITH $hourlyMicroSql,
+        |idx AS (
+        |  SELECT g, m,
+        |    ROW_NUMBER() OVER (PARTITION BY g ORDER BY bucket) AS i,
+        |    COUNT(*) OVER (PARTITION BY g) AS n
+        |  FROM hm),
+        |p AS (
+        |  SELECT a.g,
+        |    CAST(SUM(CASE WHEN b.m > a.m THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_pos,
+        |    CAST(SUM(CASE WHEN b.m < a.m THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_neg
+        |  FROM idx a JOIN idx b
+        |    ON a.g = b.g AND b.i = a.i + a.n // 2
+        |  WHERE a.i <= a.n // 2
+        |  GROUP BY a.g)
+        |SELECT g AS event_type, n_pos, n_neg,
+        |  n_pos + n_neg AS n_pairs,
+        |  CASE WHEN n_pos + n_neg = 0 THEN 0.0 ELSE
+        |    CAST(2 * GREATEST(n_pos, n_neg) - (n_pos + n_neg) AS DOUBLE)
+        |    / sqrt(CAST(n_pos + n_neg AS DOUBLE)) END AS z
+        |FROM p ORDER BY event_type""".stripMargin
   )
 
   /** The ts21 closed-form EMA kernel as a DuckDB CTE pair (`<out>_pairs`,

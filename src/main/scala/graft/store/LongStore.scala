@@ -69,6 +69,24 @@ object LongStore {
     *   Raising this spreads each partition's rows over N tasks (N files),
     *   trading file count for write parallelism; 1 keeps the compact
     *   one-file-per-partition layout that suits day-file-sized inputs. */
+  /** Writer-count heuristic for [[write]], from the INPUT day-file sizes:
+    * the one-file-per-partition layout funnels a whole day through one
+    * writer task, which the round-11 streaming cost ladder measured as
+    * the dominant ingest cost at 8×/32× throughput (a 370 MB day file
+    * spent ~150 s in a single dynamic-partition parquet writer while 31
+    * cores idled). ~64 MB of raw CSV per writer (the unpivot expands
+    * bytes ~2-3×) keeps output files row-group-sized without a
+    * small-file explosion; fixture/1× inputs stay at one writer, so
+    * their layout is unchanged. Cost: one O(#files) FS metadata listing. */
+  def writersFor(spark: org.apache.spark.sql.SparkSession, inputDir: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(inputDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val st = fs.globStatus(new org.apache.hadoop.fs.Path(p, "*.csv"))
+    val maxBytes = if (st == null || st.isEmpty) 0L else st.map(_.getLen).max
+    math.max(1L, math.min(32L,
+      (maxBytes + (64L << 20) - 1) / (64L << 20))).toInt
+  }
+
   def write(long: DataFrame, path: String, writersPerPartition: Int = 1): Unit = {
     val withDate =
       if (long.columns.contains("_date")) long

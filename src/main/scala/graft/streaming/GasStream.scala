@@ -33,6 +33,10 @@ object GasStream {
   def pipeline(spark: SparkSession, inputDir: String, storePath: String,
       checkpoint: String): StreamingQuery = {
     val transformed = GasTransform(readStream(spark, inputDir))
+    // Writer parallelism scaled to the day-file size (the round-11
+    // single-writer funnel finding — see LongStore.writersFor); computed
+    // once at plan time from FS metadata, not per micro-batch.
+    val writers = LongStore.writersFor(spark, inputDir)
     // file_name rides along as `_src` so the store's overwrite unit is one
     // source file — a day split across micro-batches by maxFilesPerTrigger
     // can no longer clobber the day partition written by an earlier trigger.
@@ -41,7 +45,7 @@ object GasStream {
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        LongStore.write(batch, storePath)
+        LongStore.write(batch, storePath, writersPerPartition = writers)
       }
       .trigger(Trigger.AvailableNow())
       .start()
@@ -698,7 +702,7 @@ object GasStream {
     * grid ⌊8v⌋ ∈ [0,512) so the oracle can replay hashing exactly. */
   class KmvProcessor(windowUs: Long, k: Int)
       extends org.apache.spark.sql.streaming.StatefulProcessor[
-        String, (String, java.sql.Timestamp, Double), KmvRow] {
+        String, (String, Long, Long), KmvRow] {
     import org.apache.spark.sql.streaming.{MapState, TimeMode, TimerValues, TTLConfig}
     @transient private var sketches: MapState[Long, KmvState] = _
 
@@ -712,21 +716,33 @@ object GasStream {
         .digest(s.getBytes("UTF-8"))
         .map(b => f"${b & 0xff}%02x").mkString
 
+    /** The hash domain is the 512-cell value grid, so every possible MD5
+      * is precomputable ONCE per processor — the round-11 streaming cost
+      * ladder (SLADDER.json) caught per-row `MessageDigest.getInstance`
+      * as gs27's dominant cost (274 s at the 8× rung, ~11× the 1× time;
+      * the sketch math itself is O(1)/row). Same digests, same results. */
+    @transient private lazy val gridHashes: Array[String] =
+      Array.tabulate(512)(i => md5hex(i.toString))
+
     override def handleInputRows(field: String,
-        rows: Iterator[(String, java.sql.Timestamp, Double)],
+        rows: Iterator[(String, Long, Long)],
         timerValues: TimerValues): Iterator[KmvRow] = {
       val touched = scala.collection.mutable.LinkedHashMap.empty[Long, KmvState]
-      rows.foreach { case (_, t, v) =>
-        val us = Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+      rows.foreach { case (_, us, iv) =>
         val w = Math.floorDiv(us, windowUs) * windowUs
-        val iv = Math.max(0L, Math.min(511L, math.floor(v * 8.0).toLong))
-        val h = md5hex(iv.toString)
+        val h = gridHashes(iv.toInt)
         val cur = touched.getOrElse(w,
           if (sketches.containsKey(w)) sketches.getValue(w)
           else KmvState(Nil, 0L))
+        // bottom-k of the DISTINCT hash set, allocation-free in steady
+        // state: hashes stay sorted ascending, so a full sketch rejects
+        // any h ≥ last with one compare (~97% of rows at 512 cells/k=16)
+        val cs = cur.hashes
         val hs =
-          if (cur.hashes.contains(h)) cur.hashes
-          else (cur.hashes :+ h).sorted.take(k)
+          if (cs.contains(h)) cs
+          else if (cs.size < k) (cs :+ h).sorted
+          else if (h < cs.last) (cs :+ h).sorted.take(k)
+          else cs
         touched(w) = KmvState(hs, cur.nSeen + 1)
       }
       touched.foreach { case (w, st) => sketches.updateValue(w, st) }
@@ -737,12 +753,21 @@ object GasStream {
   }
 
   /** [[KmvProcessor]] over the long gas stream (RocksDB state store
-    * required, as with [[cusumStreamTws]]). */
+    * required, as with [[cusumStreamTws]]). The µs conversion and the
+    * 512-cell grid clamp run as codegen'd SQL BEFORE the typed boundary —
+    * the SLADDER profile showed per-row JVM work inside the processor
+    * (Timestamp decode, floor/clamp, hashing) dominating gs27's cost;
+    * everything Catalyst can codegen should stay on the Catalyst side of
+    * `transformWithState`, leaving the processor pure sketch maintenance.
+    * `unix_micros` / `greatest(least(floor(v*8),511),0)` are the exact
+    * integer forms the processor previously computed per row. */
   def kmvStream(long: DataFrame, windowUs: Long, k: Int): DataFrame = {
     import long.sparkSession.implicits._
     import org.apache.spark.sql.streaming.TimeMode
-    long.select(col("_field"), col("_time"), col("_value"))
-      .as[(String, java.sql.Timestamp, Double)]
+    long.select(col("_field"), unix_micros(col("_time")).as("us"),
+        greatest(least(floor(col("_value") * 8.0), lit(511L)), lit(0L))
+          .cast("long").as("iv"))
+      .as[(String, Long, Long)]
       .groupByKey(_._1)
       .transformWithState(new KmvProcessor(windowUs, k),
         TimeMode.None(), OutputMode.Append())
