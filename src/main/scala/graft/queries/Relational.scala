@@ -419,6 +419,49 @@ object Relational {
         .orderBy(named("o_orderstatus"))
     }),
 
+    // -- SQL TABLE FUNCTION (CREATE FUNCTION ... RETURNS TABLE — the
+    // Spark-4 SQL-native UDTF next to q50's scalar SQL UDF and q59's
+    // built-in generators): a reusable parameterized view invoked with
+    // LATERAL correlation, the way an analyst packages "the rows for X"
+    // once and joins it everywhere. Catalyst inlines the function body,
+    // so the plan is the same join it would be hand-written — zero
+    // interpretive overhead (verified: no extra exchange vs the inlined
+    // spelling). The oracle runs the inlined form: definition must be
+    // observationally equal to substitution.
+    "q70_sql_table_udf" -> ((s, dir) => {
+      t(s, dir, "nation").createOrReplaceTempView("nation")
+      s.sql(
+        """CREATE OR REPLACE TEMPORARY FUNCTION region_nations(rk BIGINT)
+          |RETURNS TABLE (n_nationkey BIGINT, n_name STRING)
+          |RETURN SELECT n_nationkey, n_name FROM nation
+          |  WHERE n_regionkey = rk""".stripMargin)
+      s.sql(
+        """SELECT r.rk, t.n_nationkey, t.n_name
+          |FROM (SELECT explode(sequence(0L, 4L)) AS rk) r,
+          |  LATERAL region_nations(r.rk) t
+          |ORDER BY rk, n_nationkey""".stripMargin)
+    }),
+
+    // -- SESSION VARIABLES (DECLARE / SET VAR — Spark 4's SQL-script
+    // state, the third parameter-binding front door next to q69's
+    // markers): the filter thresholds live in session variables and the
+    // query references them by bare name (columns shadow variables, so
+    // the reference is unambiguous here by construction). The oracle
+    // inlines the values — variable resolution must equal substitution.
+    "q71_session_variables" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql("DECLARE OR REPLACE VARIABLE minp DOUBLE DEFAULT 0.0")
+      s.sql("SET VAR minp = 50000.0")
+      s.sql("DECLARE OR REPLACE VARIABLE skip_status STRING DEFAULT 'P'")
+      s.sql(
+        """SELECT o_orderstatus, COUNT(*) AS n,
+          |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+          |    AS total
+          |FROM orders
+          |WHERE o_totalprice > minp AND o_orderstatus <> skip_status
+          |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+    }),
+
     // -- KEYSET PAGINATION (the deep-paging pattern that survives scale
     // where OFFSET cannot: OFFSET n scans-and-discards n rows on every
     // page, so page depth is O(n) per request; the keyset form seeks to
@@ -2007,6 +2050,23 @@ object Relational {
         |  TRUE AS paths_agree
         |FROM orders
         |WHERE o_orderstatus <> 'P' AND o_totalprice > 1000.0
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    // the function body inlined — definition ≡ substitution
+    "q70_sql_table_udf" ->
+      """WITH r AS (SELECT unnest(range(0, 5)) AS rk)
+        |SELECT CAST(r.rk AS BIGINT) AS rk,
+        |  CAST(n.n_nationkey AS BIGINT) AS n_nationkey, n.n_name
+        |FROM r JOIN nation n ON n.n_regionkey = r.rk
+        |ORDER BY rk, n_nationkey""".stripMargin,
+
+    // the variable values inlined — resolution ≡ substitution
+    "q71_session_variables" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+        |    AS total
+        |FROM orders
+        |WHERE o_totalprice > 50000.0 AND o_orderstatus <> 'P'
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     // the OFFSET construction of the same page — keyset ≡ offset is the

@@ -617,4 +617,32 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"),
       s"one-row stat frames must broadcast, not cartesian:\n$p")
   }
+
+  test("q70: SQL table function body is inlined — same shuffle count as " +
+    "the hand-written join") {
+    val f = q("q70_sql_table_udf") // registers the view + function
+    f.collect()
+    val pf = planString(f).split("== Initial Plan ==").head
+    val inlined = spark.sql(
+      """SELECT r.rk, n_nationkey, n_name
+        |FROM (SELECT explode(sequence(0L, 4L)) AS rk) r
+        |JOIN nation ON n_regionkey = rk
+        |ORDER BY rk, n_nationkey""".stripMargin)
+    inlined.collect()
+    val pi = planString(inlined).split("== Initial Plan ==").head
+    assert(countShuffles(pf) == countShuffles(pi),
+      s"UDTF invocation plans extra exchanges vs the inlined join:\n$pf\n--\n$pi")
+    assert(!pf.contains("CartesianProduct"), s"UDTF lateral planned a cartesian:\n$pf")
+  }
+
+  test("q72: keyset page plans top-k (TakeOrderedAndProject), never a " +
+    "global sort") {
+    val df = q("q72_keyset_pagination")
+    df.collect()
+    val p = planString(df).split("== Initial Plan ==").head
+    assert(p.contains("TakeOrderedAndProject"),
+      s"expected top-k for boundary/page fetch:\n$p")
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"keyset pagination must never globally sort the table:\n$p")
+  }
 }
