@@ -174,9 +174,21 @@ object MultimodalQueries {
     // longs map-side; the only shuffle is the (band, value) join — the
     // SimHash plan, never O(n²) on payloads.
     "mm08_phash_dedup" -> ((s, dir) => {
+      // Scale-capped media sample (the v37 stride discipline; r11 mm
+      // cost ladder): the BMP fixture has 40 distinct images by
+      // construction, so identical hashes form exact-dup classes of
+      // n/40 and the band self-join's PAIR OUTPUT is Θ(n²) in media
+      // count — a semantics problem, not a plan problem. The stride
+      // keeps every gate-scale doc (500 docs → stride 2, bit-identical
+      // oracle) and pins the diagnostic to ~250 media at any rung. The
+      // production path for full-corpus image dedup is exact-hash
+      // cluster collapse FIRST (tx01's shape), not all within-class
+      // pairs; this query is the hash-quality diagnostic.
+      val docsT = Tables.table(s, dir, "documents")
+      val stride = 2L * math.max(1L, docsT.count() / 500L)
       val hashes = Multimodal.imageAHash(
-          Multimodal.syntheticNearDupBmps(fanout(Tables.table(s, dir, "documents"))
-            .filter(col("doc_id") % 2 === 0)))
+          Multimodal.syntheticNearDupBmps(fanout(docsT)
+            .filter(col("doc_id") % stride === 0)))
         .toDF()
       val banded = hashes.select(col("media_id"), col("lo"), col("hi"),
           posexplode(array(
@@ -207,9 +219,14 @@ object MultimodalQueries {
     // never shuffle; both hash frames feed two join sides each → eager
     // checkpoints.
     "mm17_dhash_agreement" -> ((s, dir) => {
+      // same scale-capped sample as mm08 (and the same reason: the
+      // dHash comparison cancels the m%8 term, leaving FIVE distinct
+      // dHashes — within-class pairs are Θ(n²) of media; the r11 ladder
+      // measured 2.7 → 38 s at 1×→8× and a DNF-class 32×)
+      val docsT = Tables.table(s, dir, "documents")
+      val stride = 2L * math.max(1L, docsT.count() / 500L)
       val media = Multimodal.syntheticNearDupBmps(
-        fanout(Tables.table(s, dir, "documents"))
-          .filter(col("doc_id") % 2 === 0))
+        fanout(docsT).filter(col("doc_id") % stride === 0))
       val dhs = Multimodal.imageDHash(media).toDF().localCheckpoint(true)
       val ahs = Multimodal.imageAHash(media).toDF().localCheckpoint(true)
       val banded = dhs.select(col("media_id"), col("dh"),

@@ -2533,6 +2533,39 @@ object TimeSeries {
             " cast(2 * greatest(n_pos, n_neg) - mp as double)" +
             " / sqrt(cast(mp as double)) end").as("z"))
         .orderBy(col("event_type"))
+    }),
+
+    // OLS TREND LINE (the least-squares complement to ts35's robust
+    // Theil–Sen — the slope a dashboard draws): per event_type over the
+    // hourly index i = 1..n, slope and intercept from the normal
+    // equations with EXACT integer moments: Σi = n(n+1)/2 and
+    // Σi² = n(n+1)(2n+1)/6 are CLOSED FORMS of n (never summed), Σm and
+    // Σi·m exact int64 (micro-means ≤ 10⁹ × hours ≤ 10³ × index ≤ 10³
+    // keeps every product under 2⁶³). slope/intercept are each ONE fixed
+    // IEEE tree over those integers — spelled token-identically in the
+    // oracle. r² is deliberately NOT emitted: Σm² at micro scale exceeds
+    // exact-double range and ts14 already owns correlation. Scale: one
+    // aggregate over the pre-compressed hourly frame per series.
+    "ts71_ols_trend" -> ((s, dir) => {
+      val w = Window.partitionBy(col("g")).orderBy(col("bucket"))
+      hourlyMicroMean(s, dir)
+        .withColumn("i", row_number().over(w).cast("long"))
+        .groupBy(col("g"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("m")).as("sy"),
+          sum(col("i") * col("m")).as("sxy"))
+        .select(col("g").as("event_type"), col("n"), col("sy"), col("sxy"),
+          expr("cast(n * sxy - (n * (n + 1) div 2) * sy as double)" +
+            " / cast(n * (n * (n + 1) * (2 * n + 1) div 6)" +
+            " - (n * (n + 1) div 2) * (n * (n + 1) div 2) as double)")
+            .as("slope_micro_per_hour"),
+          expr("(cast(sy as double)" +
+            " - cast(n * sxy - (n * (n + 1) div 2) * sy as double)" +
+            " / cast(n * (n * (n + 1) * (2 * n + 1) div 6)" +
+            " - (n * (n + 1) div 2) * (n * (n + 1) div 2) as double)" +
+            " * cast(n * (n + 1) div 2 as double)) / cast(n as double)")
+            .as("intercept_micro"))
+        .orderBy(col("event_type"))
     })
   )
 
@@ -4685,7 +4718,32 @@ object TimeSeries {
         |  CASE WHEN n_pos + n_neg = 0 THEN 0.0 ELSE
         |    CAST(2 * GREATEST(n_pos, n_neg) - (n_pos + n_neg) AS DOUBLE)
         |    / sqrt(CAST(n_pos + n_neg AS DOUBLE)) END AS z
-        |FROM p ORDER BY event_type""".stripMargin
+        |FROM p ORDER BY event_type""".stripMargin,
+
+    // identical closed-form index moments and one-tree normal equations
+    "ts71_ols_trend" ->
+      s"""WITH $hourlyMicroSql,
+        |idx AS (
+        |  SELECT g, m,
+        |    ROW_NUMBER() OVER (PARTITION BY g ORDER BY bucket) AS i
+        |  FROM hm),
+        |ag AS (
+        |  SELECT g, COUNT(*) AS n,
+        |    CAST(SUM(m) AS BIGINT) AS sy,
+        |    CAST(SUM(i * m) AS BIGINT) AS sxy
+        |  FROM idx GROUP BY g)
+        |SELECT g AS event_type, CAST(n AS BIGINT) AS n, sy, sxy,
+        |  CAST(n * sxy - (n * (n + 1) // 2) * sy AS DOUBLE)
+        |    / CAST(n * (n * (n + 1) * (2 * n + 1) // 6)
+        |    - (n * (n + 1) // 2) * (n * (n + 1) // 2) AS DOUBLE)
+        |    AS slope_micro_per_hour,
+        |  (CAST(sy AS DOUBLE)
+        |    - CAST(n * sxy - (n * (n + 1) // 2) * sy AS DOUBLE)
+        |    / CAST(n * (n * (n + 1) * (2 * n + 1) // 6)
+        |    - (n * (n + 1) // 2) * (n * (n + 1) // 2) AS DOUBLE)
+        |    * CAST(n * (n + 1) // 2 AS DOUBLE)) / CAST(n AS DOUBLE)
+        |    AS intercept_micro
+        |FROM ag ORDER BY event_type""".stripMargin
   )
 
   /** The ts21 closed-form EMA kernel as a DuckDB CTE pair (`<out>_pairs`,
