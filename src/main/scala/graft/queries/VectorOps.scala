@@ -1723,6 +1723,61 @@ object VectorOps {
           col("dcg_micro"),
           expr("(dcg_micro * 1000000) div 2948457").as("ndcg_ppm"))
         .orderBy(col("q_id"))
+    }),
+
+    // TOMBSTONE-MASKED ANN (v37's sibling: deletes instead of inserts —
+    // how production serves DELETES without reindexing: the IVF index is
+    // STALE, deleted ids are masked from every candidate set at serve
+    // time, and compaction folds them out later): 10% of the corpus
+    // (vec_id % 10 = 3) is tombstoned; queries probe nprobe=2 cells of
+    // the stale index, the mask is an integer predicate on the candidate
+    // frame (never a join — the tombstone set is a FORMULA here; a real
+    // system broadcasts a bitmap), and recall@5 is audited against exact
+    // top-5 over the LIVE corpus on the v37 scale-capped query subsample
+    // (every query at gate scale — oracle exact; ~5 queries at any
+    // rung). n_masked per query makes the staleness visible: it counts
+    // candidates the index served that no longer exist.
+    "v42_tombstone_ann" -> ((s, dir) => {
+      graft.functions.VectorFunctions.register(s)
+      val e = emb(s, dir)
+      val auditStride = 100L * math.max(1L, e.count() / 500L)
+      val cents = sqrtSeedCents(e).localCheckpoint(true)
+      val cells = coarseAssign(e, cents)
+      val probes = cellProbes(e, cents, 2)
+      val wTop = Window.partitionBy(col("q_id"))
+        .orderBy(col("sim").desc, col("c_id"))
+      val cand = cells.join(broadcast(probes), Seq("cell"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("sim",
+          round(expr("graft_dot(qe, emb)") / (col("qn") * col("norm")), 6))
+        .select(col("q_id"), col("vec_id").as("c_id"), col("sim"))
+      val masked = cand.groupBy(col("q_id"))
+        .agg(sum(when(col("c_id") % 10 === 3, 1L).otherwise(0L))
+          .as("n_masked"))
+      val top5 = cand.filter(col("c_id") % 10 =!= 3)
+        .withColumn("rnk", row_number().over(wTop).cast("long"))
+        .filter(col("rnk") <= 5)
+        .localCheckpoint(true)
+      val auditQs = e.filter(expr("vec_id % 100 = 0"))
+        .filter(col("vec_id") % auditStride === 0)
+        .select(col("vec_id").as("q_id"), col("emb").as("qe"),
+          col("norm").as("qn"))
+      val exact = cosineTopK(e.filter(col("vec_id") % 10 =!= 3), auditQs, 5)
+        .select(col("q_id"), col("c_id"))
+      val hits = top5.join(exact, Seq("q_id", "c_id"), "left_semi")
+        .groupBy(col("q_id")).agg(count(lit(1)).cast("long").as("n_hit"))
+      top5.filter(col("rnk") === 1)
+        .select(col("q_id"), col("c_id").as("top1_id"),
+          col("sim").as("top1_sim"))
+        .join(masked, Seq("q_id"))
+        .join(hits, Seq("q_id"), "left")
+        .withColumn("audited", col("q_id") % auditStride === 0)
+        .withColumn("n_hit",
+          when(col("audited"), coalesce(col("n_hit"), lit(0L))))
+        .withColumn("recall_at_5",
+          when(col("audited"), round(col("n_hit").cast("double") / 5.0, 6)))
+        .drop("audited")
+        .orderBy(col("q_id"))
     })
   )
 
@@ -3652,7 +3707,68 @@ object VectorOps {
         |    ELSE 0 END AS BIGINT) AS mrr_micro,
         |  dcg_micro,
         |  CAST((dcg_micro * 1000000) // 2948457 AS BIGINT) AS ndcg_ppm
-        |FROM ag ORDER BY q_id""".stripMargin
+        |FROM ag ORDER BY q_id""".stripMargin,
+
+    // stale-index replay: v27's IVF shape, the tombstone mask as the same
+    // integer predicate, exact ground truth over the LIVE corpus only
+    "v42_tombstone_ann" ->
+      s"""WITH $embSql,
+        |k AS (SELECT CAST(ceil(sqrt(COUNT(*))) AS BIGINT) AS kk FROM e),
+        |cent AS (
+        |  SELECT vec_id AS clabel, emb AS cvec, norm AS cnorm
+        |  FROM e, k WHERE vec_id < kk),
+        |sims AS (
+        |  SELECT vec_id, emb, norm, clabel,
+        |    ROUND(list_dot_product(emb, cvec) / (norm * cnorm), 6) AS csim
+        |  FROM e, cent),
+        |assign AS (
+        |  SELECT vec_id, emb, norm, clabel AS cell FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+        |      ORDER BY csim DESC, clabel) AS crn FROM sims)
+        |  WHERE crn = 1),
+        |probes AS (
+        |  SELECT vec_id AS q_id, emb AS qe, norm AS qn, clabel AS cell FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+        |      ORDER BY csim DESC, clabel) AS crn FROM sims
+        |    WHERE vec_id % 100 = 0)
+        |  WHERE crn <= 2),
+        |cand AS (
+        |  SELECT q_id, vec_id AS c_id,
+        |    ROUND(list_dot_product(qe, emb) / (qn * norm), 6) AS sim
+        |  FROM assign JOIN probes USING (cell) WHERE vec_id <> q_id),
+        |mk AS (
+        |  SELECT q_id,
+        |    CAST(SUM(CASE WHEN c_id % 10 = 3 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_masked
+        |  FROM cand GROUP BY q_id),
+        |t5 AS (
+        |  SELECT q_id, c_id, sim, rnk FROM (
+        |    SELECT q_id, c_id, sim, ROW_NUMBER() OVER (PARTITION BY q_id
+        |      ORDER BY sim DESC, c_id) AS rnk
+        |    FROM cand WHERE c_id % 10 <> 3)
+        |  WHERE rnk <= 5),
+        |q2 AS (SELECT vec_id AS q_id, emb AS qe, norm AS qn FROM e
+        |       WHERE vec_id % 100 = 0),
+        |ex AS (
+        |  SELECT q_id, c_id FROM (
+        |    SELECT q_id, vec_id AS c_id, ROW_NUMBER() OVER (
+        |      PARTITION BY q_id ORDER BY sim DESC, vec_id) AS xr
+        |    FROM (SELECT q_id, vec_id,
+        |            ROUND(list_dot_product(qe, emb) / (qn * norm), 6) AS sim
+        |          FROM e, q2
+        |          WHERE vec_id <> q_id AND vec_id % 10 <> 3))
+        |  WHERE xr <= 5),
+        |h AS (
+        |  SELECT a.q_id, CAST(COUNT(*) AS BIGINT) AS n_hit
+        |  FROM t5 a SEMI JOIN ex ON ex.q_id = a.q_id AND ex.c_id = a.c_id
+        |  GROUP BY a.q_id)
+        |SELECT t.q_id, t.c_id AS top1_id, t.sim AS top1_sim, mk.n_masked,
+        |  CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+        |  ROUND(CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / 5.0, 6)
+        |    AS recall_at_5
+        |FROM t5 t JOIN mk ON t.q_id = mk.q_id
+        |LEFT JOIN h ON t.q_id = h.q_id
+        |WHERE t.rnk = 1 ORDER BY t.q_id""".stripMargin
   )
 
   /** v30's replay: v21's LSH edge prefix, then 6 unrolled peel rounds
