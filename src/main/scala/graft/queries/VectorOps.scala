@@ -2058,18 +2058,31 @@ object VectorOps {
     * driver-side `count()` is the documented scalar exception (CC's
     * convergence class): the plan's literal dials must be known to BUILD
     * the plan. */
-  private def lshPairsScaled(e: DataFrame, maxBands: Int,
-      planesBudget: Int, multiProbe: Boolean = false): DataFrame = {
-    // Clamp the derived width so ≥2 bands always fit the signature
-    // budget: without it, w > planesBudget/2 makes bands floor at 2 and
-    // planes = 2w exceed the budget (and lshCandidates' (1 << w) - 1
-    // mask overflows Int at w ≥ 31). Unreachable below ~10^11 vectors
-    // for the 60-plane budget, but the derivation's domain must match
-    // the invariant it assumes, not the data sizes we happen to run.
-    val w = math.min(scaledWidth(e.count()), planesBudget / 2)
+  /** Pure dial derivation behind [[lshPairsScaled]] — (width, bands) for
+    * a corpus of n vectors under a signature budget. Clamping the derived
+    * width to planesBudget/2 keeps ≥2 bands inside the budget: without
+    * it, w > planesBudget/2 makes bands floor at 2 and planes = 2w
+    * exceed the budget (and lshCandidates' (1 << w) - 1 mask overflows
+    * Int at w ≥ 31). Unreachable below ~10^11 vectors for the 60-plane
+    * budget, but the derivation's domain must match the invariant it
+    * assumes, not the data sizes we happen to run — the invariant
+    * bands·w ≤ budget ∧ w < 31 is require()d here and property-swept to
+    * n = 10^18 in DensityScaledLshSpec. */
+  private[graft] def lshDials(n: Long, maxBands: Int,
+      planesBudget: Int): (Int, Int) = {
+    // 30, not 31: the bucket mask is (1 << w) - 1 on Int — w = 31 (which
+    // budget/2 alone permits at budget 62) would still overflow. Found
+    // by the full-Long-domain property sweep, not by any realistic n.
+    val w = math.min(scaledWidth(n), math.min(planesBudget / 2, 30))
     val bands = math.max(2, math.min(maxBands, planesBudget / w))
     require(bands * w <= planesBudget && w < 31,
       s"LSH signature budget violated: bands=$bands width=$w budget=$planesBudget")
+    (w, bands)
+  }
+
+  private def lshPairsScaled(e: DataFrame, maxBands: Int,
+      planesBudget: Int, multiProbe: Boolean = false): DataFrame = {
+    val (w, bands) = lshDials(e.count(), maxBands, planesBudget)
     lshPairs(e, planes = bands * w, bands = bands, width = w, multiProbe)
   }
 

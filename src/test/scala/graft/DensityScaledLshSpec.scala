@@ -113,4 +113,29 @@ class DensityScaledLshSpec extends SparkSpec {
       assert(occ <= 64.0 && occ > 31.0, s"n=$n w=$w occ=$occ")
     }
   }
+
+  test("lshDials: signature-budget invariant holds over the FULL Long domain") {
+    // The round-10 advice point: scaledWidth alone exceeds the budget's
+    // valid range above ~10^11 vectors (w > budget/2 → 2 bands × w >
+    // budget; (1 << w) - 1 overflows Int at w = 31). lshDials clamps and
+    // require()s the invariant — sweep it to 10^18, far beyond any
+    // conceivable corpus, for both registered budget configs.
+    val rnd = new scala.util.Random(11)
+    val decades = (0 to 17).map(d => math.pow(10, d).toLong) ++
+      Seq(Long.MaxValue / 2, 1L)
+    for {
+      (maxBands, budget) <- Seq((4, 62), (15, 62))
+      n <- decades ++ (1 to 500).map(_ =>
+        1L + ((rnd.nextLong() & Long.MaxValue) % 1000000000000000000L))
+    } {
+      val (w, bands) = VectorOps.lshDials(n, maxBands, budget)
+      assert(bands * w <= budget && w < 31 && bands >= 2,
+        s"n=$n budget=$budget -> w=$w bands=$bands")
+      // the gate-scale configs stay BIT-IDENTICAL to the literal dials
+      // the DuckDB oracles replay
+      if (n <= 4096) assert(w == 4, s"gate floor broken at n=$n: w=$w")
+    }
+    assert(VectorOps.lshDials(500, 4, 62) == (4, 4))
+    assert(VectorOps.lshDials(500, 15, 62) == (4, 15))
+  }
 }
