@@ -2506,20 +2506,22 @@ object TimeSeries {
 
     // COX–STUART TREND TEST (the sign-test cousin of ts60's Mann–Kendall:
     // O(n) paired comparisons instead of O(n²), the cheap first screen a
-    // pipeline runs before paying for the full test): per event_type,
-    // hour i pairs with hour i+h (h = ⌊n/2⌋; an odd middle hour drops),
-    // count strict rises/falls (ties drop), S = max(pos, neg), z =
-    // (2S − mp)/√mp — integer throughout with ONE final IEEE tree (sqrt
-    // is correctly rounded by IEEE-754, so the cn03 libm-drift class
-    // does not apply). Pairing is a row_number self-join on the
-    // pre-compressed hourly frame (ts60's |hours| cost class).
+    // pipeline runs before paying for the full test): the textbook
+    // pairing — hour i (i ≤ ⌊n/2⌋) pairs with hour i + ⌈n/2⌉, so an odd
+    // series drops exactly its MIDDLE hour (Round11OpsSpec pins this;
+    // a ⌊n/2⌋ shift would silently drop the LAST hour instead and
+    // overlap nothing) — count strict rises/falls (ties drop),
+    // S = max(pos, neg), z = (2S − mp)/√mp — integer throughout with ONE
+    // final IEEE tree (sqrt is correctly rounded by IEEE-754, so the
+    // cn03 libm-drift class does not apply). Pairing is a row_number
+    // self-join on the pre-compressed hourly frame (ts60's cost class).
     "ts70_cox_stuart" -> ((s, dir) => {
       val w = Window.partitionBy(col("g")).orderBy(col("bucket"))
       val idx = hourlyMicroMean(s, dir)
         .withColumn("i", row_number().over(w).cast("long"))
         .withColumn("n", count(lit(1)).over(Window.partitionBy(col("g"))))
       val a = idx.filter(col("i") <= expr("n div 2"))
-        .select(col("g"), (col("i") + expr("n div 2")).as("j"),
+        .select(col("g"), (col("i") + (col("n") - expr("n div 2"))).as("j"),
           col("m").as("m1"))
       val b = idx.select(col("g"), col("i").as("j"), col("m").as("m2"))
       a.join(b, Seq("g", "j"))
@@ -4710,7 +4712,7 @@ object TimeSeries {
         |    CAST(SUM(CASE WHEN b.m < a.m THEN 1 ELSE 0 END) AS BIGINT)
         |      AS n_neg
         |  FROM idx a JOIN idx b
-        |    ON a.g = b.g AND b.i = a.i + a.n // 2
+        |    ON a.g = b.g AND b.i = a.i + (a.n - a.n // 2)
         |  WHERE a.i <= a.n // 2
         |  GROUP BY a.g)
         |SELECT g AS event_type, n_pos, n_neg,
