@@ -1079,18 +1079,30 @@ object TextOps {
     // tx05; the pair frame is the bounded diagnostic sample, never the
     // corpus.
     "tx28_minhash_accuracy" -> ((s, dir) => {
-      val sigArr = minhashSigs(fanout(docs(s, dir)), shingleWords = 3)
+      // Accuracy DIAGNOSTIC on a scale-capped pair sample (the v37/mm08
+      // stride discipline; r11 32× sweep measured 152 s pre-fix): the
+      // fixed 1/37 × 1/41 grid is n²/1517 pairs — quadratic — and the
+      // signatures were computed for the WHOLE corpus although only the
+      // sampled docs' are compared. The stride keeps the gate-scale
+      // sample bit-identical (s = 1 at 500 docs) and pins the grid at
+      // any rung; the sample filter now runs BEFORE signature/shingle
+      // extraction, so the heavy per-doc work touches only sampled docs.
+      val strideK = math.max(1L, docs(s, dir).count() / 500L)
+      val sampled = fanout(docs(s, dir))
+        .filter(expr(s"doc_id % ${37 * strideK} = 0 OR " +
+          s"doc_id % ${41 * strideK} = 0"))
+      val sigArr = minhashSigs(sampled, shingleWords = 3)
         .select(col("doc_id"),
           array((0 until 16).map(j => col(s"sig$j")): _*).as("sg"))
-      val sh = fanout(docs(s, dir))
+      val sh = sampled
         .selectExpr("doc_id", s"$tokExpr AS tk")
         .where(expr("size(tk) >= 3"))
         .selectExpr("doc_id",
           "array_distinct(transform(sequence(1, size(tk) - 2), i -> concat_ws(' ', element_at(tk, i), element_at(tk, i + 1), element_at(tk, i + 2)))) AS sh")
       val withSig = sh.join(sigArr, Seq("doc_id"))
-      val a = withSig.filter(expr("doc_id % 37 = 0"))
+      val a = withSig.filter(expr(s"doc_id % ${37 * strideK} = 0"))
         .select(col("doc_id").as("doc_a"), col("sh").as("sh_a"), col("sg").as("sg_a"))
-      val b = withSig.filter(expr("doc_id % 41 = 0"))
+      val b = withSig.filter(expr(s"doc_id % ${41 * strideK} = 0"))
         .select(col("doc_id").as("doc_b"), col("sh").as("sh_b"), col("sg").as("sg_b"))
       a.crossJoin(broadcast(b))
         .filter(col("doc_a") < col("doc_b"))
@@ -1333,22 +1345,28 @@ object TextOps {
     // trees (m is k/16, C and 1−C are exact binary fractions) — no
     // rounding anywhere.
     "tx42_bbit_minhash" -> ((s, dir) => {
-      val sigArr = minhashSigs(fanout(docs(s, dir)), shingleWords = 3)
+      // same scale-capped sample-first shape as tx28 (r11 32× sweep:
+      // 248 s pre-fix — the worst outlier on the tx board)
+      val strideK = math.max(1L, docs(s, dir).count() / 500L)
+      val sampled = fanout(docs(s, dir))
+        .filter(expr(s"doc_id % ${37 * strideK} = 0 OR " +
+          s"doc_id % ${41 * strideK} = 0"))
+      val sigArr = minhashSigs(sampled, shingleWords = 3)
         .select(col("doc_id"),
           array((0 until 16).map(j => col(s"sig$j")): _*).as("sg"),
           array((0 until 16).map(j =>
             expr(s"cast(conv(substr(sig$j, 32, 1), 16, 10) as int)")): _*)
             .as("bb"))
-      val sh = fanout(docs(s, dir))
+      val sh = sampled
         .selectExpr("doc_id", s"$tokExpr AS tk")
         .where(expr("size(tk) >= 3"))
         .selectExpr("doc_id",
           "array_distinct(transform(sequence(1, size(tk) - 2), i -> concat_ws(' ', element_at(tk, i), element_at(tk, i + 1), element_at(tk, i + 2)))) AS sh")
       val withSig = sh.join(sigArr, Seq("doc_id"))
-      val a = withSig.filter(expr("doc_id % 37 = 0"))
+      val a = withSig.filter(expr(s"doc_id % ${37 * strideK} = 0"))
         .select(col("doc_id").as("doc_a"), col("sh").as("sh_a"),
           col("sg").as("sg_a"), col("bb").as("bb_a"))
-      val b = withSig.filter(expr("doc_id % 41 = 0"))
+      val b = withSig.filter(expr(s"doc_id % ${41 * strideK} = 0"))
         .select(col("doc_id").as("doc_b"), col("sh").as("sh_b"),
           col("sg").as("sg_b"), col("bb").as("bb_b"))
       a.crossJoin(broadcast(b))

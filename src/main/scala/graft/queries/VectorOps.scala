@@ -89,7 +89,7 @@ object VectorOps {
     // is the same linear-scale pipeline as v03.
     "v04_ann_recall" -> ((s, dir) => {
       graft.functions.VectorFunctions.register(s)
-      val e = emb(s, dir).filter(expr("vec_id % 3 = 0"))
+      val e = recallSample(s, dir)
       val a = e.select(col("vec_id").as("vec_a"), col("emb").as("emb_a"),
         col("norm").as("norm_a"))
       val b = e.select(col("vec_id").as("vec_b"), col("emb").as("emb_b"),
@@ -120,7 +120,7 @@ object VectorOps {
     // shuffle, bands multiply shuffle volume linearly, never O(n²).
     "v07_ann_recall_hi" -> ((s, dir) => {
       graft.functions.VectorFunctions.register(s)
-      val e = emb(s, dir).filter(expr("vec_id % 3 = 0"))
+      val e = recallSample(s, dir)
       val a = e.select(col("vec_id").as("vec_a"), col("emb").as("emb_a"),
         col("norm").as("norm_a"))
       val b = e.select(col("vec_id").as("vec_b"), col("emb").as("emb_b"),
@@ -156,7 +156,7 @@ object VectorOps {
     // exact-scored, the price of the last recall decile.
     "v08_ann_recall_probe" -> ((s, dir) => {
       graft.functions.VectorFunctions.register(s)
-      val e = emb(s, dir).filter(expr("vec_id % 3 = 0"))
+      val e = recallSample(s, dir)
       val a = e.select(col("vec_id").as("vec_a"), col("emb").as("emb_a"),
         col("norm").as("norm_a"))
       val b = e.select(col("vec_id").as("vec_b"), col("emb").as("emb_b"),
@@ -187,8 +187,9 @@ object VectorOps {
     // configuration (v08's dial: 60 planes / 15×4-bit bands + 1-bit
     // multi-probe), over the FULL corpus — what a user actually ships
     // once the v04→v07→v08 curve has picked the operating point. Unlike
-    // v07/v08 (recall DIAGNOSTICS, whose exact ground-truth side is a
-    // deliberately-quadratic sampled cross join), this is the linear-scale
+    // v07/v08 (recall DIAGNOSTICS, whose exact ground-truth side is
+    // |panel|² on the scale-capped recallSample panel), this is the
+    // linear-scale
     // pipeline alone: map-side signatures, one (band, value)-keyed
     // shuffle, id-only candidate dedup, broadcast payload re-attach,
     // codegen'd exact scoring. This is also the query the 32×/64×
@@ -1901,6 +1902,23 @@ object VectorOps {
       expr("sqrt(graft_dot(cvec, cvec))").as("cnorm"))
 
   /** Cosine similarity of every df row against every (broadcast) cell. */
+  /** Scale-capped corpus panel for the pairwise-recall DIAGNOSTICS
+    * (v04/v07/v08): their exact ground-truth arm is |panel|² BY DESIGN,
+    * so the panel must be a bounded SIZE, not a bounded fraction — the
+    * round-11 32× sweep measured the historical 1-in-3 fraction at
+    * 147/194/382 s (×194/×158/×181 the 1× times), pure quadratic. The
+    * stride 3·max(1, n/500) keeps every 3rd vector at the sf0.01 gate
+    * (bit-identical, oracles untouched) and pins a fixed ~167-vector
+    * panel at any rung — the recall ESTIMATE is what these queries
+    * exist for, and an estimate needs a panel, not the corpus (the
+    * v37/v42/mm08 discipline). The LSH arm under test runs on the same
+    * panel, so measured recall stays an apples-to-apples ratio. */
+  private def recallSample(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val stride = 3L * math.max(1L, e.count() / 500L)
+    e.filter(col("vec_id") % stride === 0)
+  }
+
   private def cellSims(df: DataFrame, cents: DataFrame): DataFrame = df
     .crossJoin(broadcast(cents))
     .withColumn("csim",
