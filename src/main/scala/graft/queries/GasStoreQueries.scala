@@ -437,7 +437,18 @@ object GasStoreQueries {
     * (no append-mode window cutoff to replay); the 26 h watermark is the
     * state-eviction CONTRACT (state ≈ rate × (watermark + interval), never
     * stream lifetime) and is wider than the fixture's 2-day span, so the
-    * oracle is the plain interval join over the raw CSVs. */
+    * oracle is the plain interval join over the raw CSVs.
+    *
+    * RATE AXIS (r11 SWEEP32 note): the interval join's OUTPUT is
+    * rate² × interval BY DEFINITION — every left reading pairs with every
+    * right reading inside the window, so at the 112 Hz census rung the
+    * result is ~10¹¹ rows and gs08/gs13 are recorded excluded-by-
+    * semantics, not untested (state stays bounded per the contract
+    * above; it is the RESULT that is quadratic in rate). At fusion rates
+    * like that, the production forms are the board's other shapes:
+    * pre-aggregate one side onto a window grid (gs07/gs29) or keep
+    * last-value state and emit 1:1 enriched rows (the transformWithState
+    * family) — all measured flat on the throughput ladder. */
   private val builtJoin = new java.util.WeakHashMap[SparkSession, String]()
   private def streamJoin(spark: SparkSession): DataFrame = {
     val path = builtJoin.synchronized {
@@ -555,30 +566,55 @@ object GasStoreQueries {
     * failure mode of real ingestion), and
     * [[graft.streaming.GasStream.dedupeStream]] must drop the second copy
     * via `dropDuplicatesWithinWatermark` keyed on the point identity
-    * (measurement, field, time). State is bounded by rate × watermark. The
+    * (measurement, field, time). State is bounded by rate × watermark —
+    * which is exactly why the watermark must be the REDELIVERY horizon
+    * (how far apart duplicate deliveries can arrive: 30 min here, the
+    * board's standard lateness contract), NOT the stream's span: the
+    * original 26 h watermark held every key of the whole stream in state
+    * and the r11 32×-rate census measured the consequence — 368M input
+    * rows → 184M in-memory state keys → GC death that took the
+    * SparkContext down. RocksDB is pinned for the state store (the
+    * gs15/gs27 pattern) so even the bounded state lives off-heap. The
     * oracle counts each raw point ONCE — a broken dedup doubles n_points
-    * and flips the compare red. */
+    * and flips the compare red (re-verified green after both changes:
+    * the fixture's duplicates arrive in the same micro-batch, far inside
+    * any watermark). */
   private val builtDedup = new java.util.WeakHashMap[SparkSession, String]()
   private def streamDedup(spark: SparkSession): DataFrame = {
     val path = builtDedup.synchronized {
       Option(builtDedup.get(spark)).getOrElse {
         val work = Files.createTempDirectory("graft-gas-dedup")
         deleteOnExit(work)
+        // the family's standard two-field focus (gs07/gs22/gs27/...):
+        // dedup semantics are per-key, so two fields prove them as well
+        // as nineteen while the doubled stream stays 2/19ths the volume
         def long() = graft.store.LongStore.unpivot(
           graft.transform.GasTransform(
             graft.streaming.GasStream.readStream(spark, fixtureDir))
             .withColumnRenamed("file_name", "_src")).drop("_src")
-        graft.streaming.GasStream
-          .dedupeStream(long().unionAll(long()), watermark = "26 hours")
-          .select(col("_time"), col("_field"), col("_value"))
-          .writeStream
-          .format("parquet")
-          .option("path", s"$work/out")
-          .option("checkpointLocation", s"$work/ckpt")
-          .outputMode("append")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-          .awaitTermination()
+          .filter(col("_field").isin("CO (ppm)", "Humidity (%r.h.)"))
+        val providerKey = "spark.sql.streaming.stateStore.providerClass"
+        val prevProvider = spark.conf.getOption(providerKey)
+        spark.conf.set(providerKey,
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        try {
+          graft.streaming.GasStream
+            .dedupeStream(long().unionAll(long()), watermark = "30 minutes")
+            .select(col("_time"), col("_field"), col("_value"))
+            .writeStream
+            .format("parquet")
+            .option("path", s"$work/out")
+            .option("checkpointLocation", s"$work/ckpt")
+            .outputMode("append")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+            .awaitTermination()
+        } finally {
+          prevProvider match {
+            case Some(p) => spark.conf.set(providerKey, p)
+            case None => spark.conf.unset(providerKey)
+          }
+        }
         builtDedup.put(spark, s"$work/out")
         s"$work/out"
       }
@@ -1618,8 +1654,10 @@ object GasStoreQueries {
     "gs09_stream_dedup" ->
       s"""$prelude,
          |u AS (
-         |  UNPIVOT (SELECT * EXCLUDE ("Time (s)", filename) FROM raw)
-         |  ON COLUMNS(* EXCLUDE (_time)) INTO NAME _field VALUE _value)
+         |  SELECT _time, 'CO (ppm)' AS _field, "CO (ppm)" AS _value
+         |  FROM raw
+         |  UNION ALL
+         |  SELECT _time, 'Humidity (%r.h.)', "Humidity (%r.h.)" FROM raw)
          |SELECT _field, COUNT(*) AS n_points,
          |  CAST(SUM(CAST(_value AS DECIMAL(18,6))) AS DOUBLE) AS total
          |FROM u GROUP BY _field ORDER BY _field""".stripMargin,
