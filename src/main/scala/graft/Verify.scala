@@ -15,6 +15,12 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Inject the library extensions (canonical deployment shape) so the
+      // determinism-lint rule sees EVERY analysis in this session — in
+      // particular plans built and executed INSIDE a query builder
+      // (streaming micro-batches, training-loop side actions) that never
+      // appear in the returned DataFrame.
+      .withExtensions(new graft.functions.GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
@@ -26,14 +32,21 @@ object Verify {
     val failures = collection.mutable.ArrayBuffer.empty[(String, String)]
     SparkEntry.queries.filter(_._1.startsWith(prefix)).foreach { case (name, fn) =>
       try {
+        // Isolate this query's analyses in the injected rule's drainable
+        // set (Verify is single-threaded between builders; streaming
+        // micro-batch threads run and complete INSIDE fn()).
+        graft.plans.DeterminismLint.drain()
         val df = fn(spark, sfDir)
+        val during = graft.plans.DeterminismLint.drain()
         // Hard pre-gate (round-10 verdict item 7): the board-wide
         // determinism lint runs on every dump, not just in specs — a
         // query added without a spec run can't reach the driver carrying
         // a raw float SUM/AVG outside the audited allowlist. A lint hit
         // is recorded as a dump failure, which tools/check.py (and the
         // driver's missing-result row) treats as a hard gate failure.
-        graft.plans.DeterminismLint.audit(name, df.queryExecution.analyzed)
+        // `during` covers plans analyzed inside the builder (streaming
+        // sinks, side actions) that the returned plan never shows.
+        graft.plans.DeterminismLint.audit(name, df.queryExecution.analyzed, during)
           .foreach(msg => throw new IllegalStateException(msg))
         df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
       } catch { case e: Throwable =>

@@ -50,24 +50,32 @@ object DeterminismLint extends Rule[LogicalPlan] {
     case _ => false
   }
 
-  private def inspect(e: Expression): Unit = e.foreach {
+  private def inspect(e: Expression, sink: String => Unit): Unit = e.foreach {
     case s: Sum if isFloat(s.child) =>
-      findings.add(s"order-dependent SUM over ${s.child.dataType.simpleString}: ${s.child.sql.take(120)}")
+      sink(s"order-dependent SUM over ${s.child.dataType.simpleString}: ${s.child.sql.take(120)}")
     case a: Average if isFloat(a.child) =>
-      findings.add(s"order-dependent AVG over ${a.child.dataType.simpleString}: ${a.child.sql.take(120)}")
+      sink(s"order-dependent AVG over ${a.child.dataType.simpleString}: ${a.child.sql.take(120)}")
     case _ => ()
   }
 
-  override def apply(plan: LogicalPlan): LogicalPlan = {
+  /** Walk one plan's aggregates/windows, reporting each finding to `sink`
+    * — shared by the injected rule (sink = the global drainable set) and
+    * [[audit]] (sink = a private buffer, so a concurrent analysis on the
+    * same JVM — a streaming micro-batch thread, a parallel spec — can
+    * neither contaminate nor be masked by an audit in flight). */
+  private def collect(plan: LogicalPlan, sink: String => Unit): Unit =
     plan.foreach {
-      case agg: Aggregate => agg.aggregateExpressions.foreach(inspect)
+      case agg: Aggregate => agg.aggregateExpressions.foreach(inspect(_, sink))
       case w: Window =>
         w.windowExpressions.foreach(_.foreach {
-          case we: WindowExpression => inspect(we.windowFunction)
+          case we: WindowExpression => inspect(we.windowFunction, sink)
           case _ => ()
         })
       case _ => ()
     }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    collect(plan, f => { findings.add(f); () })
     plan
   }
 
@@ -109,10 +117,28 @@ object DeterminismLint extends Rule[LogicalPlan] {
     * error description, or None when the findings match the audited
     * shapes exactly (drift in EITHER direction is an error — a stale
     * allowlist row is as wrong as a new raw float sum). */
-  def audit(name: String, plan: LogicalPlan): Option[String] = {
-    drain()
-    apply(plan)
-    val shapes = drain().map(shapeOf).sorted
+  def audit(name: String, plan: LogicalPlan): Option[String] =
+    audit(name, plan, Nil)
+
+  /** As [[audit]], but folds in `drained` — findings the INJECTED rule
+    * collected while the query builder ran (streaming micro-batch
+    * analyses, side actions like k-means training collects — plans that
+    * never appear in the returned DataFrame). [[graft.Verify]] injects
+    * the rule into its session, drains before each builder, and passes
+    * the post-builder drain here, so a raw float SUM inside a streaming
+    * sink is a dump failure too, not just one in the returned batch plan.
+    * Findings dedupe by full string (same child SQL analyzed in a
+    * sub-frame and again in the final plan counts once). */
+  def audit(name: String, plan: LogicalPlan,
+            drained: Seq[String]): Option[String] = {
+    // Local buffer, NOT the process-global set: the same rule runs as a
+    // session extension on every analysis in this JVM, so draining the
+    // shared set here would discard (or absorb) findings from whatever
+    // else is being analyzed between the drains.
+    val local = scala.collection.mutable.LinkedHashSet.empty[String]
+    drained.foreach(f => local += f)
+    collect(plan, f => { local += f; () })
+    val shapes = local.toSeq.map(shapeOf).sorted
     val allowed = allowlist.getOrElse(name, Nil).sorted
     if (shapes == allowed) None
     else Some(s"determinism lint: $name has float aggregates $shapes, " +

@@ -579,6 +579,30 @@ object GasStoreQueries {
     * and flips the compare red (re-verified green after both changes:
     * the fixture's duplicates arrive in the same micro-batch, far inside
     * any watermark). */
+  /** Run `body` (a streaming sink build) with the SESSION-WIDE state-store
+    * provider pinned to RocksDB, restoring the prior value in finally.
+    *
+    * CONSTRAINT: this mutates session config, so any OTHER streaming query
+    * started on the same session while `body` runs silently inherits
+    * RocksDB. Safe today because every driver of these helpers (Verify,
+    * Bench, the specs) builds sinks strictly sequentially on one thread;
+    * if a concurrent-sink driver ever appears, scope the provider
+    * per-query instead (cloned session via `spark.newSession()` does NOT
+    * isolate runtime conf mutations of SQLConf inherited keys — use a
+    * separate SparkSession built with the provider set at construction). */
+  private def withRocksDb[T](spark: SparkSession)(body: => T): T = {
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set(providerKey, p)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   private val builtDedup = new java.util.WeakHashMap[SparkSession, String]()
   private def streamDedup(spark: SparkSession): DataFrame = {
     val path = builtDedup.synchronized {
@@ -593,11 +617,7 @@ object GasStoreQueries {
             graft.streaming.GasStream.readStream(spark, fixtureDir))
             .withColumnRenamed("file_name", "_src")).drop("_src")
           .filter(col("_field").isin("CO (ppm)", "Humidity (%r.h.)"))
-        val providerKey = "spark.sql.streaming.stateStore.providerClass"
-        val prevProvider = spark.conf.getOption(providerKey)
-        spark.conf.set(providerKey,
-          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-        try {
+        withRocksDb(spark) {
           graft.streaming.GasStream
             .dedupeStream(long().unionAll(long()), watermark = "30 minutes")
             .select(col("_time"), col("_field"), col("_value"))
@@ -609,11 +629,6 @@ object GasStoreQueries {
             .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
             .start()
             .awaitTermination()
-        } finally {
-          prevProvider match {
-            case Some(p) => spark.conf.set(providerKey, p)
-            case None => spark.conf.unset(providerKey)
-          }
         }
         builtDedup.put(spark, s"$work/out")
         s"$work/out"
@@ -787,11 +802,7 @@ object GasStoreQueries {
             graft.streaming.GasStream.readStream(spark, fixtureDir))
             .withColumnRenamed("file_name", "_src")).drop("_src")
           .filter(col("_field").isin("CO (ppm)", "Humidity (%r.h.)"))
-        val providerKey = "spark.sql.streaming.stateStore.providerClass"
-        val prevProvider = spark.conf.getOption(providerKey)
-        spark.conf.set(providerKey,
-          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-        try {
+        withRocksDb(spark) {
           graft.streaming.GasStream
             .cusumStreamTws(long, mu = 50.0, k = 5.0, h = 60.0)
             .writeStream
@@ -802,13 +813,47 @@ object GasStoreQueries {
             .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
             .start()
             .awaitTermination()
-        } finally {
-          prevProvider match {
-            case Some(p) => spark.conf.set(providerKey, p)
-            case None => spark.conf.unset(providerKey)
-          }
         }
         builtCusum.put(spark, s"$work/out")
+        s"$work/out"
+      }
+    }
+    spark.read.parquet(path)
+  }
+
+  /** gs34's sink: [[graft.streaming.GasStream.lastValueEnrichStream]] —
+    * the RATE-ROBUST stream-stream pairing form (1:1 last-value keyed-state
+    * enrichment on transformWithState, RocksDB-pinned like [[streamCusum]]):
+    * every CO reading emitted exactly once, carrying the last VALID
+    * humidity (≥ 55.0, gs13's validity floor) as of its event time. This is
+    * the production alternative the gs08/gs13 SWEEP32 note names: output is
+    * LINEAR in rate and state is O(1) per key where the interval join's
+    * output is rate² × interval by definition — the SLADDER measures it
+    * flat per-row across the 3.5/28/112 Hz rungs. */
+  private val builtAsofEnrich = new java.util.WeakHashMap[SparkSession, String]()
+  private def streamAsofEnrich(spark: SparkSession): DataFrame = {
+    val path = builtAsofEnrich.synchronized {
+      Option(builtAsofEnrich.get(spark)).getOrElse {
+        val work = Files.createTempDirectory("graft-gas-asof-enrich")
+        deleteOnExit(work)
+        val long = graft.store.LongStore.unpivot(
+          graft.transform.GasTransform(
+            graft.streaming.GasStream.readStream(spark, fixtureDir))
+            .withColumnRenamed("file_name", "_src")).drop("_src")
+          .filter(col("_field").isin("CO (ppm)", "Humidity (%r.h.)"))
+        withRocksDb(spark) {
+          graft.streaming.GasStream
+            .lastValueEnrichStream(long, "CO (ppm)", "Humidity (%r.h.)", 55.0)
+            .writeStream
+            .format("parquet")
+            .option("path", s"$work/out")
+            .option("checkpointLocation", s"$work/ckpt")
+            .outputMode("append")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+            .awaitTermination()
+        }
+        builtAsofEnrich.put(spark, s"$work/out")
         s"$work/out"
       }
     }
@@ -830,11 +875,7 @@ object GasStoreQueries {
             graft.streaming.GasStream.readStream(spark, fixtureDir))
             .withColumnRenamed("file_name", "_src")).drop("_src")
           .filter(col("_field").isin("CO (ppm)", "Humidity (%r.h.)"))
-        val providerKey = "spark.sql.streaming.stateStore.providerClass"
-        val prevProvider = spark.conf.getOption(providerKey)
-        spark.conf.set(providerKey,
-          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-        try {
+        withRocksDb(spark) {
           graft.streaming.GasStream
             .kmvStream(long, windowUs = 21600000000L, k = 16)
             .writeStream
@@ -845,11 +886,6 @@ object GasStoreQueries {
             .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
             .start()
             .awaitTermination()
-        } finally {
-          prevProvider match {
-            case Some(p) => spark.conf.set(providerKey, p)
-            case None => spark.conf.unset(providerKey)
-          }
         }
         builtKmv.put(spark, s"$work/out")
         s"$work/out"
@@ -873,11 +909,7 @@ object GasStoreQueries {
             graft.streaming.GasStream.readStream(spark, fixtureDir))
             .withColumnRenamed("file_name", "_src")).drop("_src")
           .filter(col("_field").isin("CO (ppm)", "Humidity (%r.h.)"))
-        val providerKey = "spark.sql.streaming.stateStore.providerClass"
-        val prevProvider = spark.conf.getOption(providerKey)
-        spark.conf.set(providerKey,
-          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-        try {
+        withRocksDb(spark) {
           graft.streaming.GasStream
             .timerSealStream(long, windowUs = 21600000000L)
             .writeStream
@@ -888,11 +920,6 @@ object GasStoreQueries {
             .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
             .start()
             .awaitTermination()
-        } finally {
-          prevProvider match {
-            case Some(p) => spark.conf.set(providerKey, p)
-            case None => spark.conf.unset(providerKey)
-          }
         }
         builtSeal.put(spark, s"$work/out")
         s"$work/out"
@@ -1245,6 +1272,16 @@ object GasStoreQueries {
         .select(unix_micros(col("h")).as("h_us"), col("n_rows"),
           col("n_matched"), col("n_unmatched"), col("total_a"), col("total_b"))
         .orderBy(col("h_us"))),
+
+    // RATE-ROBUST stream-stream pairing — gs08's production alternative:
+    // 1:1 as-of enrichment via last-value keyed state; every CO reading,
+    // point-by-point, with its as-of valid-humidity context (NULL until
+    // the first valid humidity — the fixture's first CO exercises it)
+    "gs34_stream_asof_enrich" -> ((s, _) =>
+      streamAsofEnrich(s)
+        .select(col("t_us"), col("v").as("co"), col("ctx_us").as("h_us"),
+          col("ctx").as("h"))
+        .orderBy(col("t_us"))),
 
     // streaming CUSUM detector readings (sp/sn already 6-dp-rounded by
     // the kernel at every step — emitted as-is)
@@ -1883,6 +1920,33 @@ object GasStoreQueries {
          |  CAST(SUM(CAST(COALESCE(b_value, 0) AS DECIMAL(18,6))) AS DOUBLE)
          |    AS total_b
          |FROM allr GROUP BY 1 ORDER BY h_us""".stripMargin,
+
+    // gs34: the as-of join over the raw CSVs — for each CO reading, the
+    // last VALID humidity (>= 55.0) at or before its time. The running
+    // max over the (time, tag)-ordered union replays the engine's
+    // last-value state exactly (tag 0 = humidity before tag 1 = CO at
+    // equal times — the as-of is <=); one humidity per timestamp, so the
+    // value joins back by its as-of time. No watermark cutoff exists to
+    // replay: the operator emits 1:1, immediately.
+    "gs34_stream_asof_enrich" ->
+      s"""$prelude,
+         |c AS (SELECT _time AS t, "CO (ppm)" AS co FROM raw),
+         |hv AS (SELECT _time AS t, "Humidity (%r.h.)" AS h FROM raw
+         |       WHERE "Humidity (%r.h.)" >= 55.0),
+         |u AS (
+         |  SELECT t, 0 AS tag FROM hv
+         |  UNION ALL
+         |  SELECT t, 1 AS tag FROM c),
+         |m AS (
+         |  SELECT t, tag,
+         |    max(CASE WHEN tag = 0 THEN t END) OVER
+         |      (ORDER BY t, tag ROWS UNBOUNDED PRECEDING) AS h_t
+         |  FROM u)
+         |SELECT epoch_us(c.t) AS t_us, c.co AS co,
+         |  epoch_us(m.h_t) AS h_us, hv.h AS h
+         |FROM c JOIN m ON m.t = c.t AND m.tag = 1
+         |LEFT JOIN hv ON hv.t = m.h_t
+         |ORDER BY t_us""".stripMargin,
 
     // per-field argmax over the raw CSVs — the final upserted state must
     // equal it however the files split into micro-batches (tie-break

@@ -257,6 +257,75 @@ object MultimodalQueries {
         .orderBy(col("media_a"), col("media_b"))
     }),
 
+    // PRODUCTION IMAGE-DEDUP COMPOSITION — the end-to-end multimodal
+    // dedup form (mm08/mm17 are the stride-capped hash-QUALITY
+    // diagnostics; their exclusion notes name THIS path as the scale
+    // answer): (1) exact-dup collapse FIRST, by sha2-256 over the raw
+    // container BYTES — the tx01 shape: one map-side hash per image,
+    // never decodes a pixel, and min_by keeps one representative payload
+    // per cluster so the corpus is GENERATED/SCANNED EXACTLY ONCE (the
+    // shuffle carries ≤ |distinct contents| × partitions ~800-byte
+    // payloads, not the corpus); (2) decode + perceptual hashes for the
+    // representatives ONLY; (3) dHash band join + aHash agreement between
+    // representatives, each pair carrying both cluster sizes. Full corpus
+    // in, NO stride: cluster cardinality is bounded by distinct content
+    // (40 in this fixture family) however large the corpus grows, so the
+    // pair stage is O(|clusters|²) worst-case on a frame that never grows
+    // — MLADDER measures the whole composition flat across rungs.
+    "mm25_image_dedup_pipeline" -> ((s, dir) => {
+      import s.implicits._
+      val media = Multimodal.syntheticNearDupBmps(
+        fanout(Tables.table(s, dir, "documents"))
+          .filter(col("doc_id") % 2 === 0))
+      // stage 1: exact byte collapse (map-side combine keeps one payload
+      // per sha per partition — pixels effectively never shuffle)
+      val clusters = media.toDF()
+        .groupBy(sha2(col("payload"), 256).as("sha"))
+        .agg(min(col("media_id")).as("media_id"),
+          count(lit(1)).as("cluster_size"),
+          min_by(col("payload"), col("media_id")).as("payload"))
+        .drop("sha")
+        .localCheckpoint(true)
+      val sizes = clusters.select(col("media_id"), col("cluster_size"))
+      // stage 2: decode + hash the ≤40 representatives only
+      val repCont = clusters.select(col("media_id"), col("payload"))
+        .as[graft.multimodal.Multimodal.Container]
+      val dhs = Multimodal.imageDHash(repCont).toDF().localCheckpoint(true)
+      val ahs = Multimodal.imageAHash(repCont).toDF().localCheckpoint(true)
+      // stage 3: mm17's banding discipline (pigeonhole-complete at
+      // dham ≤ 3) over the representative frame
+      val banded = dhs.select(col("media_id"), col("dh"),
+        posexplode(array(
+          expr("dh & 16383"), expr("shiftrightunsigned(dh, 14) & 16383"),
+          expr("shiftrightunsigned(dh, 28) & 16383"),
+          expr("shiftrightunsigned(dh, 42) & 16383")))
+          .as(Seq("band", "bval")))
+      val a = banded.select(col("band"), col("bval"),
+        col("media_id").as("media_a"), col("dh").as("dh_a"))
+      val b = banded.select(col("band"), col("bval"),
+        col("media_id").as("media_b"), col("dh").as("dh_b"))
+      a.join(b, Seq("band", "bval"))
+        .filter(col("media_a") < col("media_b"))
+        .select(col("media_a"), col("media_b"),
+          expr("bit_count(dh_a ^ dh_b)").cast("long").as("dham"))
+        .distinct()
+        .filter(col("dham") <= 3)
+        .join(ahs.select(col("media_id").as("media_a"),
+          col("lo").as("lo_a"), col("hi").as("hi_a")), "media_a")
+        .join(ahs.select(col("media_id").as("media_b"),
+          col("lo").as("lo_b"), col("hi").as("hi_b")), "media_b")
+        .join(sizes.select(col("media_id").as("media_a"),
+          col("cluster_size").as("size_a")), "media_a")
+        .join(sizes.select(col("media_id").as("media_b"),
+          col("cluster_size").as("size_b")), "media_b")
+        .withColumn("aham",
+          expr("bit_count(lo_a ^ lo_b) + bit_count(hi_a ^ hi_b)").cast("long"))
+        .withColumn("agree", col("aham") <= 3)
+        .select(col("media_a"), col("media_b"), col("size_a"), col("size_b"),
+          col("dham"), col("aham"), col("agree"))
+        .orderBy(col("media_a"), col("media_b"))
+    }),
+
     // VIDEO-shaped FRAME EXTRACTION: real animated GIF89a containers
     // (multi-frame, NETSCAPE looping extension, per-frame GCE delays)
     // synthesized and decoded on the executors through a full LZW
@@ -789,6 +858,58 @@ object MultimodalQueries {
         |  (bit_count(xor(ha.lo, hb.lo)) + bit_count(xor(ha.hi, hb.hi))) <= 3
         |    AS agree
         |FROM pr JOIN ah ha ON ha.m = media_a JOIN ah hb ON hb.m = media_b
+        |ORDER BY media_a, media_b""".stripMargin,
+
+    // mm25: the exact-dup classes replayed ARITHMETICALLY — image content
+    // is a pure function of (m%8, (m//8)%5) (the generator's family ×
+    // perturbation key), so the engine's sha2-over-bytes collapse must
+    // land exactly on these classes (any decode/write slip changes a
+    // byte, splits a class, and flips cluster_size/representative red);
+    // then mm17's dHash/aHash formulas over the representatives only
+    "mm25_image_dedup_pipeline" ->
+      """WITH ms AS (
+        |  SELECT doc_id AS m FROM documents WHERE doc_id % 2 = 0),
+        |cl AS (
+        |  SELECT MIN(m) AS m, COUNT(*) AS cluster_size
+        |  FROM ms GROUP BY m % 8, (m // 8) % 5),
+        |g AS (
+        |  SELECT cl.m, p,
+        |    list_sum(list_transform(range(3), c ->
+        |      ((cl.m % 8) * 37 + (3 * (32 * (p // 8) + 2 * (p % 8)) + c) * 13
+        |       + CASE WHEN p < (cl.m // 8) % 5 THEN 128 ELSE 0 END) % 256))
+        |      AS gray
+        |  FROM cl, (SELECT unnest(range(64)) AS p)),
+        |dh AS (
+        |  SELECT l.m,
+        |    CAST(SUM(CASE WHEN l.gray > r.gray
+        |      THEN (1::BIGINT << CAST((l.p // 8) * 7 + (l.p % 8) AS INT))
+        |      ELSE 0 END) AS BIGINT) AS dh
+        |  FROM g l JOIN g r ON r.m = l.m AND r.p = l.p + 1 AND l.p % 8 < 7
+        |  GROUP BY l.m),
+        |ah AS (
+        |  SELECT m,
+        |    SUM(CASE WHEN p < 32 AND 64 * gray > tot
+        |        THEN (1::BIGINT << CAST(p AS INT)) ELSE 0 END)::BIGINT AS lo,
+        |    SUM(CASE WHEN p >= 32 AND 64 * gray > tot
+        |        THEN (1::BIGINT << CAST(p - 32 AS INT)) ELSE 0 END)::BIGINT AS hi
+        |  FROM (SELECT m, p, gray, SUM(gray) OVER (PARTITION BY m) AS tot
+        |        FROM g)
+        |  GROUP BY m),
+        |pr AS (
+        |  SELECT a.m AS media_a, b.m AS media_b,
+        |    bit_count(xor(a.dh, b.dh)) AS dham
+        |  FROM dh a JOIN dh b ON a.m < b.m
+        |  WHERE bit_count(xor(a.dh, b.dh)) <= 3)
+        |SELECT media_a, media_b,
+        |  CAST(ca.cluster_size AS BIGINT) AS size_a,
+        |  CAST(cb.cluster_size AS BIGINT) AS size_b,
+        |  CAST(dham AS BIGINT) AS dham,
+        |  CAST(bit_count(xor(ha.lo, hb.lo)) + bit_count(xor(ha.hi, hb.hi))
+        |    AS BIGINT) AS aham,
+        |  (bit_count(xor(ha.lo, hb.lo)) + bit_count(xor(ha.hi, hb.hi))) <= 3
+        |    AS agree
+        |FROM pr JOIN ah ha ON ha.m = media_a JOIN ah hb ON hb.m = media_b
+        |  JOIN cl ca ON ca.m = media_a JOIN cl cb ON cb.m = media_b
         |ORDER BY media_a, media_b""".stripMargin,
 
     // replay of mm10: GIF m has 1 + m%3 frames of (2 + m%4) × (2 + m%3)

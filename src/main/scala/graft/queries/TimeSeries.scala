@@ -2459,11 +2459,18 @@ object TimeSeries {
           sum(when(col("keep"), sumExactCol(col("value")))).as("tsum"),
           sum(when(col("keep"), 1L)).as("tn"),
           sum(sumExactCol(col("value"))).as("sx"))
+        // Same run-time nonneg guard as hourlyMicroMean: the half-up
+        // `+n` offset and Spark-div-vs-DuckDB-// only agree for
+        // non-negative sums, so a contract violation must fail loudly
+        // instead of silently hash-diverging. coalesce(assert_true,0)
+        // feeds the numerator so pruning can't drop the check.
         .select(col("g").as("event_type"), col("n"), col("k_trim"),
-          expr("(2 * cast(tsum * 1000000 as bigint) + tn) div (2 * tn)")
-            .as("trimmed_micro"),
-          expr("(2 * cast(sx * 1000000 as bigint) + n) div (2 * n)")
-            .as("mean_micro"))
+          expr("(2 * cast(tsum * 1000000 as bigint) + tn" +
+            " + cast(coalesce(assert_true(tsum >= 0), 0) as bigint))" +
+            " div (2 * tn)").as("trimmed_micro"),
+          expr("(2 * cast(sx * 1000000 as bigint) + n" +
+            " + cast(coalesce(assert_true(sx >= 0), 0) as bigint))" +
+            " div (2 * n)").as("mean_micro"))
         .orderBy(col("event_type"))
     }),
 

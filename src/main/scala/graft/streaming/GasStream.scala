@@ -383,6 +383,102 @@ object GasStream {
       .toDF()
   }
 
+  /** Per-key enrichment state: the last VALID context reading applied so
+    * far in event-time order, plus the family's monotone guard. O(1) per
+    * key — the whole point of the operator (see [[lastValueEnrichStream]]). */
+  case class EnrichState(ctxUs: Long, ctxVal: Double, hasCtx: Boolean,
+      lastUs: Long)
+
+  /** One enriched target reading: the target point 1:1, carrying the
+    * as-of context point (None until the first valid context arrives). */
+  case class EnrichedPoint(t_us: Long, v: Double, ctx_us: Option[Long],
+      ctx: Option[Double])
+
+  /** RATE-ROBUST STREAM-STREAM PAIRING — the production alternative to the
+    * interval join ([[pairedReadings]] / gs08) whose output is
+    * rate² × interval BY DEFINITION: keep the last valid context reading
+    * (e.g. humidity) as keyed state and emit every target reading (e.g.
+    * CO) exactly once, enriched with the context as of its event time —
+    * the classic as-of/backward join, served live. Output is 1:1 with the
+    * target stream and state is ONE value per key, so BOTH are linear in
+    * rate where the interval join's result is quadratic — this is the
+    * shape that survives sensor-fusion rates (the 112 Hz census rung that
+    * excludes gs08/gs13 by semantics).
+    *
+    * Ordering contract (the gs10/gs15 family convention): event-time order
+    * within a batch with the context sorting BEFORE the target at the same
+    * instant (as-of uses ≤, and in the wide source both fields of one
+    * sample share a timestamp), monotone guard across batches — a
+    * straggler older than the last applied point is dropped, the
+    * redelivery discipline for a sequential operator. Unlike the
+    * append-mode window sinks there is NO watermark cutoff to replay:
+    * every target row emits immediately, exactly once, so the DuckDB
+    * oracle is the plain as-of join over the raw CSVs. Runs on
+    * `transformWithState` (RocksDB provider required — see
+    * [[CusumProcessor]]'s API notes). */
+  class LastValueEnrichProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, (String, java.sql.Timestamp, Double, Int), EnrichedPoint] {
+    import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var state: ValueState[EnrichState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[EnrichState]("enrich",
+        org.apache.spark.sql.Encoders.product[EnrichState], TTLConfig.NONE)
+
+    override def handleInputRows(key: String,
+        rows: Iterator[(String, java.sql.Timestamp, Double, Int)],
+        timerValues: TimerValues): Iterator[EnrichedPoint] = {
+      var st = if (state.exists()) state.get()
+        else EnrichState(0L, 0.0, hasCtx = false, Long.MinValue)
+      val out = Seq.newBuilder[EnrichedPoint]
+      def micros(t: java.sql.Timestamp): Long =
+        Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+      // context (tag 0) before target (tag 1) at equal event times: the
+      // as-of is ≤, so a target sees the context of its own sample
+      rows.toSeq.sortBy(r => (micros(r._2), r._4)).foreach {
+        case (_, t, v, tag) =>
+          val us = micros(t)
+          if (us >= st.lastUs) { // monotone guard: drop stale stragglers
+            if (tag == 0) st = EnrichState(us, v, hasCtx = true, us)
+            else {
+              out += EnrichedPoint(us, v,
+                if (st.hasCtx) Some(st.ctxUs) else None,
+                if (st.hasCtx) Some(st.ctxVal) else None)
+              st = st.copy(lastUs = us)
+            }
+          }
+      }
+      if (st.lastUs != Long.MinValue) state.update(st)
+      out.result().iterator
+    }
+  }
+
+  /** [[LastValueEnrichProcessor]] over the long gas stream: enrich every
+    * `targetField` reading with the last `contextField` reading whose
+    * value passes the `ctxMin` validity floor (gs13's threshold shape —
+    * invalid context never enters state, so targets reach BACK over it).
+    * Keyed by `_measurement`, the long model's co-location key: a
+    * measurement's readings meet on one state partition, and parallelism
+    * scales with measurement (sensor) cardinality — the production layout
+    * where a fleet of sensors spreads across the cluster. Caller must run
+    * the query on the RocksDB state store provider. */
+  def lastValueEnrichStream(long: DataFrame, targetField: String,
+      contextField: String, ctxMin: Double): DataFrame = {
+    import long.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    long
+      .filter(col("_field") === targetField ||
+        (col("_field") === contextField && col("_value") >= ctxMin))
+      .select(col("_measurement"), col("_time"), col("_value"),
+        when(col("_field") === contextField, 0).otherwise(1).as("tag"))
+      .as[(String, java.sql.Timestamp, Double, Int)]
+      .groupByKey(_._1)
+      .transformWithState(new LastValueEnrichProcessor,
+        TimeMode.None(), OutputMode.Append())
+      .toDF()
+  }
+
   /** Per-key Kalman state: estimate + variance + the monotone guard. */
   case class KalmanStreamState(x: Double, p: Double, lastUs: Long, n: Long)
 

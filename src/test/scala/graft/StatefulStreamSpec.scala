@@ -370,4 +370,66 @@ class StatefulStreamSpec extends SparkSpec {
       }
     }
   }
+
+  test("last-value as-of enrichment: same-instant pairing, reach-back, batch carry, straggler drop") {
+    // gs34's kernel (GasStream.lastValueEnrichStream) on a hand-built
+    // stream: (1) a target BEFORE any valid context emits NULL context;
+    // (2) a target at the SAME instant as a valid context sees it (as-of
+    // is <=, context sorts first); (3) an INVALID context (below ctxMin)
+    // never enters state, so later targets reach BACK across it — and
+    // across the micro-batch boundary; (4) a straggler older than the
+    // last applied point is dropped by the monotone guard.
+    // transformWithState requires the RocksDB state store.
+    implicit val sqlCtx = spark.sqlContext
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[(java.sql.Timestamp, String, String, Double)]
+      val long = input.toDF().toDF("_time", "_measurement", "_field", "_value")
+      val q = GasStream.lastValueEnrichStream(long, "CO", "H", ctxMin = 50.0)
+        .writeStream.outputMode("append")
+        .format("memory").queryName("asof_enrich").start()
+      def ts(s: String) = java.sql.Timestamp.valueOf(s)
+      def us(s: String) = {
+        val t = ts(s)
+        Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+      }
+      input.addData(
+        (ts("2016-10-07 00:01:00"), "g", "H", 40.0),  // invalid: filtered
+        (ts("2016-10-07 00:01:00"), "g", "CO", 1.0),  // no context yet
+        (ts("2016-10-07 00:02:00"), "g", "H", 60.0),  // valid
+        (ts("2016-10-07 00:02:00"), "g", "CO", 2.0))  // same-instant pair
+      q.processAllAvailable()
+      input.addData(
+        (ts("2016-10-07 00:03:00"), "g", "H", 45.0),  // invalid: filtered
+        (ts("2016-10-07 00:03:00"), "g", "CO", 3.0),  // reaches back to 00:02
+        (ts("2016-10-07 00:00:30"), "g", "CO", 9.0),  // straggler: dropped
+        (ts("2016-10-07 00:04:00"), "g", "CO", 4.0))  // still 00:02's context
+      q.processAllAvailable()
+      input.addData(
+        (ts("2016-10-07 00:05:00"), "g", "H", 70.0),
+        (ts("2016-10-07 00:06:00"), "g", "CO", 5.0))  // new context applies
+      q.processAllAvailable()
+      q.stop()
+      val got = spark.sql(
+          "SELECT t_us, v, ctx_us, ctx FROM asof_enrich ORDER BY t_us")
+        .collect().map(r => (r.getLong(0), r.getDouble(1),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+      val want = Seq(
+        (us("2016-10-07 00:01:00"), 1.0, None, None),
+        (us("2016-10-07 00:02:00"), 2.0, Some(us("2016-10-07 00:02:00")), Some(60.0)),
+        (us("2016-10-07 00:03:00"), 3.0, Some(us("2016-10-07 00:02:00")), Some(60.0)),
+        (us("2016-10-07 00:04:00"), 4.0, Some(us("2016-10-07 00:02:00")), Some(60.0)),
+        (us("2016-10-07 00:06:00"), 5.0, Some(us("2016-10-07 00:05:00")), Some(70.0)))
+      assert(got.toSeq == want, s"enrich stream $got vs $want")
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set(providerKey, p)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
 }
