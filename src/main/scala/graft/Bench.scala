@@ -56,28 +56,48 @@ object Bench {
     // queries, then pass 2, ...) so one steal window can't sit on the same
     // query in every pass
     val timings = collection.mutable.Map.empty[String, (Double, Boolean)]
-    for (pass <- 1 to math.max(repeat, 1)) {
-      selected.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-        val t0 = System.nanoTime()
-        val ok =
-          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-          catch {
-            case e: Throwable =>
-              System.err.println(s"[bench] $name failed: ${e.getMessage}")
-              false
-          }
-        val secs = (System.nanoTime() - t0) / 1e9
-        System.err.println(f"[bench] $name (pass $pass): $secs%.3f s")
-        val best = timings.get(name) match {
-          case Some((prev, prevOk)) =>
-            // a pass that crashed never records a (fast) time
-            if (ok && (!prevOk || secs < prev)) (secs, true)
-            else (prev, prevOk)
-          case None => (secs, ok)
+    // every successful pass's time, in order — the variance band the file
+    // artifact records so a run-over-run swing on untouched code reads as
+    // noise (passes disagree) instead of a regression (passes agree)
+    val allTimes = collection.mutable.Map.empty[String, List[Double]]
+    def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+        pass: String): Unit = {
+      val t0 = System.nanoTime()
+      val ok =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            false
         }
-        timings(name) = best
+      val secs = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"[bench] $name (pass $pass): $secs%.3f s")
+      if (ok) allTimes(name) = allTimes.getOrElse(name, Nil) :+ secs
+      val best = timings.get(name) match {
+        case Some((prev, prevOk)) =>
+          // a pass that crashed never records a (fast) time
+          if (ok && (!prevOk || secs < prev)) (secs, true)
+          else (prev, prevOk)
+        case None => (secs, ok)
       }
+      timings(name) = best
     }
+    for (pass <- 1 to math.max(repeat, 1))
+      selected.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+        timeOne(name, fn, pass.toString)
+      }
+    // Adaptive re-measure (round-11 verdict item 5: q36 swung 0.36→2.40 s
+    // run-over-run on untouched code — a write-path query can catch an
+    // IO-pressure window in BOTH passes of one run): when a query's passes
+    // disagree by >2×, at least one pass was noise — one more pass decides
+    // which time is the code. Bounded: only the noisy set re-runs, and
+    // single-pass runs (ladder rungs) are left untouched.
+    if (repeat > 1)
+      selected.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+        val ts = allTimes.getOrElse(name, Nil)
+        if (ts.size >= 2 && ts.min > 0 && ts.max / ts.min > 2.0)
+          timeOne(name, fn, "respread")
+      }
     val results = selected.keys.toSeq.sorted.map { name =>
       val (secs, ok) = timings(name)
       (name, secs, ok)
@@ -98,8 +118,16 @@ object Bench {
     // per-query entries (a fast crash must not deflate the total)
     val total = results.collect { case (_, v, true) => v }.sum
     val totalS = num(total)
+    // per-pass times (the variance band): only in the FILE artifact — the
+    // stdout line must stay inside the harness tail window
+    val passesJson = results
+      .map { case (k, _, _) =>
+        "\"" + k + "\":[" +
+          allTimes.getOrElse(k, Nil).map(num).mkString(",") + "]"
+      }
+      .mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":$totalS,"unit":"sec","n_queries":${results.size},"queries":$qs,"failed":$failed,"sf":"$sfDir","repeat":$repeat}"""
+      s"""{"metric":"total","value":$totalS,"unit":"sec","n_queries":${results.size},"queries":$qs,"failed":$failed,"sf":"$sfDir","repeat":$repeat,"passes":$passesJson}"""
     // The complete per-query artifact goes to a FILE: the harness that
     // records the per-round bench keeps only a ~2000-char tail of the
     // process output, which decapitates a 166-query JSON line (r7's

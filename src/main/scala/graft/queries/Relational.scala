@@ -952,7 +952,14 @@ object Relational {
       val c = t(s, dir, "customer")
       val n = t(s, dir, "nation")
       val r = t(s, dir, "region")
-      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      // Broadcast hints ONLY on the genuinely fixed-cardinality dims
+      // (nation 25 / region 5 rows — they cannot grow with the business).
+      // customer grows with the facts, so its join strategy is left to
+      // Catalyst/AQE statistics: below autoBroadcastJoinThreshold it
+      // broadcasts exactly as a hint would; past it (the 128× QLADDER
+      // rung measures this regime) the plan switches to a shuffle join
+      // instead of forcing an ever-growing table through the driver.
+      o.join(c, o("o_custkey") === c("c_custkey"))
         .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
         .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
         .groupBy(col("r_name"), col("n_name"))
@@ -963,13 +970,18 @@ object Relational {
     }),
 
     // -- large fact-fact join (lineitem ⋈ orders shuffles once on orderkey;
-    // customer is broadcast) + derived grouping column
+    // customer joins by AQE statistics — broadcast while small, shuffle
+    // past the threshold) + derived grouping column
     "q04_segment_month_revenue" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
       val o = t(s, dir, "orders")
       val c = t(s, dir, "customer")
+      // customer is a GROWING dim — no broadcast hint (q03's rationale):
+      // AQE broadcasts it while it fits and falls back to a shuffle join
+      // past the threshold, which is the only join shape that survives
+      // 100 TB dims.
       li.join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
         .withColumn("order_month", date_format(col("o_orderdate"), "yyyy-MM"))
         .groupBy(col("c_mktsegment"), col("order_month"))
         .agg(

@@ -645,4 +645,50 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Exchange rangepartitioning"),
       s"keyset pagination must never globally sort the table:\n$p")
   }
+
+  test("broadcast-threshold fallback: growing-dim joins switch to shuffle joins, results unchanged") {
+    // At 100 TB dims don't broadcast. q03/q04 hint-pin only the
+    // fixed-cardinality dims (nation 25 / region 5 rows) and leave the
+    // GROWING customer dim to Catalyst/AQE statistics — this audit runs
+    // the regime where the threshold is exceeded (emulated exactly:
+    // size-based broadcast disabled on both the static and adaptive
+    // thresholds) and pins (a) the growing-dim join becomes a shuffle
+    // join, never a BroadcastNestedLoopJoin, and (b) the RESULTS are
+    // bit-identical across the strategy switch. q39's broadcast hint on a
+    // bounded DISTINCT month list legitimately survives — a hint outranks
+    // the threshold, which is why hints are reserved for frames that
+    // CANNOT grow. The 128x QLADDER rung measures this same switch
+    // happening naturally (32 MB customer / 25 MB part parquet).
+    val conf = spark.conf
+    val keys = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> conf.getOption(k)).toMap
+    val shuffled = Seq("q03_join_multiway", "q04_segment_month_revenue",
+      "q54_join_hints")
+    val baseline = (shuffled :+ "q39_dynamic_partition_pruning")
+      .map(n => n -> q(n).collect().toSeq).toMap
+    try {
+      keys.foreach(conf.set(_, "-1"))
+      shuffled.foreach { n =>
+        val df = q(n)
+        val p = planString(df)
+        assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+          s"$n: no shuffle join in the no-broadcast regime:\n$p")
+        assert(!p.contains("BroadcastNestedLoopJoin") &&
+          !p.contains("CartesianProduct"),
+          s"$n degenerated to a nested loop without broadcasts:\n$p")
+        assert(df.collect().toSeq == baseline(n),
+          s"$n: result changed under the shuffle-join regime")
+      }
+      val dpp = q("q39_dynamic_partition_pruning")
+      val pd = planString(dpp)
+      assert(pd.contains("BroadcastHashJoin"),
+        s"q39: the bounded month-list hint should survive the regime:\n$pd")
+      assert(dpp.collect().toSeq == baseline("q39_dynamic_partition_pruning"),
+        "q39: result changed under the no-broadcast regime")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
 }
