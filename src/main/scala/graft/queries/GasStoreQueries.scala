@@ -603,6 +603,48 @@ object GasStoreQueries {
     }
   }
 
+  /** gs35's sink: REDELIVERY-SAFE enrichment — the gs09 dedup chained in
+    * front of gs34's as-of enrichment, in ONE streaming query (two stateful
+    * operators). This composition is load-bearing, not decorative: the
+    * enrich processor's monotone guard uses `>=` (same-instant context must
+    * apply), so an EXACTLY-REDELIVERED target row would pass the guard and
+    * double-emit — at-least-once sources therefore require
+    * `dropDuplicatesWithinWatermark` upstream, and this query proves the
+    * composition emits each enriched row exactly once by matching gs34's
+    * clean-stream oracle from a DOUBLED delivery of the same stream. */
+  private val builtDedupEnrich = new java.util.WeakHashMap[SparkSession, String]()
+  private def streamDedupEnrich(spark: SparkSession): DataFrame = {
+    val path = builtDedupEnrich.synchronized {
+      Option(builtDedupEnrich.get(spark)).getOrElse {
+        val work = Files.createTempDirectory("graft-gas-dedup-enrich")
+        deleteOnExit(work)
+        def long() = graft.store.LongStore.unpivot(
+          graft.transform.GasTransform(
+            graft.streaming.GasStream.readStream(spark, fixtureDir))
+            .withColumnRenamed("file_name", "_src")).drop("_src")
+          .filter(col("_field").isin("CO (ppm)", "Humidity (%r.h.)"))
+        withRocksDb(spark) {
+          graft.streaming.GasStream
+            .lastValueEnrichStream(
+              graft.streaming.GasStream
+                .dedupeStream(long().unionAll(long()), watermark = "30 minutes"),
+              "CO (ppm)", "Humidity (%r.h.)", 55.0)
+            .writeStream
+            .format("parquet")
+            .option("path", s"$work/out")
+            .option("checkpointLocation", s"$work/ckpt")
+            .outputMode("append")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+            .awaitTermination()
+        }
+        builtDedupEnrich.put(spark, s"$work/out")
+        s"$work/out"
+      }
+    }
+    spark.read.parquet(path)
+  }
+
   private val builtDedup = new java.util.WeakHashMap[SparkSession, String]()
   private def streamDedup(spark: SparkSession): DataFrame = {
     val path = builtDedup.synchronized {
@@ -1283,6 +1325,16 @@ object GasStoreQueries {
           col("ctx").as("h"))
         .orderBy(col("t_us"))),
 
+    // REDELIVERY-SAFE composition: dedup (gs09's operator) chained in
+    // front of the as-of enrichment (gs34's) in one streaming query —
+    // a DOUBLED delivery of the stream must produce gs34's clean-stream
+    // result row-for-row (the oracle is the same as-of join)
+    "gs35_stream_dedup_enrich" -> ((s, _) =>
+      streamDedupEnrich(s)
+        .select(col("t_us"), col("v").as("co"), col("ctx_us").as("h_us"),
+          col("ctx").as("h"))
+        .orderBy(col("t_us"))),
+
     // streaming CUSUM detector readings (sp/sn already 6-dp-rounded by
     // the kernel at every step — emitted as-is)
     "gs15_stream_cusum" -> ((s, _) =>
@@ -1929,6 +1981,29 @@ object GasStoreQueries {
     // value joins back by its as-of time. No watermark cutoff exists to
     // replay: the operator emits 1:1, immediately.
     "gs34_stream_asof_enrich" ->
+      s"""$prelude,
+         |c AS (SELECT _time AS t, "CO (ppm)" AS co FROM raw),
+         |hv AS (SELECT _time AS t, "Humidity (%r.h.)" AS h FROM raw
+         |       WHERE "Humidity (%r.h.)" >= 55.0),
+         |u AS (
+         |  SELECT t, 0 AS tag FROM hv
+         |  UNION ALL
+         |  SELECT t, 1 AS tag FROM c),
+         |m AS (
+         |  SELECT t, tag,
+         |    max(CASE WHEN tag = 0 THEN t END) OVER
+         |      (ORDER BY t, tag ROWS UNBOUNDED PRECEDING) AS h_t
+         |  FROM u)
+         |SELECT epoch_us(c.t) AS t_us, c.co AS co,
+         |  epoch_us(m.h_t) AS h_us, hv.h AS h
+         |FROM c JOIN m ON m.t = c.t AND m.tag = 1
+         |LEFT JOIN hv ON hv.t = m.h_t
+         |ORDER BY t_us""".stripMargin,
+
+    // gs35: the SAME as-of join as gs34 — a doubled delivery through the
+    // dedup→enrich composition must be indistinguishable from the clean
+    // stream (exactly-once observable output under at-least-once input)
+    "gs35_stream_dedup_enrich" ->
       s"""$prelude,
          |c AS (SELECT _time AS t, "CO (ppm)" AS co FROM raw),
          |hv AS (SELECT _time AS t, "Humidity (%r.h.)" AS h FROM raw
