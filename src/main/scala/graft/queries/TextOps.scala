@@ -1520,13 +1520,19 @@ object TextOps {
     // broadcast, per-doc scoring one (doc)-keyed aggregate, and the
     // confusion rollup is |langs|² cells.
     "tx44_chartrigram_langid" -> ((s, dir) => {
-      val base = fanout(docs(s, dir))
+      // NOT checkpointed (the round-12 128× census OOM): materializing the
+      // EXPLODED frame caches |docs| × 254 rows — 162 M at the 128× rung —
+      // and that storage pressure starved the downstream per-doc hash
+      // aggregation (AGGREGATE_OUT_OF_MEMORY). The explode is one cheap
+      // map-side pass over a pruned scan, so the two consumers each
+      // recompute it and every row flows straight into its partial
+      // aggregate instead of parking in the block manager.
+      def base = fanout(docs(s, dir))
         .withColumn("t", expr("substr(lower(text), 1, 256)"))
         .filter(length(col("t")) >= 3)
         .select(col("doc_id"), col("lang"), explode(expr(
           "transform(sequence(1, length(t) - 2), i -> substring(t, i, 3))"))
           .as("tg"))
-        .localCheckpoint(true)
       val prof = base.filter(col("doc_id") % 2 === 0)
         .groupBy(col("lang").as("plang"), col("tg"))
         .agg(count(lit(1)).as("pc"))
