@@ -77,37 +77,37 @@ def replicate(table, sql_per_copy):
 
 
 replicate("lineitem", lambda k: f"""
-  SELECT l_orderkey + {k} * 10000000000 AS l_orderkey,
-    l_partkey + {k} * 10000000 AS l_partkey,
-    l_suppkey + {k} * 10000000 AS l_suppkey,
+  SELECT l_orderkey + {k} * 10000000000::BIGINT AS l_orderkey,
+    l_partkey + {k} * 10000000::BIGINT AS l_partkey,
+    l_suppkey + {k} * 10000000::BIGINT AS l_suppkey,
     l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax,
     l_returnflag, l_linestatus, l_shipdate
   FROM BASE""")
 
 replicate("orders", lambda k: f"""
-  SELECT o_orderkey + {k} * 10000000000 AS o_orderkey,
-    o_custkey + {k} * 10000000 AS o_custkey,
+  SELECT o_orderkey + {k} * 10000000000::BIGINT AS o_orderkey,
+    o_custkey + {k} * 10000000::BIGINT AS o_custkey,
     o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
   FROM BASE""")
 
 replicate("customer", lambda k: f"""
-  SELECT c_custkey + {k} * 10000000 AS c_custkey,
+  SELECT c_custkey + {k} * 10000000::BIGINT AS c_custkey,
     {wrap('c_name', k)} AS c_name, c_nationkey, c_acctbal, c_mktsegment
   FROM BASE""")
 
 replicate("part", lambda k: f"""
-  SELECT p_partkey + {k} * 10000000 AS p_partkey,
+  SELECT p_partkey + {k} * 10000000::BIGINT AS p_partkey,
     {wrap('p_name', k)} AS p_name, p_brand, p_type, p_size, p_retailprice
   FROM BASE""")
 
 replicate("supplier", lambda k: f"""
-  SELECT s_suppkey + {k} * 10000000 AS s_suppkey,
+  SELECT s_suppkey + {k} * 10000000::BIGINT AS s_suppkey,
     {wrap('s_name', k)} AS s_name, s_nationkey, s_acctbal
   FROM BASE""")
 
 replicate("events", lambda k: f"""
-  SELECT event_id + {k} * 1000000000000 AS event_id, ts,
-    user_id + {k} * 10000000 AS user_id, event_type, value, props
+  SELECT event_id + {k} * 1000000000000::BIGINT AS event_id, ts,
+    user_id + {k} * 10000000::BIGINT AS user_id, event_type, value, props
   FROM BASE""")
 
 for t in ["nation", "region", "documents", "embeddings"]:
