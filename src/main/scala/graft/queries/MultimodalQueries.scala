@@ -269,9 +269,11 @@ object MultimodalQueries {
     // representatives ONLY; (3) dHash band join + aHash agreement between
     // representatives, each pair carrying both cluster sizes. Full corpus
     // in, NO stride: cluster cardinality is bounded by distinct content
-    // (40 in this fixture family) however large the corpus grows, so the
-    // pair stage is O(|clusters|²) worst-case on a frame that never grows
-    // — MLADDER measures the whole composition flat across rungs.
+    // (the unfiltered family has 8×5 = 40 classes; the doc_id % 2 === 0
+    // filter keeps only even residues m%8 ∈ {0,2,4,6}, so 4×5 = 20 here)
+    // however large the corpus grows, so the pair stage is O(|clusters|²)
+    // worst-case on a frame that never grows — MLADDER measures the whole
+    // composition flat across rungs.
     "mm25_image_dedup_pipeline" -> ((s, dir) => {
       import s.implicits._
       val media = Multimodal.syntheticNearDupBmps(

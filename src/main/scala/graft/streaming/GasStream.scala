@@ -415,7 +415,22 @@ object GasStream {
     * every target row emits immediately, exactly once, so the DuckDB
     * oracle is the plain as-of join over the raw CSVs. Runs on
     * `transformWithState` (RocksDB provider required — see
-    * [[CusumProcessor]]'s API notes). */
+    * [[CusumProcessor]]'s API notes).
+    *
+    * MEMORY BOUND (applies to every SLADDER rate-ladder claim for gs34):
+    * `handleInputRows` materializes and sorts ONE KEY's share of ONE
+    * micro-batch (`rows.toSeq.sortBy` below — transformWithState gives no
+    * secondary-sort contract, so the event-time order the as-of needs
+    * must be imposed here). The task-memory bound is therefore
+    * O(max rows per key per micro-batch) × ~40 B/tuple. Under a RATE
+    * source or continuous trigger that is rate × trigger-interval per
+    * sensor — a few thousand rows at any realistic per-key rate. The
+    * DEGENERATE corner is Trigger.AvailableNow on a single-measurement
+    * fixture: the whole input is one key's one batch (2.4 M rows ≈
+    * ~100 MB at the 28–112 Hz SLADDER rungs — fine on this harness's
+    * executors, but the number to check before re-using the AvailableNow
+    * replay shape on a bigger backlog; production replays should bound
+    * the batch via maxFilesPerTrigger or a rate limit instead). */
   class LastValueEnrichProcessor
       extends org.apache.spark.sql.streaming.StatefulProcessor[
         String, (String, java.sql.Timestamp, Double, Int), EnrichedPoint] {
