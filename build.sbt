@@ -27,6 +27,14 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// Forward graft.* system props into FORKED JVMs (Test / fork above):
+// `sbt -Dgraft.gas.stress.dir=...` otherwise stops at the sbt launcher
+// JVM and a "stress rung" spec invocation silently runs at CI scale —
+// exactly what happened to CrashReplaySpec's documented 28 Hz run until
+// round 13 caught it with a prop-echo probe.
+javaOptions ++= sys.props.collect {
+  case (k, v) if k.startsWith("graft.") => s"-D$k=$v"
+}.toSeq
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",

@@ -1,0 +1,166 @@
+package graft
+
+import java.nio.file.{Files, Path}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.store.LongStore
+import graft.streaming.GasStream
+import graft.transform.GasTransform
+
+/** STREAMING EXACTLY-ONCE UNDER KILL/RESTART (round-12 verdict item 2):
+  * `CrashReplaySpec` proves the BATCH ingest's exactly-once claim under a
+  * forced crash and `StatefulStreamSpec` proves state carry-over across
+  * micro-batches — this spec closes the last leg: a RUNNING stateful
+  * streaming query killed mid-stream and restarted from its checkpoint
+  * must produce output bit-identical to an uninterrupted run.
+  *
+  * Mechanism under test (the production recovery path at 100 TB, where
+  * executors and drivers die mid-batch routinely): the microbatch engine
+  * WALs batch N's offsets BEFORE processing it, so a kill that lands
+  * inside batch N leaves the offset log one entry ahead of the commit
+  * log; on restart the engine re-executes exactly that batch from the
+  * WAL against the state store's last COMMITTED version, and the parquet
+  * sink's `_spark_metadata` manifest hides the cancelled attempt's
+  * orphan files. All three transformWithState shapes are exercised —
+  * gs15's CUSUM (ValueState), gs27's KMV sketches (MapState), gs34's
+  * as-of enrichment (ValueState + in-batch ordering contract) — on the
+  * RocksDB provider the API requires, which is also the store whose
+  * snapshot/changelog recovery is the one the claim rides on.
+  *
+  * Kill placement: the killed run starts under a paced trigger with
+  * `maxFilesPerTrigger=1` (one day file per micro-batch — the same batch
+  * split the clean reference run uses, so batch-boundary-sensitive
+  * output like gs27's per-batch snapshots is comparable row-for-row),
+  * and `stop()` fires as soon as the FIRST rows-bearing batch commits.
+  * `stop()` interrupts the stream thread and cancels in-flight jobs —
+  * at the stress rung (where a batch runs for tens of seconds) it lands
+  * INSIDE batch 2, the genuine WAL-ahead-of-commit crash window; at CI
+  * speed it may land at a batch boundary, which is the weaker clean-stop
+  * recovery. Either way the restarted query must finish the stream with
+  * no duplicated and no lost rows.
+  *
+  * Stress rung: `sbt -Dgraft.gas.stress.dir=/tmp/gas_kr28 'testOnly
+  * graft.StreamKillRestartSpec'` where the fixture holds 3 day files at
+  * 28 Hz (`tools/make_gas_stress.py 28 /tmp/gas_kr28 3` — the SLADDER
+  * 28 Hz rung's volume per batch, ~2.4 M raw rows/day). Under stress the
+  * spec additionally asserts the kill genuinely interrupted the stream
+  * (the restart processed new data), so a too-fast phase 1 can't
+  * silently degrade the test to a no-op restart. Unset, it runs on the
+  * two committed resource day files, where the 2-batch kill/restart is
+  * CI-stable.
+  */
+class StreamKillRestartSpec extends SparkSpec {
+
+  private def resource(name: String): Path =
+    java.nio.file.Paths.get(getClass.getResource(s"/gas/$name").getPath)
+
+  private val stressDir = sys.props.get("graft.gas.stress.dir")
+
+  private def makeInput(work: Path): String = stressDir.getOrElse {
+    val in = Files.createDirectory(work.resolve("input"))
+    Seq("20161007_210049.csv", "20161008_120000.csv").foreach { f =>
+      Files.copy(resource(f), in.resolve(f))
+    }
+    in.toString
+  }
+
+  /** The gs family's long stream over a day-file dir, one file per
+    * micro-batch (the batch-split contract both runs share). */
+  private def longStream(input: String): DataFrame =
+    LongStore.unpivot(
+      GasTransform(GasStream.readStream(spark, input, maxFilesPerTrigger = 1))
+        .withColumnRenamed("file_name", "_src")).drop("_src")
+      .filter(col("_field").isin("CO (ppm)", "Humidity (%r.h.)"))
+
+  private def withRocks[T](body: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body
+    finally prev match {
+      case Some(p) => spark.conf.set(key, p)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
+  /** Uninterrupted reference: AvailableNow to completion. */
+  private def cleanRun(build: DataFrame => DataFrame, input: String,
+      dir: Path): DataFrame = {
+    build(longStream(input)).writeStream
+      .format("parquet")
+      .option("path", s"$dir/out")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+      .awaitTermination()
+    spark.read.parquet(s"$dir/out")
+  }
+
+  /** Kill + restart: phase 1 runs paced, is stopped right after the first
+    * rows-bearing commit; phase 2 reuses checkpoint + sink and drains the
+    * rest with AvailableNow. Returns (final output, rows the RESTART
+    * processed — >0 proves the kill interrupted real pending work). */
+  private def killedRun(build: DataFrame => DataFrame, input: String,
+      dir: Path): (DataFrame, Long) = {
+    def writer(trigger: Trigger) =
+      build(longStream(input)).writeStream
+        .format("parquet")
+        .option("path", s"$dir/out")
+        .option("checkpointLocation", s"$dir/ckpt")
+        .outputMode("append")
+        .trigger(trigger)
+    val q1 = writer(Trigger.ProcessingTime("500 milliseconds")).start()
+    val deadline = System.nanoTime() + 900L * 1000 * 1000 * 1000
+    while (q1.isActive &&
+        !q1.recentProgress.exists(_.numInputRows > 0) &&
+        System.nanoTime() < deadline)
+      Thread.sleep(10)
+    assert(q1.recentProgress.exists(_.numInputRows > 0),
+      "phase 1 never committed a rows-bearing batch within the deadline")
+    q1.stop() // interrupts the stream thread, cancels the in-flight batch
+    val q2 = writer(Trigger.AvailableNow()).start()
+    q2.awaitTermination()
+    val restartRows = q2.recentProgress.map(_.numInputRows).sum
+    (spark.read.parquet(s"$dir/out"), restartRows)
+  }
+
+  private def check(name: String)(build: DataFrame => DataFrame): Unit =
+    test(s"$name: kill mid-stream + checkpoint restart = uninterrupted output") {
+      withRocks {
+        val work = Files.createTempDirectory(s"graft-kr-$name")
+        val input = makeInput(work)
+        val want = cleanRun(build, input, work.resolve("clean"))
+        val (got, restartRows) = killedRun(build, input, work.resolve("killed"))
+        assert(want.count() > 0, s"$name: empty reference output")
+        assert(got.count() == want.count(),
+          s"$name: ${got.count()} rows after kill/restart vs clean ${want.count()}")
+        assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+          s"$name: kill/restart output diverged from the uninterrupted run")
+        // at the stress rung a batch runs for tens of seconds, so the stop
+        // lands with pending work by construction — require the restart to
+        // have processed some of it (CI's 2-file fixture can legitimately
+        // finish inside phase 1's first trigger, so only warn there)
+        if (stressDir.isDefined)
+          assert(restartRows > 0,
+            s"$name: restart processed 0 rows — the kill never interrupted the stream")
+        else if (restartRows == 0)
+          info(s"$name: phase 1 drained the CI fixture before the kill " +
+            "(recovery path still exercised as a clean-stop restart)")
+      }
+    }
+
+  check("gs15_cusum") { long =>
+    GasStream.cusumStreamTws(long, mu = 50.0, k = 5.0, h = 60.0)
+  }
+  check("gs27_kmv") { long =>
+    GasStream.kmvStream(long, windowUs = 21600000000L, k = 16)
+  }
+  check("gs34_asof_enrich") { long =>
+    GasStream.lastValueEnrichStream(long, "CO (ppm)", "Humidity (%r.h.)", 55.0)
+  }
+}
