@@ -15,11 +15,12 @@ import org.apache.spark.sql.SparkSession
   * passes agree (spread ≤2×): this host has documented hypervisor-steal
   * windows (PLANS.md) that inflate a contiguous block of queries 3-18× in
   * a single pass, and min-of-N is the standard way to measure the code
-  * rather than the noise. When the passes DISAGREE (>2×) a respread pass
-  * runs and the lower median is recorded instead — min-of-N would
-  * enshrine a one-off anomalously FAST pass (page-cache hit, partially-
-  * skipped work) as "the code" — and the query is flagged in the
-  * artifact's "noisy" list. Best-of-2 is the default because the recorded
+  * rather than the noise. When passes DISAGREE (>2×) a respread pass
+  * runs, and the min must then be CONFIRMED by the second-fastest pass
+  * (within 2×) to be recorded — an unconfirmed fast outlier (page-cache
+  * hit, partially-skipped work) would otherwise be enshrined as "the
+  * code"; where the fastest pair disagrees the lower median is recorded
+  * and the query lands in the artifact's "noisy" list. Best-of-2 is the default because the recorded
   * per-round bench runs with no args; a single pass also bills cold
   * parquet-footer/codegen costs to whichever query touches a table first
   * (measured: tx14 11.6 s cold vs 2.6 s warm with zero steal). `prefix`
@@ -35,15 +36,61 @@ object Bench {
         (args(i + 1).toInt, args.patch(i, Nil, 2))
       else (sys.env.getOrElse("SPARK_GRAFT_REPEAT", "2").toInt, args)
     }
+    // Shuffle-partition regime (round-12 verdict item 1 — the q28 class
+    // at the shuffle layer): a FIXED small shuffle.partitions is a fixed
+    // resource count against growing data — SWEEP128 measured v09's
+    // pair-explosion shuffle spilling ~17 GB at 32 fixed partitions
+    // (~31 M pairs each). The fix is two-layered, like q28's: the AQE
+    // INITIAL partition count derives from input size (~1 MB of source
+    // parquet per initial partition, floor = cpus, cap 2048 — generous
+    // on purpose, because shuffles EXPAND input: v09's pair stage carries
+    // ~90× its scan bytes), and AQE's runtime coalescing then sizes the
+    // actual partitions from REAL shuffle bytes down to the 64 MB
+    // advisory target — so small stages pay nothing for the high initial
+    // count. At sf0.1 (17 MB) the derivation floors to cpus: the graded
+    // bench regime is unchanged; stress rungs scale out. Streaming is
+    // unaffected (AQE is disabled in stateful workloads; those keep
+    // shuffle.partitions = cpus, pinned per checkpoint). Override with
+    // SPARK_GRAFT_INITIAL_PARTITIONS (0 = legacy fixed-cpus regime, the
+    // A/B lever the SWEEP13 spill comparison uses).
+    val initialParts =
+      sys.env.get("SPARK_GRAFT_INITIAL_PARTITIONS").map(_.toInt).getOrElse {
+        val dir = new java.io.File(sfDir)
+        val bytes = Option(dir.listFiles())
+          .map(_.filter(f => f.isFile && f.getName.endsWith(".parquet"))
+            .map(_.length).sum)
+          .getOrElse(0L)
+        math.max(cpus.toInt, math.min(2048L, bytes >> 20).toInt)
+      }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        if (initialParts > 0) initialParts.toString else cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Per-query spill accounting: the artifact carries the evidence that
+    // per-partition shuffle volume stays bounded (or doesn't). Listener
+    // events are posted asynchronously, so totals snapshot right after
+    // the query's action can undercount slightly — fine for the multi-GB
+    // signal this exists to catch.
+    val spillDisk = new java.util.concurrent.atomic.AtomicLong
+    val spillMem = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = te.taskMetrics
+          if (m != null) {
+            spillDisk.addAndGet(m.diskBytesSpilled)
+            spillMem.addAndGet(m.memoryBytesSpilled)
+          }
+        }
+      })
 
     // warm-up: JVM + codegen + parquet footer caches
     SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
@@ -64,8 +111,12 @@ object Bench {
     // artifact records so a run-over-run swing on untouched code reads as
     // noise (passes disagree) instead of a regression (passes agree)
     val allTimes = collection.mutable.Map.empty[String, List[Double]]
+    // max-across-passes disk spill per query, bytes (conservative: the
+    // worst pass is the one that describes the memory-pressure exposure)
+    val spillBytes = collection.mutable.Map.empty[String, Long]
     def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
         pass: String): Unit = {
+      val d0 = spillDisk.get()
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
@@ -75,7 +126,10 @@ object Bench {
             false
         }
       val secs = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[bench] $name (pass $pass): $secs%.3f s")
+      val dspill = spillDisk.get() - d0
+      System.err.println(f"[bench] $name (pass $pass): $secs%.3f s" +
+        (if (dspill > 0) f" (disk spill ${dspill / 1e6}%.0f MB)" else ""))
+      spillBytes(name) = math.max(spillBytes.getOrElse(name, 0L), dspill)
       // a pass that crashed never records a (fast) time
       if (ok) allTimes(name) = allTimes.getOrElse(name, Nil) :+ secs
     }
@@ -97,30 +151,30 @@ object Bench {
       }
     // Recorded value (round-12 ADVICE): min-of-N treats an anomalously
     // FAST pass — page-cache hit, partially-skipped work — as "the code"
-    // forever, even when the respread pass contradicts it. When the
-    // passes agree (spread ≤2×), min is the classic steal-noise filter
-    // and stays. When they disagree, the LOWER MEDIAN decides: with the
-    // respread's 3 passes the majority pair wins in either direction
-    // (one fast outlier → the slow pair's min; one slow steal window →
-    // the fast pair's min). Queries whose passes still disagree >2× are
-    // additionally flagged in the artifact ("noisy") so a diff reader
-    // never mistakes residual variance for a regression.
+    // forever, even when the respread pass contradicts it. The rule is
+    // the advisor's "agreeing pair's min": when the two FASTEST passes
+    // agree within 2×, the min is confirmed by a second measurement and
+    // stays (a slow cold/steal pass above them is irrelevant — that's
+    // the classic min-of-N case). When the fastest time stands ALONE
+    // (next-best is >2× slower), it is an unconfirmed outlier and the
+    // lower median is recorded instead — with the respread's 3 passes
+    // the majority pair wins in either direction. Queries whose fastest
+    // pair still disagrees are flagged in the artifact ("noisy") so a
+    // diff reader never mistakes residual variance for a regression.
+    def fastPairDisagrees(ts: List[Double]): Boolean = {
+      val s = ts.sorted
+      s.size >= 2 && s.head > 0 && s(1) / s.head > 2.0
+    }
     def recorded(ts: List[Double]): Double = {
       val s = ts.sorted
-      if (s.size >= 2 && s.head > 0 && s.last / s.head > 2.0)
-        s((s.size - 1) / 2)
-      else s.head
+      if (fastPairDisagrees(ts)) s((s.size - 1) / 2) else s.head
     }
     val results = selected.keys.toSeq.sorted.map { name =>
       val ts = allTimes.getOrElse(name, Nil)
       if (ts.isEmpty) (name, -1.0, false) else (name, recorded(ts), true)
     }
     val noisy = results.collect {
-      case (k, _, true)
-        if {
-          val ts = allTimes(k)
-          ts.min > 0 && ts.max / ts.min > 2.0
-        } => k
+      case (k, _, true) if fastPairDisagrees(allTimes(k)) => k
     }
     // a failed query is reported as -1, never as a (fast) success time.
     // Locale.ROOT, not the f-interpolator: under a comma-decimal default
@@ -147,8 +201,15 @@ object Bench {
       }
       .mkString("{", ",", "}")
     val noisyJson = noisy.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // disk spill per query in MB, nonzero entries only (zero is the norm
+    // and the artifact should stay diffable)
+    val spillJson = results
+      .collect { case (k, _, _) if spillBytes.getOrElse(k, 0L) > 0 =>
+        "\"" + k + "\":" + num(spillBytes(k) / 1e6)
+      }
+      .mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":$totalS,"unit":"sec","n_queries":${results.size},"queries":$qs,"failed":$failed,"noisy":$noisyJson,"sf":"$sfDir","repeat":$repeat,"passes":$passesJson}"""
+      s"""{"metric":"total","value":$totalS,"unit":"sec","n_queries":${results.size},"queries":$qs,"failed":$failed,"noisy":$noisyJson,"initial_partitions":${if (initialParts > 0) initialParts else cpus.toInt},"spill_disk_mb":$spillJson,"sf":"$sfDir","repeat":$repeat,"passes":$passesJson}"""
     // The complete per-query artifact goes to a FILE: the harness that
     // records the per-round bench keeps only a ~2000-char tail of the
     // process output, which decapitates a 166-query JSON line (r7's

@@ -579,29 +579,35 @@ object GasStoreQueries {
     * and flips the compare red (re-verified green after both changes:
     * the fixture's duplicates arrive in the same micro-batch, far inside
     * any watermark). */
-  /** Run `body` (a streaming sink build) with the SESSION-WIDE state-store
-    * provider pinned to RocksDB, restoring the prior value in finally.
+  /** Run `body` (a streaming sink build) with the state-store provider
+    * pinned to RocksDB on a CHILD SESSION scoped to this one query.
     *
-    * CONSTRAINT: this mutates session config, so any OTHER streaming query
-    * started on the same session while `body` runs silently inherits
-    * RocksDB. Safe today because every driver of these helpers (Verify,
-    * Bench, the specs) builds sinks strictly sequentially on one thread;
-    * if a concurrent-sink driver ever appears, scope the provider
-    * per-query instead (cloned session via `spark.newSession()` does NOT
-    * isolate runtime conf mutations of SQLConf inherited keys — use a
-    * separate SparkSession built with the provider set at construction). */
-  private def withRocksDb[T](spark: SparkSession)(body: => T): T = {
-    val providerKey = "spark.sql.streaming.stateStore.providerClass"
-    val prevProvider = spark.conf.getOption(providerKey)
-    spark.conf.set(providerKey,
+    * `spark.newSession()` shares the SparkContext and SharedState but
+    * carries its own SessionState/SQLConf, so setting the provider here
+    * is invisible to the caller's session and to any OTHER query running
+    * concurrently — the round-11/12 "session-wide mutation, single-
+    * threaded drivers only" constraint is gone, and ConcurrencySpec runs
+    * these sink builds 4-way concurrent to prove it. `body` receives the
+    * child and must build its ENTIRE stream (source frames included) on
+    * it: a streaming query resolves confs from the session its frames
+    * were created on, so a parent-built source frame would silently
+    * escape the pin. */
+  private def withRocksDb[T](spark: SparkSession)(body: SparkSession => T): T = {
+    val rocks = spark.newSession()
+    rocks.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try body finally {
-      prevProvider match {
-        case Some(p) => spark.conf.set(providerKey, p)
-        case None => spark.conf.unset(providerKey)
-      }
-    }
+    body(rocks)
   }
+
+  /** The gs family's standard two-field long stream over the fixture,
+    * built on the GIVEN session (the rocks-pinned child for the
+    * transformWithState sinks — see [[withRocksDb]]). */
+  private def twoFieldLong(s: SparkSession): DataFrame =
+    graft.store.LongStore.unpivot(
+      graft.transform.GasTransform(
+        graft.streaming.GasStream.readStream(s, fixtureDir))
+        .withColumnRenamed("file_name", "_src")).drop("_src")
+      .filter(col("_field").isin("CO (ppm)", "Humidity (%r.h.)"))
 
   /** gs35's sink: REDELIVERY-SAFE enrichment — the gs09 dedup chained in
     * front of gs34's as-of enrichment, in ONE streaming query (two stateful
@@ -618,12 +624,8 @@ object GasStoreQueries {
       Option(builtDedupEnrich.get(spark)).getOrElse {
         val work = Files.createTempDirectory("graft-gas-dedup-enrich")
         deleteOnExit(work)
-        def long() = graft.store.LongStore.unpivot(
-          graft.transform.GasTransform(
-            graft.streaming.GasStream.readStream(spark, fixtureDir))
-            .withColumnRenamed("file_name", "_src")).drop("_src")
-          .filter(col("_field").isin("CO (ppm)", "Humidity (%r.h.)"))
-        withRocksDb(spark) {
+        withRocksDb(spark) { rocks =>
+          def long() = twoFieldLong(rocks)
           graft.streaming.GasStream
             .lastValueEnrichStream(
               graft.streaming.GasStream
@@ -654,12 +656,8 @@ object GasStoreQueries {
         // the family's standard two-field focus (gs07/gs22/gs27/...):
         // dedup semantics are per-key, so two fields prove them as well
         // as nineteen while the doubled stream stays 2/19ths the volume
-        def long() = graft.store.LongStore.unpivot(
-          graft.transform.GasTransform(
-            graft.streaming.GasStream.readStream(spark, fixtureDir))
-            .withColumnRenamed("file_name", "_src")).drop("_src")
-          .filter(col("_field").isin("CO (ppm)", "Humidity (%r.h.)"))
-        withRocksDb(spark) {
+        withRocksDb(spark) { rocks =>
+          def long() = twoFieldLong(rocks)
           graft.streaming.GasStream
             .dedupeStream(long().unionAll(long()), watermark = "30 minutes")
             .select(col("_time"), col("_field"), col("_value"))
@@ -839,14 +837,9 @@ object GasStoreQueries {
       Option(builtCusum.get(spark)).getOrElse {
         val work = Files.createTempDirectory("graft-gas-cusum")
         deleteOnExit(work)
-        val long = graft.store.LongStore.unpivot(
-          graft.transform.GasTransform(
-            graft.streaming.GasStream.readStream(spark, fixtureDir))
-            .withColumnRenamed("file_name", "_src")).drop("_src")
-          .filter(col("_field").isin("CO (ppm)", "Humidity (%r.h.)"))
-        withRocksDb(spark) {
+        withRocksDb(spark) { rocks =>
           graft.streaming.GasStream
-            .cusumStreamTws(long, mu = 50.0, k = 5.0, h = 60.0)
+            .cusumStreamTws(twoFieldLong(rocks), mu = 50.0, k = 5.0, h = 60.0)
             .writeStream
             .format("parquet")
             .option("path", s"$work/out")
@@ -878,14 +871,10 @@ object GasStoreQueries {
       Option(builtAsofEnrich.get(spark)).getOrElse {
         val work = Files.createTempDirectory("graft-gas-asof-enrich")
         deleteOnExit(work)
-        val long = graft.store.LongStore.unpivot(
-          graft.transform.GasTransform(
-            graft.streaming.GasStream.readStream(spark, fixtureDir))
-            .withColumnRenamed("file_name", "_src")).drop("_src")
-          .filter(col("_field").isin("CO (ppm)", "Humidity (%r.h.)"))
-        withRocksDb(spark) {
+        withRocksDb(spark) { rocks =>
           graft.streaming.GasStream
-            .lastValueEnrichStream(long, "CO (ppm)", "Humidity (%r.h.)", 55.0)
+            .lastValueEnrichStream(twoFieldLong(rocks),
+              "CO (ppm)", "Humidity (%r.h.)", 55.0)
             .writeStream
             .format("parquet")
             .option("path", s"$work/out")
@@ -912,14 +901,9 @@ object GasStoreQueries {
       Option(builtKmv.get(spark)).getOrElse {
         val work = Files.createTempDirectory("graft-gas-kmv")
         deleteOnExit(work)
-        val long = graft.store.LongStore.unpivot(
-          graft.transform.GasTransform(
-            graft.streaming.GasStream.readStream(spark, fixtureDir))
-            .withColumnRenamed("file_name", "_src")).drop("_src")
-          .filter(col("_field").isin("CO (ppm)", "Humidity (%r.h.)"))
-        withRocksDb(spark) {
+        withRocksDb(spark) { rocks =>
           graft.streaming.GasStream
-            .kmvStream(long, windowUs = 21600000000L, k = 16)
+            .kmvStream(twoFieldLong(rocks), windowUs = 21600000000L, k = 16)
             .writeStream
             .format("parquet")
             .option("path", s"$work/out")
@@ -946,14 +930,9 @@ object GasStoreQueries {
       Option(builtSeal.get(spark)).getOrElse {
         val work = Files.createTempDirectory("graft-gas-seal")
         deleteOnExit(work)
-        val long = graft.store.LongStore.unpivot(
-          graft.transform.GasTransform(
-            graft.streaming.GasStream.readStream(spark, fixtureDir))
-            .withColumnRenamed("file_name", "_src")).drop("_src")
-          .filter(col("_field").isin("CO (ppm)", "Humidity (%r.h.)"))
-        withRocksDb(spark) {
+        withRocksDb(spark) { rocks =>
           graft.streaming.GasStream
-            .timerSealStream(long, windowUs = 21600000000L)
+            .timerSealStream(twoFieldLong(rocks), windowUs = 21600000000L)
             .writeStream
             .format("parquet")
             .option("path", s"$work/out")
