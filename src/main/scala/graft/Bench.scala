@@ -38,40 +38,16 @@ object Bench {
     }
     // Shuffle-partition regime (round-12 verdict item 1 — the q28 class
     // at the shuffle layer): a FIXED small shuffle.partitions is a fixed
-    // resource count against growing data — SWEEP128 measured v09's
-    // pair-explosion shuffle spilling ~17 GB at 32 fixed partitions
-    // (~31 M pairs each). The fix is two-layered, like q28's: the AQE
-    // INITIAL partition count derives from input size (~1 MB of source
-    // parquet per initial partition, floor = cpus, cap 2048 — generous
-    // on purpose, because shuffles EXPAND input: v09's pair stage carries
-    // ~90× its scan bytes), and AQE's runtime coalescing then sizes the
-    // actual partitions from REAL shuffle bytes down to the 64 MB
-    // advisory target — so small stages pay nothing for the high initial
-    // count. At sf0.1 (17 MB) the derivation floors to cpus: the graded
-    // bench regime is unchanged; stress rungs scale out. Streaming is
-    // unaffected (AQE is disabled in stateful workloads; those keep
-    // shuffle.partitions = cpus, pinned per checkpoint). Override with
-    // SPARK_GRAFT_INITIAL_PARTITIONS (0 = legacy fixed-cpus regime, the
-    // A/B lever the SWEEP13 spill comparison uses).
-    val initialParts =
-      sys.env.get("SPARK_GRAFT_INITIAL_PARTITIONS").map(_.toInt).getOrElse {
-        val dir = new java.io.File(sfDir)
-        val bytes = Option(dir.listFiles())
-          .map(_.filter(f => f.isFile && f.getName.endsWith(".parquet"))
-            .map(_.length).sum)
-          .getOrElse(0L)
-        math.max(cpus.toInt, math.min(2048L, bytes >> 20).toInt)
-      }
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-        if (initialParts > 0) initialParts.toString else cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // resource count against growing data. The full size-derived regime —
+    // input-derived AQE initial count, stress-gated 16 m coalescing
+    // target, bounded-buffer hash-aggregate threshold — lives in
+    // [[graft.util.StressSession]] with the round-13 measurements that
+    // chose each knob; at sf0.1 it floors to the fixed-cpus regime of
+    // rounds ≤12. Streaming is unaffected (AQE is disabled in stateful
+    // workloads; those keep shuffle.partitions = cpus, pinned per
+    // checkpoint).
+    val initialParts = graft.util.StressSession.initialPartitions(sfDir, cpus.toInt)
+    val spark = graft.util.StressSession.builder(sfDir, cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Per-query spill accounting: the artifact carries the evidence that
     // per-partition shuffle volume stays bounded (or doesn't). Listener

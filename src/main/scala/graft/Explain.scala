@@ -17,14 +17,11 @@ object Explain {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // mirror Bench's shuffle-partition regime (graft.util.StressSession:
+    // size-derived AQE initial count + stress-gated coalescing knobs,
+    // same env overrides) so the recorded plan SHAPE is the shape the
+    // measured run executed
+    val spark = graft.util.StressSession.builder(sfDir, cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     args.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sfDir)

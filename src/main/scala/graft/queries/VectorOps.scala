@@ -55,6 +55,30 @@ object VectorOps {
       .orderBy(col("q_id"), col("rnk"))
   }
 
+  /** Run a builder on a child session with the ObjectHashAggregate
+    * sort-fallback threshold raised to 65,536 in-memory groups.
+    *
+    * Spark's 128-group default exists for UNBOUNDED collect-style
+    * aggregation buffers; once a task sees more groups it abandons
+    * hashing and SORTS the aggregate's entire input. For queries whose
+    * only object-hash aggregate is the k-BOUNDED [[graft.functions
+    * .TopKAggregator]] (panel-sized group counts × O(k) state = a few MB)
+    * that sort is pure waste: at the 128× rung it was 5.5–14 GB of disk
+    * spill per query (v17/v32/v33/v12), all eliminated by this scoping,
+    * v17 36% faster (SWEEP13.json). Scoped HERE — a structural property
+    * of the aggregator these builders use — and NOT as an engine-wide
+    * default, because unbounded buffers genuinely need the conservative
+    * fallback: q38's block-collect aggregate ran >2× slower under a
+    * blanket raise. The child session (q40's staging discipline) keeps
+    * the setting invisible to every other query, including concurrent
+    * ones (ConcurrencySpec). */
+  private def withHashAggBudget(f: Q): Q = (s, dir) => {
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+      "65536")
+    f(s2, dir)
+  }
+
   val queries: Map[String, Q] = Map(
     "v01_cosine_topk" -> ((s, dir) => {
       val e = emb(s, dir)
@@ -389,7 +413,7 @@ object VectorOps {
     // expression); the only shuffles are the training aggregate, the
     // per-query top-C partial aggregate (TopKAggregator) and the broadcast
     // rerank join. At rest the codes column is 16 tinyints.
-    "v12_pq_topk" -> ((s, dir) => {
+    "v12_pq_topk" -> withHashAggBudget((s, dir) => {
       graft.functions.VectorFunctions.register(s)
       val e = emb(s, dir)
       val (m, d, k) = (16, 4, 16)
@@ -761,7 +785,7 @@ object VectorOps {
     // precision — v11's asymmetric-rerank shape with a 32×-smaller
     // candidate index. Scale: codes are map-side; the only shuffles are
     // the per-query top-C partial aggregate and the broadcast rerank.
-    "v17_binary_topk" -> ((s, dir) => {
+    "v17_binary_topk" -> withHashAggBudget((s, dir) => {
       graft.functions.VectorFunctions.register(s)
       binaryTopK(emb(s, dir)).orderBy(col("q_id"), col("rnk"))
     }),
@@ -1123,7 +1147,7 @@ object VectorOps {
     // ride query-count-sized frames. Each survivor frame feeds two
     // consumers (next stage + its cost count) → eager checkpoints, the
     // multi-consumer rule; all are ≤ q×100 rows.
-    "v32_cascade_topk" -> ((s, dir) => {
+    "v32_cascade_topk" -> withHashAggBudget((s, dir) => {
       graft.functions.VectorFunctions.register(s)
       val e = emb(s, dir)
       val packLo =
@@ -1203,7 +1227,7 @@ object VectorOps {
     // sized frames; recall@5 per arm against the shared exact ground
     // truth. This is the measured cost/recall curve a serving team reads
     // before picking C1.
-    "v33_cascade_budget_curve" -> ((s, dir) => {
+    "v33_cascade_budget_curve" -> withHashAggBudget((s, dir) => {
       graft.functions.VectorFunctions.register(s)
       val e = emb(s, dir)
       val packLo =
