@@ -32,6 +32,14 @@ val jdk17AddOpens = Seq(
 // JVM and a "stress rung" spec invocation silently runs at CI scale —
 // exactly what happened to CrashReplaySpec's documented 28 Hz run until
 // round 13 caught it with a prop-echo probe.
+// USAGE CONTRACT (round-13 ADVICE): launch a FRESH `sbt -Dgraft...` per
+// stress invocation. `javaOptions` is a task, so sys.props is re-read
+// each `test` run — but a -D can only enter sys.props at JVM launch, so
+// a long-lived sbt shell (or an sbtn client talking to an old server)
+// keeps whatever -Ds it was born with; `set` inside the shell changes
+// javaOptions directly and bypasses this forwarding entirely. Every
+// stress-rung spec also echoes the props it resolved (the round-13
+// probe), so a stale shell is visible in the spec output, not silent.
 javaOptions ++= sys.props.collect {
   case (k, v) if k.startsWith("graft.") => s"-D$k=$v"
 }.toSeq

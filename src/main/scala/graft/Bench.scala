@@ -90,9 +90,11 @@ object Bench {
     // max-across-passes disk spill per query, bytes (conservative: the
     // worst pass is the one that describes the memory-pressure exposure)
     val spillBytes = collection.mutable.Map.empty[String, Long]
+    val spillMemBytes = collection.mutable.Map.empty[String, Long]
     def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
         pass: String): Unit = {
       val d0 = spillDisk.get()
+      val m0 = spillMem.get()
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
@@ -103,16 +105,41 @@ object Bench {
         }
       val secs = (System.nanoTime() - t0) / 1e9
       val dspill = spillDisk.get() - d0
+      val mspill = spillMem.get() - m0
       System.err.println(f"[bench] $name (pass $pass): $secs%.3f s" +
         (if (dspill > 0) f" (disk spill ${dspill / 1e6}%.0f MB)" else ""))
       spillBytes(name) = math.max(spillBytes.getOrElse(name, 0L), dspill)
+      spillMemBytes(name) = math.max(spillMemBytes.getOrElse(name, 0L), mspill)
       // a pass that crashed never records a (fast) time
       if (ok) allTimes(name) = allTimes.getOrElse(name, Nil) :+ secs
     }
-    for (pass <- 1 to math.max(repeat, 1))
-      selected.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    // HOST-NOISE CANARY (round-13 verdict item 6): round 13's bench total
+    // moved +7.8% on untouched code and nothing in the artifact could say
+    // whether the host window ran hot or the code got slower — every
+    // query moved together and the `noisy` flag only covers INTRA-run
+    // spread. The canary is a fixed, code-independent probe (pure-codegen
+    // modular sum over spark.range: no IO, no shuffle, no library code
+    // that rounds could change), timed at each pass's start, middle and
+    // end. A verdict diffing two rounds' totals reads the two canary
+    // medians first: canary moved with the total → host window; canary
+    // held, total moved → the code.
+    val canaryTimes = collection.mutable.ArrayBuffer.empty[Double]
+    def canary(): Unit = {
+      val t0 = System.nanoTime()
+      spark.range(0L, 400000000L, 1L, cpus.toInt)
+        .selectExpr("sum(id % 1000003) AS s")
+        .write.format("noop").mode("overwrite").save()
+      canaryTimes += (System.nanoTime() - t0) / 1e9
+    }
+    for (pass <- 1 to math.max(repeat, 1)) {
+      val seq = selected.toSeq.sortBy(_._1)
+      canary()
+      seq.zipWithIndex.foreach { case ((name, fn), i) =>
+        if (i == seq.size / 2 && seq.size > 2) canary()
         timeOne(name, fn, pass.toString)
       }
+      canary()
+    }
     // Adaptive re-measure (round-11 verdict item 5: q36 swung 0.36→2.40 s
     // run-over-run on untouched code — a write-path query can catch an
     // IO-pressure window in BOTH passes of one run): when a query's passes
@@ -143,7 +170,13 @@ object Bench {
     }
     def recorded(ts: List[Double]): Double = {
       val s = ts.sorted
-      if (fastPairDisagrees(ts)) s((s.size - 1) / 2) else s.head
+      // size-2 disagreement (round-13 ADVICE): reachable when the
+      // respread pass itself crashes — the lower median s(0) would then
+      // be exactly the unconfirmed fast outlier this rule exists to
+      // reject, so record the SLOWER time (conservative; the query also
+      // lands in `noisy`, so a diff reader sees the residual variance).
+      if (fastPairDisagrees(ts)) { if (s.size == 2) s(1) else s((s.size - 1) / 2) }
+      else s.head
     }
     val results = selected.keys.toSeq.sorted.map { name =>
       val ts = allTimes.getOrElse(name, Nil)
@@ -184,8 +217,23 @@ object Bench {
         "\"" + k + "\":" + num(spillBytes(k) / 1e6)
       }
       .mkString("{", ",", "}")
+    // memory spill reported alongside disk (round-13 ADVICE: the counter
+    // was accumulated but never read) — it fires well before disk spill
+    // does, so it is the earlier memory-pressure signal
+    val spillMemJson = results
+      .collect { case (k, _, _) if spillMemBytes.getOrElse(k, 0L) > 0 =>
+        "\"" + k + "\":" + num(spillMemBytes(k) / 1e6)
+      }
+      .mkString("{", ",", "}")
+    val canarySorted = canaryTimes.sorted
+    val canaryJson =
+      if (canarySorted.isEmpty) "null"
+      else {
+        val med = canarySorted((canarySorted.size - 1) / 2)
+        s"""{"times":[${canaryTimes.map(num).mkString(",")}],"median":${num(med)},"band":[${num(canarySorted.head)},${num(canarySorted.last)}]}"""
+      }
     val fullLine =
-      s"""{"metric":"total","value":$totalS,"unit":"sec","n_queries":${results.size},"queries":$qs,"failed":$failed,"noisy":$noisyJson,"initial_partitions":${if (initialParts > 0) initialParts else cpus.toInt},"spill_disk_mb":$spillJson,"sf":"$sfDir","repeat":$repeat,"passes":$passesJson}"""
+      s"""{"metric":"total","value":$totalS,"unit":"sec","n_queries":${results.size},"queries":$qs,"failed":$failed,"noisy":$noisyJson,"initial_partitions":${if (initialParts > 0) initialParts else cpus.toInt},"spill_disk_mb":$spillJson,"spill_mem_mb":$spillMemJson,"host_canary":$canaryJson,"sf":"$sfDir","repeat":$repeat,"passes":$passesJson}"""
     // The complete per-query artifact goes to a FILE: the harness that
     // records the per-round bench keeps only a ~2000-char tail of the
     // process output, which decapitates a 166-query JSON line (r7's

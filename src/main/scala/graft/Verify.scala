@@ -38,6 +38,12 @@ object Verify {
         graft.plans.DeterminismLint.drain()
         val df = fn(spark, sfDir)
         val during = graft.plans.DeterminismLint.drain()
+        // observability for the lint's per-shape occurrence band: the
+        // measured counts that calibrate DeterminismLint.maxDrainedPerShape
+        if (during.nonEmpty)
+          System.err.println(s"[verify] $name builder-time float-agg drains: " +
+            during.map(graft.plans.DeterminismLint.shapeOf).groupBy(identity)
+              .map { case (k, v) => s"$k x${v.size}" }.mkString(", "))
         // Hard pre-gate (round-10 verdict item 7): the board-wide
         // determinism lint runs on every dump, not just in specs — a
         // query added without a spec run can't reach the driver carrying

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -1636,16 +1636,46 @@ object Relational {
     // key): probe strings — every 10th part name with one deterministically
     // chosen character deleted — are matched back to the dimension at edit
     // distance ≤ 1. The naive form is an O(n·m) cross join with a
-    // levenshtein per pair; the scalable form here is DUAL-BLOCKED: a
-    // single edit cannot change both the first 3 and the last 3 characters
-    // of strings ≥ 6 chars (an edit at position p < 3 leaves the suffix
-    // intact since p ≤ len−4, and vice versa — p_name is 7-12 chars), so
-    // the union of two equi-joins on (prefix3) and (suffix3) provably
-    // contains every qualifying pair. Cost: two ordinary hash-join shuffles
-    // on short block keys + levenshtein only on within-block candidates —
-    // at 100 TB block-key cardinality scales with the dictionary and no
-    // quadratic stage exists. The oracle computes the UNBLOCKED cross-join
-    // answer, so a completeness hole in the blocking flips the hash red.
+    // levenshtein per pair. Rounds 2–13 used DUAL-BLOCKING (union of
+    // equi-joins on prefix3 and suffix3): provably complete, but its cost
+    // is Θ(Σ_blocks |B_p|·|B_q|) — the name distribution has only ~8
+    // 3-char prefixes per rotation class, so at the 128× rung each block
+    // held ~12.9k parts × ~1.3k probes and the sort-merge join streamed
+    // ~7·10⁹ candidate pairs through the length gate: the board's slowest
+    // stress query (232 s, 13.3 GB spill) and the one query whose buffers
+    // were ANTI-responsive to every shuffle lever (SWEEP13 regime A/B).
+    //
+    // Replaced with a two-level plan: (1) DISTINCT-KEY PROJECTION — the
+    // corpus carries massive name multiplicity (sf0.1: 20 k parts over
+    // ~64 distinct names; 128×: 2.56 M over 1,664 — and Σ|block|² over
+    // ANY id-level blocking key is therefore ~4·10⁹ pairs at 128×, which
+    // is why every id-level scheme, dual-blocking included, hit a
+    // quadratic wall), so the fuzzy match runs over DISTINCT name strings
+    // only: ≤ a few thousand rows however large the fact side grows.
+    // (2) DELETION-NEIGHBORHOOD blocking on that projection (FastSS —
+    // Bocek et al. 2007, "Fast Similarity Search in Large Dictionaries";
+    // the SymSpell family): key each distinct string by itself plus its
+    // len one-character-deletion variants. Completeness for dist ≤ 1:
+    // equal strings share the string itself; b = a minus one char means b
+    // is in a's variant set (and is its own 0-deletion key); substitution
+    // at position p means deleting p from BOTH sides yields the same
+    // string. Collisions sit at distance ≤ 2 and die in the thresholded
+    // levenshtein — Spark's 3-arg form abandons a pair once its running
+    // distance exceeds 1 (O(len·k) band, not the O(len²) table) and
+    // returns −1, dropped by dist ≥ 0; survivors carry exact distances.
+    // (3) MULTIPLICITY FAN-BACK: qualifying (q_name, p_name, dist) pairs
+    // broadcast back onto the id tables as two equi-joins. No id-level
+    // distinct is needed — ids map 1:1 to names, name pairs are already
+    // distinct — so the only volume the engine touches beyond two
+    // column-pruned scans is the OUTPUT itself (inherently large here:
+    // every probe matches its name's whole duplicate class). At 100 TB
+    // with near-unique keys the projection degenerates to ~row count and
+    // the plan smoothly becomes the plain deletion-neighborhood join —
+    // still output-shaped, never block-quadratic; the levenshtein count
+    // is bounded by DISTINCT-pair candidates in both regimes. The oracle
+    // computes the UNBLOCKED cross-join answer, so a completeness hole in
+    // the blocking (or a lost/duplicated multiplicity in the fan-back)
+    // flips the hash red.
     "q38_fuzzy_join" -> ((s, dir) => {
       val parts = t(s, dir, "part").select(col("p_partkey"), col("p_name"))
       val probes = parts.filter(col("p_partkey") % 10 === 0)
@@ -1653,27 +1683,27 @@ object Relational {
           expr("""concat(substring(p_name, 1, CAST(p_partkey % length(p_name) AS INT)),
                  |       substring(p_name, CAST(p_partkey % length(p_name) AS INT) + 2))"""
             .stripMargin).as("q_name"))
-      val pPre = parts.withColumn("bk", substring(col("p_name"), 1, 3))
-      val pSuf = parts.withColumn("bk", expr("right(p_name, 3)"))
-      val qPre = probes.withColumn("bk", substring(col("q_name"), 1, 3))
-      val qSuf = probes.withColumn("bk", expr("right(q_name, 3)"))
-      // levenshtein BEFORE the dedup: the distinct's shuffle then carries
-      // only qualifying pairs (rare), not every block collision (common).
-      // Two candidate-killers run before the full edit-distance: a length
-      // gate (|Δlen| ≤ 1 is necessary for dist ≤ 1, kills ~4/6 of block
-      // collisions for free) and the THRESHOLDED levenshtein — Spark's
-      // 3-arg form abandons a pair the moment its running distance
-      // exceeds 1 (O(len·k) band instead of the O(len²) table) and
-      // returns −1, which the dist ≥ 0 predicate drops. Returned values
-      // for surviving pairs are the exact distances, so the unblocked
-      // oracle compare is unchanged.
-      qPre.join(pPre, "bk").unionByName(qSuf.join(pSuf, "bk"))
-        .select(col("q_id"), col("q_name"), col("p_partkey"), col("p_name"))
-        .filter(abs(length(col("q_name")) - length(col("p_name"))) <= 1)
+      // {s} ∪ {s minus char i | i = 1..len}, deduped (repeated chars
+      // yield repeated variants — array_distinct trims the fan-out)
+      def delKeys(name: Column): Column = array_distinct(concat(
+        array(name),
+        transform(sequence(lit(1), length(name)), i =>
+          concat(name.substr(lit(1), i - lit(1)),
+            name.substr(i + lit(1), length(name) - i)))))
+      val pK = parts.select(col("p_name")).distinct()
+        .select(col("p_name"), explode(delKeys(col("p_name"))).as("dk"))
+      val qK = probes.select(col("q_name")).distinct()
+        .select(col("q_name"), explode(delKeys(col("q_name"))).as("dk"))
+      val namePairs = qK.join(pK, "dk")
+        .select(col("q_name"), col("p_name"))
+        .distinct() // ≤13-way shared-variant multiplicity, tiny frame
         .withColumn("dist",
           levenshtein(col("q_name"), col("p_name"), 1).cast("long"))
         .filter(col("dist") >= 0)
-        .distinct()
+      probes.join(broadcast(namePairs), Seq("q_name"))
+        .join(parts, Seq("p_name"))
+        .select(col("q_id"), col("q_name"), col("p_partkey"), col("p_name"),
+          col("dist"))
         .orderBy(col("q_id"), col("p_partkey"))
     }),
 
@@ -2732,7 +2762,8 @@ object Relational {
         |FROM u GROUP BY gen, status ORDER BY gen, status""".stripMargin,
 
     // the UNBLOCKED ground truth: same probes, but candidates from a full
-    // cross join — if the engine's dual prefix/suffix blocking missed any
+    // cross join — if the engine's distinct-name deletion-neighborhood
+    // blocking (or its multiplicity fan-back) missed or duplicated any
     // qualifying pair, this hash cannot match
     "q38_fuzzy_join" ->
       """WITH probes AS (

@@ -38,6 +38,9 @@ class CrashReplaySpec extends SparkSpec {
 
   test("crash between store write and ledger append: re-run yields exactly-once state") {
     val stressDir = sys.props.get("graft.gas.stress.dir")
+    // prop-echo (round-13: a forked JVM silently dropped -Dgraft.* until
+    // build.sbt forwarded them; the echo keeps a stale sbt shell visible)
+    info(s"graft.gas.stress.dir=${stressDir.getOrElse("<unset: CI fixture>")}")
     val work = Files.createTempDirectory("graft-crash-replay")
     val input = stressDir.getOrElse {
       val in = Files.createDirectory(work.resolve("input"))

@@ -132,6 +132,8 @@ class StreamKillRestartSpec extends SparkSpec {
   private def check(name: String)(build: DataFrame => DataFrame): Unit =
     test(s"$name: kill mid-stream + checkpoint restart = uninterrupted output") {
       withRocks {
+        // prop-echo: keeps a stale sbt shell (dropped -Dgraft.*) visible
+        info(s"graft.gas.stress.dir=${stressDir.getOrElse("<unset: CI fixture>")}")
         val work = Files.createTempDirectory(s"graft-kr-$name")
         val input = makeInput(work)
         val want = cleanRun(build, input, work.resolve("clean"))

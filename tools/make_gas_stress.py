@@ -23,6 +23,7 @@ recovery claim needs (with maxFilesPerTrigger=1 each day is one batch, so
 a kill can land between / inside batches and the restart has real work).
 Day 1 is byte-identical to the single-day fixture at the same hz.
 """
+import datetime
 import sys
 from pathlib import Path
 
@@ -40,8 +41,12 @@ rng = np.random.default_rng(11)
 
 n = int(hz * 86400)  # exactly 24 h: every row survives the <= 86400 filter
 t = np.round(np.arange(n) / hz, 4)
+start = datetime.date(2016, 10, 7)
 for day in range(days):
-    name = f"201610{7 + day:02d}_210000.csv"
+    # real calendar arithmetic (round-13 ADVICE): the old f"201610{7+day}"
+    # silently produced invalid dates (20161032) past Oct 31 instead of
+    # rolling into November, corrupting the filename-derived _time
+    name = f"{(start + datetime.timedelta(days=day)).strftime('%Y%m%d')}_210000.csv"
     cols = [t] + [np.round(rng.uniform(lo, hi, n), 4)
                   for lo, hi in [(0, 20), (10, 80), (15, 35), (180, 260),
                                  (0.2, 0.9)] + [(0.1, 60)] * 14]
