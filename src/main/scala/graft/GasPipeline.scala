@@ -47,6 +47,10 @@ object GasPipeline {
           LongStore.unpivot(transformed.withColumnRenamed("file_name", "_src")),
           storePath,
           writersPerPartition = LongStore.writersFor(spark, inputDir))
+        // partition manifest BEFORE the ledger mark (crash between the two
+        // re-appends the same rows on replay; readWindow deduplicates) —
+        // entries come from the batch's file names, zero data reads
+        LongStore.appendManifest(spark, storePath, names.toIndexedSeq)
         GasIngest.appendToLedger(fresh, ledgerPath)
       }
       import spark.implicits._

@@ -66,6 +66,68 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Squared L2 distance between two `array<double>` columns as one
+  * codegen'd expression — the PQ family's inner kernel. The HOF form
+  * `aggregate(zip_with(a, b, (x, y) -> (x - y) * (x - y)), 0d, +)`
+  * materializes an intermediate array and evaluates an interpreted lambda
+  * per element; at PQ-encode volume (survivors × k centroids × d dims —
+  * the round-14 d=1536 rung ran 1.5·10⁹ lambda evals) that overhead IS
+  * the runtime. Numerics are identical to the HOF chain (sequential
+  * left-to-right fold of (x−y)² in element order; the 6-dp round stays at
+  * the call site), so swapping it in cannot change oracle-checked
+  * results — the [[DotProduct]] discipline. */
+case class L2Squared(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_l2 expects (array<double>, array<double>), got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val d = x.getDouble(i) - y.getDouble(i)
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $d = $a.getDouble($i) - $b.getDouble($i);
+         |  $acc += $d * $d;
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Random-hyperplane LSH signature of an `array<double>` embedding, as one
   * codegen'd expression. `planes` (1..62, default 16) is the recall dial:
   * more planes feed more LSH bands downstream.
@@ -151,6 +213,7 @@ object VectorFunctions {
     * drift apart. */
   private[functions] val injectable = Seq[(String, Seq[Expression] => Expression)](
     "graft_dot" -> (exprs => DotProduct(exprs(0), exprs(1))),
+    "graft_l2" -> (exprs => L2Squared(exprs(0), exprs(1))),
     // optional 2nd arg = plane count. Guarded: only a foldable integral
     // expression is eval()'d (there is no input row at build time) — a
     // non-foldable or non-integral arg maps to planes = -1, which

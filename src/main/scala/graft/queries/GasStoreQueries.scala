@@ -36,8 +36,8 @@ object GasStoreQueries {
     * stopped session can be collected rather than pinned for the process
     * lifetime, and each temp store registers a shutdown-hook delete. */
   private val built = new java.util.WeakHashMap[SparkSession, String]()
-  private def store(spark: SparkSession): DataFrame = {
-    val path = built.synchronized {
+  private def storePath(spark: SparkSession): String =
+    built.synchronized {
       Option(built.get(spark)).getOrElse {
         val work = Files.createTempDirectory("graft-gas-store")
         deleteOnExit(work)
@@ -46,8 +46,8 @@ object GasStoreQueries {
         s"$work/store"
       }
     }
-    spark.read.parquet(path)
-  }
+  private def store(spark: SparkSession): DataFrame =
+    spark.read.parquet(storePath(spark))
 
   /** The same store built by the STREAMING pipeline (AvailableNow +
     * checkpoint-as-ledger, `graft.streaming.GasStream.pipeline`) instead of
@@ -1314,6 +1314,21 @@ object GasStoreQueries {
           col("ctx").as("h"))
         .orderBy(col("t_us"))),
 
+    // Q3 via the PARTITION MANIFEST (round-13 verdict item 2): byte-for-
+    // byte gs02 — same window, same projection, same oracle — but planned
+    // from the store's `_manifest` table instead of a full directory
+    // listing, so a COLD driver lists O(window) leaf dirs, not the whole
+    // calendar (the 3,000-partition answer; CLADDER's manifest rung
+    // measures the flatness). The manifest window widens one day back for
+    // the _time/_date store invariant, exactly as timeRange itself does.
+    "gs36_manifest_time_range" -> ((s, _) =>
+      GasQueries.timeRange(
+        graft.store.LongStore.readWindow(s, storePath(s),
+          "2016-10-06", "2016-10-08"),
+        "2016-10-07 12:00:00", "2016-10-08 00:00:30")
+        .select(unix_micros(col("_time")).as("t_us"), col("_field"), col("_value"))
+        .orderBy(col("t_us"), col("_field"))),
+
     // streaming CUSUM detector readings (sp/sn already 6-dp-rounded by
     // the kernel at every step — emitted as-is)
     "gs15_stream_cusum" -> ((s, _) =>
@@ -1676,6 +1691,19 @@ object GasStoreQueries {
          |FROM raw ORDER BY t_us""".stripMargin,
 
     "gs02_time_range" ->
+      s"""$prelude,
+         |u AS (
+         |  UNPIVOT (SELECT * EXCLUDE ("Time (s)", filename) FROM raw)
+         |  ON COLUMNS(* EXCLUDE (_time)) INTO NAME _field VALUE _value)
+         |SELECT epoch_us(_time) AS t_us, _field, _value FROM u
+         |WHERE _time >= TIMESTAMP '2016-10-07 12:00:00'
+         |  AND _time < TIMESTAMP '2016-10-08 00:00:30'
+         |ORDER BY t_us, _field""".stripMargin,
+
+    // gs36 = gs02 planned through the manifest; the ground truth is the
+    // SAME raw-CSV replay — a manifest hole (missing partition, stale
+    // entry, wrong window arithmetic) drops rows and flips the hash
+    "gs36_manifest_time_range" ->
       s"""$prelude,
          |u AS (
          |  UNPIVOT (SELECT * EXCLUDE ("Time (s)", filename) FROM raw)

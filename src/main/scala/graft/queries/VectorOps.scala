@@ -418,9 +418,9 @@ object VectorOps {
       val e = emb(s, dir)
       val (m, d, k) = (16, 4, 16)
       // rounded squared L2 between two d-dim arrays (same fold both engines)
-      def l2(a: String, b: String) =
-        s"round(aggregate(zip_with($a, $b, (x, y) -> (x - y) * (x - y)), " +
-          s"cast(0 as double), (acc, v) -> acc + v), 6)"
+      // rounded squared L2 via the codegen'd kernel (identical fold order
+      // to the old aggregate∘zip_with HOF chain — see L2Squared's scaladoc)
+      def l2(a: String, b: String) = s"round(graft_l2($a, $b), 6)"
       // training frame: (vec_id, sub, sv) corpus subvectors
       val subs = e.select(col("vec_id"), posexplode(expr(
         s"transform(sequence(0, ${m - 1}), s -> slice(emb, s * $d + 1, $d))"))
@@ -508,9 +508,9 @@ object VectorOps {
       graft.functions.VectorFunctions.register(s)
       val e = emb(s, dir)
       val (m, d, k) = (16, 4, 16)
-      def l2(a: String, b: String) =
-        s"round(aggregate(zip_with($a, $b, (x, y) -> (x - y) * (x - y)), " +
-          s"cast(0 as double), (acc, v) -> acc + v), 6)"
+      // rounded squared L2 via the codegen'd kernel (identical fold order
+      // to the old aggregate∘zip_with HOF chain — see L2Squared's scaladoc)
+      def l2(a: String, b: String) = s"round(graft_l2($a, $b), 6)"
       val cents = cellCentroids(e)
       // residual vs the assigned cell's centroid, dims rounded to 6 dp so
       // both engines train/encode from byte-identical inputs
@@ -1803,8 +1803,172 @@ object VectorOps {
           when(col("audited"), round(col("n_hit").cast("double") / 5.0, 6)))
         .drop("audited")
         .orderBy(col("q_id"))
+    }),
+
+    // WIDTH-ROBUST CASCADE (round-13 verdict item 3): v32's three-stage
+    // serving shape with every full-width CORPUS pass removed. The
+    // d=1536-at-volume rung showed v32 at 6.39× its d=64 cost because two
+    // of its stages touch all n×d coordinates: the SQ8 quantizer's
+    // per-dim min/max (a posexplode SHUFFLE of n·d rows) and the in-query
+    // brute-force ground truth (n·q·d multiplies — a diagnostic, not a
+    // serving cost). Here: stage 1 is the unchanged 64-bit sign Hamming
+    // over the FIRST 64 dims (width-independent by construction); stage 2
+    // scores survivors by PQ ADC against a codebook trained on a
+    // deterministic 1/8 SAMPLE (m=16 subspaces of d/16 dims —
+    // width-ADAPTIVE, vs v12's fixed 4-dim slices that silently quantize
+    // only the first 64 dims of a wide vector), so the only full-width
+    // passes left are the sample-sized training aggregate and the
+    // survivor-sized (q×100) encode/rerank frames. The production recall
+    // ledger lives in v44 (separate diagnostic, v19/v24 discipline) so
+    // the serving query's cost is the serving cost. Scale shape: codebook
+    // = one-row broadcast (m×16×(d/16) doubles); encode + ADC are
+    // map-side expressions over broadcast frames; shuffles are the
+    // training aggregates and the per-query top-C partial aggregate.
+    "v43_cascade_pq" -> withHashAggBudget((s, dir) => {
+      graft.functions.VectorFunctions.register(s)
+      val (_, _, casc, _) = cascadePq(emb(s, dir))
+      casc.select(col("q_id"), col("rnk"), col("c_id"), col("sim"))
+        .orderBy(col("q_id"), col("rnk"))
+    }),
+
+    // v43's cost/quality ledger — recall@5 of the PQ cascade against the
+    // exact ground truth, next to each stage's scored-candidate count
+    // (v32's ledger shape; kept OUT of v43 so the brute-force audit never
+    // bills the serving path). Measured at the gate corpus: see PLANS.md
+    // round 14 (reported next to v32's recall, as the cascade's PQ middle
+    // stage replaces SQ8).
+    "v44_cascade_pq_recall" -> withHashAggBudget((s, dir) => {
+      graft.functions.VectorFunctions.register(s)
+      val e = emb(s, dir)
+      val (st1, st2, casc, qs) = cascadePq(e)
+      val top5 = casc.select(col("q_id"), col("c_id")).localCheckpoint(true)
+      val exact = cosineTopK(e,
+        qs.select(col("q_id"), col("qe"), col("qn")), 5)
+        .select(col("q_id"), col("c_id"))
+        .localCheckpoint(true)
+      val hit = top5.join(exact, Seq("q_id", "c_id"), "left_semi")
+      exact.agg(count(lit(1)).as("n_exact"))
+        .crossJoin(st1.agg(count(lit(1)).as("n_stage1")))
+        .crossJoin(st2.agg(count(lit(1)).as("n_stage2")))
+        .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+        .withColumn("recall_at_5",
+          round(col("n_hit").cast("double") / col("n_exact"), 6))
     })
   )
+
+  /** The width-robust PQ cascade shared by v43 (serving) and v44
+    * (recall ledger): sign-bit Hamming top-100 → sample-trained
+    * width-adaptive PQ ADC top-30 → exact rerank top-5 (stage-2 keeps
+    * 2× v32's 15: the sampled 16-centroid codebook ranks noisier than
+    * SQ8, and the wider rerank frame costs q×30 exact dots — the cheap
+    * dial that buys the recall back). Returns
+    * (st1 survivors, st2 survivors, reranked top-5 with rnk/sim, qs).
+    * Eager checkpoints on each survivor frame: every one feeds two
+    * consumers (next stage + its cost count in v44) — the multi-consumer
+    * rule; all are ≤ q×100 rows. */
+  private def cascadePq(e: DataFrame): (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val packLo =
+      "aggregate(transform(slice(emb, 1, 32), (x, i) -> " +
+        "IF(x > 0D, shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT))), " +
+        "CAST(0 AS BIGINT), (acc, b) -> acc + b)"
+    val packHi =
+      "aggregate(transform(slice(emb, 33, 32), (x, i) -> " +
+        "IF(x > 0D, shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT))), " +
+        "CAST(0 AS BIGINT), (acc, b) -> acc + b)"
+    val coded = e.select(col("vec_id"), col("emb"), col("norm"),
+      expr(packLo).as("lo"), expr(packHi).as("hi"))
+    val qs = coded.filter(expr("vec_id % 100 = 0"))
+      .select(col("vec_id").as("q_id"), col("emb").as("qe"),
+        col("norm").as("qn"), col("lo").as("qlo"), col("hi").as("qhi"))
+    val topC = udaf(new graft.functions.TopKAggregator(100))
+    val st1 = fanout(coded.select(col("vec_id"), col("lo"), col("hi")))
+      .crossJoin(broadcast(qs.select(col("q_id"), col("qlo"), col("qhi"))))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("hsim", (lit(64) -
+        expr("bit_count(lo ^ qlo) + bit_count(hi ^ qhi)")).cast("double")
+        / lit(64.0))
+      .groupBy(col("q_id"))
+      .agg(topC(col("vec_id"), col("hsim")).as("top"))
+      .select(col("q_id"),
+        explode(expr("transform(top, s -> s.c_id)")).as("c_id"))
+      .localCheckpoint(true)
+    // PQ codebook, v12's train recipe on the 1/8 sample: seeds = the 16
+    // lowest sampled ids (0, 8, …, 120), ONE Lloyd step over sample
+    // subvectors, rounded means; sub-width is d/16, derived from the data
+    val sw = "(size(emb) div 16)"
+    // codegen'd kernel, fold-order-identical to the HOF chain (L2Squared)
+    def l2(a: String, b: String) = s"round(graft_l2($a, $b), 6)"
+    val subs = e.filter(expr("vec_id % 8 = 0"))
+      .select(col("vec_id"), posexplode(expr(
+        s"transform(sequence(0, 15), s -> slice(emb, s * $sw + 1, $sw))"))
+        .as(Seq("sub", "sv")))
+    // cid = vec_id/8 ∈ 0..15, CONTIGUOUS (vs v12's raw vec_id): the
+    // encode below can then fetch the argmin centroid by POSITION
+    // (cid+1) instead of sorting structs that carry the (d/16)-dim
+    // centroid arrays — at d=1536 that struct traffic was the encode's
+    // dominant cost. Order-preserving bijection, so tie-breaks match.
+    val seeds = subs.filter(col("vec_id") < 128)
+      .select(expr("cast(vec_id div 8 as int)").as("cid"), col("sub"),
+        col("sv").as("cv"))
+    val assigned = subs.join(broadcast(seeds), Seq("sub"))
+      .withColumn("dist", expr(l2("sv", "cv")))
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(min(struct(col("dist"), col("cid"))).as("best"),
+        first(col("sv")).as("sv"))
+      .select(col("sub"), col("best.cid").as("cid"),
+        posexplode(col("sv")).as(Seq("pos", "x")))
+    val refined = assigned
+      .groupBy(col("sub"), col("cid"), col("pos"))
+      .agg(round(avg(col("x")), 6).as("mu"))
+      .groupBy(col("sub"), col("cid"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, mu))), t -> t.mu)")
+        .as("cv"))
+    val cbRow = seeds.select(col("sub"), col("cid"), col("cv").as("cv0"))
+      .join(refined, Seq("sub", "cid"), "left_outer")
+      .select(col("sub"), col("cid"), coalesce(col("cv"), col("cv0")).as("cv"))
+      .groupBy(col("sub"))
+      .agg(expr("transform(array_sort(collect_list(struct(cid, cv))), t -> struct(t.cid as cid, t.cv as cv))")
+        .as("cents"))
+      .agg(expr("transform(array_sort(collect_list(struct(sub, cents))), t -> t.cents)")
+        .as("cb"))
+    // encode + ADC for SURVIVORS only (q×100 rows): argmin per subspace
+    // over the broadcast codebook, reconstruct, asymmetric cosine.
+    // Width-lean form: subvectors sliced ONCE per row (sv_arr), the
+    // argmin sorts (dd, cid) scalar structs only, and the chosen
+    // centroid is fetched by position — the full-width arrays move
+    // exactly once per subspace (into the flatten), not through sort
+    // comparators. Selection and tie-breaks identical to v12's
+    // sort-the-structs form (cents are cid-ordered and contiguous).
+    val svArrExpr =
+      s"transform(sequence(0, 15), s -> slice(emb, s * $sw + 1, $sw))"
+    val dqExpr =
+      s"""flatten(zip_with(sv_arr, cb, (sv, cents) ->
+         |  element_at(cents,
+         |    element_at(array_sort(transform(cents, c ->
+         |      struct(${l2("sv", "c.cv")} as dd, c.cid as cid))), 1).cid + 1
+         |  ).cv))""".stripMargin
+    val w2 = Window.partitionBy(col("q_id")).orderBy(col("asim").desc, col("c_id"))
+    val st2 = e.join(broadcast(st1), col("vec_id") === col("c_id"))
+      .crossJoin(broadcast(cbRow))
+      .withColumn("sv_arr", expr(svArrExpr))
+      .withColumn("dq", expr(dqExpr))
+      .withColumn("dqn", expr("sqrt(graft_dot(dq, dq))"))
+      .join(broadcast(qs.select(col("q_id"), col("qe"), col("qn"))), Seq("q_id"))
+      .withColumn("asim",
+        round(expr("graft_dot(qe, dq)") / (col("qn") * col("dqn")), 6))
+      .withColumn("r", row_number().over(w2))
+      .filter(col("r") <= 30)
+      .select(col("q_id"), col("c_id"))
+      .localCheckpoint(true)
+    val w3 = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id"))
+    val casc = e.join(broadcast(st2), col("vec_id") === col("c_id"))
+      .join(broadcast(qs.select(col("q_id"), col("qe"), col("qn"))), Seq("q_id"))
+      .withColumn("sim",
+        round(expr("graft_dot(qe, emb)") / (col("qn") * col("norm")), 6))
+      .withColumn("rnk", row_number().over(w3).cast("long"))
+      .filter(col("rnk") <= 5)
+    (st1, st2, casc, qs)
+  }
 
   /** v17's binary-quantization pipeline (sign-bit pack → XOR/popcount
     * Hamming top-30 → exact rerank top-5) over `e`, shared with the v19
@@ -3823,8 +3987,139 @@ object VectorOps {
         |    AS recall_at_5
         |FROM t5 t JOIN mk ON t.q_id = mk.q_id
         |LEFT JOIN h ON t.q_id = h.q_id
-        |WHERE t.rnk = 1 ORDER BY t.q_id""".stripMargin
+        |WHERE t.rnk = 1 ORDER BY t.q_id""".stripMargin,
+
+    // width-robust cascade replay: v32's Hamming stage 1 → v12's PQ
+    // train/encode (sampled: vec_id % 8 = 0, seeds < 128) ADC on stage-1
+    // survivors → exact rerank; serving top-5
+    "v43_cascade_pq" -> (cascadePqSqlStages +
+      """
+        |SELECT q_id, CAST(rnk AS BIGINT) AS rnk, c_id, sim FROM casc
+        |ORDER BY q_id, rnk""".stripMargin),
+
+    // the cascade's cost/quality ledger: same replay + brute-force exact
+    // ground truth, v32's ledger tail
+    "v44_cascade_pq_recall" -> (cascadePqSqlStages +
+      """,
+        |px AS (
+        |  SELECT q_id, vec_id AS c_id,
+        |    ROUND(list_dot_product(qe, emb) / (qn * norm), 6) AS sim
+        |  FROM e, q WHERE vec_id <> q_id),
+        |ex AS (
+        |  SELECT q_id, c_id FROM (
+        |    SELECT q_id, c_id, ROW_NUMBER() OVER (PARTITION BY q_id
+        |      ORDER BY sim DESC, c_id) AS rnk FROM px)
+        |  WHERE rnk <= 5),
+        |c5 AS (SELECT q_id, c_id FROM casc)
+        |SELECT (SELECT COUNT(*) FROM ex) AS n_exact,
+        |  (SELECT COUNT(*) FROM st1) AS n_stage1,
+        |  (SELECT COUNT(*) FROM st2) AS n_stage2,
+        |  (SELECT COUNT(*) FROM c5 SEMI JOIN ex USING (q_id, c_id)) AS n_hit,
+        |  ROUND((SELECT COUNT(*) FROM c5 SEMI JOIN ex USING (q_id, c_id))
+        |    / CAST((SELECT COUNT(*) FROM ex) AS DOUBLE), 6) AS recall_at_5""".stripMargin)
   )
+
+  /** Shared CTE prefix of the v43/v44 oracles: Hamming stage 1 (v32's
+    * bits/codes replay, top-100), PQ codebook trained on the vec_id%8=0
+    * sample with seeds < 128 (v12's recipe), survivor encode + ADC
+    * (top-30), exact rerank into `casc` (top-5 with rnk/sim). Sub-width
+    * hardcoded 4 = 64/16 — the gate corpus width; the Spark side derives
+    * it as size(emb) div 16, identical at the gate. */
+  private def cascadePqSqlStages: String =
+    """WITH e AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS emb,
+      |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+      |  FROM embeddings),
+      |bits AS (
+      |  SELECT vec_id, unnest(embedding::DOUBLE[]) AS x,
+      |    generate_subscripts(embedding, 1) AS i
+      |  FROM embeddings),
+      |codes AS (
+      |  SELECT vec_id,
+      |    SUM(CASE WHEN x > 0 AND i <= 32
+      |        THEN (1::BIGINT << CAST(i - 1 AS INT)) ELSE 0 END)::BIGINT AS lo,
+      |    SUM(CASE WHEN x > 0 AND i > 32
+      |        THEN (1::BIGINT << CAST(i - 33 AS INT)) ELSE 0 END)::BIGINT AS hi
+      |  FROM bits GROUP BY vec_id),
+      |q AS (SELECT c.vec_id AS q_id, e.emb AS qe, e.norm AS qn,
+      |        c.lo AS qlo, c.hi AS qhi
+      |      FROM codes c JOIN e ON e.vec_id = c.vec_id
+      |      WHERE c.vec_id % 100 = 0),
+      |cand1 AS (
+      |  SELECT q_id, c.vec_id AS c_id,
+      |    (64 - (bit_count(xor(c.lo, qlo)) + bit_count(xor(c.hi, qhi))))
+      |      / 64.0 AS hsim
+      |  FROM codes c, q WHERE c.vec_id <> q_id),
+      |st1 AS (
+      |  SELECT q_id, c_id FROM (
+      |    SELECT q_id, c_id, ROW_NUMBER() OVER (PARTITION BY q_id
+      |      ORDER BY hsim DESC, c_id) AS r FROM cand1)
+      |  WHERE r <= 100),
+      |subs AS (
+      |  SELECT vec_id, s.sub,
+      |    e.emb[CAST(s.sub * 4 + 1 AS INT) : CAST(s.sub * 4 + 4 AS INT)] AS sv
+      |  FROM e, (SELECT unnest(range(0, 16)) AS sub) s
+      |  WHERE vec_id % 8 = 0),
+      |seeds AS (SELECT CAST(vec_id // 8 AS INT) AS cid, sub, sv AS cv
+      |          FROM subs WHERE vec_id < 128),
+      |d0 AS (
+      |  SELECT v.vec_id, v.sub, c.cid, v.sv,
+      |    round(list_sum(list_transform(range(1, 5), i ->
+      |      (v.sv[CAST(i AS INT)] - c.cv[CAST(i AS INT)])
+      |      * (v.sv[CAST(i AS INT)] - c.cv[CAST(i AS INT)]))), 6) AS dist
+      |  FROM subs v JOIN seeds c USING (sub)),
+      |a0 AS (
+      |  SELECT vec_id, sub, cid, sv FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+      |      ORDER BY dist, cid) AS rn FROM d0) WHERE rn = 1),
+      |rf AS (
+      |  SELECT sub, cid, pos, round(AVG(x), 6) AS mu FROM (
+      |    SELECT sub, cid, unnest(sv) AS x, generate_subscripts(sv, 1) AS pos
+      |    FROM a0)
+      |  GROUP BY sub, cid, pos),
+      |rfc AS (SELECT sub, cid, list(mu ORDER BY pos) AS cv FROM rf
+      |        GROUP BY sub, cid),
+      |cb AS (
+      |  SELECT s.sub, s.cid, COALESCE(r.cv, s.cv) AS cv
+      |  FROM seeds s LEFT JOIN rfc r ON r.sub = s.sub AND r.cid = s.cid),
+      |svid AS (SELECT DISTINCT c_id FROM st1),
+      |ssub AS (
+      |  SELECT c_id, s.sub,
+      |    e.emb[CAST(s.sub * 4 + 1 AS INT) : CAST(s.sub * 4 + 4 AS INT)] AS sv
+      |  FROM svid JOIN e ON e.vec_id = c_id,
+      |       (SELECT unnest(range(0, 16)) AS sub) s),
+      |d1 AS (
+      |  SELECT v.c_id, v.sub, c.cid, c.cv,
+      |    round(list_sum(list_transform(range(1, 5), i ->
+      |      (v.sv[CAST(i AS INT)] - c.cv[CAST(i AS INT)])
+      |      * (v.sv[CAST(i AS INT)] - c.cv[CAST(i AS INT)]))), 6) AS dist
+      |  FROM ssub v JOIN cb c USING (sub)),
+      |enc AS (
+      |  SELECT c_id, sub, cv FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY c_id, sub
+      |      ORDER BY dist, cid) AS rn FROM d1) WHERE rn = 1),
+      |recon AS (
+      |  SELECT c_id, flatten(list(cv ORDER BY sub)) AS dq FROM enc
+      |  GROUP BY c_id),
+      |cdq AS (SELECT c_id, dq, sqrt(list_dot_product(dq, dq)) AS dqn FROM recon),
+      |sc2 AS (
+      |  SELECT t.q_id, t.c_id,
+      |    round(list_dot_product(qq.qe, cdq.dq) / (qq.qn * cdq.dqn), 6) AS asim
+      |  FROM st1 t JOIN cdq USING (c_id) JOIN q qq ON qq.q_id = t.q_id),
+      |st2 AS (
+      |  SELECT q_id, c_id FROM (
+      |    SELECT q_id, c_id, ROW_NUMBER() OVER (PARTITION BY q_id
+      |      ORDER BY asim DESC, c_id) AS r FROM sc2)
+      |  WHERE r <= 30),
+      |rr AS (
+      |  SELECT t.q_id, t.c_id,
+      |    round(list_dot_product(qq.qe, c.emb) / (qq.qn * c.norm), 6) AS sim
+      |  FROM st2 t JOIN q qq ON qq.q_id = t.q_id JOIN e c ON c.vec_id = t.c_id),
+      |casc AS (
+      |  SELECT q_id, c_id, sim, rnk FROM (
+      |    SELECT q_id, c_id, sim, ROW_NUMBER() OVER (PARTITION BY q_id
+      |      ORDER BY sim DESC, c_id) AS rnk FROM rr)
+      |  WHERE rnk <= 5)""".stripMargin
 
   /** v30's replay: v21's LSH edge prefix, then 6 unrolled peel rounds
     * (degree filter + two-sided survivor restriction per round). */

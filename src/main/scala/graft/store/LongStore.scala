@@ -114,4 +114,64 @@ object LongStore {
       .partitionBy(parts: _*)
       .parquet(path)
   }
+
+  /** PARTITION MANIFEST (round-13 verdict item 2 — the cold-planning
+    * answer past ~1,000 day-partitions): a tiny `_manifest` parquet table
+    * inside the store recording every (`_date`, `_src`) partition the
+    * pipeline has written. A fresh reader planning a time-window query
+    * over a bare partitioned directory pays Spark's one-time O(N-days)
+    * recursive listing BEFORE pruning (InMemoryFileIndex lists, then
+    * prunes) — CLADDER measured that term growing with the calendar, and
+    * on object storage at 3,000–10,000 day-partitions it is the dominant
+    * cold cost, paid again on every driver restart. The manifest replaces
+    * the full listing with one small-file read + an O(window) directory
+    * selection — the same move a Hive metastore's partition catalog or an
+    * Iceberg/Delta manifest makes, done here with nothing but parquet.
+    *
+    * The `_` prefix hides it from store scans (Spark skips `_`-prefixed
+    * paths), appends are one tiny file per ingest batch, and entries are
+    * derived from the batch's FILE NAMES (the `_date`-from-filename rule,
+    * [[graft.transform.GasTransform.synthesizeTimestamp]]) so maintaining
+    * it costs zero data reads. Crash-replay safe by the same argument as
+    * the store itself: a replayed batch re-appends the same rows and
+    * [[readWindow]] deduplicates — duplicates are tolerated, losses are
+    * impossible because the append precedes the ledger append that marks
+    * the batch done. */
+  def appendManifest(spark: org.apache.spark.sql.SparkSession,
+      storePath: String, srcFiles: Seq[String]): Unit = {
+    import spark.implicits._
+    val rows = srcFiles.map { f =>
+      val d = "\\d{8}".r.findFirstIn(f).getOrElse(
+        throw new IllegalArgumentException(s"no yyyymmdd in file name: $f"))
+      (java.sql.Date.valueOf(java.time.LocalDate.parse(d,
+        java.time.format.DateTimeFormatter.BASIC_ISO_DATE)), f)
+    }
+    rows.toDF("_date", "_src").coalesce(1)
+      .write.mode("append").parquet(s"$storePath/_manifest")
+  }
+
+  /** Manifest-backed window read: resolve the partition DIRECTORIES for
+    * `[startDate, stopDate]` from `_manifest` and hand exactly those to
+    * the parquet reader (`basePath` keeps `_date`/`_src` partition-column
+    * derivation), so cold planning lists O(window) leaf dirs instead of
+    * the whole calendar. Result rows/schema are identical to a pruned
+    * full-store read — gs36's oracle pins that equivalence. The driver
+    * collect is O(window × files-per-day) short strings — the same
+    * bounded planning-time materialization Spark's own catalog partition
+    * pruning performs. An empty window falls back to the full-listing
+    * path under an always-false filter (correct, and only as slow as the
+    * plain reader on a corner no dashboard query hits). */
+  def readWindow(spark: org.apache.spark.sql.SparkSession, storePath: String,
+      startDate: String, stopDate: String): DataFrame = {
+    val dirs = spark.read.parquet(s"$storePath/_manifest")
+      .filter(col("_date") >= lit(startDate).cast("date") &&
+        col("_date") <= lit(stopDate).cast("date"))
+      .select(col("_date").cast("string"), col("_src")).distinct()
+      .collect()
+      .map(r => s"$storePath/_date=${r.getString(0)}/_src=${r.getString(1)}")
+    if (dirs.isEmpty)
+      spark.read.parquet(storePath).filter(lit(false))
+    else
+      spark.read.option("basePath", storePath).parquet(dirs.toIndexedSeq: _*)
+  }
 }
