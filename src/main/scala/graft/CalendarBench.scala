@@ -35,12 +35,27 @@ import graft.queries.GasQueries
   * survives 1,000 partitions" is asserted by the executed plan's own
   * counters, the same discipline as PlanAuditSpec.
   *
-  * Usage: `graft.CalendarBench <dayFileDir> <workDir>`; prints one JSON
-  * line (CLADDER.json combines rungs across N).
+  * Usage: `graft.CalendarBench <dayFileDir> <workDir> [mode]`; prints one
+  * JSON line (CLADDER.json combines rungs across N).
+  *
+  * `mode` (round-13 verdict item 2 — measuring TRUE cold planning):
+  *  - `full` (default): ingest + re-run + in-session scans, as before.
+  *    The in-session "cold" rows UNDERSTATE the real cold cost — the
+  *    ingest's dynamic-overwrite write pre-lists the store into the
+  *    JVM-shared FileStatusCache (measured at 4,096 days: in-session
+  *    "cold" 0.07 s vs 1.67 s in a fresh JVM), so a long-lived session
+  *    never pays the listing this item is about.
+  *  - `scan`: store exists (a prior `full` run); ONE genuinely cold
+  *    full-listing pruned scan — what a restarted driver pays without a
+  *    manifest — then the in-session warm re-run.
+  *  - `scan-manifest`: same, planned via [[graft.store.LongStore
+  *    .readWindow]] — the restarted driver WITH the manifest; the row
+  *    that must stay flat as the calendar grows.
   */
 object CalendarBench {
   def main(args: Array[String]): Unit = {
     val Array(inputDir, workDir) = args.take(2)
+    val mode = args.lift(2).getOrElse("full")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -61,13 +76,21 @@ object CalendarBench {
 
     val store = s"$workDir/store"
     val ledger = s"$workDir/ledger"
-    val (_, ingestS) = timed {
-      GasPipeline.runBatch(spark, inputDir, store, ledger)
-    }
-    val (rerun, rerunS) = timed {
-      GasPipeline.runBatch(spark, inputDir, store, ledger)
-    }
-    require(rerun.count() == 0, "idempotent re-run processed files")
+    val (ingestS, rerunS) =
+      if (mode == "full") {
+        val (_, iS) = timed {
+          GasPipeline.runBatch(spark, inputDir, store, ledger)
+        }
+        val (rerun, rS) = timed {
+          GasPipeline.runBatch(spark, inputDir, store, ledger)
+        }
+        require(rerun.count() == 0, "idempotent re-run processed files")
+        (iS, rS)
+      } else {
+        require(new java.io.File(store).isDirectory,
+          s"mode=$mode needs an existing store (run mode=full first): $store")
+        (0.0, 0.0)
+      }
 
     val nDays = {
       val p = new org.apache.hadoop.fs.Path(inputDir)
@@ -95,18 +118,41 @@ object CalendarBench {
       GasQueries.timeRange(long, start, stop)
         .filter(org.apache.spark.sql.functions.col("_field") === "CO (ppm)")
 
+    def manifestRead(): DataFrame =
+      graft.store.LongStore.readWindow(spark, store,
+        mid.minusDays(1).toString, mid.plusDays(1).toString)
+
+    def num(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    def mj(m: Map[String, Long]): String = m.toSeq.sorted
+      .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+
+    // scan-only modes: this JVM has touched NOTHING under the store path,
+    // so the first scan pays the genuine restarted-driver planning cost
+    if (mode != "full") {
+      val rd: () => DataFrame =
+        if (mode == "scan-manifest") () => manifestRead()
+        else () => spark.read.parquet(store)
+      val (coldS, coldM) = runAndScanMetrics(prunedQuery(rd()))
+      val (warmS, _) = runAndScanMetrics(prunedQuery(rd()))
+      val partsRead = coldM.getOrElse("numPartitions", -1L)
+      require(partsRead >= 0 && partsRead <= 3,
+        s"pruning FAILED at $nDays days ($mode): read $partsRead partitions")
+      println(s"""{"metric":"calendar_scan","mode":"$mode","days":$nDays,""" +
+        s""""cold_s":${num(coldS)},"warm_s":${num(warmS)},""" +
+        s""""scan_metrics":${mj(coldM)}}""")
+      spark.stop()
+      return
+    }
+
     // MANIFEST cold scan FIRST (round-13 verdict item 2), before anything
     // touches the store path: `LongStore.readWindow` resolves the window's
     // leaf dirs from the `_manifest` table, so the reader lists O(window)
     // dirs — this row must stay ~flat as the calendar grows, and running
     // it before the full-listing rows keeps the shared FileStatusCache
     // from subsidizing it (the manifest path would look free otherwise).
-    val (manColdS, manColdM) = runAndScanMetrics(prunedQuery(
-      graft.store.LongStore.readWindow(spark, store,
-        mid.minusDays(1).toString, mid.plusDays(1).toString)))
-    val (manWarmS, manWarmM) = runAndScanMetrics(prunedQuery(
-      graft.store.LongStore.readWindow(spark, store,
-        mid.minusDays(1).toString, mid.plusDays(1).toString)))
+    val (manColdS, manColdM) = runAndScanMetrics(prunedQuery(manifestRead()))
+    val (manWarmS, _) = runAndScanMetrics(prunedQuery(manifestRead()))
     // cold: fresh read = the one-time O(N) listing + pruned scan
     val (coldS, coldM) = runAndScanMetrics(prunedQuery(spark.read.parquet(store)))
     // warm: re-planned in-session = steady-state serving cost
@@ -116,8 +162,7 @@ object CalendarBench {
     val manParts = manColdM.getOrElse("numPartitions", -1L)
     require(manParts >= 0 && manParts <= 3,
       s"manifest scan read $manParts partitions at $nDays days")
-    val manRows = prunedQuery(graft.store.LongStore.readWindow(spark, store,
-      mid.minusDays(1).toString, mid.plusDays(1).toString)).count()
+    val manRows = prunedQuery(manifestRead()).count()
     val fullRows = prunedQuery(spark.read.parquet(store)).count()
     require(manRows == fullRows,
       s"manifest scan rows $manRows != full-listing scan rows $fullRows")
@@ -138,10 +183,6 @@ object CalendarBench {
           .filter(org.apache.spark.sql.functions.col("_field") === "CO (ppm)"),
         "1 day"))
 
-    def num(v: Double): String =
-      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    def mj(m: Map[String, Long]): String = m.toSeq.sorted
-      .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val line =
       s"""{"metric":"calendar","days":$nDays,"ingest_s":${num(ingestS)},""" +
       s""""noop_rerun_s":${num(rerunS)},"manifest_scan_cold_s":${num(manColdS)},""" +
