@@ -206,6 +206,73 @@ case class HyperplaneSig(child: Expression, planes: Int = 16)
     copy(child = newChild)
 }
 
+/** First LSH band (0-based) in which two signatures collide, from their
+  * XOR: band b matches when popcount of its `width`-bit slice is ≤
+  * `maxHam` (0 = exact bucket equality, 1 = the 1-bit multi-probe
+  * contract); −1 when no band matches. The classic emit-on-first-band
+  * dedup for banded LSH: a pair colliding in k bands appears k times in
+  * the (band, value)-keyed join, and filtering to `b ==
+  * graft_first_band(sig_a ^ sig_b, …)` keeps exactly one copy — which
+  * removes the candidate distinct() EXCHANGE entirely (round-13's v09
+  * spill, 10.5–21 GB at 128×, was that exchange's map-side sort of the
+  * pair stream). Pure bit arithmetic on two longs already present in the
+  * joined row; codegen'd like its siblings. */
+case class LshFirstBand(child: Expression, width: Int, bands: Int,
+    maxHam: Int) extends UnaryExpression {
+
+  override def dataType: DataType = IntegerType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _ if width < 1 || bands < 1 || width * bands > 64 || maxHam < 0 =>
+      TypeCheckResult.TypeCheckFailure(
+        "graft_first_band needs foldable integer literals with 1 <= width, " +
+          s"1 <= bands, width*bands <= 64, maxHam >= 0; got ($width, $bands, $maxHam)")
+    case LongType | IntegerType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_first_band expects an integral signature XOR, got ${other.simpleString}")
+  }
+
+  private def firstBand(x: Long): Int = {
+    val mask = (1L << width) - 1
+    var b = 0
+    while (b < bands) {
+      if (java.lang.Long.bitCount((x >>> (width * b)) & mask) <= maxHam)
+        return b
+      b += 1
+    }
+    -1
+  }
+
+  override def nullSafeEval(input: Any): Any = input match {
+    case l: Long => firstBand(l)
+    case i: Int  => firstBand(i.toLong & 0xffffffffL)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val x = ctx.freshName("x")
+      val b = ctx.freshName("b")
+      val res = ctx.freshName("res")
+      val mask = (1L << width) - 1
+      val widen =
+        if (child.dataType == IntegerType) s"((long) $a) & 0xffffffffL"
+        else a
+      s"""
+         |long $x = $widen;
+         |int $res = -1;
+         |for (int $b = 0; $b < $bands; $b++) {
+         |  if (java.lang.Long.bitCount(($x >>> ($width * $b)) & ${mask}L) <= $maxHam) {
+         |    $res = $b; break;
+         |  }
+         |}
+         |${ev.value} = $res;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
 
   /** Single source of truth for the native function set — consumed by both
@@ -234,7 +301,30 @@ object VectorFunctions {
         }
       case Some(_) => -1
     })),
-    "graft_simhash" -> (exprs => SimHashExpr(exprs(0))))
+    "graft_simhash" -> (exprs => SimHashExpr(exprs(0))),
+    // (xor, width, bands, maxHam) — the three params follow graft_hsig's
+    // foldable-literal guard: a non-foldable arg maps to -1, which
+    // checkInputDataTypes turns into a clean analysis-time failure
+    "graft_first_band" -> (exprs => LshFirstBand(exprs(0),
+      foldableInt(exprs.lift(1)), foldableInt(exprs.lift(2)),
+      foldableInt(exprs.lift(3)))))
+
+  /** graft_hsig's guard, shared: eval a foldable integral literal arg to
+    * its int, or -1 (→ a clean TypeCheckFailure downstream). */
+  private def foldableInt(e: Option[Expression]): Int = e match {
+    case Some(x) if x.foldable && (x.dataType match {
+          case org.apache.spark.sql.types.ByteType |
+               org.apache.spark.sql.types.ShortType |
+               org.apache.spark.sql.types.IntegerType |
+               org.apache.spark.sql.types.LongType => true
+          case _ => false
+        }) =>
+      x.eval() match {
+        case n: Number => n.intValue
+        case _ => -1
+      }
+    case _ => -1
+  }
 
   /** Register the native functions in the session's function registry
     * (idempotent) so they are usable from SQL and `expr(...)`. */

@@ -2194,6 +2194,7 @@ object VectorOps {
     * always collides as (exact x, probe y). */
   private[graft] def lshCandidates(e: DataFrame, planes: Int, bands: Int,
       width: Int, multiProbe: Boolean = false): DataFrame = {
+    graft.functions.VectorFunctions.register(e.sparkSession)
     val mask = (1 << width) - 1
     val sig = fanout(e).select(col("vec_id"),
       expr(s"graft_hsig(emb, $planes)").as("sig"))
@@ -2201,27 +2202,39 @@ object VectorOps {
       .select(col("vec_id"), explode(expr(s"sequence(0, ${bands - 1})")).as("b"),
         col("sig"))
       .withColumn("bv", expr(s"shiftright(sig, $width * b) & $mask"))
-      .select(col("vec_id"), col("b"), col("bv"))
-    val a = banded.select(col("b"), col("bv"), col("vec_id").as("vec_a"))
+      .select(col("vec_id"), col("b"), col("bv"), col("sig"))
+    val a = banded.select(col("b"), col("bv"), col("vec_id").as("vec_a"),
+      col("sig").as("sig_a"))
     val probed =
       if (!multiProbe) banded
       else (0 until width).foldLeft(banded) { (acc, k) =>
         // explicit unions, not a transform() lambda: HOFs run interpreted
         // and this sits on the fan-out hot path
         acc.union(banded.select(col("vec_id"), col("b"),
-          col("bv").bitwiseXOR(lit(1 << k)).as("bv")))
+          col("bv").bitwiseXOR(lit(1 << k)).as("bv"), col("sig")))
       }
-    val c = probed.select(col("b"), col("bv"), col("vec_id").as("vec_b"))
-    // dedup NARROW id-pairs (a pair colliding in k bands appears k times),
-    // and only then re-attach the embeddings for scoring: the multi-band
-    // fan-out and its distinct shuffle carry 16-byte keys, never the
-    // 64-double payloads — at scale the wide-row distinct was the whole
-    // query's cost (payload bytes × bands × bucket fan-out through one
-    // shuffle), and it grows linearly with the band count dial
+    val c = probed.select(col("b"), col("bv"), col("vec_id").as("vec_b"),
+      col("sig").as("sig_b"))
+    // EMIT-ON-FIRST-BAND dedup (round-13 verdict item 7, replacing the
+    // candidate distinct()): a pair colliding in k bands appears k times
+    // in the (band, value)-keyed join — per band exactly once, because
+    // the a side is exact and a Hamming ≤ 1 collision matches exactly one
+    // probe variant. Rounds ≤13 deduped with distinct(), whose EXCHANGE
+    // re-shuffled the entire multiplicity-inflated pair stream — at the
+    // 128× rung its map-side sort was 10.5–21 GB of disk spill, invariant
+    // to every reduce-side knob because the volume is written before any
+    // reducer runs. The signatures both sides already carry make the
+    // multiplicity recomputable IN PLACE: keep a candidate only in the
+    // FIRST band whose width-bit XOR slice has popcount ≤ maxHam
+    // (`graft_first_band`, codegen'd bit arithmetic) — same surviving
+    // set, each pair exactly once, zero pair-stream shuffles. Cost: one
+    // extra long per banded row through the bucket join.
+    val maxHam = if (multiProbe) 1 else 0
     val ids = a.join(c, Seq("b", "bv"))
       .filter(col("vec_a") < col("vec_b"))
+      .filter(col("b") === expr("graft_first_band(cast(sig_a as bigint) ^ " +
+        s"cast(sig_b as bigint), $width, $bands, $maxHam)"))
       .select(col("vec_a"), col("vec_b"))
-      .distinct()
     // the embedding side is broadcast: the candidate list is orders of
     // magnitude larger than the vector table, and a sort-merge join would
     // sort the 10M+-pair list twice. (On a cluster where the vector table
