@@ -177,17 +177,24 @@ class StreamKillRestartSpec extends SparkSpec {
   // checkpoint bit-identical. Shapes are gs13/gs14/gs17's exactly
   // (GasStoreQueries builders), minus the oracle-side projections.
   check("gs13_outer_join") { long =>
-    // The interval join's OUTPUT is quadratic in rate — each probe
-    // matches every in-window row of the other side (the reason gs34's
-    // as-of enrichment exists as the rate-robust production shape; at
-    // 28 Hz the raw pair stream is ~40·10⁹ rows/day and the first
-    // stress attempt ran >80 min inside the CLEAN run). The recovery
-    // claim under test is about the JOIN STATE, not the pair volume, so
-    // the stress rung thins the PROBE side to one reading per 5 min
-    // (exactly representable at 28 Hz: t = 8400·k is micros-exact)
-    // while the BUFFERED side stays full-rate — the state store is
-    // still the board's largest; the sink no longer transcribes the
-    // quadratic. CI keeps the untinned shape (its fixture is sparse).
+    // Two stress-rung dials, both on the data the test feeds in, never
+    // on the operator (CI keeps the untuned shape — its fixture is
+    // sparse):
+    //  - the join's OUTPUT is quadratic in rate (each probe matches
+    //    every in-window row of the other side — the reason gs34's
+    //    as-of enrichment exists as the production shape; at 28 Hz the
+    //    raw pair stream is ~40·10⁹ rows/day and the first stress
+    //    attempt ran >80 min inside the CLEAN run), so the PROBE side
+    //    thins to one reading per 5 min (t = 8400·k is micros-exact at
+    //    28 Hz);
+    //  - the join key is the constant `_measurement`, so the buffered
+    //    side is ONE state-store key whose value list every probe scans
+    //    end-to-end (single-threaded RocksDB iteration — measured
+    //    >10 min per batch at bMin 55 ≈ 864k buffered rows/batch), so
+    //    the stress validity floor rises to 79.0 ≈ 34k buffered
+    //    rows/batch: still a genuine cross-batch multi-ten-thousand-row
+    //    join state to recover, at ~10⁷ probe-scan steps per batch
+    //    instead of ~10⁹.
     val probes =
       if (stressDir.isDefined)
         long.filter(col("_field") =!= lit("CO (ppm)") ||
@@ -195,10 +202,22 @@ class StreamKillRestartSpec extends SparkSpec {
       else long
     GasStream.pairedReadings(probes, "CO (ppm)", "Humidity (%r.h.)",
       watermark = "30 minutes", withinMinutes = 10,
-      joinType = "left_outer", bMin = Some(55.0))
+      joinType = "left_outer",
+      bMin = Some(if (stressDir.isDefined) 79.0 else 55.0))
       .select(col("a_time"), col("a_value"), col("b_time"), col("b_value"))
   }
-  check("gs14_session_window") { long =>
+  check("gs14_session_window") { long0 =>
+    // session_window needs GAPS to close sessions: the 28 Hz stress
+    // fixture is CONTINUOUS (1/28 s spacing across 3 consecutive days),
+    // so one ever-extending session would never be sealed and the
+    // append-mode reference output is EMPTY (measured — the first
+    // stress attempt failed exactly there). At stress keep hours 0–2 of
+    // every 6: 3 h sessions separated by 3 h > the 2 h gap, ~1.2 M
+    // rows/day still flowing through the merging aggregation. CI's
+    // sparse fixture has natural gaps and stays untuned.
+    val long =
+      if (stressDir.isDefined) long0.filter(hour(col("_time")) % 6 < 3)
+      else long0
     long.withWatermark("_time", "30 minutes")
       .groupBy(session_window(col("_time"), "2 hours"), col("_field"))
       .agg(count(lit(1)).as("n_points"),
