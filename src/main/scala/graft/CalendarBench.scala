@@ -51,6 +51,17 @@ import graft.queries.GasQueries
   *  - `scan-manifest`: same, planned via [[graft.store.LongStore
   *    .readWindow]] — the restarted driver WITH the manifest; the row
   *    that must stay flat as the calendar grows.
+  *  - `full-cadence` (round-14 verdict item 1 — the manifest at REAL
+  *    ingest cadence): same measurements as `full`, but the store is
+  *    built by N SINGLE-DAY `runBatch` calls (one per day file, staged
+  *    one at a time — the reference's one-manual-DAG-per-drop cadence,
+  *    ETL.py:60) instead of one N-day batch. Without compaction this
+  *    leaves an N-file `_manifest` (and an N-file ledger) whose own cold
+  *    read regrows the O(N-batches) listing; with the threshold folds
+  *    (`LongStore.compactSmallFiles`) both side tables stay ≤ 17 files —
+  *    the JSON records the actual at-rest file counts so the claim is
+  *    checkable from the artifact. Follow with fresh-JVM `scan` /
+  *    `scan-manifest` runs exactly as for `full`.
   */
 object CalendarBench {
   def main(args: Array[String]): Unit = {
@@ -81,6 +92,36 @@ object CalendarBench {
         val (_, iS) = timed {
           GasPipeline.runBatch(spark, inputDir, store, ledger)
         }
+        val (rerun, rS) = timed {
+          GasPipeline.runBatch(spark, inputDir, store, ledger)
+        }
+        require(rerun.count() == 0, "idempotent re-run processed files")
+        (iS, rS)
+      } else if (mode == "full-cadence") {
+        // one batch per day file, staged singly — each runBatch sees only
+        // the day just dropped, so the ledger/manifest grow one append per
+        // DAY, the cadence the compaction threshold is sized against
+        val inPath = new org.apache.hadoop.fs.Path(inputDir)
+        val fs = inPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val files = fs.globStatus(new org.apache.hadoop.fs.Path(inPath, "*.csv"))
+          .map(_.getPath).sortBy(_.getName)
+        val staging = new java.io.File(s"$workDir/staging")
+        staging.mkdirs()
+        val (_, iS) = timed {
+          files.foreach { f =>
+            Option(staging.listFiles()).getOrElse(Array.empty)
+              .foreach { old => old.delete(); () }
+            java.nio.file.Files.copy(
+              java.nio.file.Paths.get(f.toUri),
+              staging.toPath.resolve(f.getName))
+            val processed =
+              GasPipeline.runBatch(spark, staging.getPath, store, ledger)
+            require(processed.count() == 1,
+              s"cadence batch for ${f.getName} processed != 1 file")
+          }
+        }
+        // scheduler-tick no-op over the WHOLE calendar dir (every file
+        // already in the now-compacted ledger)
         val (rerun, rS) = timed {
           GasPipeline.runBatch(spark, inputDir, store, ledger)
         }
@@ -129,7 +170,7 @@ object CalendarBench {
 
     // scan-only modes: this JVM has touched NOTHING under the store path,
     // so the first scan pays the genuine restarted-driver planning cost
-    if (mode != "full") {
+    if (mode == "scan" || mode == "scan-manifest") {
       val rd: () => DataFrame =
         if (mode == "scan-manifest") () => manifestRead()
         else () => spark.read.parquet(store)
@@ -183,11 +224,22 @@ object CalendarBench {
           .filter(org.apache.spark.sql.functions.col("_field") === "CO (ppm)"),
         "1 day"))
 
+    // at-rest side-table file counts: the cadence claim ("compaction keeps
+    // the manifest/ledger bounded at one append per day") is checkable
+    // from the artifact, not just asserted
+    def partCount(dir: String): Int = {
+      val f = new java.io.File(dir)
+      Option(f.listFiles()).getOrElse(Array.empty)
+        .count(_.getName.startsWith("part-"))
+    }
+
     val line =
-      s"""{"metric":"calendar","days":$nDays,"ingest_s":${num(ingestS)},""" +
+      s"""{"metric":"calendar","mode":"$mode","days":$nDays,"ingest_s":${num(ingestS)},""" +
       s""""noop_rerun_s":${num(rerunS)},"manifest_scan_cold_s":${num(manColdS)},""" +
       s""""manifest_scan_warm_s":${num(manWarmS)},"pruned_scan_cold_s":${num(coldS)},""" +
       s""""pruned_scan_warm_s":${num(warmS)},"full_agg_s":${num(fullAggS)},""" +
+      s""""manifest_files":${partCount(s"$store/_manifest")},""" +
+      s""""ledger_files":${partCount(ledger)},""" +
       s""""scan_metrics_manifest":${mj(manColdM)},""" +
       s""""scan_metrics_cold":${mj(coldM)},"scan_metrics_warm":${mj(warmM)}}"""
     println(line)

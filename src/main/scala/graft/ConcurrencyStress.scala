@@ -88,18 +88,22 @@ object ConcurrencyStress {
     val t0 = System.nanoTime()
     import scala.concurrent.{Await, Future, ExecutionContext}
     import scala.concurrent.duration.Duration
-    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(
-      java.util.concurrent.Executors.newFixedThreadPool(targets.size))
-    val futures = targets.map { case (name, dir) =>
-      Future {
-        val s0 = System.nanoTime()
-        val cs = checksum(name, dir)
-        (name, (System.nanoTime() - s0) / 1e9, cs)
-      }
-    }
-    val concurrent = futures.map(Await.result(_, Duration.Inf))
-    val concWall = (System.nanoTime() - t0) / 1e9
-    val concSpill = spillDisk.get() - d0
+    // non-daemon pool threads would pin the forked JVM alive after main
+    // returns — always shut the pool down once the futures have resolved
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(targets.size)
+    val (concurrent, concWall, concSpill) =
+      try {
+        implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+        val futures = targets.map { case (name, dir) =>
+          Future {
+            val s0 = System.nanoTime()
+            val cs = checksum(name, dir)
+            (name, (System.nanoTime() - s0) / 1e9, cs)
+          }
+        }
+        val rs = futures.map(Await.result(_, Duration.Inf))
+        (rs, (System.nanoTime() - t0) / 1e9, spillDisk.get() - d0)
+      } finally pool.shutdown()
 
     // ---- identity gate ------------------------------------------------
     serial.zip(concurrent).foreach { case ((n, _, _, sc), (n2, _, cc)) =>
@@ -108,10 +112,15 @@ object ConcurrencyStress {
       System.err.println(s"[conc] $n checksum identical: $sc")
     }
 
-    val serialJson = serial.map { case (n, s, sp, cs) =>
-      s""""$n":{"serial_s":${num(s)},"serial_spill_mb":${num(sp / 1e6)},""" +
-        s""""concurrent_s":${num(concurrent.find(_._1 == n).get._2)},""" +
-        s""""checksum":"${cs._1}","rows":${cs._3}}"""
+    // zip positionally (as the identity gate does): a query name passed
+    // twice — e.g. one query over two corpora — would otherwise mislabel
+    // the second entry's concurrent_s and emit duplicate JSON keys
+    val serialJson = serial.zip(concurrent).zipWithIndex.map {
+      case (((n, s, sp, cs), (_, concS, _)), i) =>
+        val key = if (targets.count(_._1 == n) > 1) s"$n#$i" else n
+        s""""$key":{"serial_s":${num(s)},"serial_spill_mb":${num(sp / 1e6)},""" +
+          s""""concurrent_s":${num(concS)},""" +
+          s""""checksum":"${cs._1}","rows":${cs._3}}"""
     }.mkString("{", ",", "}")
     val totalSerial = serial.map(_._2).sum
     println(s"""{"metric":"concurrency_stress","n_queries":${targets.size},""" +

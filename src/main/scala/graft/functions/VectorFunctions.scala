@@ -17,13 +17,23 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType,
   * over the two ArrayData buffers: no allocation, no virtual dispatch, stays
   * inside whole-stage codegen.
   *
-  * Numerics are identical to the HOF chain (sequential left-to-right double
-  * fold), so swapping it in cannot change oracle-checked results.
+  * Numerics are identical to the HOF chain on equal-length dense arrays
+  * (sequential left-to-right double fold), so swapping it in cannot change
+  * oracle-checked results; MALFORMED input follows the HOF too — mismatched
+  * lengths and null array slots propagate NULL (zip_with pads the short
+  * side with null, the lambda turns it into a null product, and aggregate's
+  * `acc + null` nulls the fold), never a silently-truncated value. The
+  * per-element null branch is emitted only when the input type's
+  * `containsNull` says a null slot is possible, so dense schemas keep the
+  * branch-free hot loop.
   */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
+
+  // null even for non-null inputs (length mismatch / null slot)
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult = {
     val ok = Seq(left, right).forall(_.dataType match {
@@ -39,10 +49,15 @@ case class DotProduct(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var acc = 0.0
     var i = 0
-    while (i < n) { acc += x.getDouble(i) * y.getDouble(i); i += 1 }
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      acc += x.getDouble(i) * y.getDouble(i)
+      i += 1
+    }
     acc
   }
 
@@ -51,13 +66,21 @@ case class DotProduct(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
+      val nullScan = VectorFunctions.elementNullScan(left, right, a, b, n, ctx, ev)
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += $a.getDouble($i) * $b.getDouble($i);
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  $nullScan
+         |  if (!${ev.isNull}) {
+         |    double $acc = 0.0;
+         |    for (int $i = 0; $i < $n; $i++) {
+         |      $acc += $a.getDouble($i) * $b.getDouble($i);
+         |    }
+         |    ${ev.value} = $acc;
+         |  }
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 
@@ -72,14 +95,19 @@ case class DotProduct(left: Expression, right: Expression)
   * materializes an intermediate array and evaluates an interpreted lambda
   * per element; at PQ-encode volume (survivors × k centroids × d dims —
   * the round-14 d=1536 rung ran 1.5·10⁹ lambda evals) that overhead IS
-  * the runtime. Numerics are identical to the HOF chain (sequential
-  * left-to-right fold of (x−y)² in element order; the 6-dp round stays at
-  * the call site), so swapping it in cannot change oracle-checked
-  * results — the [[DotProduct]] discipline. */
+  * the runtime. Numerics are identical to the HOF chain on equal-length
+  * dense arrays (sequential left-to-right fold of (x−y)² in element order;
+  * the 6-dp round stays at the call site), and — [[DotProduct]]'s
+  * discipline — MALFORMED input follows the HOF too: mismatched lengths
+  * and null array slots propagate NULL instead of a silently-truncated or
+  * garbage-read value. */
 case class L2Squared(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
+
+  // null even for non-null inputs (length mismatch / null slot)
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult = {
     val ok = Seq(left, right).forall(_.dataType match {
@@ -95,10 +123,12 @@ case class L2Squared(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val d = x.getDouble(i) - y.getDouble(i)
       acc += d * d
       i += 1
@@ -112,14 +142,22 @@ case class L2Squared(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       val d = ctx.freshName("d")
+      val nullScan = VectorFunctions.elementNullScan(left, right, a, b, n, ctx, ev)
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $d = $a.getDouble($i) - $b.getDouble($i);
-         |  $acc += $d * $d;
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  $nullScan
+         |  if (!${ev.isNull}) {
+         |    double $acc = 0.0;
+         |    for (int $i = 0; $i < $n; $i++) {
+         |      double $d = $a.getDouble($i) - $b.getDouble($i);
+         |      $acc += $d * $d;
+         |    }
+         |    ${ev.value} = $acc;
+         |  }
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 
@@ -274,6 +312,30 @@ case class LshFirstBand(child: Expression, width: Int, bands: Int,
 }
 
 object VectorFunctions {
+
+  /** Generated null guard for the array kernels, emitted ONLY when an
+    * input type's `containsNull` admits a null slot (statically-dense
+    * schemas skip it entirely). Emitted as a SEPARATE prefix scan — bitset
+    * probes only — so the arithmetic loop that follows stays branch-free
+    * and JIT-vectorizable even on nullable schemas (parquet list elements
+    * are nullable by default, so the ANN/PQ hot paths do take this path).
+    * A null slot nulls the whole result, matching the HOF fold
+    * (`acc + null` → null). */
+  private[functions] def elementNullScan(left: Expression, right: Expression,
+      a: String, b: String, n: String, ctx: CodegenContext,
+      ev: ExprCode): String = {
+    val checks = Seq(left -> a, right -> b).collect {
+      case (e, v) if e.dataType.asInstanceOf[ArrayType].containsNull => v
+    }
+    if (checks.isEmpty) ""
+    else {
+      val j = ctx.freshName("j")
+      val probes = checks.map(v => s"$v.isNullAt($j)").mkString(" || ")
+      s"""for (int $j = 0; $j < $n; $j++) {
+         |  if ($probes) { ${ev.isNull} = true; break; }
+         |}""".stripMargin
+    }
+  }
 
   /** Single source of truth for the native function set — consumed by both
     * [[register]] and [[GraftExtensions]] so the two entry points can never

@@ -52,9 +52,21 @@ object GasIngest {
 
   /** Ledger append for the files just loaded — written AFTER a successful
     * load so a crash between load and append re-processes (idempotent
-    * overwrite-by-day partitions make that safe; SURVEY.md §7.4). */
-  def appendToLedger(processed: DataFrame, ledgerPath: String): Unit =
+    * overwrite-by-day partitions make that safe; SURVEY.md §7.4).
+    *
+    * Compacted past `compactThreshold` part files, exactly like the
+    * partition manifest ([[graft.store.LongStore.compactSmallFiles]]):
+    * at one batch per day the append-only ledger would itself become an
+    * N-file table whose per-batch read re-lists every historical append —
+    * the same relocated O(N-batches) term the manifest compaction removes.
+    * With the fold, the scheduler-tick ledger read is bounded by the
+    * threshold however many batches have run. */
+  def appendToLedger(processed: DataFrame, ledgerPath: String,
+      compactThreshold: Int = 16): Unit = {
     processed.select(col("file_name")).distinct()
       .withColumn("processed_at", current_timestamp())
       .write.mode("append").parquet(ledgerPath)
+    graft.store.LongStore.compactSmallFiles(processed.sparkSession,
+      ledgerPath, compactThreshold, dedup = false)
+  }
 }

@@ -57,8 +57,8 @@ object GasStoreQueries {
     * the batch and streaming transform/unpivot/store stacks flips the
     * compare red. */
   private val builtStream = new java.util.WeakHashMap[SparkSession, String]()
-  private def streamStore(spark: SparkSession): DataFrame = {
-    val path = builtStream.synchronized {
+  private def streamStorePath(spark: SparkSession): String =
+    builtStream.synchronized {
       Option(builtStream.get(spark)).getOrElse {
         val work = Files.createTempDirectory("graft-gas-stream-store")
         deleteOnExit(work)
@@ -69,8 +69,8 @@ object GasStoreQueries {
         s"$work/store"
       }
     }
-    spark.read.parquet(path)
-  }
+  private def streamStore(spark: SparkSession): DataFrame =
+    spark.read.parquet(streamStorePath(spark))
 
   // one process-wide hook drains every registered store — see TempDirs
   private def deleteOnExit(dir: java.nio.file.Path): Unit =
@@ -1329,6 +1329,21 @@ object GasStoreQueries {
         .select(unix_micros(col("_time")).as("t_us"), col("_field"), col("_value"))
         .orderBy(col("t_us"), col("_field"))),
 
+    // gs36 over the STREAM-built store (round-14 verdict item 2): the
+    // foreachBatch sink now appends the partition manifest exactly like
+    // the batch pipeline, so a store built by the streaming ingest plans
+    // window queries through readWindow too — same window, same
+    // projection, same raw-CSV oracle as gs02/gs36. Before the sink
+    // wiring, readWindow on a stream-built store threw on the missing
+    // `_manifest` path; this entry pins it green forever.
+    "gs37_manifest_stream_store" -> ((s, _) =>
+      GasQueries.timeRange(
+        graft.store.LongStore.readWindow(s, streamStorePath(s),
+          "2016-10-06", "2016-10-08"),
+        "2016-10-07 12:00:00", "2016-10-08 00:00:30")
+        .select(unix_micros(col("_time")).as("t_us"), col("_field"), col("_value"))
+        .orderBy(col("t_us"), col("_field"))),
+
     // streaming CUSUM detector readings (sp/sn already 6-dp-rounded by
     // the kernel at every step — emitted as-is)
     "gs15_stream_cusum" -> ((s, _) =>
@@ -1704,6 +1719,19 @@ object GasStoreQueries {
     // SAME raw-CSV replay — a manifest hole (missing partition, stale
     // entry, wrong window arithmetic) drops rows and flips the hash
     "gs36_manifest_time_range" ->
+      s"""$prelude,
+         |u AS (
+         |  UNPIVOT (SELECT * EXCLUDE ("Time (s)", filename) FROM raw)
+         |  ON COLUMNS(* EXCLUDE (_time)) INTO NAME _field VALUE _value)
+         |SELECT epoch_us(_time) AS t_us, _field, _value FROM u
+         |WHERE _time >= TIMESTAMP '2016-10-07 12:00:00'
+         |  AND _time < TIMESTAMP '2016-10-08 00:00:30'
+         |ORDER BY t_us, _field""".stripMargin,
+
+    // gs37 = gs36 over the streaming-built store; the ground truth stays
+    // the raw-CSV replay, so a hole in the STREAMING manifest wiring
+    // (missing append, wrong _src set, torn compaction) flips the hash
+    "gs37_manifest_stream_store" ->
       s"""$prelude,
          |u AS (
          |  UNPIVOT (SELECT * EXCLUDE ("Time (s)", filename) FROM raw)

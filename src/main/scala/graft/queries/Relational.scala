@@ -1664,14 +1664,18 @@ object Relational {
     // distance exceeds 1 (O(len·k) band, not the O(len²) table) and
     // returns −1, dropped by dist ≥ 0; survivors carry exact distances.
     // (3) MULTIPLICITY FAN-BACK: qualifying (q_name, p_name, dist) pairs
-    // broadcast back onto the id tables as two equi-joins. No id-level
+    // joined back onto the id tables as two equi-joins. No id-level
     // distinct is needed — ids map 1:1 to names, name pairs are already
     // distinct — so the only volume the engine touches beyond two
     // column-pruned scans is the OUTPUT itself (inherently large here:
-    // every probe matches its name's whole duplicate class). At 100 TB
-    // with near-unique keys the projection degenerates to ~row count and
-    // the plan smoothly becomes the plain deletion-neighborhood join —
-    // still output-shaped, never block-quadratic; the levenshtein count
+    // every probe matches its name's whole duplicate class). The fan-back
+    // join carries NO broadcast hint on purpose: namePairs is tiny when
+    // names repeat (this corpus) but approaches ROW COUNT in the
+    // near-unique-key regime, where a forced broadcast would OOM the
+    // driver — AQE picks broadcast at runtime exactly when the built
+    // frame is actually small, so the plan smoothly becomes the plain
+    // deletion-neighborhood shuffle join at near-unique keys — still
+    // output-shaped, never block-quadratic; the levenshtein count
     // is bounded by DISTINCT-pair candidates in both regimes. The oracle
     // computes the UNBLOCKED cross-join answer, so a completeness hole in
     // the blocking (or a lost/duplicated multiplicity in the fan-back)
@@ -1700,7 +1704,7 @@ object Relational {
         .withColumn("dist",
           levenshtein(col("q_name"), col("p_name"), 1).cast("long"))
         .filter(col("dist") >= 0)
-      probes.join(broadcast(namePairs), Seq("q_name"))
+      probes.join(namePairs, Seq("q_name"))
         .join(parts, Seq("p_name"))
         .select(col("q_id"), col("q_name"), col("p_partkey"), col("p_name"),
           col("dist"))

@@ -136,9 +136,19 @@ object LongStore {
     * the store itself: a replayed batch re-appends the same rows and
     * [[readWindow]] deduplicates — duplicates are tolerated, losses are
     * impossible because the append precedes the ledger append that marks
-    * the batch done. */
+    * the batch done.
+    *
+    * CADENCE (round-14 verdict item 1): at the reference's one-batch-per-day
+    * cadence the append-only design would accumulate one tiny file per day —
+    * a 4,096-day store would carry a 4,096-file `_manifest` whose own cold
+    * read re-introduces the O(N-batches) listing the manifest exists to
+    * remove. So every append runs [[compactManifest]]: past
+    * `compactThreshold` part files the manifest folds to one. Per-append
+    * cost is therefore bounded by the threshold, and a cold [[readWindow]]
+    * reads ≤ threshold+1 small files however many batches built the store. */
   def appendManifest(spark: org.apache.spark.sql.SparkSession,
-      storePath: String, srcFiles: Seq[String]): Unit = {
+      storePath: String, srcFiles: Seq[String],
+      compactThreshold: Int = 16): Unit = {
     import spark.implicits._
     val rows = srcFiles.map { f =>
       val d = "\\d{8}".r.findFirstIn(f).getOrElse(
@@ -148,6 +158,42 @@ object LongStore {
     }
     rows.toDF("_date", "_src").coalesce(1)
       .write.mode("append").parquet(s"$storePath/_manifest")
+    compactManifest(spark, storePath, compactThreshold)
+  }
+
+  /** Fold the `_manifest` small files into one when their count exceeds
+    * `threshold`. Crash-safe WITHOUT renames by an add-before-delete
+    * protocol: (1) list the current part files, (2) read exactly that list and
+    * append ONE deduplicated file alongside them (parquet's job commit
+    * makes it visible atomically), (3) delete the listed originals. A crash
+    * after (2) leaves duplicates — [[readWindow]]'s `distinct()` and the
+    * next compaction's dedup absorb them; a crash mid-(3) likewise. At no
+    * point is an entry only in a half-written file, so losses are
+    * impossible. Concurrent readers see either the originals, or originals
+    * + compacted (duplicates, deduped at read), or the compacted file. */
+  def compactManifest(spark: org.apache.spark.sql.SparkSession,
+      storePath: String, threshold: Int): Unit =
+    compactSmallFiles(spark, s"$storePath/_manifest", threshold, dedup = true)
+
+  /** The shared small-file fold behind [[compactManifest]] and the ledger's
+    * compaction ([[graft.ingest.GasIngest.appendToLedger]]) — any
+    * append-per-batch parquet side table has the same cadence hole, and
+    * the same add-before-delete protocol closes it. `dedup` distincts the
+    * folded rows (right for the manifest, whose replay duplicates are
+    * semantic no-ops; the ledger keeps its rows — `processed_at` differs
+    * across replays and the anti-join is duplicate-tolerant anyway). */
+  def compactSmallFiles(spark: org.apache.spark.sql.SparkSession,
+      dirPath: String, threshold: Int, dedup: Boolean): Unit = {
+    val dir = new org.apache.hadoop.fs.Path(dirPath)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts = fs.listStatus(dir).map(_.getPath)
+      .filter(_.getName.startsWith("part-"))
+    if (parts.length > threshold) {
+      val folded = spark.read.parquet(parts.map(_.toString).toIndexedSeq: _*)
+      (if (dedup) folded.distinct() else folded).coalesce(1)
+        .write.mode("append").parquet(dir.toString)
+      parts.foreach(fs.delete(_, false))
+    }
   }
 
   /** Manifest-backed window read: resolve the partition DIRECTORIES for
@@ -160,15 +206,60 @@ object LongStore {
     * bounded planning-time materialization Spark's own catalog partition
     * pruning performs. An empty window falls back to the full-listing
     * path under an always-false filter (correct, and only as slow as the
-    * plain reader on a corner no dashboard query hits). */
+    * plain reader on a corner no dashboard query hits).
+    *
+    * Constructed dirs are filtered through `FileSystem.exists` — a source
+    * file contributing ZERO store rows (empty/malformed CSV, or every row
+    * past the 24 h filter) writes a manifest entry but no `_date=/_src=`
+    * directory, and handing the phantom path to the reader would throw
+    * `Path does not exist` for any window covering that date. The probe
+    * is O(window) metadata calls, the same planning-time bound as the
+    * manifest read itself. */
+  /** True when any link of the cause chain is a missing-file error —
+    * Spark wraps executor-side FileNotFoundException in SparkException
+    * layers (and Spark 4 has its own SparkFileNotFoundException), so the
+    * walk matches on class lineage and name rather than one type. */
+  private def causedByMissingFile(e: Throwable): Boolean = {
+    var t: Throwable = e
+    while (t != null) {
+      if (t.isInstanceOf[java.io.FileNotFoundException] ||
+        t.getClass.getSimpleName.contains("FileNotFound")) return true
+      t = t.getCause
+    }
+    false
+  }
+
   def readWindow(spark: org.apache.spark.sql.SparkSession, storePath: String,
       startDate: String, stopDate: String): DataFrame = {
-    val dirs = spark.read.parquet(s"$storePath/_manifest")
-      .filter(col("_date") >= lit(startDate).cast("date") &&
-        col("_date") <= lit(stopDate).cast("date"))
-      .select(col("_date").cast("string"), col("_src")).distinct()
-      .collect()
-      .map(r => s"$storePath/_date=${r.getString(0)}/_src=${r.getString(1)}")
+    val fs = new org.apache.hadoop.fs.Path(storePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    /** One manifest resolution. A CONCURRENT compaction can delete a part
+      * file between this reader's listing and its read (the add-before-
+      * delete protocol guarantees the folded superset file is already
+      * present, but not that the reader's stale list stays valid) — the
+      * collect then throws FileNotFound. Retrying re-lists and lands on
+      * the compacted file, so a bounded retry makes the planning read
+      * safe under writer concurrency without any locking. */
+    def resolveDirs(): Array[String] =
+      spark.read.parquet(s"$storePath/_manifest")
+        .filter(col("_date") >= lit(startDate).cast("date") &&
+          col("_date") <= lit(stopDate).cast("date"))
+        .select(col("_date").cast("string"), col("_src")).distinct()
+        .collect()
+        .map(r => s"$storePath/_date=${r.getString(0)}/_src=${r.getString(1)}")
+        .filter(d => fs.exists(new org.apache.hadoop.fs.Path(d)))
+    val dirs = {
+      var attempt = 0
+      var out: Array[String] = null
+      while (out == null) {
+        try out = resolveDirs()
+        catch {
+          case e: Exception if attempt < 3 && causedByMissingFile(e) =>
+            attempt += 1
+        }
+      }
+      out
+    }
     if (dirs.isEmpty)
       spark.read.parquet(storePath).filter(lit(false))
     else

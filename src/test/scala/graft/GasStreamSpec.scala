@@ -36,6 +36,19 @@ class GasStreamSpec extends SparkSpec {
     val q3 = GasStream.pipeline(spark, input.toString, store, ckpt)
     q3.awaitTermination()
     assert(spark.read.parquet(store).count() == 8 * 19 + 6 * 19)
+
+    // the sink appends the partition manifest per micro-batch (round-14
+    // verdict item 2): a STREAM-built store plans window queries through
+    // readWindow exactly like a batch-built one — same rows, no throw on
+    // a missing _manifest path
+    import org.apache.spark.sql.functions.col
+    val win = graft.store.LongStore
+      .readWindow(spark, store, "2016-10-07", "2016-10-08")
+      .select(col("_time"), col("_field"), col("_value")).collect().toSet
+    val full = spark.read.parquet(store)
+      .select(col("_time"), col("_field"), col("_value")).collect().toSet
+    assert(win == full,
+      "manifest-planned read of the stream-built store diverged from full listing")
   }
 
   test("upsert state versioning: replayed batch re-merges against pre-batch state") {

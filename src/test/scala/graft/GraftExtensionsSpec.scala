@@ -29,6 +29,42 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(row.getInt(1) == expected)
   }
 
+  test("kernels follow the HOF on malformed input: length mismatch / null slot -> NULL") {
+    VectorFunctions.register(spark)
+    // the HOF forms the kernels claim identity with
+    def hofDot(a: String, b: String) =
+      s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+    def hofL2(a: String, b: String) =
+      s"aggregate(zip_with($a, $b, (x, y) -> (x - y) * (x - y)), 0D, (acc, x) -> acc + x)"
+
+    // dense equal-length: kernel == HOF, non-null
+    val ok = spark.sql(
+      s"""SELECT graft_dot(array(1D,2D,3D), array(4D,5D,6D)) AS kd,
+         |       ${hofDot("array(1D,2D,3D)", "array(4D,5D,6D)")} AS hd,
+         |       graft_l2(array(1D,2D,3D), array(4D,5D,6D)) AS kl,
+         |       ${hofL2("array(1D,2D,3D)", "array(4D,5D,6D)")} AS hl""".stripMargin)
+      .first()
+    assert(ok.getDouble(0) == ok.getDouble(1) && ok.getDouble(2) == ok.getDouble(3))
+
+    // length mismatch: HOF nulls the fold (zip_with pads with null) — the
+    // kernels must agree, not silently truncate
+    val mis = spark.sql(
+      s"""SELECT graft_dot(array(1D,2D), array(1D)) AS kd,
+         |       ${hofDot("array(1D,2D)", "array(1D)")} AS hd,
+         |       graft_l2(array(1D,2D), array(1D)) AS kl,
+         |       ${hofL2("array(1D,2D)", "array(1D)")} AS hl""".stripMargin).first()
+    assert(mis.isNullAt(0) && mis.isNullAt(1) && mis.isNullAt(2) && mis.isNullAt(3))
+
+    // null slot (containsNull=true input): NULL, not a garbage 0.0 read
+    val slot = spark.sql(
+      s"""SELECT graft_dot(array(1D, CAST(NULL AS DOUBLE)), array(1D,2D)) AS kd,
+         |       ${hofDot("array(1D, CAST(NULL AS DOUBLE))", "array(1D,2D)")} AS hd,
+         |       graft_l2(array(1D, CAST(NULL AS DOUBLE)), array(1D,2D)) AS kl,
+         |       ${hofL2("array(1D, CAST(NULL AS DOUBLE))", "array(1D,2D)")} AS hl"""
+        .stripMargin).first()
+    assert(slot.isNullAt(0) && slot.isNullAt(1) && slot.isNullAt(2) && slot.isNullAt(3))
+  }
+
   test("plane-count arg widens the signature to long and extends the family") {
     VectorFunctions.register(spark)
     val row = spark.sql(
