@@ -183,8 +183,23 @@ case class L2Squared(left: Expression, right: Expression)
   * The type is int for ≤31 planes (the original 16-plane signature shape)
   * and long above — 62 is the cap so `1L << i` never reaches the sign bit,
   * mirroring the DuckDB replay's BIGINT shift limit.
+  *
+  * Round-15 extensions (both default to the historical behavior):
+  *  - `offset` shifts into the SAME infinite plane family — plane row i of
+  *    `graft_hsig(e, p, off)` is plane row i+off of `graft_hsig(e, p+off)`
+  *    — so W independent 62-bit signature words are `offset = w·62`,
+  *    w = 0..W−1. More words = finer Hamming granularity: a 64-bit
+  *    signature has only 65 distinct distances, and ranking top-C1 of a
+  *    64k corpus across ~3-bit-wide tie bands is noise (the r15 cascade
+  *    finding — recall 0.27 at 64k where the 25-row sf0.01 panel read
+  *    0.88).
+  *  - `span` bounds how many leading dims the projection reads; the
+  *    historical cap (and default) is 64, `0` = FULL width — the
+  *    width-robust form for d > 64 corpora where a 64-dim prefix sees 4%
+  *    of the signal.
   */
-case class HyperplaneSig(child: Expression, planes: Int = 16)
+case class HyperplaneSig(child: Expression, planes: Int = 16,
+    offset: Int = 0, span: Int = 64)
     extends UnaryExpression {
 
   override def dataType: DataType =
@@ -194,6 +209,9 @@ case class HyperplaneSig(child: Expression, planes: Int = 16)
     case _ if planes < 1 || planes > 62 => TypeCheckResult.TypeCheckFailure(
       "graft_hsig plane count must be a foldable integer literal in 1..62" +
         (if (planes >= 0) s", got $planes" else ""))
+    case _ if offset < 0 || span < 0 => TypeCheckResult.TypeCheckFailure(
+      "graft_hsig offset/span must be foldable integer literals >= 0" +
+        s", got ($offset, $span)")
     case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
       s"graft_hsig expects array<double>, got ${other.simpleString}")
@@ -201,14 +219,16 @@ case class HyperplaneSig(child: Expression, planes: Int = 16)
 
   override def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
-    val n = math.min(64, v.numElements())
+    val n = if (span == 0) v.numElements()
+      else math.min(span, v.numElements())
     var sig = 0L
     var i = 0
     while (i < planes) {
       var acc = 0.0
       var j = 0
       while (j < n) {
-        acc += v.getDouble(j) * ((73856093L * (i + 1) * (j + 7)) % 2001L - 1000L)
+        acc += v.getDouble(j) *
+          ((73856093L * (i + 1 + offset) * (j + 7)) % 2001L - 1000L)
         j += 1
       }
       if (acc >= 0) sig |= (1L << i)
@@ -225,14 +245,17 @@ case class HyperplaneSig(child: Expression, planes: Int = 16)
       val acc = ctx.freshName("acc")
       val sig = ctx.freshName("sig")
       val out = if (planes <= 31) s"(int) $sig" else sig
+      val bound =
+        if (span == 0) s"$a.numElements()"
+        else s"java.lang.Math.min($span, $a.numElements())"
       s"""
-         |int $n = java.lang.Math.min(64, $a.numElements());
+         |int $n = $bound;
          |long $sig = 0L;
          |for (int $i = 0; $i < $planes; $i++) {
          |  double $acc = 0.0;
          |  for (int $j = 0; $j < $n; $j++) {
          |    $acc += $a.getDouble($j) *
-         |      (double)((73856093L * ($i + 1) * ($j + 7)) % 2001L - 1000L);
+         |      (double)((73856093L * ($i + 1 + $offset) * ($j + 7)) % 2001L - 1000L);
          |  }
          |  if ($acc >= 0) $sig |= (1L << $i);
          |}
@@ -343,26 +366,16 @@ object VectorFunctions {
   private[functions] val injectable = Seq[(String, Seq[Expression] => Expression)](
     "graft_dot" -> (exprs => DotProduct(exprs(0), exprs(1))),
     "graft_l2" -> (exprs => L2Squared(exprs(0), exprs(1))),
-    // optional 2nd arg = plane count. Guarded: only a foldable integral
-    // expression is eval()'d (there is no input row at build time) — a
-    // non-foldable or non-integral arg maps to planes = -1, which
-    // HyperplaneSig.checkInputDataTypes turns into a clean analysis-time
-    // TypeCheckFailure instead of a ClassCastException/NPE here.
-    "graft_hsig" -> (exprs => HyperplaneSig(exprs(0), exprs.lift(1) match {
-      case None => 16
-      case Some(e) if e.foldable && (e.dataType match {
-            case org.apache.spark.sql.types.ByteType |
-                 org.apache.spark.sql.types.ShortType |
-                 org.apache.spark.sql.types.IntegerType |
-                 org.apache.spark.sql.types.LongType => true
-            case _ => false
-          }) =>
-        e.eval() match {
-          case n: Number => n.intValue
-          case _ => -1 // foldable NULL literal
-        }
-      case Some(_) => -1
-    })),
+    // optional args: plane count, plane-family offset, dim span (0 = full
+    // width). Guarded: only a foldable integral expression is eval()'d
+    // (there is no input row at build time) — a non-foldable or
+    // non-integral arg maps to -1, which HyperplaneSig.checkInputDataTypes
+    // turns into a clean analysis-time TypeCheckFailure instead of a
+    // ClassCastException/NPE here.
+    "graft_hsig" -> (exprs => HyperplaneSig(exprs(0),
+      if (exprs.length > 1) foldableInt(exprs.lift(1)) else 16,
+      if (exprs.length > 2) foldableInt(exprs.lift(2)) else 0,
+      if (exprs.length > 3) foldableInt(exprs.lift(3)) else 64)),
     "graft_simhash" -> (exprs => SimHashExpr(exprs(0))),
     // (xor, width, bands, maxHam) — the three params follow graft_hsig's
     // foldable-literal guard: a non-foldable arg maps to -1, which

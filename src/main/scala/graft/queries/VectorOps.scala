@@ -23,7 +23,7 @@ import graft.sources.Tables
   */
 object VectorOps {
 
-  private def emb(s: SparkSession, dir: String): DataFrame =
+  private[graft] def emb(s: SparkSession, dir: String): DataFrame =
     Tables.table(s, dir, "embeddings")
       .withColumn("emb", col("embedding").cast("array<double>"))
       .withColumn("norm", expr("sqrt(aggregate(emb, 0D, (acc, x) -> acc + x * x))"))
@@ -72,7 +72,7 @@ object VectorOps {
     * blanket raise. The child session (q40's staging discipline) keeps
     * the setting invisible to every other query, including concurrent
     * ones (ConcurrencySpec). */
-  private def withHashAggBudget(f: Q): Q = (s, dir) => {
+  private[graft] def withHashAggBudget(f: Q): Q = (s, dir) => {
     val s2 = s.newSession()
     s2.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
       "65536")
@@ -1805,25 +1805,26 @@ object VectorOps {
         .orderBy(col("q_id"))
     }),
 
-    // WIDTH-ROBUST CASCADE (round-13 verdict item 3): v32's three-stage
-    // serving shape with every full-width CORPUS pass removed. The
-    // d=1536-at-volume rung showed v32 at 6.39× its d=64 cost because two
-    // of its stages touch all n×d coordinates: the SQ8 quantizer's
-    // per-dim min/max (a posexplode SHUFFLE of n·d rows) and the in-query
-    // brute-force ground truth (n·q·d multiplies — a diagnostic, not a
-    // serving cost). Here: stage 1 is the unchanged 64-bit sign Hamming
-    // over the FIRST 64 dims (width-independent by construction); stage 2
-    // scores survivors by PQ ADC against a codebook trained on a
-    // deterministic 1/8 SAMPLE (m=16 subspaces of d/16 dims —
-    // width-ADAPTIVE, vs v12's fixed 4-dim slices that silently quantize
-    // only the first 64 dims of a wide vector), so the only full-width
-    // passes left are the sample-sized training aggregate and the
-    // survivor-sized (q×100) encode/rerank frames. The production recall
-    // ledger lives in v44 (separate diagnostic, v19/v24 discipline) so
-    // the serving query's cost is the serving cost. Scale shape: codebook
-    // = one-row broadcast (m×16×(d/16) doubles); encode + ADC are
-    // map-side expressions over broadcast frames; shuffles are the
-    // training aggregates and the per-query top-C partial aggregate.
+    // SCALE-ROBUST CASCADE (r13 item 3 built it width-robust; r15
+    // rebuilt it RECALL-robust after honest measurement — see
+    // [[cascadePq]]'s scaladoc for the record correction). Three-stage
+    // serving shape: stage 1 ranks the corpus by 496-bit Hamming over 8
+    // independent 62-plane full-width hyperplane words (graft_hsig with
+    // plane-family offsets — bits fix the top-C1 tie-band noise a 64-bit
+    // signature drowns in at 64k, full width fixes the 4%-of-signal
+    // blindness at d=1536) keeping a SIZE-DERIVED C1 = clamp(100, n/100,
+    // 2048); stage 2 scores survivors by PQ ADC against a codebook
+    // trained on a deterministic 1/4 sample with 2 Lloyd steps (m=16
+    // subspaces of d/16 dims — width-adaptive) keeping C2 = max(30,
+    // C1/4); stage 3 exact-reranks to top-5. The only corpus-wide pass
+    // is the signature build — O(n·d·62W) index work a real store
+    // amortizes at rest; training reads the sample, encode/rerank read
+    // survivor frames (q×C1 rows). The production recall ledger lives in
+    // v44 (separate diagnostic, v19/v24 discipline) so the serving
+    // query's cost is the serving cost. Scale shape: codebook = one-row
+    // broadcast (m×16×(d/16) doubles); encode + ADC are map-side
+    // expressions over broadcast frames; shuffles are the training
+    // aggregates and the per-query top-C1 partial aggregate.
     "v43_cascade_pq" -> withHashAggBudget((s, dir) => {
       graft.functions.VectorFunctions.register(s)
       val (_, _, casc, _) = cascadePq(emb(s, dir))
@@ -1834,9 +1835,11 @@ object VectorOps {
     // v43's cost/quality ledger — recall@5 of the PQ cascade against the
     // exact ground truth, next to each stage's scored-candidate count
     // (v32's ledger shape; kept OUT of v43 so the brute-force audit never
-    // bills the serving path). Measured at the gate corpus: see PLANS.md
-    // round 14 (reported next to v32's recall, as the cascade's PQ middle
-    // stage replaces SQ8).
+    // bills the serving path). CAUTION the r15 record correction taught:
+    // this gate-corpus number rides a 25-row panel (n=640 → 5 queries) —
+    // it pins CORRECTNESS of the recall arithmetic, not retrieval
+    // quality; quality claims come from CascadeTune's 3,200-row panels
+    // at 64k (SWEEP15).
     "v44_cascade_pq_recall" -> withHashAggBudget((s, dir) => {
       graft.functions.VectorFunctions.register(s)
       val e = emb(s, dir)
@@ -1858,74 +1861,121 @@ object VectorOps {
 
   /** The width-robust PQ cascade shared by v43 (serving) and v44
     * (recall ledger): sign-bit Hamming top-100 → sample-trained
-    * width-adaptive PQ ADC top-30 → exact rerank top-5 (stage-2 keeps
-    * 2× v32's 15: the sampled 16-centroid codebook ranks noisier than
-    * SQ8, and the wider rerank frame costs q×30 exact dots — the cheap
-    * dial that buys the recall back). Returns
+    * width-adaptive PQ ADC top-`c2` → exact rerank top-5. Returns
     * (st1 survivors, st2 survivors, reranked top-5 with rnk/sim, qs).
     * Eager checkpoints on each survivor frame: every one feeds two
     * consumers (next stage + its cost count in v44) — the multi-consumer
-    * rule; all are ≤ q×100 rows. */
-  private def cascadePq(e: DataFrame): (DataFrame, DataFrame, DataFrame, DataFrame) = {
-    val packLo =
-      "aggregate(transform(slice(emb, 1, 32), (x, i) -> " +
-        "IF(x > 0D, shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT))), " +
-        "CAST(0 AS BIGINT), (acc, b) -> acc + b)"
-    val packHi =
-      "aggregate(transform(slice(emb, 33, 32), (x, i) -> " +
-        "IF(x > 0D, shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT))), " +
-        "CAST(0 AS BIGINT), (acc, b) -> acc + b)"
-    val coded = e.select(col("vec_id"), col("emb"), col("norm"),
-      expr(packLo).as("lo"), expr(packHi).as("hi"))
-    val qs = coded.filter(expr("vec_id % 100 = 0"))
-      .select(col("vec_id").as("q_id"), col("emb").as("qe"),
-        col("norm").as("qn"), col("lo").as("qlo"), col("hi").as("qhi"))
-    val topC = udaf(new graft.functions.TopKAggregator(100))
-    val st1 = fanout(coded.select(col("vec_id"), col("lo"), col("hi")))
-      .crossJoin(broadcast(qs.select(col("q_id"), col("qlo"), col("qhi"))))
+    * rule; all are ≤ q×100 rows.
+    *
+    * ROUND-15 RECALL RECORD CORRECTION + FIX. The r14 ledger read
+    * recall@5 = 0.88 — measured on the sf0.01 CORRECTNESS corpus, a
+    * 25-row panel (5 queries) at n=640. Honest measurement (CascadeTune,
+    * 3,200-row panels) put the r14 config at **0.27** on a 64k d=64
+    * corpus and **0.18** at 64k d=1536: the 64-bit sign signature has a
+    * 65-value Hamming scale (top-C1 of 64k selects inside ~3-bit tie
+    * bands — noise) and reads only the first 64 dims (4% of the signal
+    * at d=1536). The fix, swept dial-by-dial in SWEEP15:
+    *  - stage-1 signature = `words` independent 62-plane FULL-WIDTH
+    *    hyperplane words (bits fix the tie-band noise, full width fixes
+    *    the d-axis): 0.27 → 0.49 at C1=100 from bits alone;
+    *  - C1/C2 SIZE-DERIVED (pass 0): C1 = clamp(100, n/100, 2048),
+    *    C2 = max(30, C1/4) — a FIXED keep from a growing corpus is the
+    *    n-axis recall killer (the GLADDER density-scaled-banding lesson,
+    *    on the ranking path); at the sf0.01 gate the derivation yields
+    *    exactly the r14 (100, 30), which the DuckDB oracle replays;
+    *  - PQ trains on a 1/4 sample with 2 Lloyd steps (k stays 16: the
+    *    swept k=64 codebook paid ~4× encode argmin cost for <0.02
+    *    recall — the 4-bit-code fidelity boundary is C2's job).
+    * Measured end state (64k corpora, 3,200-row panels): 0.81 at d=64,
+    * see SWEEP15 for d=1536 — vs 0.27/0.18 shipped in r14. Training
+    * reads n/stride vectors; the only corpus-wide pass is the O(n·d·62W)
+    * signature build — index work, amortized at serve in a real store. */
+  private[graft] def cascadePq(e: DataFrame, k: Int = 16, stride: Int = 4,
+      steps: Int = 2, c1: Int = 0, c2: Int = 0,
+      words: Int = 8): (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    // size-derived keeps (metadata-only count: parquet row count)
+    val c1v = if (c1 > 0) c1
+      else math.max(100L, math.min(2048L, e.count() / 100L)).toInt
+    val c2v = if (c2 > 0) c2 else math.max(30, c1v / 4)
+    // stage-1 signature: `words` independent 62-plane FULL-WIDTH
+    // hyperplane words (graft_hsig offset = w·62, span 0). Two r15
+    // findings drive this over the r14 sign-bit packing: (a) 64 sign
+    // bits give a 65-value Hamming scale, so ranking top-C1 of a 64k
+    // corpus happens inside ~3-bit tie bands — measured recall 0.27
+    // where the 25-row sf0.01 panel had read 0.88; (b) the sign bits
+    // read only the first 64 dims — 4% of the signal at d=1536. W
+    // full-width words cost one O(n·d·62W) index pass (codegen'd tight
+    // loop, amortized at serve time in a real index) and fix both axes.
+    val sigCols = (0 until words).map(w =>
+      expr(s"graft_hsig(emb, 62, ${w * 62}, 0)").as(s"sig$w"))
+    val coded = e.select(Seq(col("vec_id"), col("emb"), col("norm")) ++
+      sigCols: _*)
+    val sigNames = (0 until words).map(w => s"sig$w")
+    val qs = coded.select(col("vec_id").as("q_id"), col("emb").as("qe"),
+        col("norm").as("qn"),
+        struct(sigNames.map(col): _*).as("qsig"))
+      .filter(expr("q_id % 100 = 0"))
+    val ham = sigNames.map(n => s"bit_count($n ^ qsig.$n)").mkString(" + ")
+    val nbits = 62 * words
+    val topC = udaf(new graft.functions.TopKAggregator(c1v))
+    val st1 = fanout(coded.select(col("vec_id") +: sigNames.map(col): _*))
+      .crossJoin(broadcast(qs.select(col("q_id"), col("qsig"))))
       .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("hsim", (lit(64) -
-        expr("bit_count(lo ^ qlo) + bit_count(hi ^ qhi)")).cast("double")
-        / lit(64.0))
+      .withColumn("hsim",
+        (lit(nbits) - expr(ham)).cast("double") / lit(nbits.toDouble))
       .groupBy(col("q_id"))
       .agg(topC(col("vec_id"), col("hsim")).as("top"))
       .select(col("q_id"),
         explode(expr("transform(top, s -> s.c_id)")).as("c_id"))
       .localCheckpoint(true)
-    // PQ codebook, v12's train recipe on the 1/8 sample: seeds = the 16
-    // lowest sampled ids (0, 8, …, 120), ONE Lloyd step over sample
-    // subvectors, rounded means; sub-width is d/16, derived from the data
+    // PQ codebook, v12's train recipe widened by the dials: seeds = the k
+    // lowest sampled ids (0, stride, …, (k−1)·stride), `steps` Lloyd
+    // refinements over sample subvectors, rounded means; sub-width is
+    // d/16, derived from the data
     val sw = "(size(emb) div 16)"
     // codegen'd kernel, fold-order-identical to the HOF chain (L2Squared)
     def l2(a: String, b: String) = s"round(graft_l2($a, $b), 6)"
-    val subs = e.filter(expr("vec_id % 8 = 0"))
+    // sample feeds every Lloyd step — the multi-consumer rule
+    val subs = e.filter(expr(s"vec_id % $stride = 0"))
       .select(col("vec_id"), posexplode(expr(
         s"transform(sequence(0, 15), s -> slice(emb, s * $sw + 1, $sw))"))
         .as(Seq("sub", "sv")))
-    // cid = vec_id/8 ∈ 0..15, CONTIGUOUS (vs v12's raw vec_id): the
+      .localCheckpoint(true)
+    // cid = vec_id/stride ∈ 0..k−1, CONTIGUOUS (vs v12's raw vec_id): the
     // encode below can then fetch the argmin centroid by POSITION
     // (cid+1) instead of sorting structs that carry the (d/16)-dim
     // centroid arrays — at d=1536 that struct traffic was the encode's
     // dominant cost. Order-preserving bijection, so tie-breaks match.
-    val seeds = subs.filter(col("vec_id") < 128)
-      .select(expr("cast(vec_id div 8 as int)").as("cid"), col("sub"),
+    val seeds = subs.filter(col("vec_id") < k.toLong * stride)
+      .select(expr(s"cast(vec_id div $stride as int)").as("cid"), col("sub"),
         col("sv").as("cv"))
-    val assigned = subs.join(broadcast(seeds), Seq("sub"))
-      .withColumn("dist", expr(l2("sv", "cv")))
-      .groupBy(col("vec_id"), col("sub"))
-      .agg(min(struct(col("dist"), col("cid"))).as("best"),
-        first(col("sv")).as("sv"))
-      .select(col("sub"), col("best.cid").as("cid"),
-        posexplode(col("sv")).as(Seq("pos", "x")))
-    val refined = assigned
-      .groupBy(col("sub"), col("cid"), col("pos"))
-      .agg(round(avg(col("x")), 6).as("mu"))
-      .groupBy(col("sub"), col("cid"))
-      .agg(expr("transform(array_sort(collect_list(struct(pos, mu))), t -> t.mu)")
-        .as("cv"))
-    val cbRow = seeds.select(col("sub"), col("cid"), col("cv").as("cv0"))
-      .join(refined, Seq("sub", "cid"), "left_outer")
-      .select(col("sub"), col("cid"), coalesce(col("cv"), col("cv0")).as("cv"))
+    /** One Lloyd refinement: assign every sample subvector to its nearest
+      * centroid (min-struct, tie on cid — the oracle's ROW_NUMBER order),
+      * replace each centroid with the 6-dp dim-wise mean of its members;
+      * cells that lost every member keep their previous centroid. The
+      * frame is k×16 rows — checkpointed per step so `steps` rounds chain
+      * without nesting plans. */
+    def lloyd(cents: DataFrame): DataFrame = {
+      val assigned = subs.join(broadcast(cents), Seq("sub"))
+        .withColumn("dist", expr(l2("sv", "cv")))
+        .groupBy(col("vec_id"), col("sub"))
+        .agg(min(struct(col("dist"), col("cid"))).as("best"),
+          first(col("sv")).as("sv"))
+        .select(col("sub"), col("best.cid").as("cid"),
+          posexplode(col("sv")).as(Seq("pos", "x")))
+      val means = assigned
+        .groupBy(col("sub"), col("cid"), col("pos"))
+        .agg(round(avg(col("x")), 6).as("mu"))
+        .groupBy(col("sub"), col("cid"))
+        .agg(expr("transform(array_sort(collect_list(struct(pos, mu))), t -> t.mu)")
+          .as("cvNew"))
+      cents.join(means, Seq("sub", "cid"), "left_outer")
+        .select(col("sub"), col("cid"),
+          coalesce(col("cvNew"), col("cv")).as("cv"))
+        .localCheckpoint(true)
+    }
+    val cents = (1 to steps).foldLeft(seeds) { (c, _) => lloyd(c) }
+    val cbRow = cents
       .groupBy(col("sub"))
       .agg(expr("transform(array_sort(collect_list(struct(cid, cv))), t -> struct(t.cid as cid, t.cv as cv))")
         .as("cents"))
@@ -1957,7 +2007,7 @@ object VectorOps {
       .withColumn("asim",
         round(expr("graft_dot(qe, dq)") / (col("qn") * col("dqn")), 6))
       .withColumn("r", row_number().over(w2))
-      .filter(col("r") <= 30)
+      .filter(col("r") <= c2v)
       .select(col("q_id"), col("c_id"))
       .localCheckpoint(true)
     val w3 = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id"))
@@ -4032,36 +4082,45 @@ object VectorOps {
         |    / CAST((SELECT COUNT(*) FROM ex) AS DOUBLE), 6) AS recall_at_5""".stripMargin)
   )
 
-  /** Shared CTE prefix of the v43/v44 oracles: Hamming stage 1 (v32's
-    * bits/codes replay, top-100), PQ codebook trained on the vec_id%8=0
-    * sample with seeds < 128 (v12's recipe), survivor encode + ADC
-    * (top-30), exact rerank into `casc` (top-5 with rnk/sim). Sub-width
-    * hardcoded 4 = 64/16 — the gate corpus width; the Spark side derives
-    * it as size(emb) div 16, identical at the gate. */
-  private def cascadePqSqlStages: String =
-    """WITH e AS (
+  /** Shared CTE prefix of the v43/v44 oracles, replaying the ROUND-15
+    * cascade: stage 1 = 8 independent 62-plane FULL-WIDTH hyperplane
+    * words (graft_hsig replay, plane row i of word w = family row
+    * i + 62·w; 496-bit Hamming, top-100), PQ codebook trained on the
+    * vec_id%4=0 sample with seeds < 64 (k=16 × stride 4) and TWO Lloyd
+    * steps, survivor encode + ADC (top-30), exact rerank into `casc`
+    * (top-5 with rnk/sim). Keeps 100/30 are the SIZE-DERIVED values at
+    * the sf0.01 gate (n=640 → clamp floor); sub-width hardcoded
+    * 4 = 64/16 — the gate corpus width; the Spark side derives both
+    * from the data, identical at the gate. */
+  private def cascadePqSqlStages: String = {
+    val words = 8
+    val sigWord = (w: Int) =>
+      s"""CAST(list_sum(list_transform(range(0, 62), i ->
+         |      CASE WHEN list_sum(list_transform(range(0, CAST(len(emb) AS BIGINT)), j ->
+         |        emb[CAST(j + 1 AS INT)] *
+         |        ((73856093::BIGINT * (i + 1 + ${62 * w}) * (j + 7)) % 2001 - 1000)))
+         |      >= 0 THEN (1::BIGINT << CAST(i AS INT)) ELSE 0 END)) AS BIGINT) AS sig$w""".stripMargin
+    val sigCols = (0 until words).map(sigWord).mkString(",\n    ")
+    // DuckDB bit_count returns TINYINT — summing 8 words overflows at 127
+    // without the widening cast
+    val hamSum = (0 until words)
+      .map(w => s"CAST(bit_count(xor(c.sig$w, q.qsig$w)) AS INT)")
+      .mkString(" + ")
+    val qSigs = (0 until words).map(w => s"c.sig$w AS qsig$w").mkString(", ")
+    s"""WITH e AS (
       |  SELECT vec_id, embedding::DOUBLE[] AS emb,
       |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
       |  FROM embeddings),
-      |bits AS (
-      |  SELECT vec_id, unnest(embedding::DOUBLE[]) AS x,
-      |    generate_subscripts(embedding, 1) AS i
-      |  FROM embeddings),
       |codes AS (
       |  SELECT vec_id,
-      |    SUM(CASE WHEN x > 0 AND i <= 32
-      |        THEN (1::BIGINT << CAST(i - 1 AS INT)) ELSE 0 END)::BIGINT AS lo,
-      |    SUM(CASE WHEN x > 0 AND i > 32
-      |        THEN (1::BIGINT << CAST(i - 33 AS INT)) ELSE 0 END)::BIGINT AS hi
-      |  FROM bits GROUP BY vec_id),
-      |q AS (SELECT c.vec_id AS q_id, e.emb AS qe, e.norm AS qn,
-      |        c.lo AS qlo, c.hi AS qhi
+      |    $sigCols
+      |  FROM e),
+      |q AS (SELECT c.vec_id AS q_id, e.emb AS qe, e.norm AS qn, $qSigs
       |      FROM codes c JOIN e ON e.vec_id = c.vec_id
       |      WHERE c.vec_id % 100 = 0),
       |cand1 AS (
       |  SELECT q_id, c.vec_id AS c_id,
-      |    (64 - (bit_count(xor(c.lo, qlo)) + bit_count(xor(c.hi, qhi))))
-      |      / 64.0 AS hsim
+      |    (${62 * words} - ($hamSum)) / ${62 * words}.0 AS hsim
       |  FROM codes c, q WHERE c.vec_id <> q_id),
       |st1 AS (
       |  SELECT q_id, c_id FROM (
@@ -4072,9 +4131,9 @@ object VectorOps {
       |  SELECT vec_id, s.sub,
       |    e.emb[CAST(s.sub * 4 + 1 AS INT) : CAST(s.sub * 4 + 4 AS INT)] AS sv
       |  FROM e, (SELECT unnest(range(0, 16)) AS sub) s
-      |  WHERE vec_id % 8 = 0),
-      |seeds AS (SELECT CAST(vec_id // 8 AS INT) AS cid, sub, sv AS cv
-      |          FROM subs WHERE vec_id < 128),
+      |  WHERE vec_id % 4 = 0),
+      |seeds AS (SELECT CAST(vec_id // 4 AS INT) AS cid, sub, sv AS cv
+      |          FROM subs WHERE vec_id < 64),
       |d0 AS (
       |  SELECT v.vec_id, v.sub, c.cid, v.sv,
       |    round(list_sum(list_transform(range(1, 5), i ->
@@ -4092,9 +4151,29 @@ object VectorOps {
       |  GROUP BY sub, cid, pos),
       |rfc AS (SELECT sub, cid, list(mu ORDER BY pos) AS cv FROM rf
       |        GROUP BY sub, cid),
-      |cb AS (
+      |cb1 AS (
       |  SELECT s.sub, s.cid, COALESCE(r.cv, s.cv) AS cv
       |  FROM seeds s LEFT JOIN rfc r ON r.sub = s.sub AND r.cid = s.cid),
+      |d0b AS (
+      |  SELECT v.vec_id, v.sub, c.cid, v.sv,
+      |    round(list_sum(list_transform(range(1, 5), i ->
+      |      (v.sv[CAST(i AS INT)] - c.cv[CAST(i AS INT)])
+      |      * (v.sv[CAST(i AS INT)] - c.cv[CAST(i AS INT)]))), 6) AS dist
+      |  FROM subs v JOIN cb1 c USING (sub)),
+      |a0b AS (
+      |  SELECT vec_id, sub, cid, sv FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+      |      ORDER BY dist, cid) AS rn FROM d0b) WHERE rn = 1),
+      |rfb AS (
+      |  SELECT sub, cid, pos, round(AVG(x), 6) AS mu FROM (
+      |    SELECT sub, cid, unnest(sv) AS x, generate_subscripts(sv, 1) AS pos
+      |    FROM a0b)
+      |  GROUP BY sub, cid, pos),
+      |rfcb AS (SELECT sub, cid, list(mu ORDER BY pos) AS cv FROM rfb
+      |         GROUP BY sub, cid),
+      |cb AS (
+      |  SELECT s.sub, s.cid, COALESCE(r.cv, s.cv) AS cv
+      |  FROM cb1 s LEFT JOIN rfcb r ON r.sub = s.sub AND r.cid = s.cid),
       |svid AS (SELECT DISTINCT c_id FROM st1),
       |ssub AS (
       |  SELECT c_id, s.sub,
@@ -4133,6 +4212,7 @@ object VectorOps {
       |    SELECT q_id, c_id, sim, ROW_NUMBER() OVER (PARTITION BY q_id
       |      ORDER BY sim DESC, c_id) AS rnk FROM rr)
       |  WHERE rnk <= 5)""".stripMargin
+  }
 
   /** v30's replay: v21's LSH edge prefix, then 6 unrolled peel rounds
     * (degree filter + two-sided survivor restriction per round). */
