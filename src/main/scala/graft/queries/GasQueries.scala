@@ -52,15 +52,21 @@ object GasQueries {
         col("mean_value"), col("min_value"), col("max_value"), col("n_points"))
 
   /** The flagship end-to-end slice (SURVEY.md §7.2 step 1):
-    * mean of one field per bucket for one day. */
+    * mean of one field per bucket for one day.
+    *
+    * Routed through [[timeRange]] so the day filter carries the DERIVED
+    * `_date` partition predicate, not just the `_time` one — the r15
+    * IngestStress rung caught the original `_time`-only form scanning
+    * EVERY day partition (at 4,096 days the flagship slice read the
+    * whole calendar; under concurrent tail-day ingest the unpruned scan
+    * also raced the overwrite into FileNotFound). Identical rows by the
+    * store invariant `_time ∈ [_date, _date + 24 h]`. */
   def fieldDayMean(long: DataFrame, field: String, dayIso: String,
       every: String = "1 minute"): DataFrame = {
-    val dayStart = s"$dayIso 00:00:00"
-    val nextDay = date_add(lit(dayIso).cast("date"), 1).cast("timestamp")
+    val nextDay = java.time.LocalDate.parse(dayIso).plusDays(1)
     aggregateWindow(
-      fieldFilter(long, field)
-        .filter(col("_time") >= lit(dayStart).cast("timestamp") &&
-          col("_time") < nextDay),
+      fieldFilter(
+        timeRange(long, s"$dayIso 00:00:00", s"$nextDay 00:00:00"), field),
       every)
   }
 }
