@@ -1669,14 +1669,20 @@ object Relational {
     // distinct — so the only volume the engine touches beyond two
     // column-pruned scans is the OUTPUT itself (inherently large here:
     // every probe matches its name's whole duplicate class). The fan-back
-    // join carries NO broadcast hint on purpose: namePairs is tiny when
-    // names repeat (this corpus) but approaches ROW COUNT in the
-    // near-unique-key regime, where a forced broadcast would OOM the
-    // driver — AQE picks broadcast at runtime exactly when the built
-    // frame is actually small, so the plan smoothly becomes the plain
-    // deletion-neighborhood shuffle join at near-unique keys — still
-    // output-shaped, never block-quadratic; the levenshtein count
-    // is bounded by DISTINCT-pair candidates in both regimes. The oracle
+    // broadcast is ADAPTIVE, not forced (r15, closing the r14 ADVICE
+    // item): namePairs is tiny when names repeat (this corpus) but
+    // approaches ROW COUNT in the near-unique-key regime, where an
+    // unconditional broadcast() would OOM the driver. namePairs is
+    // eagerly checkpointed (one materialization serves the size probe
+    // AND the join build) and the broadcast hint applied only when its
+    // EXACT materialized row count fits comfortably (≤ 2M pairs of short
+    // strings); past that the plan is the plain deletion-neighborhood
+    // shuffle join — still output-shaped, never block-quadratic. The
+    // driver-side count replaces trusting AQE's estimate of a
+    // twice-joined, exploded, filtered subplan — the one frame in this
+    // query whose size estimate is structurally unreliable in both
+    // directions. The levenshtein count is bounded
+    // by DISTINCT-pair candidates in both regimes. The oracle
     // computes the UNBLOCKED cross-join answer, so a completeness hole in
     // the blocking (or a lost/duplicated multiplicity in the fan-back)
     // flips the hash red.
@@ -1704,7 +1710,10 @@ object Relational {
         .withColumn("dist",
           levenshtein(col("q_name"), col("p_name"), 1).cast("long"))
         .filter(col("dist") >= 0)
-      probes.join(namePairs, Seq("q_name"))
+        .localCheckpoint(true)
+      val fanBack =
+        if (namePairs.count() <= 2000000L) broadcast(namePairs) else namePairs
+      probes.join(fanBack, Seq("q_name"))
         .join(parts, Seq("p_name"))
         .select(col("q_id"), col("q_name"), col("p_partkey"), col("p_name"),
           col("dist"))
