@@ -93,6 +93,10 @@ object Bench {
     val spillMemBytes = collection.mutable.Map.empty[String, Long]
     def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
         pass: String): Unit = {
+      // per-family shuffle regime (round-15 verdict item 6): relational/
+      // time-series at fixed-cpus, vector/text/multimodal size-derived —
+      // the SWEEP15 q38 regime band closed at the family split
+      graft.util.StressSession.applyRegime(spark, name, sfDir, cpus.toInt)
       val d0 = spillDisk.get()
       val m0 = spillMem.get()
       val t0 = System.nanoTime()
@@ -185,6 +189,86 @@ object Bench {
     val noisy = results.collect {
       case (k, _, true) if fastPairDisagrees(allTimes(k)) => k
     }
+    // ISOLATED RECHECK (round-15 verdict item 8): tx41 read 4.09 s for two
+    // rounds because ~300 queries of JVM/code-cache context inflated it —
+    // a fresh-JVM bisect found 1.7 s, and the misattribution cost a
+    // verdict item. Any recorded time ≥2× its previous-round value (prior
+    // = BENCH_FULL.json, or SPARK_GRAFT_BENCH_PRIOR) now re-measures in a
+    // FRESH single-query JVM before the artifact is written, so the
+    // artifact itself separates "bench context" from "the code". Bounded:
+    // ≤6 rechecks, full-board runs only, recheck disabled in the child.
+    def isolatedTime(name: String): Double = {
+      try {
+        val sep = java.io.File.pathSeparator
+        val rawCp = System.getProperty("java.class.path", "")
+        val cp =
+          if (rawCp.toLowerCase.contains("spark")) rawCp
+          else s"/opt/spark/jars/*${sep}target/scala-2.13/classes"
+        val opens = Seq("java.lang", "java.lang.invoke", "java.lang.reflect",
+          "java.io", "java.net", "java.nio", "java.util",
+          "java.util.concurrent", "java.util.concurrent.atomic",
+          "sun.nio.ch", "sun.nio.cs", "sun.security.action",
+          "sun.util.calendar").map(p => s"--add-opens=java.base/$p=ALL-UNNAMED")
+        val outFile = java.nio.file.Files.createTempFile("bench_recheck", ".json")
+        val javaBin = new java.io.File(new java.io.File(
+          System.getProperty("java.home"), "bin"), "java").getPath
+        val cmd = Seq(javaBin) ++ opens ++ Seq(
+          "-Djdk.reflect.useDirectMethodHandleAccessor=false", "-Xmx16g",
+          "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
+          "-cp", cp, "graft.Bench", "--repeat", "1", name)
+        val pb = new ProcessBuilder(cmd: _*)
+        pb.environment().put("SPARK_GRAFT_SF_DIR", sfDir)
+        pb.environment().put("SPARK_GRAFT_CPUS", cpus)
+        pb.environment().put("SPARK_GRAFT_RECHECK", "0")
+        pb.environment().put("SPARK_GRAFT_BENCH_OUT", outFile.toString)
+        pb.redirectOutput(ProcessBuilder.Redirect.DISCARD)
+        pb.redirectError(ProcessBuilder.Redirect.DISCARD)
+        val proc = pb.start()
+        val finished = proc.waitFor(900, java.util.concurrent.TimeUnit.SECONDS)
+        if (!finished) { proc.destroyForcibly(); return -1.0 }
+        val node = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(outFile.toFile)
+        java.nio.file.Files.deleteIfExists(outFile)
+        val qs = if (node == null) null else node.get("queries")
+        val v = if (qs == null) null else qs.get(name)
+        if (v == null) -1.0 else v.asDouble(-1.0)
+      } catch { case _: Exception => -1.0 }
+    }
+    val recheck =
+      scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double, Double)]
+    if (positional.isEmpty &&
+      sys.env.getOrElse("SPARK_GRAFT_RECHECK", "1") != "0") {
+      val priorPath =
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_PRIOR", "BENCH_FULL.json")
+      val prior: Map[String, Double] =
+        try {
+          val node = new com.fasterxml.jackson.databind.ObjectMapper()
+            .readTree(new java.io.File(priorPath))
+          val qs = node.get("queries")
+          if (qs == null) Map.empty
+          else scala.jdk.CollectionConverters.IteratorHasAsScala(qs.fieldNames())
+            .asScala.map(k => k -> qs.get(k).asDouble(-1.0)).toMap
+        } catch { case _: Exception => Map.empty[String, Double] }
+      // the 0.3 s floor keeps sub-second jitter out of the flag set —
+      // the bench-context effect this hunts is a multi-second signal
+      val flagged = results.collect {
+        case (k, v, true)
+          if prior.getOrElse(k, -1.0) >= 0.3 && v >= 2.0 * prior(k) =>
+          (k, v, prior(k))
+      }.take(6)
+      flagged.foreach { case (k, v, p) =>
+        System.err.println(f"[bench] $k: ${v}%.3f s is >=2x prior ${p}%.3f s" +
+          " — isolated fresh-JVM recheck")
+        recheck(k) = (v, p, isolatedTime(k))
+      }
+    }
+    val recheckJson = recheck
+      .map { case (k, (v, p, iso)) =>
+        s""""$k":{"recorded":${"%.3f".formatLocal(java.util.Locale.ROOT, v)},""" +
+          s""""prior":${"%.3f".formatLocal(java.util.Locale.ROOT, p)},""" +
+          s""""isolated":${"%.3f".formatLocal(java.util.Locale.ROOT, iso)}}"""
+      }
+      .mkString("{", ",", "}")
     // a failed query is reported as -1, never as a (fast) success time.
     // Locale.ROOT, not the f-interpolator: under a comma-decimal default
     // locale f"$v%.3f" prints "1,234" and the JSON line stops parsing.
@@ -233,7 +317,7 @@ object Bench {
         s"""{"times":[${canaryTimes.map(num).mkString(",")}],"median":${num(med)},"band":[${num(canarySorted.head)},${num(canarySorted.last)}]}"""
       }
     val fullLine =
-      s"""{"metric":"total","value":$totalS,"unit":"sec","n_queries":${results.size},"queries":$qs,"failed":$failed,"noisy":$noisyJson,"initial_partitions":${if (initialParts > 0) initialParts else cpus.toInt},"spill_disk_mb":$spillJson,"spill_mem_mb":$spillMemJson,"host_canary":$canaryJson,"sf":"$sfDir","repeat":$repeat,"passes":$passesJson}"""
+      s"""{"metric":"total","value":$totalS,"unit":"sec","n_queries":${results.size},"queries":$qs,"failed":$failed,"noisy":$noisyJson,"isolated_recheck":$recheckJson,"initial_partitions":${if (initialParts > 0) initialParts else cpus.toInt},"spill_disk_mb":$spillJson,"spill_mem_mb":$spillMemJson,"host_canary":$canaryJson,"sf":"$sfDir","repeat":$repeat,"passes":$passesJson}"""
     // The complete per-query artifact goes to a FILE: the harness that
     // records the per-round bench keeps only a ~2000-char tail of the
     // process output, which decapitates a 166-query JSON line (r7's

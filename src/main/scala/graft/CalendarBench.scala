@@ -111,9 +111,13 @@ object CalendarBench {
           files.foreach { f =>
             Option(staging.listFiles()).getOrElse(Array.empty)
               .foreach { old => old.delete(); () }
+            // REPLACE_EXISTING (r15 ADVICE): delete() failures above are
+            // best-effort; without the option one undeletable leftover
+            // aborts the whole cadence run with FileAlreadyExists
             java.nio.file.Files.copy(
               java.nio.file.Paths.get(f.toUri),
-              staging.toPath.resolve(f.getName))
+              staging.toPath.resolve(f.getName),
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
             val processed =
               GasPipeline.runBatch(spark, staging.getPath, store, ledger)
             require(processed.count() == 1,

@@ -15,9 +15,16 @@ import graft.queries.VectorOps
   * the measurement that picks the registered default. Ground truth
   * (exact top-5) is computed ONCE per run and reused across arms.
   *
-  * Usage: `graft.CascadeTune <corpusDir> k=K,s=S,t=T,c2=C [...]`
-  * e.g. `graft.CascadeTune /tmp/dimvol1536 k=16,s=8,t=1,c2=30 k=64,s=4,t=2,c2=30`
-  */
+  * Usage: `graft.CascadeTune <corpusDir> k=K,s=S,t=T,c2=C[,c1=..][,w=..][,st=1] [...]`
+  * e.g. `graft.CascadeTune /tmp/dimvol1536 k=16,s=8,t=1,c2=30 k=64,s=4,t=2,c2=30,st=1`
+  *
+  * `st=1` (round-16) serves the arm from the STORED index
+  * ([[graft.store.VectorIndex]]): the one-time index build (signatures +
+  * codebook + corpus encode) is timed separately as `build_s` and the
+  * arm's `wall_s` is the SERVE cost — the split the r15 verdict asked
+  * for, since in-query re-encode is precisely what made k>16 codebooks
+  * and w>8 signatures look uneconomical. `w=0` takes the width-derived
+  * default. */
 object CascadeTune {
   def main(args: Array[String]): Unit = {
     require(args.length >= 2, "usage: CascadeTune <corpusDir> k=..,s=..,t=..,c2=.. ...")
@@ -26,7 +33,8 @@ object CascadeTune {
       val m = a.split(",").map { kv =>
         val Array(n, v) = kv.split("=", 2); (n, v.toInt)
       }.toMap
-      (m("k"), m("s"), m("t"), m.getOrElse("c1", 100), m("c2"), m.getOrElse("w", 4))
+      (m("k"), m("s"), m("t"), m.getOrElse("c1", 100), m("c2"),
+        m.getOrElse("w", 4), m.getOrElse("st", 0))
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = graft.util.StressSession.builder(dir, cpus).getOrCreate()
@@ -47,22 +55,45 @@ object CascadeTune {
     def num(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
 
-    val rows = arms.map { case (k, s0, t, c1, c2, w) =>
+    val rows = arms.map { case (k, s0, t, c1, c2, w, st) =>
+      // stored arms: force the index to rest FIRST, billed as build_s —
+      // the serve measurement below then reads lookups like production
+      val buildS =
+        if (st != 1) 0.0
+        else {
+          val b0 = System.nanoTime()
+          val pre = VectorOps.withHashAggBudget { (s, d) =>
+            graft.functions.VectorFunctions.register(s)
+            val e = VectorOps.emb(s, d)
+            val dd = e.select(size(col("emb"))).head().getInt(0)
+            val wv = if (w > 0) w else VectorOps.derivedWords(dd)
+            graft.store.VectorIndex.ensure(s, d, wv, k, s0, t)(
+              VectorOps.buildIndexFrames(e, wv, k, s0, t))._1.limit(1)
+          }
+          pre(spark, dir).count()
+          (System.nanoTime() - b0) / 1e9
+        }
       val t0 = System.nanoTime()
       val armRun = VectorOps.withHashAggBudget { (s, d) =>
         graft.functions.VectorFunctions.register(s)
-        val (_, _, casc, _) = VectorOps.cascadePq(VectorOps.emb(s, d),
-          k = k, stride = s0, steps = t, c1 = c1, c2 = c2, words = w)
+        val casc =
+          if (st == 1)
+            VectorOps.cascadePqStored(s, d, k = k, stride = s0, steps = t,
+              c1 = c1, c2 = c2, words = w)._3
+          else
+            VectorOps.cascadePq(VectorOps.emb(s, d), k = k, stride = s0,
+              steps = t, c1 = c1, c2 = c2, words = w)._3
         casc.select(col("q_id"), col("c_id"))
       }
       val top5 = armRun(spark, dir)
       val nHit = top5.join(exact, Seq("q_id", "c_id"), "left_semi").count()
       val secs = (System.nanoTime() - t0) / 1e9
       val recall = nHit.toDouble / nExact
-      System.err.println(f"[tune] k=$k s=$s0 t=$t c1=$c1 c2=$c2 w=$w: " +
-        f"recall@5=$recall%.4f wall=$secs%.1f s")
+      System.err.println(f"[tune] k=$k s=$s0 t=$t c1=$c1 c2=$c2 w=$w st=$st: " +
+        f"recall@5=$recall%.4f wall=$secs%.1f s build=$buildS%.1f s")
       s"""{"k":$k,"stride":$s0,"steps":$t,"c1":$c1,"c2":$c2,"words":$w,""" +
-        s""""recall_at_5":${num(recall)},"wall_s":${num(secs)}}"""
+        s""""stored":$st,"recall_at_5":${num(recall)},""" +
+        s""""wall_s":${num(secs)},"build_s":${num(buildS)}}"""
     }
     println(s"""{"metric":"cascade_tune","corpus":"$dir","n_exact":$nExact,""" +
       s""""arms":[${rows.mkString(",")}]}""")

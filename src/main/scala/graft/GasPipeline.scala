@@ -32,7 +32,20 @@ object GasPipeline {
     * once from the cache (one short row per new file) and handed back as a
     * local frame, so consuming it never re-triggers the scan either. */
   def runBatch(spark: SparkSession, inputDir: String, storePath: String,
-      ledgerPath: String): DataFrame = {
+      ledgerPath: String): DataFrame =
+    runBatch(spark, inputDir, storePath, ledgerPath, snapshot = false)
+
+  /** `snapshot = true` routes the store write through the generation
+    * commit log ([[LongStore.writeSnapshot]]) instead of dynamic
+    * partition overwrite + `_manifest`: same rows, same idempotent
+    * replay, but re-ingesting a day never mutates committed files, so a
+    * reader covering that day ([[LongStore.readCommitted]]) gets true
+    * snapshot isolation — the contract the plain layout only gives
+    * disjoint windows (IngestStress). The ledger ordering is unchanged:
+    * commit log before ledger mark, so a crash between replays into a
+    * fresh generation and readers never see a torn batch. */
+  def runBatch(spark: SparkSession, inputDir: String, storePath: String,
+      ledgerPath: String, snapshot: Boolean): DataFrame = {
     val raw = GasIngest.readDayFiles(spark, inputDir)
     val ledger = GasIngest.readLedger(spark, ledgerPath)
     val fresh = GasIngest.unseenOnly(raw, ledger).persist()
@@ -41,16 +54,25 @@ object GasPipeline {
         .collect().map(_.getString(0)).sorted
       if (names.nonEmpty) {
         val transformed = GasTransform(fresh)
+        val long =
+          LongStore.unpivot(transformed.withColumnRenamed("file_name", "_src"))
         // Writer parallelism scaled to the day-file size (the round-11
         // single-writer funnel finding — see LongStore.writersFor).
-        LongStore.write(
-          LongStore.unpivot(transformed.withColumnRenamed("file_name", "_src")),
-          storePath,
-          writersPerPartition = LongStore.writersFor(spark, inputDir))
-        // partition manifest BEFORE the ledger mark (crash between the two
-        // re-appends the same rows on replay; readWindow deduplicates) —
-        // entries come from the batch's file names, zero data reads
-        LongStore.appendManifest(spark, storePath, names.toIndexedSeq)
+        val writers = LongStore.writersFor(spark, inputDir)
+        if (snapshot) {
+          // generation write + commit log in one call; `_commits` plays
+          // the manifest's planning role AND the snapshot-pinning role
+          LongStore.writeSnapshot(long, storePath, names.toIndexedSeq,
+            writersPerPartition = writers)
+          ()
+        } else {
+          LongStore.write(long, storePath, writersPerPartition = writers)
+          // partition manifest BEFORE the ledger mark (crash between the
+          // two re-appends the same rows on replay; readWindow
+          // deduplicates) — entries come from the batch's file names,
+          // zero data reads
+          LongStore.appendManifest(spark, storePath, names.toIndexedSeq)
+        }
         GasIngest.appendToLedger(fresh, ledgerPath)
       }
       import spark.implicits._

@@ -32,6 +32,13 @@ import graft.store.LongStore
   *    same-partition repair under live readers needs a table format
   *    (Delta/Iceberg snapshot isolation) or a read quiesce — plain
   *    parquet only guarantees the disjoint-window contract above.
+  *  - SNAPSHOT overlap readers (round-15 verdict item 4) — HARD GATE:
+  *    the same overlapping query against a generation-commit-log twin of
+  *    the store ([[LongStore.writeSnapshot]]/[[LongStore.readCommitted]]),
+  *    raced against per-round re-ingest AND retention-2 vacuum, must be
+  *    checksum-identical on every pass: the engine's own manifest serves
+  *    as the commit log, which is exactly the table-format move the
+  *    census's production rule called for.
   *
   * Usage: `graft.IngestStress <dayFileDir> <workDir> [writerRounds=6]`
   * (day files = the calendar/stress gas fixtures; re-ingest rounds use a
@@ -72,8 +79,11 @@ object IngestStress {
       Option(staging.listFiles()).getOrElse(Array.empty)
         .foreach { f => f.delete(); () }
       fps.foreach { f =>
+        // REPLACE_EXISTING (r15 ADVICE): the delete() sweep above is
+        // best-effort — one undeletable leftover must restage, not abort
         java.nio.file.Files.copy(java.nio.file.Paths.get(f.toUri),
-          staging.toPath.resolve(f.getName))
+          staging.toPath.resolve(f.getName),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
         ()
       }
     }
@@ -82,6 +92,16 @@ object IngestStress {
     files.foreach { f =>
       stage(Seq(f))
       GasPipeline.runBatch(spark, staging.getPath, store, s"$workDir/ledger")
+    }
+    // ---- snapshot twin (round-15 verdict item 4): same calendar, built
+    // through the generation commit log — the layout whose OVERLAPPING
+    // reader is gated hard below, where the plain store's is only a
+    // census. One batch per day keeps the cadence identical.
+    val snapStore = s"$workDir/snapstore"
+    files.foreach { f =>
+      stage(Seq(f))
+      GasPipeline.runBatch(spark, staging.getPath, snapStore,
+        s"$workDir/snapledger", snapshot = true)
     }
 
     // ---- the reader battery -------------------------------------------
@@ -114,14 +134,27 @@ object IngestStress {
       GasQueries.timeRange(spark.read.parquet(store),
           s"$tailDay 00:00:00", s"$tailDay 23:59:59")
         .select(proj: _*)
+    // SNAPSHOT overlap reader — the very day being re-ingested, read
+    // through the commit log. HARD GATE: committed generations are
+    // immutable and the log append is atomic, so this read must
+    // checksum-equal the quiesced run on every pass, races and vacuum
+    // included — the isolation the plain-parquet overlap reader above
+    // structurally cannot promise (its census stays OBSERVED).
+    val overlapSnap: () => DataFrame = () =>
+      GasQueries.timeRange(
+          LongStore.readCommitted(spark, snapStore,
+            tailDay.minusDays(1).toString, tailDay.plusDays(1).toString),
+          s"$tailDay 00:00:00", s"$tailDay 23:59:59")
+        .select(proj: _*)
 
     // ---- quiesced reference -------------------------------------------
     val quiesced = readers.map { case (n, q) => n -> checksum(q()) }.toMap
     val overlapQuiesced = checksum(overlap())
+    val overlapSnapQuiesced = checksum(overlapSnap())
 
     // ---- concurrent pass ----------------------------------------------
     val done = new java.util.concurrent.atomic.AtomicBoolean(false)
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(readers.size + 2)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(readers.size + 3)
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
     val t0 = System.nanoTime()
@@ -137,6 +170,13 @@ object IngestStress {
             // re-appends + re-compacts — the churn the readers race
             GasPipeline.runBatch(spark, staging.getPath, store,
               s"$workDir/ledger_r$r")
+            // snapshot twin: same tail days land as a NEW generation each
+            // round, and the vacuum races the readers too — retention 2
+            // is the rule readCommitted's contract needs (an in-flight
+            // reader is at most one commit behind)
+            GasPipeline.runBatch(spark, staging.getPath, snapStore,
+              s"$workDir/snapledger_r$r", snapshot = true)
+            LongStore.vacuumSnapshots(spark, snapStore, keepLast = 2)
           }
           done.set(true)
           (System.nanoTime() - w0) / 1e9
@@ -161,31 +201,54 @@ object IngestStress {
           }
           (ok, bad, err)
         }
+        val overlapSnapLoop = Future {
+          var (ok, bad, err) = (0, 0, 0)
+          while (!done.get()) {
+            try {
+              if (checksum(overlapSnap()) == overlapSnapQuiesced) ok += 1
+              else bad += 1
+            } catch { case _: Exception => err += 1 }
+          }
+          (ok, bad, err)
+        }
         val w = Await.result(writer, Duration.Inf)
-        (loops.map(Await.result(_, Duration.Inf)),
+        ((loops.map(Await.result(_, Duration.Inf)),
+          Await.result(overlapSnapLoop, Duration.Inf)),
           Await.result(overlapLoop, Duration.Inf), w)
       } finally pool.shutdown()
     val wall = (System.nanoTime() - t0) / 1e9
+    val (disjointStats, snapStats) = readerStats
 
     // ---- gates ---------------------------------------------------------
-    readerStats.foreach { case (n, ok, bad, err) =>
+    disjointStats.foreach { case (n, ok, bad, err) =>
       require(bad == 0 && err == 0,
         s"DISJOINT READER DIVERGED under ingest: $n ok=$ok bad=$bad err=$err")
       require(ok > 0, s"reader $n never completed a pass — rung too short")
     }
+    // HARD GATE (promoted from census, r15 verdict item 4): the snapshot
+    // overlap reader must be checksum-identical on every pass — races
+    // with same-partition re-ingest AND retention-2 vacuum included
+    locally {
+      val (ok, bad, err) = snapStats
+      require(bad == 0 && err == 0,
+        s"SNAPSHOT OVERLAP READER DIVERGED: ok=$ok bad=$bad err=$err")
+      require(ok > 0, "snapshot overlap reader never completed a pass")
+    }
 
     def num(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val rj = readerStats.map { case (n, ok, bad, err) =>
+    val rj = disjointStats.map { case (n, ok, bad, err) =>
       s""""$n":{"ok":$ok,"mismatch":$bad,"error":$err}"""
     }.mkString(",")
     val (oOk, oBad, oErr) = overlapStats
+    val (sOk, sBad, sErr) = snapStats
     println(s"""{"metric":"ingest_stress","days":${files.length},""" +
       s""""writer_rounds":$rounds,"writer_s":${num(writerS)},""" +
       s""""wall_s":${num(wall)},"disjoint_readers":{$rj},""" +
       s""""overlap_reader":{"ok":$oOk,"mismatch":$oBad,"error":$oErr},""" +
-      s""""gate":"disjoint readers checksum-identical under ${rounds} """ +
-      s"""re-ingest rounds"}""")
+      s""""overlap_snapshot_reader":{"ok":$sOk,"mismatch":$sBad,"error":$sErr},""" +
+      s""""gate":"disjoint readers AND snapshot overlap reader """ +
+      s"""checksum-identical under ${rounds} re-ingest rounds"}""")
     spark.stop()
   }
 }

@@ -212,6 +212,16 @@ case class HyperplaneSig(child: Expression, planes: Int = 16,
     case _ if offset < 0 || span < 0 => TypeCheckResult.TypeCheckFailure(
       "graft_hsig offset/span must be foldable integer literals >= 0" +
         s", got ($offset, $span)")
+    // Upper bound on the plane-family shift (r15 ADVICE): the plane
+    // component 73856093·(i+1+offset)·(j+7) must stay inside Long for
+    // any realistic dim index j — unbounded offsets overflow silently
+    // here while the DuckDB oracle's BIGINT arithmetic raises, a parity
+    // edge. 4096 covers 66 full-width 62-plane words, far past the
+    // swept W∈{1..32} family; misuse now fails at analysis time on both
+    // engines.
+    case _ if offset + planes > 4096 => TypeCheckResult.TypeCheckFailure(
+      "graft_hsig offset + planes must be <= 4096 (plane-component " +
+        s"overflow bound), got ($offset + $planes)")
     case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
       s"graft_hsig expects array<double>, got ${other.simpleString}")

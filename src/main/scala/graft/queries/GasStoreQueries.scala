@@ -72,6 +72,34 @@ object GasStoreQueries {
   private def streamStore(spark: SparkSession): DataFrame =
     spark.read.parquet(streamStorePath(spark))
 
+  /** The same store built in SNAPSHOT mode (generation directories + the
+    * `_commits` log, [[graft.store.LongStore.writeSnapshot]]), then
+    * deliberately RE-INGESTED with a fresh ledger (every partition gains a
+    * second, identical generation) and vacuumed down to the latest. gs38
+    * reads it through [[graft.store.LongStore.readCommitted]] against the
+    * raw-CSV oracle: resolving anything but exactly the latest committed
+    * generation (a union of generations doubles rows; a vacuum overreach
+    * drops them) flips the hash. */
+  private val builtSnapshot = new java.util.WeakHashMap[SparkSession, String]()
+  private def snapshotStorePath(spark: SparkSession): String =
+    builtSnapshot.synchronized {
+      Option(builtSnapshot.get(spark)).getOrElse {
+        val work = Files.createTempDirectory("graft-gas-snap-store")
+        deleteOnExit(work)
+        val store = s"$work/store"
+        GasPipeline.runBatch(spark, fixtureDir, store, s"$work/ledger",
+          snapshot = true)
+        // rewrite round: fresh ledger ⇒ same days land again as gen 2
+        GasPipeline.runBatch(spark, fixtureDir, store, s"$work/ledger2",
+          snapshot = true)
+        // retention floor: gen 1 dirs are garbage-collected; the read
+        // below must resolve (and find) gen 2 only
+        graft.store.LongStore.vacuumSnapshots(spark, store, keepLast = 1)
+        builtSnapshot.put(spark, store)
+        store
+      }
+    }
+
   // one process-wide hook drains every registered store — see TempDirs
   private def deleteOnExit(dir: java.nio.file.Path): Unit =
     graft.util.TempDirs.deleteOnExit(dir)
@@ -1344,6 +1372,21 @@ object GasStoreQueries {
         .select(unix_micros(col("_time")).as("t_us"), col("_field"), col("_value"))
         .orderBy(col("t_us"), col("_field"))),
 
+    // gs36 over the SNAPSHOT store (round-15 verdict item 4): same
+    // window, same projection, same raw-CSV oracle — but the store is the
+    // generation-commit-log layout, built twice (a re-ingest round gives
+    // every partition a superseded generation) and vacuumed to the
+    // latest. readCommitted must resolve exactly the newest committed
+    // generation per partition: a generation union doubles every row, a
+    // stale resolution reads a vacuumed path, either flips the hash.
+    "gs38_snapshot_time_range" -> ((s, _) =>
+      GasQueries.timeRange(
+        graft.store.LongStore.readCommitted(s, snapshotStorePath(s),
+          "2016-10-06", "2016-10-08"),
+        "2016-10-07 12:00:00", "2016-10-08 00:00:30")
+        .select(unix_micros(col("_time")).as("t_us"), col("_field"), col("_value"))
+        .orderBy(col("t_us"), col("_field"))),
+
     // streaming CUSUM detector readings (sp/sn already 6-dp-rounded by
     // the kernel at every step — emitted as-is)
     "gs15_stream_cusum" -> ((s, _) =>
@@ -1732,6 +1775,20 @@ object GasStoreQueries {
     // the raw-CSV replay, so a hole in the STREAMING manifest wiring
     // (missing append, wrong _src set, torn compaction) flips the hash
     "gs37_manifest_stream_store" ->
+      s"""$prelude,
+         |u AS (
+         |  UNPIVOT (SELECT * EXCLUDE ("Time (s)", filename) FROM raw)
+         |  ON COLUMNS(* EXCLUDE (_time)) INTO NAME _field VALUE _value)
+         |SELECT epoch_us(_time) AS t_us, _field, _value FROM u
+         |WHERE _time >= TIMESTAMP '2016-10-07 12:00:00'
+         |  AND _time < TIMESTAMP '2016-10-08 00:00:30'
+         |ORDER BY t_us, _field""".stripMargin,
+
+    // gs38 = gs36 over the snapshot (commit-log) store after a re-ingest
+    // round + vacuum; the ground truth is STILL the single clean raw-CSV
+    // replay — so a generation union (doubled rows), a stale-generation
+    // read, or a vacuum overreach all flip the hash
+    "gs38_snapshot_time_range" ->
       s"""$prelude,
          |u AS (
          |  UNPIVOT (SELECT * EXCLUDE ("Time (s)", filename) FROM raw)

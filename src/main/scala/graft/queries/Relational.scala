@@ -1711,13 +1711,33 @@ object Relational {
           levenshtein(col("q_name"), col("p_name"), 1).cast("long"))
         .filter(col("dist") >= 0)
         .localCheckpoint(true)
+      val nPairs = namePairs.count()
       val fanBack =
-        if (namePairs.count() <= 2000000L) broadcast(namePairs) else namePairs
-      probes.join(fanBack, Seq("q_name"))
+        if (nPairs <= 2000000L) broadcast(namePairs) else namePairs
+      val joined = probes.join(fanBack, Seq("q_name"))
         .join(parts, Seq("p_name"))
         .select(col("q_id"), col("q_name"), col("p_partkey"), col("p_name"),
           col("dist"))
-        .orderBy(col("q_id"), col("p_partkey"))
+      // SCALE-SAFE OUTPUT ORDER (r15 verdict item 3): the compute above is
+      // output-shaped, but a bare orderBy let AQE coalesce the final range
+      // exchange into few huge partitions whose sorts spilled 70 GB at the
+      // 512× rung — the project's largest recorded spill, in a PRESENTATION
+      // step. Total order is kept (range partitioning + in-partition sort
+      // IS orderBy's decomposition; partition i precedes partition j), but
+      // the partition count is derived from an output-size estimate —
+      // pairs × mean name-multiplicity, both already paid for (nPairs is
+      // the materialized fan-back gate; the stats pass is one cheap
+      // column scan) — targeting ~1M rows (≈100 MB) per sort, so each
+      // in-memory sort stays spill-free at any output volume. At oracle
+      // scale the estimate floors to the session shuffle count and the
+      // plan is byte-equivalent to the old orderBy.
+      val st = parts.agg(count(lit(1)).as("n"),
+        approx_count_distinct(col("p_name")).as("d")).collect()(0)
+      val outEst = nPairs * (st.getLong(0) / math.max(1L, st.getLong(1)))
+      val nOut = math.max(s.sessionState.conf.numShufflePartitions,
+        math.min(4096L, outEst / 1000000L + 1L).toInt)
+      joined.repartitionByRange(nOut, col("q_id"), col("p_partkey"))
+        .sortWithinPartitions(col("q_id"), col("p_partkey"))
     }),
 
     // -- DYNAMIC PARTITION PRUNING (star-schema scan elimination at
