@@ -34,7 +34,7 @@ object CascadeTune {
         val Array(n, v) = kv.split("=", 2); (n, v.toInt)
       }.toMap
       (m("k"), m("s"), m("t"), m.getOrElse("c1", 100), m("c2"),
-        m.getOrElse("w", 4), m.getOrElse("st", 0))
+        m.getOrElse("w", 4), m.getOrElse("st", 0), m.getOrElse("m", 0))
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = graft.util.StressSession.builder(dir, cpus).getOrCreate()
@@ -55,7 +55,7 @@ object CascadeTune {
     def num(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
 
-    val rows = arms.map { case (k, s0, t, c1, c2, w, st) =>
+    val rows = arms.map { case (k, s0, t, c1, c2, w, st, mArg) =>
       // stored arms: force the index to rest FIRST, billed as build_s —
       // the serve measurement below then reads lookups like production
       val buildS =
@@ -67,8 +67,9 @@ object CascadeTune {
             val e = VectorOps.emb(s, d)
             val dd = e.select(size(col("emb"))).head().getInt(0)
             val wv = if (w > 0) w else VectorOps.derivedWords(dd)
-            graft.store.VectorIndex.ensure(s, d, wv, k, s0, t)(
-              VectorOps.buildIndexFrames(e, wv, k, s0, t))._1.limit(1)
+            val mv = if (mArg > 0) mArg else VectorOps.derivedSubspaces(dd)
+            graft.store.VectorIndex.ensure(s, d, wv, k, s0, t, mv)(
+              VectorOps.buildIndexFrames(e, wv, k, s0, t, mv))._1.limit(1)
           }
           pre(spark, dir).count()
           (System.nanoTime() - b0) / 1e9
@@ -79,7 +80,7 @@ object CascadeTune {
         val casc =
           if (st == 1)
             VectorOps.cascadePqStored(s, d, k = k, stride = s0, steps = t,
-              c1 = c1, c2 = c2, words = w)._3
+              c1 = c1, c2 = c2, words = w, m = mArg)._3
           else
             VectorOps.cascadePq(VectorOps.emb(s, d), k = k, stride = s0,
               steps = t, c1 = c1, c2 = c2, words = w)._3
@@ -89,10 +90,10 @@ object CascadeTune {
       val nHit = top5.join(exact, Seq("q_id", "c_id"), "left_semi").count()
       val secs = (System.nanoTime() - t0) / 1e9
       val recall = nHit.toDouble / nExact
-      System.err.println(f"[tune] k=$k s=$s0 t=$t c1=$c1 c2=$c2 w=$w st=$st: " +
+      System.err.println(f"[tune] k=$k s=$s0 t=$t c1=$c1 c2=$c2 w=$w st=$st m=$mArg: " +
         f"recall@5=$recall%.4f wall=$secs%.1f s build=$buildS%.1f s")
       s"""{"k":$k,"stride":$s0,"steps":$t,"c1":$c1,"c2":$c2,"words":$w,""" +
-        s""""stored":$st,"recall_at_5":${num(recall)},""" +
+        s""""stored":$st,"m":$mArg,"recall_at_5":${num(recall)},""" +
         s""""wall_s":${num(secs)},"build_s":${num(buildS)}}"""
     }
     println(s"""{"metric":"cascade_tune","corpus":"$dir","n_exact":$nExact,""" +

@@ -1810,15 +1810,18 @@ object VectorOps {
     // [[cascadePq]]'s scaladoc for the record correction; r16 moved the
     // index to REST — [[cascadePqStored]]/[[graft.store.VectorIndex]]).
     // Three-stage serving shape over the stored index: stage 1 ranks the
-    // corpus by Hamming over W stored 62-plane full-width hyperplane
-    // words (W width-derived: 8 at d ≤ 64, 32 past it — bits fix the
-    // top-C1 tie-band noise a 64-bit signature drowns in at 64k, full
+    // corpus by Hamming over 8 stored 62-plane full-width hyperplane
+    // words (496 bits — bits past that measured flat, SWEEP16; full
     // width fixes the 4%-of-signal blindness at d=1536) keeping a
     // SIZE-DERIVED C1 = clamp(100, n/100, 2048); stage 2 scores
-    // survivors by reconstructing their STORED PQ codes against the
-    // stored codebook (no per-query encode, never touching the wide
-    // embeddings — ~256 B/candidate vs 12 KB at d=1536) keeping C2 =
-    // max(30, C1/4); stage 3 exact-reranks to top-5. The index build
+    // survivors by reconstructing their STORED PQ codes (m = max(16,
+    // d/16) subspaces of ~16 dims — the granularity where 4-bit codes
+    // still discriminate) against the stored codebook (no per-query
+    // encode, never touching the wide embeddings) keeping C2 = max(30,
+    // C1/4) at d ≤ 64 — and SKIPPING ITSELF at d > 64, where every
+    // swept PQ prune landed under the 0.9 recall bar and C2 = C1 (exact
+    // rerank of ≤ 2,048 capped survivors) measures 0.97 at 64k;
+    // stage 3 exact-reranks to top-5. The index build
     // (signatures + codebook training + corpus encode) runs ONCE per
     // corpus and lives in parquet sidecars; serving reads lookups, which
     // is what a vector store is. The production recall ledger lives in
@@ -1986,13 +1989,13 @@ object VectorOps {
     * arrays — at d=1536 that struct traffic was the encode's dominant
     * cost. Order-preserving bijection, so tie-breaks match the oracle. */
   private[graft] def pqCodebook(e: DataFrame, k: Int, stride: Int,
-      steps: Int): DataFrame = {
-    val sw = "(size(emb) div 16)"
+      steps: Int, m: Int = 16): DataFrame = {
+    val sw = s"(size(emb) div $m)"
     def l2(a: String, b: String) = s"round(graft_l2($a, $b), 6)"
     // sample feeds every Lloyd step — the multi-consumer rule
     val subs = e.filter(expr(s"vec_id % $stride = 0"))
       .select(col("vec_id"), posexplode(expr(
-        s"transform(sequence(0, 15), s -> slice(emb, s * $sw + 1, $sw))"))
+        s"transform(sequence(0, ${m - 1}), s -> slice(emb, s * $sw + 1, $sw))"))
         .as(Seq("sub", "sv")))
       .localCheckpoint(true)
     val seeds = subs.filter(col("vec_id") < k.toLong * stride)
@@ -2047,14 +2050,14 @@ object VectorOps {
     * from the stored frames is bit-equal to [[cascadePq]] at equal dials
     * — which is what keeps the v43/v44 DuckDB oracles valid unchanged. */
   private[graft] def buildIndexFrames(e: DataFrame, words: Int, k: Int,
-      stride: Int, steps: Int): (DataFrame, DataFrame) = {
-    val cbRow = pqCodebook(e, k, stride, steps)
-    val sw = "(size(emb) div 16)"
+      stride: Int, steps: Int, m: Int = 16): (DataFrame, DataFrame) = {
+    val cbRow = pqCodebook(e, k, stride, steps, m)
+    val sw = s"(size(emb) div $m)"
     def l2(a: String, b: String) = s"round(graft_l2($a, $b), 6)"
     val sigCols = (0 until words).map(w =>
       expr(s"graft_hsig(emb, 62, ${w * 62}, 0)").as(s"sig$w"))
     val svArrExpr =
-      s"transform(sequence(0, 15), s -> slice(emb, s * $sw + 1, $sw))"
+      s"transform(sequence(0, ${m - 1}), s -> slice(emb, s * $sw + 1, $sw))"
     val codeExpr =
       s"""zip_with(sv_arr, cb, (sv, cents) ->
          |  element_at(array_sort(transform(cents, c ->
@@ -2073,14 +2076,27 @@ object VectorOps {
     (codes, cbRow)
   }
 
-  /** Corpus-derived signature width for the stored index: 8 full-width
-    * 62-plane words (496 bits) at the historical d ≤ 64, 32 words
-    * (1,984 bits) past it — the d-axis bits ladder (SWEEP16) measured
-    * RP-sketch error, not keep starvation, as the d=1536 recall binder,
-    * and more stored bits are the one dial that costs index bytes
-    * instead of serve time. At the sf0.01/sf0.1 gates d = 64, so the
-    * derivation reproduces the r15 dials and the oracles replay w=8. */
-  private[graft] def derivedWords(d: Int): Int = if (d <= 64) 8 else 32
+  /** Signature width for the stored index: 8 full-width 62-plane words
+    * (496 bits) at EVERY d. The r15 residual hypothesis — "d=1536 recall
+    * is RP-sketch-error-bound, more bits are the path" — was tested and
+    * REFUTED by SWEEP16's stored-bits ladder: w = 8/16/32 measured
+    * 0.536/0.528/0.527 at fixed keeps on the 64k d=1536 corpus, i.e.
+    * flat-to-noise, while the C2 ladder moved the same corpus 0.54 →
+    * 0.97. Stage 1 at 496 bits already holds ≥ 0.97 of the truth inside
+    * its size-derived top-C1; the binder was stage-2 ranking fidelity
+    * (see [[cascadePqStored]]'s C2 derivation). Kept as a function so a
+    * future d-regime with a measured bits deficit has one place to
+    * change. */
+  private[graft] def derivedWords(d: Int): Int = 8
+
+  /** Width-derived PQ subspace count: d/16-dim subspaces hold PQ at the
+    * granularity where a 4-bit codebook still discriminates. The SWEEP16
+    * d=1536 ladder measured the failure the fixed m=16 hid: 96-dim
+    * subspaces make ADC ranking near-blind however fine the codebook
+    * (recall 0.54 at k=16, 0.65 at k=64), while m=96 (16-dim subspaces)
+    * restores the PQ stage as a real pruner. At the d=64 gates the
+    * derivation reproduces m=16 — oracles unchanged. */
+  private[graft] def derivedSubspaces(d: Int): Int = math.max(16, d / 16)
 
   /** The SERVED cascade (round-15 verdict item 1): [[cascadePq]]'s
     * three-stage shape over the STORED index. The r15 cascade re-derived
@@ -2099,16 +2115,30 @@ object VectorOps {
     * and oracles are unchanged there by construction. */
   private[graft] def cascadePqStored(s: SparkSession, dir: String,
       k: Int = 16, stride: Int = 4, steps: Int = 2, c1: Int = 0,
-      c2: Int = 0, words: Int = 0)
+      c2: Int = 0, words: Int = 0, m: Int = 0)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val e = emb(s, dir)
     val d = e.select(size(col("emb"))).head().getInt(0)
     val w = if (words > 0) words else derivedWords(d)
+    val mv = if (m > 0) m else derivedSubspaces(d)
     val c1v = if (c1 > 0) c1
       else math.max(100L, math.min(2048L, e.count() / 100L)).toInt
-    val c2v = if (c2 > 0) c2 else math.max(30, c1v / 4)
+    // WIDTH-AWARE C2 (SWEEP16 d=1536 ladder): past the historical d=64,
+    // C2 = C1 — the exact-rerank regime. Measured: stage 1 (w=8 Hamming,
+    // size-derived C1) already holds 0.97/0.99 of the truth at C1 =
+    // 640/1280 on the 64k d=1536 corpus, while EVERY swept PQ prune
+    // below C1 lands under the 0.9 bar (m=16: 0.54; k=64: 0.65; m=96:
+    // 0.74 at C1/4, 0.82 at C1=1280) — and wider signatures move
+    // nothing (w=16/32 within −0.01 of w=8), so bits are not the binder,
+    // stage-2 ranking fidelity is. Exact rerank is affordable BY
+    // CONSTRUCTION: C1 is capped at 2,048, so the rerank reads ≤ 2,048
+    // wide rows per query at any corpus size. At d ≤ 64 the PQ stage
+    // measurably prunes at equal recall and keeps its C1/4 keep. */
+    val c2v = if (c2 > 0) c2
+      else if (d > 64) c1v
+      else math.max(30, c1v / 4)
     val (codes, cbRow) = graft.store.VectorIndex.ensure(s, dir, w, k,
-      stride, steps)(buildIndexFrames(e, w, k, stride, steps))
+      stride, steps, mv)(buildIndexFrames(e, w, k, stride, steps, mv))
     val sigNames = (0 until w).map(i => s"sig$i")
     val qs = codes.filter(expr("vec_id % 100 = 0"))
       .join(e.select(col("vec_id"), col("emb"), col("norm")), Seq("vec_id"))
@@ -2130,17 +2160,22 @@ object VectorOps {
     val dqExpr =
       "flatten(zip_with(code, cb, (ci, cents) -> element_at(cents, ci + 1).cv))"
     val w2 = Window.partitionBy(col("q_id")).orderBy(col("asim").desc, col("c_id"))
-    val st2 = codes.select(col("vec_id"), col("code"), col("dqn"))
-      .join(broadcast(st1), col("vec_id") === col("c_id"))
-      .crossJoin(broadcast(cbRow))
-      .withColumn("dq", expr(dqExpr))
-      .join(broadcast(qs.select(col("q_id"), col("qe"), col("qn"))), Seq("q_id"))
-      .withColumn("asim",
-        round(expr("graft_dot(qe, dq)") / (col("qn") * col("dqn")), 6))
-      .withColumn("r", row_number().over(w2))
-      .filter(col("r") <= c2v)
-      .select(col("q_id"), col("c_id"))
-      .localCheckpoint(true)
+    // C2 ≥ C1 ⇒ the PQ stage keeps everything — skip the reconstruct
+    // pass entirely (the exact-rerank regime SWEEP16's d=1536 ladder
+    // ships); the ADC rank is only computed when it actually prunes
+    val st2 =
+      if (c2v >= c1v) st1
+      else codes.select(col("vec_id"), col("code"), col("dqn"))
+        .join(broadcast(st1), col("vec_id") === col("c_id"))
+        .crossJoin(broadcast(cbRow))
+        .withColumn("dq", expr(dqExpr))
+        .join(broadcast(qs.select(col("q_id"), col("qe"), col("qn"))), Seq("q_id"))
+        .withColumn("asim",
+          round(expr("graft_dot(qe, dq)") / (col("qn") * col("dqn")), 6))
+        .withColumn("r", row_number().over(w2))
+        .filter(col("r") <= c2v)
+        .select(col("q_id"), col("c_id"))
+        .localCheckpoint(true)
     val w3 = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id"))
     val casc = e.join(broadcast(st2), col("vec_id") === col("c_id"))
       .join(broadcast(qs.select(col("q_id"), col("qe"), col("qn"))), Seq("q_id"))

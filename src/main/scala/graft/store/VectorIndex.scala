@@ -53,9 +53,10 @@ object VectorIndex {
 
   /** Deterministic index location for (corpus, dials). */
   def indexDir(dir: String, words: Int, k: Int, stride: Int,
-      steps: Int): java.io.File = {
+      steps: Int, m: Int): java.io.File = {
     val canonical = new java.io.File(dir).getCanonicalPath
-    val keySrc = s"$canonical|${fingerprint(dir)}|w$words k$k s$stride t$steps"
+    val keySrc =
+      s"$canonical|${fingerprint(dir)}|w$words k$k s$stride t$steps m$m"
     val key = java.security.MessageDigest.getInstance("SHA-1")
       .digest(keySrc.getBytes("UTF-8"))
       .map(b => f"$b%02x").mkString.take(16)
@@ -65,9 +66,9 @@ object VectorIndex {
   /** Read the index for (dir, dials), building it first via `build` if it
     * is not yet at rest. Returns (codes, codebook) frames. */
   def ensure(spark: SparkSession, dir: String, words: Int, k: Int,
-      stride: Int, steps: Int)(build: => (DataFrame, DataFrame))
+      stride: Int, steps: Int, m: Int = 16)(build: => (DataFrame, DataFrame))
       : (DataFrame, DataFrame) = {
-    val target = indexDir(dir, words, k, stride, steps)
+    val target = indexDir(dir, words, k, stride, steps, m)
     if (!new java.io.File(target, "_built").isFile) {
       baseDir.mkdirs()
       val tmp = new java.io.File(baseDir,
