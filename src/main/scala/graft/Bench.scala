@@ -93,9 +93,11 @@ object Bench {
     val spillMemBytes = collection.mutable.Map.empty[String, Long]
     def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
         pass: String): Unit = {
-      // per-family shuffle regime (round-15 verdict item 6): relational/
-      // time-series at fixed-cpus, vector/text/multimodal size-derived —
-      // the SWEEP15 q38 regime band closed at the family split
+      // per-query regime hook (round-15 verdict item 6): currently the
+      // uniform size-derived count — the per-family fixed-cpus split was
+      // tested and REJECTED on the 512× asymmetry (see
+      // StressSession.initialPartitionsFor's matrix); the hook stays so
+      // a future measured split has one seam to land in
       graft.util.StressSession.applyRegime(spark, name, sfDir, cpus.toInt)
       val d0 = spillDisk.get()
       val m0 = spillMem.get()

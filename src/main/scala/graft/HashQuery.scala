@@ -22,7 +22,7 @@ object HashQuery {
     val spark = graft.util.StressSession.builder(sfDir, cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     args.foreach { name =>
-      // per-family shuffle regime — identical to Bench so the identity
+      // per-query regime hook — identical to Bench so the identity
       // probe executes the configuration the bench measures
       graft.util.StressSession.applyRegime(spark, name, sfDir, cpus.toInt)
       val df = SparkEntry.queries(name)(spark, sfDir)

@@ -61,30 +61,27 @@ object StressSession {
       math.max(cpus, math.min(2048L, inputBytes(sfDir) >> 20).toInt)
     }
 
-  /** PER-FAMILY initial-partition regime (round-15 verdict item 6):
-    * SWEEP15's fixture-correct A/B put the size-derived AQE initial count
-    * +20.6% on q38's blocked-levenshtein medians at 128× while the
-    * vector/text movers it exists for kept their wins — the lifted
-    * ceiling lets AQE pick a coarser post-shuffle layout for the
-    * relational family's skew-prone blocked joins, where the fixed-cpus
-    * floor was already right. The split follows the measurement, not a
-    * guess: relational (`q`) and time-series (`ts`) queries take the
-    * fixed-cpus regime; vector/text/multimodal (`v`/`tx`/`mm`) keep the
-    * size-derived ceiling (v09's sub-linear 512× leg rode it); streaming
-    * (`gs`) pins its shuffle count per checkpoint and ignores AQE, and
-    * canaries (`cn`) are sub-second either way — both grouped with
-    * fixed. At sf0.1 and below the derivation floors to cpus, so the
-    * graded bench regime is identical for every family (SWEEP16 carries
-    * the stress-scale A/B). SPARK_GRAFT_INITIAL_PARTITIONS still
-    * overrides everything — the ladder's experiment lever. */
-  def initialPartitionsFor(name: String, sfDir: String, cpus: Int): Int = {
-    val family = name.takeWhile(_.isLetter)
-    family match {
-      case "v" | "tx" | "mm" => initialPartitions(sfDir, cpus)
-      case _ => sys.env.get("SPARK_GRAFT_INITIAL_PARTITIONS")
-        .map(_.toInt).filter(_ > 0).getOrElse(cpus)
-    }
-  }
+  /** PER-FAMILY initial-partition override — TESTED AND REJECTED
+    * (round-15 verdict item 6, closed by measurement in round 16). The
+    * r15 band said the size-derived regime costs q38 +20.6% vs fixed-32
+    * at 128×, suggesting a relational-family fixed-cpus override. The
+    * r16 three-arm × two-rung matrix (SWEEP16, median-of-3 at 128×,
+    * single-pass at 512×, bounded-sort q38 in both) killed it:
+    *
+    *   128× (3 GB):  fixed-32 72.6 s | 384 84.3 s | 2048 82.0 s
+    *   512× (12 GB): fixed-32 661 s / 36 GB spill | 2048 238 s / 9.3 GB
+    *
+    * The costs are ASYMMETRIC: too many initial partitions is a ~13%
+    * scheduling overhead (AQE coalescing absorbs the rest), while too
+    * few is a CLIFF — at 512× the fixed floor forces ~3 GB+ of q38's
+    * ~8×-amplified join volume through each of 32 sort buffers and the
+    * query runs 2.8× slower. A per-family fixed floor is therefore a
+    * regression waiting one rung up the ladder; every family keeps the
+    * size-derived ceiling and q38's 128× premium is the insurance the
+    * 512× rung buys. SPARK_GRAFT_INITIAL_PARTITIONS stays the
+    * experiment lever (it produced this matrix). */
+  def initialPartitionsFor(name: String, sfDir: String, cpus: Int): Int =
+    initialPartitions(sfDir, cpus)
 
   /** Apply the per-family regime on the shared session before running
     * `name` — AQE reads the conf at execution, so a session-level set
