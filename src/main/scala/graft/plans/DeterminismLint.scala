@@ -95,12 +95,7 @@ object DeterminismLint extends Rule[LogicalPlan] {
     "v02_label_centroids" -> Seq("AVG over double"),
     "v05_ivf_ann" -> Seq("AVG over double"),
     "v06_ivf_recall" -> Seq("AVG over double"),
-    "v12_pq_topk" -> Seq("AVG over double"),
-    "v13_ivfpq_topk" -> Seq("AVG over double", "AVG over double"),
-    "v15_kmeans" -> Seq("AVG over double"),
     "v20_centroid_classify" -> Seq("AVG over double"),
-    "v24_ivf_nprobe_curve" -> Seq("AVG over double"),
-    "v25_kmeans_elbow" -> Seq("AVG over double"),
     // v38's half-split centroids: the same audited round(avg, 6) pattern
     // as v02, then SNAPPED to the integer micro-lattice before any
     // cross-half product — everything downstream is exact int64
@@ -128,7 +123,18 @@ object DeterminismLint extends Rule[LogicalPlan] {
     // centroid pattern (v12's recipe); eager survivor checkpoints cut it
     // out of the returned plan, so it is builder-time only
     "v43_cascade_pq" -> Seq("AVG over double"),
-    "v44_cascade_pq_recall" -> Seq("AVG over double"))
+    "v44_cascade_pq_recall" -> Seq("AVG over double"),
+    // r16 plan-barrier optimization: the SAME audited round(avg, 6)
+    // centroid/codebook means as before, now behind the per-iteration /
+    // per-frame eager localCheckpoints that killed the exponential plan
+    // growth (kmeansCentroids fold, v12/v13's cbRow, v24's shared cells)
+    // — moved here from [[allowlist]] because the returned plan no longer
+    // shows them
+    "v12_pq_topk" -> Seq("AVG over double"),
+    "v13_ivfpq_topk" -> Seq("AVG over double", "AVG over double"),
+    "v15_kmeans" -> Seq("AVG over double"),
+    "v24_ivf_nprobe_curve" -> Seq("AVG over double"),
+    "v25_kmeans_elbow" -> Seq("AVG over double"))
 
   /** Collapse a finding to its comparable shape ("SUM over double"). */
   def shapeOf(finding: String): String =

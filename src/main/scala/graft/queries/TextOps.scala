@@ -66,7 +66,12 @@ object TextOps {
         .map(j => f"concat('$j%02d', ':', sig$j)").mkString(", ")
       s"named_struct('b', $b, 'band_sig', md5(cast(concat_ws('|', $quad) as binary)))"
     }
+    // |docs|×4 rows of (long, int, 32-char hash) — barriered because every
+    // bucket self-join consumes BOTH sides of this frame, re-deriving the
+    // shingle-explode + 16-way min-md5 aggregate per side otherwise (r16;
+    // six call sites share the fix)
     sigs.selectExpr("doc_id", s"inline(array(${bandStructs.mkString(", ")}))")
+      .localCheckpoint(true)
   }
 
   /** Shared DSIR weight pipeline (tx29/tx31): hashed-bigram 64-bucket
@@ -86,6 +91,9 @@ object TextOps {
         expr("cast(conv(substr(md5(cast(bg as binary)), 1, 2), 16, 10) as int) % 64"))
       .groupBy(col("doc_id"), col("source"), col("bucket"))
       .agg(count(lit(1)).as("nb"))
+      // ≤ |docs|×64 rows, three consumers (raw histogram, target histogram,
+      // per-doc weight join) — barrier the bigram explode+hash pass (r16)
+      .localCheckpoint(true)
     val rawB = db.groupBy(col("bucket")).agg(sum(col("nb")).as("raw"))
     val tgtB = db.filter(col("source") === "src0")
       .groupBy(col("bucket")).agg(sum(col("nb")).as("tgt"))
@@ -226,8 +234,11 @@ object TextOps {
       // LSH needs anyway. (Earlier layouts shuffled |token| or 16×|token|
       // rows through one or two groupBys first.)
       graft.functions.VectorFunctions.register(s)
+      // (doc_id, 16-char hash) per row — barriered: both bucket-join sides
+      // re-ran the full tokenize+hash+majority signature pass otherwise (r16)
       val sig = fanout(docs(s, dir))
         .selectExpr("doc_id", "graft_simhash(text) AS simhash")
+        .localCheckpoint(true)
       val bands = sig
         .select(col("doc_id"), col("simhash"), explode(expr("sequence(0, 1)")).as("b"))
         .withColumn("band", expr("substring(simhash, 1 + 8 * b, 8)"))
@@ -991,9 +1002,13 @@ object TextOps {
     // hash-equality join.
     "tx26_substring_dedup" -> ((s, dir) => {
       val k = 5
+      // three consumers (gram stream, clean-text rebuild, final stats) —
+      // barrier the tokenize pass once (r16; the v16 `af` materialization
+      // trade: token arrays ≈ corpus bytes, vs 3 regex-tokenize scans)
       val toks = fanout(docs(s, dir))
         .selectExpr("doc_id", s"$tokExpr AS tk")
         .withColumn("n", expr("size(tk)").cast("long"))
+        .localCheckpoint(true)
       val grams = toks.filter(col("n") >= k)
         .select(col("doc_id"), posexplode(expr(
           s"""transform(sequence(1, cast(size(tk) - ${k - 1} as int)),
@@ -1007,6 +1022,8 @@ object TextOps {
       val covered = dupStarts
         .select(col("doc_id"), explode(expr(s"sequence(i, i + ${k - 1})")).as("t"))
         .distinct()
+        // two consumers (span stats + clean-text anti-join), small frame
+        .localCheckpoint(true)
       val w = Window.partitionBy(col("doc_id")).orderBy(col("t"))
       val spanStats = covered
         .withColumn("grp", col("t") - row_number().over(w))

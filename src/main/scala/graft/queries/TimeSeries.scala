@@ -609,6 +609,11 @@ object TimeSeries {
           Window.partitionBy(col("event_type")).orderBy(col("day"))).cast("long"))
         .withColumn("p", (col("i") - 1) % 7)
         .select(col("event_type").as("g"), col("day"), col("i"), col("p"), col("x"))
+        // |types|×|days| rows feeding THREE consumers (grand mean, seasonal
+        // index, deseasonalize) — barrier per the ts42 discipline; the
+        // executed plan otherwise re-derived the events aggregate per
+        // reference (r16 plan audit: 23 FileScans / 65 Exchanges)
+        .localCheckpoint(true)
       val mu = daily.groupBy(col("g"))
         .agg(count(lit(1)).as("nm"), sum(sumExactCol(col("x"))).as("sm"))
         .withColumn("gmu", halfUpMean6("sm", "nm"))
@@ -618,10 +623,16 @@ object TimeSeries {
         .withColumn("pmu", halfUpMean6("sp", "np"))
         .join(mu, Seq("g"))
         .select(col("g"), col("p"), round(col("pmu") - col("gmu"), 6).as("sidx"))
+        // |types|×7 rows, two consumers (deseasonalize + next-period join)
+        .localCheckpoint(true)
       val de = daily.join(seas, Seq("g", "p"))
         .withColumn("y", round(col("x") - col("sidx"), 6))
+        // three consumers (s1 chain, s2 chain via s1, final join)
+        .localCheckpoint(true)
       val s1 = emaClosedForm(de.select(col("g"), col("i"), col("y").as("x")))
         .withColumn("s1", round(col("ema"), 6).cast("double")).drop("ema")
+        // two consumers (s2 chain + final join) — barrier the window pass
+        .localCheckpoint(true)
       val s2 = emaClosedForm(s1.select(col("g"), col("i"), col("s1").as("x")))
         .withColumn("s2", round(col("ema"), 6).cast("double")).drop("ema")
       val nextSeas = seas.select(col("g"), col("p").as("np"),
@@ -709,7 +720,9 @@ object TimeSeries {
           .groupBy(col("event_type"))
           .agg(((min(col(v)) + max(col(v))) / lit(2)).cast("decimal(18,6)").as(out))
       }
-      val medians = med(keyed, "xd", "med")
+      // |series| rows, two consumers (MAD input + final join) — barrier so
+      // the full-series median rank-window runs once, not twice (r16)
+      val medians = med(keyed, "xd", "med").localCheckpoint(true)
       val mads = med(
         keyed.join(broadcast(medians), "event_type")
           .withColumn("adev", abs(col("xd") - col("med")).cast("decimal(18,6)")),
@@ -2621,20 +2634,27 @@ object TimeSeries {
     val w = Window.partitionBy(col("g")).orderBy(col("ts_us"), col("event_id"))
     val centered = base.join(broadcast(stats), Seq("g"))
       .withColumn("dx", col("value") - col("mu"))
-    val leads = (1 to 10).map(l =>
-      struct(lit(l).as("lag"), lead(col("dx"), l).over(w).as("dy")))
-    val nums = centered.withColumn("ls", array(leads: _*))
+    // lag 0 rides the SAME pass as lags 1–10 (r16, guide §2.4): its term
+    // round(dx·dx, 12) is byte-identical to the old separate denominator
+    // aggregate's addends (lead(dx, 0) ≡ dx; the isNotNull filter drops
+    // exactly the rows whose NULL term the old decimal SUM skipped), so
+    // one scan+window+aggregate replaces two scans of the events table
+    val leads = (0 to 10).map(l =>
+      struct(lit(l).as("lag"),
+        (if (l == 0) col("dx") else lead(col("dx"), l).over(w)).as("dy")))
+    val terms = centered.withColumn("ls", array(leads: _*))
       .select(col("g"), col("dx"), explode(col("ls")).as("p"))
       .filter(col("p.dy").isNotNull)
       .select(col("g"), col("p.lag").as("lag"),
         expr("cast(round(dx * p.dy, 12) as decimal(28,12))").as("num_term"))
       .groupBy(col("g"), col("lag"))
       .agg(sum(col("num_term")).as("num"), count(lit(1)).as("n_pairs"))
-    val dens = centered
-      .select(col("g"),
-        expr("cast(round(dx * dx, 12) as decimal(28,12))").as("den_term"))
-      .groupBy(col("g")).agg(sum(col("den_term")).as("den"))
-    nums.join(broadcast(dens), Seq("g"))
+      // |series|×11 rows, two consumers (numerators + lag-0 denominator)
+      .localCheckpoint(true)
+    val dens = terms.filter(col("lag") === 0)
+      .select(col("g"), col("num").as("den"))
+    terms.filter(col("lag") >= 1)
+      .join(broadcast(dens), Seq("g"))
       .select(col("g"), col("lag"),
         round(col("num").cast("double") / col("den").cast("double"), 6)
           .as("acf"),

@@ -304,10 +304,22 @@ object VectorOps {
       val e = emb(s, dir)
       val qs = e.filter(expr("vec_id % 100 = 0"))
         .select(col("vec_id").as("q_id"), col("emb").as("qe"), col("norm").as("qn"))
-      val exact = cosineTopK(e, qs, 5).select(col("q_id"), col("c_id"))
+      // exact ground truth feeds four consumers (n_exact + 3 semi-joins)
+      // and the centroid/assignment frames are identical across the three
+      // sweep arms — barrier each once (r16; the lazy form re-derived the
+      // brute-force top-k and the corpus assign per arm). The exact chain
+      // and the cents→cells chain are independent: overlap them (§2.6)
+      val Seq(Seq(exact), Seq(cents, cells)) = inParallel(
+        () => Seq(cosineTopK(e, qs, 5).select(col("q_id"), col("c_id"))
+          .localCheckpoint(true)),
+        () => {
+          val c = cellCentroids(e).localCheckpoint(true)
+          Seq(c, coarseAssign(e, c).localCheckpoint(true))
+        })
       val nEx = exact.agg(count(lit(1)).as("n_exact"))
       val hits = Seq(1, 2, 4).map { np =>
-        ivfTopKN(e, np).select(col("q_id"), col("c_id"))
+        ivfTopKAssigned(cells, cellProbes(e, cents, np))
+          .select(col("q_id"), col("c_id"))
           .join(exact, Seq("q_id", "c_id"), "left_semi")
           .agg(count(lit(1)).as("n_hit"))
           .withColumn("nprobe", lit(np.toLong))
@@ -455,6 +467,10 @@ object VectorOps {
           .as("cents"))
         .agg(expr("transform(array_sort(collect_list(struct(sub, cents))), t -> t.cents)")
           .as("cb"))
+        // one-row codebook barrier (r16): seeds is referenced twice
+        // (assign + fallback join), so the lazy form re-derived the subs
+        // pipeline per reference; one tiny job materializes the codebook
+        .localCheckpoint(true)
       // encode + reconstruct, fully map-side against the broadcast codebook:
       // per subspace, argmin over the 16 centroids = first element of an
       // array_sort by (rounded dist, cid)
@@ -511,13 +527,20 @@ object VectorOps {
       // rounded squared L2 via the codegen'd kernel (identical fold order
       // to the old aggregate∘zip_with HOF chain — see L2Squared's scaladoc)
       def l2(a: String, b: String) = s"round(graft_l2($a, $b), 6)"
-      val cents = cellCentroids(e)
+      // cents feeds FOUR consumers (residual assign, residual join,
+      // reconstruction join, probes) and resid TWO (PQ training, encode);
+      // without barriers the executed plan re-derived them per reference
+      // (r16 plan audit: 52 Exchanges / 17 FileScans). cents is k rows;
+      // resid is the corpus-sized residual frame — the v16 `af`
+      // materialize-the-cluster-map trade, paid once instead of twice.
+      val cents = cellCentroids(e).localCheckpoint(true)
       // residual vs the assigned cell's centroid, dims rounded to 6 dp so
       // both engines train/encode from byte-identical inputs
       val resid = coarseAssign(e, cents)
         .join(broadcast(cents), col("cell") === col("clabel"))
         .withColumn("res", expr("zip_with(emb, cvec, (x, c) -> round(x - c, 6))"))
         .select(col("vec_id"), col("cell"), col("res"))
+        .localCheckpoint(true)
       // PQ training on residual subvectors — v12's one-Lloyd-step recipe
       val subs = resid.select(col("vec_id"), posexplode(expr(
         s"transform(sequence(0, ${m - 1}), s -> slice(res, s * $d + 1, $d))"))
@@ -546,6 +569,9 @@ object VectorOps {
           .as("cents"))
         .agg(expr("transform(array_sort(collect_list(struct(sub, cents))), t -> t.cents)")
           .as("cb"))
+        // one-row codebook: barrier collapses the whole seeds/refined
+        // training pipeline into a single job instead of one per reference
+        .localCheckpoint(true)
       // encode the residual, reconstruct as centroid + dequantized residual
       val dqExpr =
         s"""flatten(transform(sequence(0, ${m - 1}), s ->
@@ -663,14 +689,18 @@ object VectorOps {
     "v25_kmeans_elbow" -> ((s, dir) => {
       graft.functions.VectorFunctions.register(s)
       val e = emb(s, dir)
-      Seq(2, 4, 8).map { k =>
+      // the three k-arms are independent Lloyd chains whose per-iteration
+      // centroid barriers (kmeansCentroids) would otherwise run as 6
+      // SEQUENTIAL jobs — submit the chains from concurrent driver
+      // threads (guide §2.6) so the wall cost is one chain, not three
+      inParallel(Seq(2, 4, 8).map(k => () =>
         kmeansAssign(e, kmeansCentroids(e, iters = 2, k = k))
           .agg(count(lit(1)).as("n_vectors"),
             sum(col("csim").cast("decimal(18,6)")).as("s"))
           .select(lit(k.toLong).as("k"), col("n_vectors"),
             (col("s").cast("double") / col("n_vectors").cast("double"))
-              .as("mean_best_sim"))
-      }.reduce(_.unionByName(_)).orderBy(col("k"))
+              .as("mean_best_sim"))): _*)
+        .reduce(_.unionByName(_)).orderBy(col("k"))
     }),
 
     // INTRA-LIST DIVERSITY — the retrieval-quality metric that motivates
@@ -691,8 +721,15 @@ object VectorOps {
       val qs = e.filter(expr("vec_id % 100 = 0"))
         .select(col("vec_id").as("q_id"), col("emb").as("qe"),
           col("norm").as("qn"))
+      // ONE brute-force top-20 pass serves both lists: TopKAggregator(20)
+      // ranks by (sim DESC, c_id) exactly as TopKAggregator(5) does, so the
+      // rnk ≤ 5 prefix IS the top-5 — the second corpus-wide scoring pass
+      // the old two-call form paid is gone (r16, guide §1.2 "don't compute
+      // things you throw away"). Barriered: both lists + their pair joins
+      // consume it.
+      val top20 = cosineTopK(e, qs, 20).localCheckpoint(true)
       def ild(k: Int, nCol: String, iCol: String): DataFrame = {
-        val top = cosineTopK(e, qs, k).select(col("q_id"), col("c_id"))
+        val top = top20.filter(col("rnk") <= k).select(col("q_id"), col("c_id"))
         val we = top.join(
           e.select(col("vec_id").as("c_id"), col("emb"), col("norm")), "c_id")
         val a = we.select(col("q_id"), col("c_id").as("ia"),
@@ -961,7 +998,10 @@ object VectorOps {
       val e = emb(s, dir)
       val qs = e.filter(expr("vec_id % 100 = 0"))
         .select(col("vec_id").as("q_id"), col("emb").as("qe"), col("norm").as("qn"))
+      // five consumers (2 semi-joins + 2 n_exact aggs + ...) — barrier the
+      // brute-force pass once (r16)
       val exact = cosineTopK(e, qs, 5).select(col("q_id"), col("c_id"))
+        .localCheckpoint(true)
       val curves = Seq(16, 32).map { d =>
         val ec = e.select(col("vec_id"),
           expr(s"slice(emb, 1, $d)").as("emb"))
@@ -1318,24 +1358,34 @@ object VectorOps {
     "v35_graph_beam_search" -> ((s, dir) => {
       graft.functions.VectorFunctions.register(s)
       val e = emb(s, dir)
-      val cells = coarseAssign(e, sqrtSeedCents(e)).localCheckpoint(true)
-      val ga = cells.select(col("cell"), col("vec_id").as("src"),
-        col("emb").as("es"), col("norm").as("ns"))
-      val gb = cells.select(col("cell"), col("vec_id").as("dst"),
-        col("emb").as("ed"), col("norm").as("nd"))
-      val wK = Window.partitionBy(col("src"))
-        .orderBy(col("esim").desc, col("dst"))
-      val graph = ga.join(gb, Seq("cell")).filter(col("src") =!= col("dst"))
-        .withColumn("esim",
-          round(expr("graft_dot(es, ed)") / (col("ns") * col("nd")), 6))
-        .withColumn("rn", row_number().over(wK)).filter(col("rn") <= 4)
-        .select(col("src"), col("dst"))
-        .localCheckpoint(true)
-      val corpus = e.select(col("vec_id").as("cid"), col("emb").as("ce"),
-        col("norm").as("cn")).localCheckpoint(true)
       val qs = e.filter(expr("vec_id % 100 = 50"))
         .select(col("vec_id").as("q_id"), col("emb").as("qe"),
           col("norm").as("qn"))
+      // three independent prep chains — the cells→graph build, the corpus
+      // checkpoint, and the exact ground-truth arm — submitted from
+      // concurrent driver threads (guide §2.6) instead of as sequential
+      // barrier jobs
+      val Seq(graph, corpus, exact) = inParallel(
+        () => {
+          val cells = coarseAssign(e, sqrtSeedCents(e)).localCheckpoint(true)
+          val ga = cells.select(col("cell"), col("vec_id").as("src"),
+            col("emb").as("es"), col("norm").as("ns"))
+          val gb = cells.select(col("cell"), col("vec_id").as("dst"),
+            col("emb").as("ed"), col("norm").as("nd"))
+          val wK = Window.partitionBy(col("src"))
+            .orderBy(col("esim").desc, col("dst"))
+          ga.join(gb, Seq("cell")).filter(col("src") =!= col("dst"))
+            .withColumn("esim",
+              round(expr("graft_dot(es, ed)") / (col("ns") * col("nd")), 6))
+            .withColumn("rn", row_number().over(wK)).filter(col("rn") <= 4)
+            .select(col("src"), col("dst"))
+            .localCheckpoint(true)
+        },
+        () => e.select(col("vec_id").as("cid"), col("emb").as("ce"),
+          col("norm").as("cn")).localCheckpoint(true),
+        () => cosineTopK(e, qs.select(col("q_id"), col("qe"), col("qn")), 5)
+          .select(col("q_id"), col("c_id").as("cid"))
+          .localCheckpoint(true))
       def score(df: DataFrame): DataFrame = df
         .join(corpus, Seq("cid"))
         .join(broadcast(qs), Seq("q_id"))
@@ -1346,14 +1396,23 @@ object VectorOps {
       val entry = e.agg(min(col("vec_id")).as("cid"))
       val wB = Window.partitionBy(col("q_id"))
         .orderBy(col("sim").desc, col("cid"))
+      // Each beam round references `visited` twice (the union and, through
+      // `frontier`, the candidate expansion), so an unbarriered loop doubles
+      // the visited subtree per round — the executed plan carried 239
+      // Exchanges / 103 FileScans for 3 rounds (r16 plan audit). One eager
+      // localCheckpoint per round (the CC/pqCodebook discipline) keeps the
+      // plan constant-depth; the frame is q_ids × visited-candidates rows
+      // (≤ q·(4·beam+1)), trivial to materialize.
       var visited = score(
         qs.select(col("q_id")).crossJoin(broadcast(entry)))
+        .localCheckpoint(true)
       var frontier = visited
       for (_ <- 1 to 3) {
         val cand = frontier.select(col("q_id"), col("cid"))
           .join(graph, col("cid") === col("src"))
           .select(col("q_id"), col("dst").as("cid")).distinct()
         visited = visited.unionByName(score(cand)).distinct()
+          .localCheckpoint(true)
         frontier = visited.withColumn("rn", row_number().over(wB))
           .filter(col("rn") <= 4).drop("rn")
       }
@@ -1361,10 +1420,6 @@ object VectorOps {
         .agg(count(lit(1)).cast("long").as("n_visited"))
       val approx = visited
         .withColumn("rnk", row_number().over(wB)).filter(col("rnk") <= 5)
-      val exact = cosineTopK(e, qs.select(col("q_id"),
-          col("qe"), col("qn")), 5)
-        .select(col("q_id"), col("c_id").as("cid"))
-        .localCheckpoint(true)
       val hits = approx.join(exact, Seq("q_id", "cid"), "left_semi")
         .groupBy(col("q_id")).agg(count(lit(1)).cast("long").as("n_hit"))
       approx.filter(col("rnk") === 1)
@@ -1776,6 +1831,9 @@ object VectorOps {
         .withColumn("sim",
           round(expr("graft_dot(qe, emb)") / (col("qn") * col("norm")), 6))
         .select(col("q_id"), col("vec_id").as("c_id"), col("sim"))
+        // ~q·nprobe·√n three-column rows, two consumers (tombstone count +
+        // live top-5) — barrier so the corpus assign+probe join runs once
+        .localCheckpoint(true)
       val masked = cand.groupBy(col("q_id"))
         .agg(sum(when(col("c_id") % 10 === 3, 1L).otherwise(0L))
           .as("n_masked"))
@@ -2242,12 +2300,22 @@ object VectorOps {
       .withColumn("cnorm", expr("sqrt(graft_dot(cvec, cvec))"))
   }
 
-  /** Deterministic seeds (vec_id < 8) iterated `iters` Lloyd steps. */
+  /** Deterministic seeds (vec_id < 8) iterated `iters` Lloyd steps.
+    *
+    * Each iteration's centroid frame is an eager localCheckpoint (r16
+    * optimization, guide §2.4/§7.2): kmeansIter references its input
+    * centroids TWICE (the assign broadcast + the lost-cell fallback join),
+    * so an unbarriered fold doubles the centroid subtree per iteration —
+    * 2^iters copies of the corpus-assign pipeline in the final plan
+    * (measured: v25's three-arm elbow plan carried 33 FileScans; the
+    * barriered form carries one per arm stage). The frame is k rows of
+    * one array — materialization is trivial next to one plan re-walk,
+    * the pqCodebook lloyd fold set the precedent. */
   private def kmeansCentroids(e: DataFrame, iters: Int, k: Int = 8): DataFrame = {
     val seeds = e.filter(col("vec_id") < k)
       .select(col("vec_id").as("cid"), col("emb").as("cvec"))
       .withColumn("cnorm", expr("sqrt(graft_dot(cvec, cvec))"))
-    (1 to iters).foldLeft(seeds)((c, _) => kmeansIter(e, c))
+    (1 to iters).foldLeft(seeds)((c, _) => kmeansIter(e, c).localCheckpoint(true))
   }
 
   /** k-means with DATA-DERIVED k = ⌈n/64⌉: holds ⟨cell⟩ ≈ 64 by
@@ -2273,7 +2341,8 @@ object VectorOps {
       .filter(col("vec_id") < col("kk"))
       .select(col("vec_id").as("cid"), col("emb").as("cvec"))
       .withColumn("cnorm", expr("sqrt(graft_dot(cvec, cvec))"))
-    (1 to iters).foldLeft(seeds)((c, _) => kmeansIter(e, c))
+    // per-iteration barrier — see kmeansCentroids
+    (1 to iters).foldLeft(seeds)((c, _) => kmeansIter(e, c).localCheckpoint(true))
   }
 
   /** Nearest-centroid assignment: (vec_id, cid, csim), highest 6-dp cosine,
@@ -2375,9 +2444,15 @@ object VectorOps {
 
   /** IVF top-5 over an explicit centroid frame (clabel, cvec, cnorm). */
   private def ivfTopKCents(e: DataFrame, cents: DataFrame,
-      nprobe: Int): DataFrame = {
-    val cells = coarseAssign(e, cents)
-    val probes = cellProbes(e, cents, nprobe)
+      nprobe: Int): DataFrame =
+    ivfTopKAssigned(coarseAssign(e, cents), cellProbes(e, cents, nprobe))
+
+  /** IVF top-5 over an already-assigned cell frame — the seam that lets a
+    * sweep (v24) share ONE assignment pass across its nprobe arms instead
+    * of re-deriving coarseAssign per arm (r16: 3 identical corpus-assign
+    * subtrees in the executed plan). */
+  private def ivfTopKAssigned(cells: DataFrame,
+      probes: DataFrame): DataFrame = {
     val wTop = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id"))
     cells.join(broadcast(probes), Seq("cell"))
       .filter(col("vec_id") =!= col("q_id"))
@@ -2412,8 +2487,13 @@ object VectorOps {
       width: Int, multiProbe: Boolean = false): DataFrame = {
     graft.functions.VectorFunctions.register(e.sparkSession)
     val mask = (1 << width) - 1
+    // (vec_id, one long) per row — barriered because BOTH bucket-join
+    // sides (and under multiProbe every bit-flip union branch: width+1
+    // of them) re-derive it otherwise: v09's executed plan carried 9
+    // FileScans, each re-running the planes×dims graft_hsig pass (r16)
     val sig = fanout(e).select(col("vec_id"),
       expr(s"graft_hsig(emb, $planes)").as("sig"))
+      .localCheckpoint(true)
     val banded = sig
       .select(col("vec_id"), explode(expr(s"sequence(0, ${bands - 1})")).as("b"),
         col("sig"))

@@ -77,4 +77,24 @@ package object queries {
   def fanout(df: DataFrame): DataFrame =
     df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
+  /** Run independent driver-side materialization thunks CONCURRENTLY.
+    *
+    * Eager `localCheckpoint` barriers fix the exponential-plan problem of
+    * iterative/multi-consumer queries (lineage re-walked per reference) but
+    * SERIALIZE what one lazy action would have scheduled as concurrent
+    * stages of a single job DAG — at bench scale each extra sequential job
+    * is ~0.3 s of scheduling/latency, and a 3-arm sweep pays it 6×.
+    * Spark's scheduler happily runs jobs submitted from several driver
+    * threads at once (optimization guide §2.6 — FIFO back-fill), so
+    * independent barrier chains are submitted together and the wall cost
+    * is max(chain), not sum. Failures propagate: any thunk's exception
+    * rethrows here. Results keep argument order. */
+  def inParallel[T](thunks: (() => T)*): Seq[T] = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val fs = thunks.map(t => Future(t()))
+    fs.map(Await.result(_, Duration.Inf))
+  }
+
 }
