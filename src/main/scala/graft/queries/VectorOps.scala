@@ -1204,50 +1204,57 @@ object VectorOps {
         .select(col("vec_id").as("q_id"), col("emb").as("qe"),
           col("norm").as("qn"), col("lo").as("qlo"), col("hi").as("qhi"))
       val topC = udaf(new graft.functions.TopKAggregator(100))
-      val st1 = fanout(coded.select(col("vec_id"), col("lo"), col("hi")))
-        .crossJoin(broadcast(qs.select(col("q_id"), col("qlo"), col("qhi"))))
-        .filter(col("vec_id") =!= col("q_id"))
-        .withColumn("hsim", (lit(64) -
-          expr("bit_count(lo ^ qlo) + bit_count(hi ^ qhi)")).cast("double")
-          / lit(64.0))
-        .groupBy(col("q_id"))
-        .agg(topC(col("vec_id"), col("hsim")).as("top"))
-        .select(col("q_id"),
-          explode(expr("transform(top, s -> s.c_id)")).as("c_id"))
-        .localCheckpoint(true)
-      // stage 2: SQ8 asymmetric scoring of survivors (v11's quantizer —
-      // per-dim min/max one-row broadcast, dequantize, cosine vs raw query)
-      val mm = e.select(posexplode(col("emb")).as(Seq("pos", "x")))
-        .groupBy(col("pos")).agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
-        .agg(array_sort(collect_list(struct(col("pos"), col("mn")))).as("mns"),
-          array_sort(collect_list(struct(col("pos"), col("mx")))).as("mxs"))
-        .select(expr("transform(mns, s -> s.mn)").as("mn"),
-          expr("transform(mxs, s -> s.mx)").as("mx"))
-      val w2 = Window.partitionBy(col("q_id")).orderBy(col("asim").desc, col("c_id"))
-      val st2 = e.join(broadcast(st1), col("vec_id") === col("c_id"))
-        .crossJoin(broadcast(mm))
-        .withColumn("dq", expr(
-          "transform(emb, (x, i) -> mn[i] + cast(round((x - mn[i]) * 255.0D / (mx[i] - mn[i])) as int) * (mx[i] - mn[i]) / 255.0D)"))
-        .withColumn("dqn", expr("sqrt(graft_dot(dq, dq))"))
-        .join(broadcast(qs.select(col("q_id"), col("qe"), col("qn"))), Seq("q_id"))
-        .withColumn("asim",
-          round(expr("graft_dot(qe, dq)") / (col("qn") * col("dqn")), 6))
-        .withColumn("r", row_number().over(w2))
-        .filter(col("r") <= 15)
-        .select(col("q_id"), col("c_id"))
-        .localCheckpoint(true)
-      val w3 = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id"))
-      val casc = e.join(broadcast(st2), col("vec_id") === col("c_id"))
-        .join(broadcast(qs.select(col("q_id"), col("qe"), col("qn"))), Seq("q_id"))
-        .withColumn("sim",
-          round(expr("graft_dot(qe, emb)") / (col("qn") * col("norm")), 6))
-        .withColumn("rnk", row_number().over(w3))
-        .filter(col("rnk") <= 5)
-        .select(col("q_id"), col("c_id"))
-        .localCheckpoint(true)
-      val exact = cosineTopK(e, qs.select(col("q_id"), col("qe"), col("qn")), 5)
-        .select(col("q_id"), col("c_id"))
-        .localCheckpoint(true)
+      // the three cascade stages are a data-dependent barrier CHAIN while
+      // the exact ground truth is independent — overlap them (§2.6) so the
+      // brute-force arm rides the cascade's scheduling slack
+      val Seq(Seq(st1, st2, casc), Seq(exact)) = inParallel(
+        () => {
+          val st1 = fanout(coded.select(col("vec_id"), col("lo"), col("hi")))
+            .crossJoin(broadcast(qs.select(col("q_id"), col("qlo"), col("qhi"))))
+            .filter(col("vec_id") =!= col("q_id"))
+            .withColumn("hsim", (lit(64) -
+              expr("bit_count(lo ^ qlo) + bit_count(hi ^ qhi)")).cast("double")
+              / lit(64.0))
+            .groupBy(col("q_id"))
+            .agg(topC(col("vec_id"), col("hsim")).as("top"))
+            .select(col("q_id"),
+              explode(expr("transform(top, s -> s.c_id)")).as("c_id"))
+            .localCheckpoint(true)
+          // stage 2: SQ8 asymmetric scoring of survivors (v11's quantizer —
+          // per-dim min/max one-row broadcast, dequantize, cosine vs raw query)
+          val mm = e.select(posexplode(col("emb")).as(Seq("pos", "x")))
+            .groupBy(col("pos")).agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+            .agg(array_sort(collect_list(struct(col("pos"), col("mn")))).as("mns"),
+              array_sort(collect_list(struct(col("pos"), col("mx")))).as("mxs"))
+            .select(expr("transform(mns, s -> s.mn)").as("mn"),
+              expr("transform(mxs, s -> s.mx)").as("mx"))
+          val w2 = Window.partitionBy(col("q_id")).orderBy(col("asim").desc, col("c_id"))
+          val st2 = e.join(broadcast(st1), col("vec_id") === col("c_id"))
+            .crossJoin(broadcast(mm))
+            .withColumn("dq", expr(
+              "transform(emb, (x, i) -> mn[i] + cast(round((x - mn[i]) * 255.0D / (mx[i] - mn[i])) as int) * (mx[i] - mn[i]) / 255.0D)"))
+            .withColumn("dqn", expr("sqrt(graft_dot(dq, dq))"))
+            .join(broadcast(qs.select(col("q_id"), col("qe"), col("qn"))), Seq("q_id"))
+            .withColumn("asim",
+              round(expr("graft_dot(qe, dq)") / (col("qn") * col("dqn")), 6))
+            .withColumn("r", row_number().over(w2))
+            .filter(col("r") <= 15)
+            .select(col("q_id"), col("c_id"))
+            .localCheckpoint(true)
+          val w3 = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id"))
+          val casc = e.join(broadcast(st2), col("vec_id") === col("c_id"))
+            .join(broadcast(qs.select(col("q_id"), col("qe"), col("qn"))), Seq("q_id"))
+            .withColumn("sim",
+              round(expr("graft_dot(qe, emb)") / (col("qn") * col("norm")), 6))
+            .withColumn("rnk", row_number().over(w3))
+            .filter(col("rnk") <= 5)
+            .select(col("q_id"), col("c_id"))
+            .localCheckpoint(true)
+          Seq(st1, st2, casc)
+        },
+        () => Seq(cosineTopK(e, qs.select(col("q_id"), col("qe"), col("qn")), 5)
+          .select(col("q_id"), col("c_id"))
+          .localCheckpoint(true)))
       val hit = casc.join(exact, Seq("q_id", "c_id"), "left_semi")
       exact.agg(count(lit(1)).as("n_exact"))
         .crossJoin(st1.agg(count(lit(1)).as("n_stage1")))
@@ -1284,18 +1291,24 @@ object VectorOps {
         .select(col("vec_id").as("q_id"), col("emb").as("qe"),
           col("norm").as("qn"), col("lo").as("qlo"), col("hi").as("qhi"))
       val topC = udaf(new graft.functions.TopKAggregator(300))
-      val ranked = fanout(coded.select(col("vec_id"), col("lo"), col("hi")))
-        .crossJoin(broadcast(qs.select(col("q_id"), col("qlo"), col("qhi"))))
-        .filter(col("vec_id") =!= col("q_id"))
-        .withColumn("hsim", (lit(64) -
-          expr("bit_count(lo ^ qlo) + bit_count(hi ^ qhi)")).cast("double")
-          / lit(64.0))
-        .groupBy(col("q_id"))
-        .agg(topC(col("vec_id"), col("hsim")).as("top"))
-        .select(col("q_id"),
-          posexplode(expr("transform(top, s -> s.c_id)"))
-            .as(Seq("pos", "c_id")))
-        .localCheckpoint(true)
+      // the Hamming ranking barrier and the exact ground truth are
+      // independent — overlap their materialization jobs (§2.6)
+      val Seq(ranked, exact) = inParallel(
+        () => fanout(coded.select(col("vec_id"), col("lo"), col("hi")))
+          .crossJoin(broadcast(qs.select(col("q_id"), col("qlo"), col("qhi"))))
+          .filter(col("vec_id") =!= col("q_id"))
+          .withColumn("hsim", (lit(64) -
+            expr("bit_count(lo ^ qlo) + bit_count(hi ^ qhi)")).cast("double")
+            / lit(64.0))
+          .groupBy(col("q_id"))
+          .agg(topC(col("vec_id"), col("hsim")).as("top"))
+          .select(col("q_id"),
+            posexplode(expr("transform(top, s -> s.c_id)"))
+              .as(Seq("pos", "c_id")))
+          .localCheckpoint(true),
+        () => cosineTopK(e, qs.select(col("q_id"), col("qe"), col("qn")), 5)
+          .select(col("q_id"), col("c_id"))
+          .localCheckpoint(true))
       val armed = ranked
         .select(col("q_id"), col("pos"), col("c_id"),
           explode(expr("array(30, 100, 300)")).as("c1"))
@@ -1328,9 +1341,6 @@ object VectorOps {
         .withColumn("rnk", row_number().over(w3))
         .filter(col("rnk") <= 5)
         .select(col("c1"), col("q_id"), col("c_id"))
-      val exact = cosineTopK(e, qs.select(col("q_id"), col("qe"), col("qn")), 5)
-        .select(col("q_id"), col("c_id"))
-        .localCheckpoint(true)
       casc.join(exact, Seq("q_id", "c_id"), "left_semi")
         .groupBy(col("c1"))
         .agg(count(lit(1)).as("n_hit"))
